@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical loaders for the driver-generated testdata tables
+  * (`/root/testdata/sf*`, see TESTDATA.md).
+  *
+  * All loads are plain parquet scans so Catalyst predicate pushdown /
+  * column pruning apply ([[https://spark.apache.org]] `PushDownPredicates`,
+  * `ColumnPruning`); callers should never cache these — at 100 TB the scan
+  * with pruning IS the fast path.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as a raw
+    * long (`spark.sql.legacy.parquet.nanosAsLong`) and expose:
+    *   - `ts_ns`: exact epoch nanoseconds (matches DuckDB `epoch_ns(ts)`) —
+    *     use this for ordering/joins so no precision is lost;
+    *   - `ts`:    microsecond-truncated TimestampType for date/window logic.
+    * `DIV` keeps the ns→µs conversion in exact integer arithmetic.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+  }
+
+  /** Register every table as a temp view (the "Postgres mirror" analog —
+    * reference README.md:16-20 positions the mirror as a SQL analytics
+    * surface; here the catalog + Spark SQL is that surface). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,158 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline:
+  * exact, normalized-key, n-gram Jaccard (inverted index), MinHash+LSH,
+  * SimHash. All deterministic (fixed hash constants, xxhash64 — never
+  * Math.random), all shuffle-minimal.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on the full text, keep min doc_id as the
+    * representative. One shuffle on the (hashed) text. At 100 TB you
+    * group on xxhash64(text) first and only compare texts within a hash
+    * bucket — Spark's hash aggregate already does exactly that. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_dups"))
+      .drop("text")
+
+  /** Normalized-key dedup: dedup on a canonical key (here: first k
+    * tokens). The groupBy shuffles only (key, doc_id). */
+  def byKey(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, k), " ").as("norm_key"))
+      .groupBy("norm_key")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct k-token shingles per doc: (doc_id, shingle). */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("w")) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j + 1)): _*)
+        ))).as("shingle"))
+
+  /** All-pairs n-gram Jaccard via an inverted index — NOT a cross join.
+    * (doc, shingle) self-joined on shingle → common-shingle counts per
+    * pair; |A ∪ B| = |A| + |B| − common. Returns jaccard in ppm (exact
+    * integer arithmetic). Cost: Σ_shingle df² pair-candidates — at scale,
+    * prune ultra-frequent shingles first (stop-shingle cut), which is the
+    * standard practice; the 31-word corpus vocabulary keeps df small here.
+    */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = shingles(docs, k)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val common = a.join(b, col("a.shingle") === col("b.shingle")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard_ppm",
+        expr("(common * 1000000) DIV (n_a + n_b - common)"))
+      .select("id_a", "id_b", "common", "jaccard_ppm")
+  }
+
+  // --- MinHash + LSH ------------------------------------------------------
+
+  /** prime > 2^32; with a < 2^31 and x < 2^32, a*x+b stays < 2^63. */
+  private val P = 4294967311L
+  private def hashA(j: Int): Long = ((1103515245L * (j + 1) + 12345L) % (1L << 31)) | 1L
+  private def hashB(j: Int): Long = (2654435761L * (j + 7)) % P
+
+  /** MinHash signatures: numPerms universal hashes h_j(x) = (a_j·x+b_j) mod P
+    * over xxhash64 shingle hashes (folded to 32 bits). Implementation is
+    * posexplode + (doc, perm) min-aggregate: map-side partial min makes the
+    * shuffle O(#docs × numPerms), independent of corpus size. */
+  def minHashSignatures(docs: DataFrame, k: Int = 3, numPerms: Int = 32): DataFrame = {
+    val as = array((0 until numPerms).map(j => lit(hashA(j))): _*)
+    val bs = array((0 until numPerms).map(j => lit(hashB(j))): _*)
+    shingles(docs, k)
+      .withColumn("x", pmod(xxhash64(col("shingle")), lit(4294967296L)))
+      .select(col("doc_id"),
+        posexplode(zip_with(as, bs, (a, b) => (a * col("x") + b) % lit(P)))
+          .as(Seq("perm", "h")))
+      .groupBy("doc_id", "perm").agg(min("h").as("minh"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * numPerms/bands rows each; band hash = xxhash64 of the band's values.
+    * Docs sharing any band hash are candidate near-duplicates; the
+    * candidate join is an equi-join on (band, band_hash) — broadcastable
+    * / bucketable, never a cross join. */
+  def minHashBands(docs: DataFrame, k: Int = 3, numPerms: Int = 32, bands: Int = 8): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    minHashSignatures(docs, k, numPerms)
+      .withColumn("band", expr(s"perm DIV $rowsPerBand"))
+      .groupBy("doc_id", "band")
+      .agg(sort_array(collect_list(struct(col("perm"), col("minh")))).as("sig"))
+      .withColumn("band_hash", xxhash64(to_json(col("sig"))))
+      .select("doc_id", "band", "band_hash")
+  }
+
+  /** Candidate pairs from LSH banding, verified with exact shingle
+    * Jaccard (ppm). `minJaccardPpm` filters the verified pairs. */
+  def minHashLshPairs(docs: DataFrame, k: Int = 3, numPerms: Int = 32,
+                      bands: Int = 8, minJaccardPpm: Long = 500000L): DataFrame = {
+    val bh = minHashBands(docs, k, numPerms, bands)
+    val cand = bh.as("x").join(bh.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val verified = ngramJaccardPairs(docs, k)
+    cand.join(verified, Seq("id_a", "id_b"))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+  }
+
+  // --- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash over the token stream: each token votes ±1 on each bit
+    * of xxhash64(token); bit of the fingerprint = sign of the tally.
+    * Computed as 64 conditional-sum aggregate columns over the exploded
+    * token table — one shuffle keyed by doc_id, partial aggregation
+    * map-side, no row blow-up. */
+  def simHash(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val tallies = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val agg = tokens.groupBy("doc_id").agg(tallies.head, tallies.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L).cast("long") * lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, found via
+    * chunk-banding (pigeonhole: distance ≤ d ⇒ some 16-bit chunk equal,
+    * for d ≤ 3 with 4 chunks) — equi-join on chunks, then exact popcount
+    * verify. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(docs)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "ch")))
+    val cand = chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

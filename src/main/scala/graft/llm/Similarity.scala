@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: random-
+  * hyperplane LSH bucketing — both with deterministic, seedless
+  * constructions (plane weights derive from integer hashing, never
+  * Math.random, so results are stable across runs/resumes).
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision (cast-first so float rounding does not
+    * accumulate), evaluated elementwise inside codegen. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * Plan shape: broadcast the (small) query set against the full corpus —
+    * a broadcast nested-loop with a codegen'd dot product, then a
+    * rank-window partitioned by query. At 1000 executors this scans the
+    * corpus once regardless of query count; there is no all-pairs shuffle.
+    * Output: (query_id, neighbor_id, rnk) — ids only, so results are
+    * hash-comparable across engines (scores differ in ulps, ranks do not).
+    */
+  def bruteForceKnn(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** Top near-duplicate pairs (i < j) by cosine, over a bounded id range
+    * (caller bounds the quadratic candidate set; the scale path for
+    * unbounded corpora is [[lshBuckets]] + within-bucket pairs). */
+  def nearDupPairs(emb: DataFrame, topN: Int): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("e_a"), col("e_b")))
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+      .select("id_a", "id_b")
+  }
+
+  /** Deterministic ±1 hyperplane weight for (plane, dim): a multiplicative
+    * integer hash bit (Knuth constant), reproducible anywhere. */
+  private[llm] def planeWeight(p: Int, d: Int): Double = {
+    val k = (p * 1021 + d * 2039 + 1).toLong
+    if (((k * 2654435761L) >> 13 & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** Random-hyperplane LSH: bucket = sign bits of `planes` dot products.
+    * With P planes, 2^P buckets; neighbors by cosine tend to share
+    * buckets (Charikar 2002 SimHash-for-angles). One narrow projection,
+    * no shuffle. */
+  def lshBuckets(emb: DataFrame, planes: Int, dim: Int): DataFrame = {
+    val bucket = (0 until planes).map { p =>
+      val w = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
+      when(dot(col("embedding"), w) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.withColumn("bucket", bucket)
+  }
+
+  /** ANN top-k via LSH buckets: only candidates sharing the query's bucket
+    * are scored — the scan-once/shuffle-on-bucket scale path. Recall is
+    * approximate by construction (queries in sparse buckets may return
+    * fewer than k). */
+  def lshKnn(emb: DataFrame, queries: DataFrame, k: Int, planes: Int, dim: Int): DataFrame = {
+    val all = lshBuckets(emb, planes, dim)
+    val q = broadcast(lshBuckets(queries, planes, dim)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket")))
+    val c = all.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      col("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's sync dataflow operators, re-expressed as Spark
+  * DataFrame transforms. Citations are file:line into /root/reference.
+  *
+  * Scale notes (100 TB): every operator here is a single keyed shuffle
+  * (window or join on the entity key) with map-side partial work where
+  * Spark supports it; none collects to the driver. Anti-joins broadcast
+  * automatically when the id-set side is small (AQE), which is the common
+  * case for per-batch FK checks.
+  */
+object MergeOps {
+
+  /** Intra-batch last-writer-wins dedup (reference A2): among conflicting
+    * versions of a key, keep the one with the greatest (orderCols) tuple.
+    * The reference achieves this row-at-a-time via the `last_synced_at`
+    * guard in its upsert SQL (packages/sync-engine/src/database/
+    * postgres.ts:196-203); in Spark it is one window per micro-batch.
+    * `orderCols` should end with a unique tiebreaker for determinism.
+    */
+  def lwwLatest(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Cross-batch guarded merge (reference S9): apply `source` rows over
+    * `target` rows only where source.tsCol is STRICTLY greater — the
+    * out-of-order/duplicate-delivery guard of
+    * `upsertManyWithTimestampProtection` (postgres.ts:64-104; strict `<`
+    * at :203, proven by webhooks.test.ts:202-284). Both sides must already
+    * be unique per key (run [[lwwLatest]] first). New keys insert; stale
+    * source rows silently no-op, exactly like the reference.
+    */
+  def mergeGuarded(target: DataFrame, source: DataFrame, key: String, tsCol: String): DataFrame = {
+    val t = target.select(target.columns.map(c => col(c).as("t_" + c)): _*)
+    val s = source.select(source.columns.map(c => col(c).as("s_" + c)): _*)
+    val joined = t.join(s, col("t_" + key) === col("s_" + key), "full_outer")
+    val takeSource = col("t_" + key).isNull ||
+      (col("s_" + key).isNotNull && col("s_" + tsCol) > col("t_" + tsCol))
+    val cols = target.columns.map { c =>
+      when(takeSource, col("s_" + c)).otherwise(col("t_" + c)).as(c)
+    }
+    joined.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Missing-FK anti-join (reference J1, `findMissingEntries`,
+    * postgres.ts:106-120): candidate ids not present in the mirror table.
+    * The distinct() reproduces `getUniqueIds` (stripeSync.ts:38-46).
+    */
+  def missingKeys(candidates: DataFrame, candKey: String,
+                  table: DataFrame, tableKey: String): DataFrame = {
+    val ids = candidates.select(col(candKey).as(tableKey))
+      .where(col(tableKey).isNotNull).distinct()
+    ids.join(table.select(tableKey), Seq(tableKey), "left_anti")
+  }
+
+  /** Set-difference delete (reference J3/J4): rows of `existing` whose key
+    * is absent from `current` — `markDeletedSubscriptionItems`
+    * (stripeSync.ts:1559-1583) and `deleteRemovedActiveEntitlements`
+    * (stripeSync.ts:1650-1660). Caller decides soft (flag) vs hard delete.
+    */
+  def setDiffDelete(existing: DataFrame, current: DataFrame, key: String): DataFrame =
+    existing.join(current.select(key).distinct(), Seq(key), "left_anti")
+
+  /** Child-table normalization (reference A4/A5/A6): explode a nested
+    * array column into child rows, tagging the parent key — the
+    * subscription_items / checkout_session_line_items pattern
+    * (stripeSync.ts:1484-1557, migration 0014:1-36).
+    */
+  def explodeChild(parent: DataFrame, parentKey: String, arrCol: String,
+                   childAlias: String): DataFrame =
+    parent.select(col(parentKey), explode(col(arrCol)).as(childAlias))
+}

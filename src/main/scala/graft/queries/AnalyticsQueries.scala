@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The relational surface the reference delegates to its Postgres mirror
+  * (SURVEY §2.9): scans, filters, equi-joins, aggregates (incl. rollup /
+  * pivot / conditional), windows, sorts/limits/top-k, set ops, distinct.
+  * Here that surface is native Catalyst over the synced tables.
+  *
+  * Money math: `round(x * 1e6) → BIGINT` ("micros"). The doubles carry
+  * exact ≤6-decimal values, so scaling+rounding is exact and the integer
+  * sums are order-independent — hash-identical to the DuckDB oracle.
+  */
+object AnalyticsQueries {
+
+  /** micros(x) — exact scaled-integer money. */
+  private def micros(c: org.apache.spark.sql.Column) =
+    round(c * lit(1000000.0)).cast("long")
+
+  val all: Seq[Q] = Seq(
+
+    Q("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(round(l_quantity*1000000.0) AS BIGINT)) AS BIGINT) AS sum_qty_micros,
+        | CAST(sum(CAST(round(l_extendedprice*1000000.0) AS BIGINT)) AS BIGINT) AS sum_base_micros,
+        | CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS BIGINT) AS sum_disc_micros,
+        | CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*1000000.0) AS BIGINT)) AS BIGINT) AS sum_charge_micros,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(micros(col("l_quantity"))).as("sum_qty_micros"),
+          sum(micros(col("l_extendedprice"))).as("sum_base_micros"),
+          sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_micros"),
+          sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge_micros"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    Q("q02_revenue_by_nation",
+      """SELECT n_name,
+        | CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS BIGINT) AS revenue_micros
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue_micros DESC, n_name""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"))
+        .orderBy(col("revenue_micros").desc, col("n_name"))
+    },
+
+    Q("q03_top_orders",
+      """WITH r AS (SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS BIGINT) AS revenue_micros
+        | FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderkey, o_orderdate, revenue_micros
+        |FROM r JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY revenue_micros DESC, o_orderkey LIMIT 10""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(micros(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_micros"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("revenue_micros"))
+        .orderBy(col("revenue_micros").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    Q("q04_order_rank_window",
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        | FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    },
+
+    Q("q05_rollup",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice*1000000.0) AS BIGINT)) AS BIGINT) AS total_micros
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum(micros(col("o_totalprice"))).as("total_micros"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total_micros"))
+        .orderBy("status", "priority")
+    },
+
+    Q("q06_distinct_counts",
+      """SELECT count(DISTINCT l_partkey) AS d_parts, count(DISTINCT l_suppkey) AS d_supps,
+        | count(DISTINCT l_orderkey) AS d_orders, count(*) AS n FROM lineitem""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("d_parts"),
+        countDistinct(col("l_suppkey")).as("d_supps"),
+        countDistinct(col("l_orderkey")).as("d_orders"),
+        count(lit(1)).as("n"))
+    },
+
+    Q("q07_customers_no_orders",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    Q("q08_parts_high_qty",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 48.0)
+        |ORDER BY p_partkey""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "part")
+        .join(Tables(s, dir, "lineitem").filter(col("l_quantity") >= 48.0).select("l_partkey"),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    },
+
+    Q("q09_set_ops",
+      """SELECT 'only_f' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT 'both' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY tag, o_custkey""".stripMargin
+    ) { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      val op = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      f.except(op).withColumn("tag", lit("only_f"))
+        .union(f.intersect(op).withColumn("tag", lit("both")))
+        .select("tag", "o_custkey")
+        .orderBy("tag", "o_custkey")
+    },
+
+    Q("q10_conditional_agg",
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        | CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN CAST(round(o_totalprice*1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS big_total_micros
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") > 150000.0, 1L).otherwise(0L)).as("n_big"),
+          sum(when(col("o_totalprice") > 150000.0, micros(col("o_totalprice"))).otherwise(0L)).as("big_total_micros"))
+        .orderBy("o_orderpriority")
+    },
+
+    Q("q11_shipdate_range",
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(round(l_quantity*100.0) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * lit(100.0)).cast("long")).as("qty_cents"))
+        .orderBy("l_returnflag")
+    },
+
+    Q("q12_pivot_status",
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")
+    }
+  )
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM training-data pipeline operators (builder mandate, beyond the
+  * reference's own surface): dedup, similarity search, text analysis,
+  * multimodal plumbing. Each query drives the implementation in
+  * [[graft.llm]]. Approximate/sketch operators (MinHash, SimHash, LSH-ANN)
+  * have no SQL oracle — the driver records a rows-only check; their
+  * correctness is covered by ScalaTest specs on synthetic corpora.
+  */
+object LlmQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q25_token_stats",
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | (CAST(length(text) AS BIGINT) * 1000000) // CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_tok_len_ppm
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.tokenStats(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    Q("q26_quality_score",
+      """WITH q AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'the'))
+        |   + len(list_filter(string_split(text, ' '), x -> x = 'a'))
+        |   + len(list_filter(string_split(text, ' '), x -> x = 'of'))
+        |   + len(list_filter(string_split(text, ' '), x -> x = 'and'))
+        |   + len(list_filter(string_split(text, ' '), x -> x = 'to')) AS BIGINT) AS stop_cnt
+        | FROM documents)
+        |SELECT doc_id, n_tokens, stop_cnt, (stop_cnt * 1000000) // n_tokens AS stop_ppm,
+        | CAST(n_tokens < 20 AS INTEGER) AS is_short
+        |FROM q ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.qualityScore(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    Q("q27_langid",
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(text,' '), x -> x='the')) + len(list_filter(string_split(text,' '), x -> x='and')) + len(list_filter(string_split(text,' '), x -> x='of')) AS BIGINT) AS score_en,
+        | CAST(len(list_filter(string_split(text,' '), x -> x='der')) + len(list_filter(string_split(text,' '), x -> x='und')) + len(list_filter(string_split(text,' '), x -> x='die')) AS BIGINT) AS score_de,
+        | CAST(len(list_filter(string_split(text,' '), x -> x='le')) + len(list_filter(string_split(text,' '), x -> x='et')) + len(list_filter(string_split(text,' '), x -> x='la')) AS BIGINT) AS score_fr,
+        | CAST(len(list_filter(string_split(text,' '), x -> x='el')) + len(list_filter(string_split(text,' '), x -> x='y')) + len(list_filter(string_split(text,' '), x -> x='los')) AS BIGINT) AS score_es,
+        | CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+        |      WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+        |      WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.langId(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    Q("q28_fingerprint",
+      """SELECT doc_id,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(string_split(text, ' '), w -> CAST(ascii(w) AS BIGINT) * 1000 + length(w))),
+        |  (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.fingerprint(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    Q("q29_dedup_key",
+      """SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS norm_key,
+        | min(doc_id) AS rep_id, count(*) AS n_dups
+        |FROM documents GROUP BY norm_key ORDER BY norm_key""".stripMargin
+    ) { (s, dir) =>
+      Dedup.byKey(Tables(s, dir, "documents"), 3)
+        .select("norm_key", "rep_id", "n_dups")
+        .orderBy("norm_key")
+    },
+
+    Q("q30_exact_dedup",
+      """SELECT min(doc_id) AS rep_id, count(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin
+    ) { (s, dir) =>
+      Dedup.exact(Tables(s, dir, "documents")).orderBy("rep_id")
+    },
+
+    Q("q31_jaccard_pairs",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+        |        FROM w WHERE len(l) >= 3),
+        | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+        | (CAST(common AS BIGINT) * 1000000) // (sa.n_sh + sb.n_sh - common) AS jaccard_ppm
+        |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |ORDER BY jaccard_ppm DESC, id_a, id_b LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), 3)
+        .orderBy(col("jaccard_ppm").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    },
+
+    Q.noOracle("q32_minhash_bands") { (s, dir) =>
+      Dedup.minHashBands(Tables(s, dir, "documents"), k = 3, numPerms = 32, bands = 8)
+        .orderBy("doc_id", "band")
+    },
+
+    Q.noOracle("q33_simhash") { (s, dir) =>
+      Dedup.simHash(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    Q("q34_cosine_knn",
+      """SELECT query_id, neighbor_id, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS BIGINT) AS rnk
+        | FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rnk")
+    },
+
+    Q("q35_embed_neardup",
+      """SELECT id_a, id_b FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        | FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
+        | ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, a.vec_id, b.vec_id
+        | LIMIT 10) t ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      Similarity.nearDupPairs(Tables(s, dir, "embeddings").filter(col("vec_id") < 1000), topN = 10)
+        .orderBy("id_a", "id_b")
+    },
+
+    Q.noOracle("q36_ann_lsh") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 3, planes = 6, dim = 64)
+        .orderBy("query_id", "rnk")
+    },
+
+    Q("q37_multimodal_meta",
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST((ascii(text) * 7) % 256 AS INTEGER) AS width,
+        | CAST((ascii(substr(text, 2, 1)) * 13) % 256 AS INTEGER) AS height,
+        | CASE WHEN ascii(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS fmt
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.extractMeta(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    Q("q38_frame_sample",
+      """WITH f AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |  unnest(range(0, ((octet_length(encode(text)) - 1) // 64) + 1)) AS i
+        | FROM documents)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+        | substr(hx, CAST(i AS INTEGER) * 128 + 1, 16) AS frame_sig
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin
+    ) { (s, dir) =>
+      Multimodal.sampleFrames(Tables(s, dir, "documents"), stride = 64)
+        .orderBy("doc_id", "frame_no")
+    }
+  )
+}
