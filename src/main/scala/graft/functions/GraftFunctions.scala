@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ↔ Expression bridging + SQL registration for the engine's
+  * custom expressions. */
+object GraftFunctions {
+
+  def toExpression(c: Column): Expression = GraftSqlBridge.expression(c)
+
+  def toColumn(e: Expression): Column = GraftSqlBridge.column(e)
+
+  /** Register engine functions for SQL use (`SELECT hmac_sha256(...)`). */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hmac_sha256", exprs => HmacSha256(exprs.head, exprs(1)), "scala_udf")
+  }
+}

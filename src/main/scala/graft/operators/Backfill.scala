@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{TableDef, TableDefs}
+import graft.streaming.WebhookPipeline
+
+/** Backfill scans + recursive FK backfill (SURVEY §3.2, S3/S4/S7 + J2).
+  *
+  * The entity source is pluggable ([[EntityFetcher]]): the reference
+  * iterates Stripe `list({limit:100})` cursors; tests use a fixture-
+  * backed fetcher. Page iteration happens driver-side (it is a single
+  * remote cursor, exactly like the reference), but rows land in
+  * DataFrames chunk-by-chunk and everything downstream — projection,
+  * LWW, guarded merge, child normalization — is the one shared pipeline.
+  * For a 100 TB backfill the unit of parallelism is the `created`-range
+  * window (the reference's own large-account guidance: day-window
+  * loops), many windows scanned concurrently.
+  */
+object Backfill {
+
+  /** Pluggable entity source (Stripe API stand-in; zero-egress here). */
+  trait EntityFetcher {
+    /** Raw entity JSON stream for a table scan, optionally bounded by a
+      * created range (P5 pushdown: the predicate goes to the source). */
+    def list(tdef: TableDef, createdGte: Option[Long] = None,
+             createdLt: Option[Long] = None): Iterator[String]
+    /** Point lookup by id (S6). */
+    def retrieve(tdef: TableDef, id: String): Option[String]
+  }
+
+  /** Upsert a chunk of raw entity JSON through the shared pipeline:
+    * project → LWW → guarded merge. Sync timestamp = now(), matching the
+    * reference's backfill semantics (postgres.ts:69: ts defaults to now
+    * when not event-driven). Returns rows synced (A3 count metric). */
+  def upsertChunk(spark: SparkSession, tablesDir: String, tdef: TableDef,
+                  chunk: Seq[String]): Long = {
+    if (chunk.isEmpty) return 0L
+    import spark.implicits._
+    val raw = chunk.toDF("payload")
+    val rows = tdef.projectFrom(raw, "payload", current_timestamp())
+    MergeSink.upsertParquet(rows, tablesDir, tdef)
+    chunk.size.toLong
+  }
+
+  /** S3/S4: scan one entity with chunked flushes (reference buffers 250,
+    * stripeSync.ts:1037). */
+  def syncEntity(spark: SparkSession, tablesDir: String, tdef: TableDef,
+                 fetcher: EntityFetcher, createdGte: Option[Long] = None,
+                 createdLt: Option[Long] = None, chunkSize: Int = 250): Long =
+    fetcher.list(tdef, createdGte, createdLt)
+      .grouped(chunkSize)
+      .map(chunk => upsertChunk(spark, tablesDir, tdef, chunk.toSeq))
+      .sum
+
+  /** S7: `object:'all'` backfill — every active entity sequentially
+    * (stripeSync.ts:664-778). Returns per-table synced counts. */
+  def syncAll(spark: SparkSession, tablesDir: String, fetcher: EntityFetcher,
+              createdGte: Option[Long] = None): Map[String, Long] =
+    TableDefs.active.map(t =>
+      t.table -> syncEntity(spark, tablesDir, t, fetcher, createdGte)).toMap
+
+  /** S6: point sync — id prefix → TableDef → retrieve → shared pipeline
+    * (syncSingleEntity, stripeSync.ts:606-662). */
+  def syncSingle(spark: SparkSession, tablesDir: String, fetcher: EntityFetcher,
+                 stripeId: String): Long =
+    TableDefs.forStripeId(stripeId) match {
+      case Some(tdef) =>
+        fetcher.retrieve(tdef, stripeId)
+          .map(json => upsertChunk(spark, tablesDir, tdef, Seq(json)))
+          .getOrElse(0L)
+      case None => 0L
+    }
+
+  /** J1: the missing-parent frontier of a projected batch — for each FK
+    * edge, parent ids referenced but absent from the parent table
+    * (findMissingEntries, postgres.ts:106-120). The id column may hold a
+    * raw JSON object (expanded entities): object → id first, like the
+    * reference's `id ?? obj.id` coalescing. */
+  def missingParents(spark: SparkSession, tablesDir: String, batch: DataFrame,
+                     tdef: TableDef): Map[String, DataFrame] =
+    tdef.fkEdges.map { case (fkCol, parentTable) =>
+      val parentDef = TableDefs.byTable(parentTable)
+      val candidates = batch.select(
+        coalesce(get_json_object(col(fkCol), "$.id"), col(fkCol)).as(fkCol))
+      val path = s"$tablesDir/$parentTable"
+      val parent =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+          spark.read.parquet(path)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], parentDef.schema)
+      parentTable -> MergeOps.missingKeys(candidates, fkCol, parent, parentDef.key)
+    }
+
+  /** J2 fixpoint: fetch + upsert missing parents, recursing up the DAG
+    * (charges → invoices → customers…; max depth 3, SURVEY §7.5). The
+    * reference recurses per-entity (stripeSync.ts:1762-1776); here each
+    * level is one anti-join + one chunked fetch, and the loop is bounded
+    * by the DAG depth. */
+  def backfillParents(spark: SparkSession, tablesDir: String, batch: DataFrame,
+                      tdef: TableDef, fetcher: EntityFetcher,
+                      maxDepth: Int = 4): Map[String, Long] = {
+    if (maxDepth <= 0 || tdef.fkEdges.isEmpty) return Map.empty
+    missingParents(spark, tablesDir, batch, tdef).flatMap {
+      case (parentTable, missing) =>
+        val parentDef = TableDefs.byTable(parentTable)
+        val ids = missing.collect().map(_.getString(0)).toSeq
+        if (ids.isEmpty) Map.empty[String, Long]
+        else {
+          val fetched = ids.flatMap(id => fetcher.retrieve(parentDef, id))
+          val grandparents =
+            if (fetched.isEmpty) Map.empty[String, Long]
+            else {
+              import spark.implicits._
+              val parentBatch = parentDef.projectFrom(
+                fetched.toDF("payload"), "payload", current_timestamp())
+              backfillParents(spark, tablesDir, parentBatch,
+                parentDef, fetcher, maxDepth - 1)
+            }
+          val n = fetched.grouped(250)
+            .map(c => upsertChunk(spark, tablesDir, parentDef, c.toSeq)).sum
+          (grandparents.toSeq :+ (parentTable -> n))
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        }
+    }
+  }
+}

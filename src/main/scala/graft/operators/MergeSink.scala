@@ -1,0 +1,114 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.TableDef
+
+/** The single most load-bearing custom piece (SURVEY §7.4): the guarded
+  * upsert sink — `upsertManyWithTimestampProtection`
+  * (postgres.ts:64-104; SQL builder :181-204).
+  *
+  * Two modes:
+  *   - **Lakehouse**: parquet-backed table directory; merge = read
+  *     current + [[MergeOps.mergeGuarded]] + atomic swap. Used by tests
+  *     and the local pipeline. On a real deployment this is a table
+  *     format MERGE (Delta/Iceberg `MERGE WHEN MATCHED AND s.ts > t.ts`),
+  *     which shares the exact plan shape produced here.
+  *   - **JDBC SQL generation**: the text of the reference's guarded
+  *     `INSERT … ON CONFLICT … DO UPDATE … WHERE` statement, for a
+  *     Postgres mirror driven from foreachBatch. Generated, not executed,
+  *     in this container (no Postgres) — semantics are unit-tested via
+  *     the lakehouse path which implements the same algebra.
+  *
+  * Both paths run intra-batch LWW first: `ON CONFLICT` cannot see two
+  * rows for one key in a single statement, and a lakehouse merge must
+  * not produce duplicate keys (§7.5 hard part #1).
+  */
+object MergeSink {
+
+  /** Guarded merge of `batch` into the parquet table at `dir`.
+    * Strict `>` on `tsCol` (reference uses strict `<` on the stored side,
+    * postgres.ts:203): same-timestamp replays are no-ops. */
+  def upsertParquet(batch: DataFrame, dir: String, tdef: TableDef,
+                    tsCol: String = "last_synced_at"): Unit = {
+    val spark = batch.sparkSession
+    val deduped = MergeOps.lwwLatest(batch, Seq(tdef.key), Seq(tsCol))
+    val path = s"$dir/${tdef.table}"
+    val merged =
+      if (Files.exists(Paths.get(path))) {
+        val target = spark.read.parquet(path)
+        MergeOps.mergeGuarded(target, deduped, tdef.key, tsCol)
+      } else deduped
+    writeAtomic(merged, path)
+  }
+
+  /** Hard delete by key (S10: `DELETE … WHERE id = :id`,
+    * postgres.ts:17-25). */
+  def deleteParquet(ids: DataFrame, dir: String, tdef: TableDef): Unit = {
+    val spark = ids.sparkSession
+    val path = s"$dir/${tdef.table}"
+    if (Files.exists(Paths.get(path))) {
+      val target = spark.read.parquet(path)
+      writeAtomic(MergeOps.setDiffDelete(target, ids.select(col(ids.columns.head).as(tdef.key)), tdef.key), path)
+    }
+  }
+
+  /** Local-mode atomic table swap: write to a staging dir, then move into
+    * place. (A table format makes this a metadata commit; the staging
+    * write keeps the read-own-table merge loop safe.) */
+  private def writeAtomic(df: DataFrame, path: String): Unit = {
+    val tmp = path + "__stage"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val spark = df.sparkSession
+    // swap via rename: remove old, move staged
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(path)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(new Path(tmp), dst)
+  }
+
+  /** The reference's guarded upsert SQL, one statement per batch
+    * (multi-row VALUES instead of per-row statements — same semantics as
+    * postgres.ts:181-204, batched for a 1000-executor world where
+    * per-row round trips are the bottleneck). */
+  def guardedUpsertSql(tdef: TableDef, schema: String = "stripe"): String = {
+    val cols = (tdef.columns :+ "last_synced_at").map(c => s""""$c"""")
+    val updates = (tdef.columns.filterNot(_ == tdef.key) :+ "last_synced_at")
+      .map(c => s""""$c" = EXCLUDED."$c"""").mkString(", ")
+    s"""INSERT INTO "$schema"."${tdef.table}" (${cols.mkString(", ")})
+       |VALUES %s
+       |ON CONFLICT ("${tdef.key}") DO UPDATE SET $updates
+       |WHERE "${tdef.table}"."last_synced_at" IS NULL
+       |   OR "${tdef.table}"."last_synced_at" < EXCLUDED."last_synced_at"""".stripMargin
+  }
+
+  /** Plain upsert (S8, postgres.ts:133-157): no timestamp guard. */
+  def upsertSql(tdef: TableDef, schema: String = "stripe"): String = {
+    val cols = tdef.columns.map(c => s""""$c"""")
+    val updates = tdef.columns.filterNot(_ == tdef.key)
+      .map(c => s""""$c" = EXCLUDED."$c"""").mkString(", ")
+    s"""INSERT INTO "$schema"."${tdef.table}" (${cols.mkString(", ")})
+       |VALUES %s
+       |ON CONFLICT ("${tdef.key}") DO UPDATE SET $updates""".stripMargin
+  }
+
+  /** Idempotent DDL bootstrap (S12 migration runner analog,
+    * migrate.ts:15-66): CREATE TABLE IF NOT EXISTS per TableDef. */
+  def createTableSql(tdef: TableDef, schema: String = "stripe"): String = {
+    def pg(c: String) = tdef.sparkType(c) match {
+      case org.apache.spark.sql.types.LongType    => "bigint"
+      case org.apache.spark.sql.types.BooleanType => "boolean"
+      case org.apache.spark.sql.types.DoubleType  => "double precision"
+      case _                                      => "text"
+    }
+    val cols = tdef.columns.map(c => s""""$c" ${pg(c)}""") ++ Seq(
+      """"updated_at" timestamptz""", """"last_synced_at" timestamptz""")
+    s"""CREATE TABLE IF NOT EXISTS "$schema"."${tdef.table}" (
+       |  ${cols.mkString(",\n  ")},
+       |  PRIMARY KEY ("${tdef.key}")
+       |)""".stripMargin
+  }
+}

@@ -1,0 +1,178 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{TableDef, TableDefs}
+import graft.operators.{MergeOps, MergeSink}
+import graft.sources.StripeEvents
+import graft.sources.StripeEvents._
+
+/** The webhook hot path (SURVEY §3.1), Spark-first:
+  *
+  *   event JSON stream → envelope parse → route by type → per entity:
+  *   intra-batch LWW → guarded merge → child normalization →
+  *   set-difference passes.
+  *
+  * One pipeline, three drivers (stream / backfill scan / point sync),
+  * exactly as the reference funnels everything through `upsert<Entity>` →
+  * `upsertManyWithTimestampProtection` (§3.3 design constraint). The
+  * batch entry [[processBatch]] is `foreachBatch`-compatible; [[start]]
+  * wires it to a file-drop Structured Streaming source (at-least-once
+  * delivery + idempotent guarded merge = effectively exactly-once,
+  * §2.6).
+  */
+class WebhookPipeline(tablesDir: String) {
+
+  /** Process one micro-batch of raw event JSON (column `value`). */
+  def processBatch(raw: DataFrame, batchId: Long = 0L): Unit = {
+    val envelope = StripeEvents.parseEnvelope(raw).cache()
+    try {
+      StripeEvents.route(envelope).foreach { case (tdef, action, events) =>
+        action match {
+          case Upsert           => upsert(tdef, events)
+          case DeletedUpsert    => deletedUpsert(tdef, events)
+          case Delete           => delete(tdef, events)
+          case EntitlementDelta => entitlementDelta(events)
+        }
+      }
+    } finally envelope.unpersist()
+  }
+
+  /** Full-schema upsert with event-created sync timestamp + child
+    * normalization for subscriptions (A5+J3). */
+  private def upsert(tdef: TableDef, events: DataFrame): Unit = {
+    if (events.isEmpty) return
+    val rows = tdef.projectFrom(events, "payload", syncTimestamp())
+    MergeSink.upsertParquet(rows, tablesDir, tdef)
+    if (tdef.table == "subscriptions") normalizeSubscriptionItems(events)
+  }
+
+  /** P3: the 3-column deleted projection — deliberately nulls the other
+    * live columns (useNullForMissing, §7.5 hard part: replicate, don't
+    * "fix"). */
+  private def deletedUpsert(tdef: TableDef, events: DataFrame): Unit = {
+    if (events.isEmpty) return
+    val rows = tdef.projectFrom(
+      events.withColumn("payload",
+        to_json(struct(
+          get_json_object(col("payload"), "$.id").as("id"),
+          get_json_object(col("payload"), "$.object").as("object"),
+          lit(true).as("deleted")))),
+      "payload", syncTimestamp())
+    MergeSink.upsertParquet(rows, tablesDir, tdef)
+  }
+
+  /** S10 hard delete. */
+  private def delete(tdef: TableDef, events: DataFrame): Unit = {
+    if (events.isEmpty) return
+    MergeSink.deleteParquet(
+      events.select(get_json_object(col("payload"), "$.id").as("id")),
+      tablesDir, tdef)
+  }
+
+  /** Split a JSON array at `path` inside `payloadCol` into one row per
+    * element, the element's raw JSON in `elemCol`. from_json cannot keep
+    * elements as raw text, so this uses json_array_length + a dynamic
+    * get_json_object index path — all codegen'd expressions, no UDF. */
+  private def explodeJsonArray(df: DataFrame, path: String, elemCol: String): DataFrame =
+    df.withColumn("__n", expr(s"json_array_length(get_json_object(payload, '$$.$path'))"))
+      .withColumn("__i", explode(sequence(lit(0), col("__n") - 1)))
+      .withColumn(elemCol,
+        expr(s"get_json_object(payload, concat('$$.$path[', __i, ']'))"))
+      .drop("__n", "__i")
+
+  /** A5 + J3 (stripeSync.ts:1484-1583): explode `items.data` into
+    * subscription_items (price object → id, deleted defaults false),
+    * then mark vanished items deleted via set-difference. */
+  private def normalizeSubscriptionItems(events: DataFrame): Unit = {
+    val tdef = TableDefs.subscriptionItems
+    val items = explodeJsonArray(
+      events.select(
+        get_json_object(col("payload"), "$.id").as("__sub_id"),
+        col("created").as("__event_created"),
+        col("payload")),
+      "items.data", "__item")
+    if (items.isEmpty) return
+    val projected = items
+      .select(Seq(col("__sub_id"), col("__event_created"),
+        col("__item").as("__payload")): _*)
+      .select(Seq(col("__sub_id"), col("__event_created")) ++ tdef.project("__payload"): _*)
+      // price object → id; subscription FK tag; deleted ?? false
+      .withColumn("price", coalesce(get_json_object(col("price"), "$.id"), col("price")))
+      .withColumn("subscription", coalesce(col("subscription"), col("__sub_id")))
+      .withColumn("deleted", coalesce(col("deleted"), lit(false)))
+      .withColumn("updated_at", current_timestamp())
+      .withColumn("last_synced_at", timestamp_seconds(col("__event_created")))
+      .drop("__sub_id", "__event_created")
+    MergeSink.upsertParquet(projected, tablesDir, tdef)
+    // J3: items in the table for these subscriptions but absent from the
+    // incoming sets → deleted = true (markDeletedSubscriptionItems).
+    val path = s"$tablesDir/${tdef.table}"
+    val spark = events.sparkSession
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      val existing = spark.read.parquet(path)
+      val incomingSubs = projected.select("subscription").distinct()
+      val incomingIds = projected.select("id")
+      val vanished = MergeOps.setDiffDelete(
+        existing.join(incomingSubs, Seq("subscription"), "left_semi")
+          .filter(not(coalesce(col("deleted"), lit(false)))),
+        incomingIds, "id")
+      if (!vanished.isEmpty) {
+        val flagged = vanished.withColumn("deleted", lit(true))
+          .withColumn("last_synced_at", current_timestamp())
+        MergeSink.upsertParquet(flagged.select(existing.columns.map(col): _*),
+          tablesDir, tdef)
+      }
+    }
+  }
+
+  /** J4 (stripeSync.ts:1650-1660 + :1683-1712): upsert the summary's
+    * current entitlement set, then hard-delete the customer's rows not
+    * in it. */
+  private def entitlementDelta(events: DataFrame): Unit = {
+    if (events.isEmpty) return
+    val tdef = TableDefs.activeEntitlements
+    val ents = explodeJsonArray(
+      events.select(
+        get_json_object(col("payload"), "$.customer").as("__cust_id"),
+        col("created").as("__event_created"),
+        col("payload")),
+      "entitlements.data", "__ent")
+    if (ents.isEmpty) return
+    val projected = ents
+      .select(Seq(col("__cust_id"), col("__event_created"),
+        col("__ent").as("__payload")): _*)
+      .select(Seq(col("__cust_id"), col("__event_created")) ++ tdef.project("__payload"): _*)
+      .withColumn("feature", coalesce(get_json_object(col("feature"), "$.id"), col("feature")))
+      .withColumn("customer", coalesce(col("customer"), col("__cust_id")))
+      .withColumn("updated_at", current_timestamp())
+      .withColumn("last_synced_at", timestamp_seconds(col("__event_created")))
+      .drop("__cust_id", "__event_created")
+    MergeSink.upsertParquet(projected, tablesDir, tdef)
+    val path = s"$tablesDir/${tdef.table}"
+    val spark = events.sparkSession
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      val existing = spark.read.parquet(path)
+      val affected = projected.select("customer").distinct()
+      val stale = MergeOps.setDiffDelete(
+        existing.join(affected, Seq("customer"), "left_semi"),
+        projected.select("id"), "id")
+      if (!stale.isEmpty)
+        MergeSink.deleteParquet(stale.select("id"), tablesDir, tdef)
+    }
+  }
+
+  /** Structured Streaming driver: file-drop source of event JSON (one
+    * event per line/file), at-least-once → idempotent merge. */
+  def start(spark: SparkSession, inputDir: String, checkpoint: String) = {
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .text(inputDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .start()
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, HmacSha256}
+import graft.model.TableDefs
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hmac_sha256 expression matches javax.crypto (interpreted + codegen + SQL)") {
+    val expected = HmacSha256.hex("1620000000.{\"x\":1}".getBytes, "whsec_test".getBytes)
+    val viaColumn = Seq(("1620000000.{\"x\":1}", "whsec_test")).toDF("body", "secret")
+      .select(HmacSha256.hmac_sha256(col("body"), col("secret")).as("sig"))
+      .head().getString(0)
+    assert(viaColumn == expected)
+    GraftFunctions.registerAll(spark)
+    val viaSql = spark.sql(
+      """SELECT hmac_sha256('1620000000.{"x":1}', 'whsec_test') AS sig""")
+      .head().getString(0)
+    assert(viaSql == expected)
+    assert(expected.matches("[0-9a-f]{64}"))
+  }
+
+  test("signatureValid accepts a correctly signed body and rejects a tampered one (S2)") {
+    val body = """{"id":"evt_1","type":"charge.succeeded"}"""
+    val sig = HmacSha256.hex(s"1620000000.$body".getBytes, "whsec_k".getBytes)
+    val df = Seq((body, 1620000000L, sig), (body + " ", 1620000000L, sig))
+      .toDF("body", "t", "v1")
+    val out = df.withColumn("ok",
+      HmacSha256.signatureValid(col("body"), col("t"), col("v1"), "whsec_k"))
+      .select("ok").as[Boolean].collect()
+    assert(out.toSeq == Seq(true, false))
+  }
+
+  test("TableDef.project: unknown fields dropped, missing null, objects kept as raw JSON (P1/P2)") {
+    val payload =
+      """{"id":"ch_1","object":"charge","amount":42,"paid":true,
+        |"metadata":{"a":[1,2]},"unknown_field":"zzz"}""".stripMargin.replaceAll("\n", "")
+    val out = TableDefs.charges.projectFrom(
+      Seq(payload).toDF("payload"), "payload", current_timestamp())
+    val row = out.head()
+    assert(row.getAs[String]("id") == "ch_1")
+    assert(row.getAs[Long]("amount") == 42L)
+    assert(row.getAs[Boolean]("paid"))
+    assert(row.getAs[String]("metadata") == """{"a":[1,2]}""")
+    assert(row.getAs[String]("status") == null) // missing → NULL
+    assert(!out.columns.contains("unknown_field")) // unknown → dropped
+    assert(out.columns.toSeq.take(TableDefs.charges.columns.size)
+      == TableDefs.charges.columns) // registry order
+  }
+
+  test("stripe id prefix dispatch (S6): longest prefix wins") {
+    assert(TableDefs.forStripeId("cus_123").map(_.table).contains("customers"))
+    assert(TableDefs.forStripeId("sub_sched_1").map(_.table).contains("subscription_schedules"))
+    assert(TableDefs.forStripeId("sub_1").map(_.table).contains("subscriptions"))
+    assert(TableDefs.forStripeId("issfr_9").map(_.table).contains("early_fraud_warnings"))
+    assert(TableDefs.forStripeId("zz_1").isEmpty)
+  }
+
+  test("guarded upsert SQL carries the timestamp-protection predicate (S9, postgres.ts:189-204)") {
+    val sql = graft.operators.MergeSink.guardedUpsertSql(TableDefs.charges)
+    assert(sql.contains("""ON CONFLICT ("id") DO UPDATE"""))
+    assert(sql.contains(""""last_synced_at" IS NULL"""))
+    assert(sql.contains("""< EXCLUDED."last_synced_at""""))
+    val ddl = graft.operators.MergeSink.createTableSql(TableDefs.charges)
+    assert(ddl.contains("CREATE TABLE IF NOT EXISTS"))
+    assert(ddl.contains(""""amount" bigint"""))
+    assert(ddl.contains(""""paid" boolean"""))
+  }
+}

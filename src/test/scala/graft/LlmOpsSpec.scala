@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity}
+
+/** Correctness of the approximate/sketch operators on planted data —
+  * these are the queries the driver can only rows-only check. */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val docs = Seq(
+    (0L, base),
+    (1L, base + " extra"),                       // near-dup of 0
+    (2L, base.replace("quick", "slow")),          // near-dup of 0
+    (3L, "completely different words about spark shuffles and partitions here"),
+    (4L, "another unrelated document mentioning merge sinks and watermarks now")
+  ).toDF("doc_id", "text")
+
+  test("ngramJaccardPairs finds the planted near-duplicates with exact jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 3)
+      .filter(col("jaccard_ppm") > 500000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minHashLshPairs surfaces the planted near-duplicates and skips unrelated docs") {
+    val pairs = Dedup.minHashLshPairs(docs, k = 3, numPerms = 32, bands = 16,
+      minJaccardPpm = 400000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash signatures are deterministic across runs") {
+    val a = Dedup.minHashBands(docs).orderBy("doc_id", "band").collect().toSeq
+    val b = Dedup.minHashBands(docs).orderBy("doc_id", "band").collect().toSeq
+    assert(a == b)
+  }
+
+  test("simHashPairs: identical docs at hamming 0, unrelated docs farther") {
+    val dd = Seq((0L, base), (1L, base), (2L, "nothing shared at all whatsoever"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(dd, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+    assert(!pairs.exists(p => p._2 == 2L))
+  }
+
+  test("bruteForceKnn ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceKnn(vecs, vecs.filter(col("vec_id") === 0), 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(knn.head == ((0L, 1L, 1L)))
+    assert(knn(1)._2 == 2L)
+  }
+
+  test("lshKnn returns same-bucket neighbors ranked by cosine") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7.0 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.lshKnn(vecs, vecs.filter(col("vec_id") < 3), k = 3,
+      planes = 4, dim = 8)
+    assert(out.count() > 0)
+    // deterministic across runs (seedless construction)
+    assert(out.collect().toSeq == Similarity.lshKnn(vecs,
+      vecs.filter(col("vec_id") < 3), k = 3, planes = 4, dim = 8).collect().toSeq)
+  }
+
+  test("multimodal: payload bytes round-trip and frames cover the payload") {
+    val d = Seq((0L, "abcdef"), (1L, "x" * 200)).toDF("doc_id", "text")
+    val meta = Multimodal.extractMeta(d).orderBy("doc_id").collect()
+    assert(meta(0).getAs[Long]("n_bytes") == 6L)
+    assert(meta(0).getAs[Int]("width") == ('a'.toInt * 7) % 256)
+    assert(meta(1).getAs[Long]("n_bytes") == 200L)
+    val frames = Multimodal.sampleFrames(d, stride = 64).groupBy("doc_id")
+      .agg(count(lit(1)).as("n")).orderBy("doc_id").collect()
+    assert(frames(0).getAs[Long]("n") == 1L)   // 6 bytes → 1 frame
+    assert(frames(1).getAs[Long]("n") == 4L)   // 200 bytes → ceil(200/64)=4
+  }
+}

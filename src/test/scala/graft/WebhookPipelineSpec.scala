@@ -1,0 +1,202 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import graft.model.TableDefs
+import graft.sources.StripeEvents
+import graft.streaming.WebhookPipeline
+
+/** End-to-end webhook pipeline tests, mirroring the reference's E2E suite
+  * (webhooks.test.ts): drive the golden fixture corpus through the
+  * pipeline and assert sink rows, out-of-order protection, delete
+  * handling, and child normalization. Fixture JSONs are read at runtime
+  * from the reference's test corpus when present (data, not code). */
+class WebhookPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixtureDir =
+    "/root/reference/packages/fastify-app/src/test/stripe"
+
+  private def fixtures(): Seq[String] =
+    if (Files.exists(Paths.get(fixtureDir)))
+      Files.list(Paths.get(fixtureDir)).iterator().asScala
+        .filter(_.toString.endsWith(".json"))
+        .map(p => new String(Files.readAllBytes(p)))
+        .map(_.replaceAll("\n", " "))
+        .toSeq
+    else Seq.empty
+
+  private def readTable(dir: String, table: String) =
+    spark.read.parquet(s"$dir/$table")
+
+  test("golden fixture corpus lands rows in the routed tables with last_synced_at = event.created") {
+    val fx = fixtures()
+    assume(fx.nonEmpty, "reference fixture corpus not present")
+    val dir = tmpDir("graft_wh")
+    val pipeline = new WebhookPipeline(dir)
+    pipeline.processBatch(fx.toDF("value"))
+
+    // every routed upsert event must be present in its table — except ids
+    // that also got a delete/deleted-split event in the same batch (the
+    // corpus reuses entity ids across created/deleted fixtures; batch
+    // semantics resolve those to deleted, see StripeEvents.route).
+    val envelope = StripeEvents.parseEnvelope(fx.toDF("value"))
+      .select("event_type", "payload", "created").collect()
+    val deletedIds = envelope.flatMap { r =>
+      StripeEvents.routes.get(r.getString(0)).collect {
+        case (_, StripeEvents.Delete) | (_, StripeEvents.DeletedUpsert) =>
+          spark.range(1).select(
+            get_json_object(lit(r.getString(1)), "$.id").as("id")).head().getString(0)
+      }
+    }.filter(_ != null).toSet
+    // expected sync ts per (table, id) = max event.created across the
+    // batch (LWW keeps the newest; sync ts semantics stripeSync.ts:580-582)
+    val expected = envelope.flatMap { r =>
+      StripeEvents.routes.get(r.getString(0)).collect {
+        case (tdef, StripeEvents.Upsert) =>
+          val idVal = spark.range(1).select(
+            get_json_object(lit(r.getString(1)), "$.id").as("id")).head().getString(0)
+          ((tdef.table, idVal), r.getLong(2))
+      }
+    }.filter(_._1._2 != null)
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    var checked = 0
+    expected.foreach { case ((table, idVal), maxCreated) =>
+      if (!deletedIds.contains(idVal)) {
+        val row = readTable(dir, table).filter(col("id") === idVal)
+          .select("id", "last_synced_at").collect()
+        assert(row.nonEmpty, s"missing $idVal in $table")
+        assert(row.head.getTimestamp(1).getTime / 1000 == maxCreated,
+          s"last_synced_at mismatch for $idVal in $table")
+        checked += 1
+      }
+    }
+    // 71 fixtures collapse to ~27 distinct upsertable entity ids (the
+    // corpus reuses ids across created/updated/deleted variants)
+    assert(checked >= 25, s"only $checked fixture rows checked")
+  }
+
+  test("out-of-order protection: older event does not overwrite newer state (webhooks.test.ts:202-284)") {
+    val dir = tmpDir("graft_ooo")
+    val pipeline = new WebhookPipeline(dir)
+    def chargeEvent(ts: Long, paid: Boolean) =
+      s"""{"id":"evt_$ts","type":"charge.succeeded","created":$ts,
+         |"data":{"object":{"id":"ch_x","object":"charge","paid":$paid,"amount":100,"status":"succeeded"}}}"""
+        .stripMargin.replaceAll("\n", "")
+    pipeline.processBatch(Seq(chargeEvent(2000, paid = true)).toDF("value"))
+    pipeline.processBatch(Seq(chargeEvent(1000, paid = false)).toDF("value"))
+    val row = readTable(dir, "charges").filter(col("id") === "ch_x")
+      .select("paid", "last_synced_at").head()
+    assert(row.getBoolean(0), "older event must not win")
+    assert(row.getTimestamp(1).getTime / 1000 == 2000)
+  }
+
+  test("same-timestamp replay is a no-op (strict <, postgres.ts:203)") {
+    val dir = tmpDir("graft_replay")
+    val pipeline = new WebhookPipeline(dir)
+    def ev(amount: Long) =
+      s"""{"id":"evt_r","type":"charge.succeeded","created":500,
+         |"data":{"object":{"id":"ch_r","object":"charge","paid":true,"amount":$amount}}}"""
+        .stripMargin.replaceAll("\n", "")
+    pipeline.processBatch(Seq(ev(100)).toDF("value"))
+    pipeline.processBatch(Seq(ev(999)).toDF("value"))
+    assert(readTable(dir, "charges").filter(col("id") === "ch_r")
+      .head().getAs[Long]("amount") == 100L)
+  }
+
+  test("customer.deleted uses the 3-column deleted projection and nulls live columns (P3)") {
+    val dir = tmpDir("graft_del")
+    val pipeline = new WebhookPipeline(dir)
+    val created =
+      """{"id":"evt_c1","type":"customer.created","created":100,
+        |"data":{"object":{"id":"cus_1","object":"customer","email":"a@b.c","name":"N"}}}"""
+        .stripMargin.replaceAll("\n", "")
+    val deleted =
+      """{"id":"evt_c2","type":"customer.deleted","created":200,
+        |"data":{"object":{"id":"cus_1","object":"customer","deleted":true}}}"""
+        .stripMargin.replaceAll("\n", "")
+    pipeline.processBatch(Seq(created).toDF("value"))
+    assert(readTable(dir, "customers").filter(col("id") === "cus_1")
+      .head().getAs[String]("email") == "a@b.c")
+    pipeline.processBatch(Seq(deleted).toDF("value"))
+    val row = readTable(dir, "customers").filter(col("id") === "cus_1").head()
+    assert(row.getAs[Boolean]("deleted"))
+    // the reference's useNullForMissing overwrites live cols with NULL
+    assert(row.getAs[String]("email") == null)
+  }
+
+  test("customer.tax_id.deleted hard-deletes the row (S10)") {
+    val dir = tmpDir("graft_tax")
+    val pipeline = new WebhookPipeline(dir)
+    val created =
+      """{"id":"evt_t1","type":"customer.tax_id.created","created":100,
+        |"data":{"object":{"id":"txi_1","object":"tax_id","value":"DE123"}}}"""
+        .stripMargin.replaceAll("\n", "")
+    val deleted =
+      """{"id":"evt_t2","type":"customer.tax_id.deleted","created":200,
+        |"data":{"object":{"id":"txi_1","object":"tax_id"}}}"""
+        .stripMargin.replaceAll("\n", "")
+    pipeline.processBatch(Seq(created).toDF("value"))
+    assert(readTable(dir, "tax_ids").count() == 1)
+    pipeline.processBatch(Seq(deleted).toDF("value"))
+    assert(readTable(dir, "tax_ids").count() == 0)
+  }
+
+  test("subscription items normalize + vanished items marked deleted (A5+J3)") {
+    val dir = tmpDir("graft_subs")
+    val pipeline = new WebhookPipeline(dir)
+    def subEvent(ts: Long, items: String) =
+      s"""{"id":"evt_s$ts","type":"customer.subscription.updated","created":$ts,
+         |"data":{"object":{"id":"sub_1","object":"subscription","status":"active",
+         |"items":{"object":"list","data":[$items]}}}}"""
+        .stripMargin.replaceAll("\n", "")
+    val itemA = """{"id":"si_a","object":"subscription_item","quantity":1,"price":{"id":"price_1"},"subscription":"sub_1"}"""
+    val itemB = """{"id":"si_b","object":"subscription_item","quantity":2,"price":{"id":"price_2"},"subscription":"sub_1"}"""
+    pipeline.processBatch(Seq(subEvent(100, s"$itemA,$itemB")).toDF("value"))
+    val items0 = readTable(dir, "subscription_items")
+    assert(items0.count() == 2)
+    // price object flattened to its id (stripeSync.ts:1490)
+    assert(items0.filter(col("id") === "si_a").head().getAs[String]("price") == "price_1")
+    // second event drops item B → B must be flagged deleted (J3)
+    pipeline.processBatch(Seq(subEvent(200, itemA)).toDF("value"))
+    val items1 = readTable(dir, "subscription_items")
+    assert(!items1.filter(col("id") === "si_a").head().getAs[Boolean]("deleted"))
+    assert(items1.filter(col("id") === "si_b").head().getAs[Boolean]("deleted"))
+  }
+
+  test("structured streaming driver: file-drop events flow through foreachBatch to the tables (S1/§2.6)") {
+    val dir = tmpDir("graft_stream")
+    val in = tmpDir("graft_stream_in")
+    val ev =
+      """{"id":"evt_st1","type":"product.created","created":111,
+        |"data":{"object":{"id":"prod_st","object":"product","name":"P","active":true}}}"""
+        .stripMargin.replaceAll("\n", "")
+    Files.write(Paths.get(s"$in/batch1.json"), ev.getBytes)
+    val pipeline = new WebhookPipeline(dir)
+    val q = pipeline.start(spark, in, tmpDir("graft_stream_ckpt"))
+    try q.processAllAvailable() finally q.stop()
+    val row = readTable(dir, "products").filter(col("id") === "prod_st").head()
+    assert(row.getAs[String]("name") == "P")
+    assert(row.getAs[java.sql.Timestamp]("last_synced_at").getTime / 1000 == 111L)
+  }
+
+  test("entitlement summary delta: table converges to the current set (J4, entitlements.test.ts)") {
+    val dir = tmpDir("graft_ent")
+    val pipeline = new WebhookPipeline(dir)
+    def summary(ts: Long, ents: String) =
+      s"""{"id":"evt_e$ts","type":"entitlements.active_entitlement_summary.updated","created":$ts,
+         |"data":{"object":{"object":"entitlements.active_entitlement_summary","customer":"cus_9",
+         |"entitlements":{"object":"list","data":[$ents]}}}}"""
+        .stripMargin.replaceAll("\n", "")
+    def ent(id: String) =
+      s"""{"id":"$id","object":"entitlements.active_entitlement","feature":{"id":"feat_$id"},"lookup_key":"k_$id","livemode":false}"""
+    pipeline.processBatch(Seq(summary(100, s"${ent("ent_1")},${ent("ent_2")}")).toDF("value"))
+    assert(readTable(dir, "active_entitlements").select("id").as[String]
+      .collect().sorted.toSeq == Seq("ent_1", "ent_2"))
+    pipeline.processBatch(Seq(summary(200, s"${ent("ent_2")},${ent("ent_3")}")).toDF("value"))
+    assert(readTable(dir, "active_entitlements").select("id").as[String]
+      .collect().sorted.toSeq == Seq("ent_2", "ent_3"))
+  }
+}
