@@ -69,32 +69,32 @@ object Dedup {
   private def hashB(j: Int): Long = (2654435761L * (j + 7)) % P
 
   /** MinHash signatures: numPerms universal hashes h_j(x) = (a_j·x+b_j) mod P
-    * over xxhash64 shingle hashes (folded to 32 bits). Implementation is
-    * posexplode + (doc, perm) min-aggregate: map-side partial min makes the
-    * shuffle O(#docs × numPerms), independent of corpus size. */
+    * over xxhash64 shingle hashes (folded to 32 bits). One wide aggregate
+    * — numPerms min() columns over the exploded shingle table — instead
+    * of a numPerms× row explosion: the shuffle carries one row per doc
+    * with map-side partial mins, independent of corpus size. Output is
+    * wide: doc_id, h0..h{numPerms-1}. */
   def minHashSignatures(docs: DataFrame, k: Int = 3, numPerms: Int = 32): DataFrame = {
-    val as = array((0 until numPerms).map(j => lit(hashA(j))): _*)
-    val bs = array((0 until numPerms).map(j => lit(hashB(j))): _*)
-    shingles(docs, k)
+    val hashed = shingles(docs, k)
       .withColumn("x", pmod(xxhash64(col("shingle")), lit(4294967296L)))
-      .select(col("doc_id"),
-        posexplode(zip_with(as, bs, (a, b) => (a * col("x") + b) % lit(P)))
-          .as(Seq("perm", "h")))
-      .groupBy("doc_id", "perm").agg(min("h").as("minh"))
+    val mins = (0 until numPerms).map(j =>
+      min((lit(hashA(j)) * col("x") + lit(hashB(j))) % lit(P)).as(s"h$j"))
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: split the signature into `bands` bands of
-    * numPerms/bands rows each; band hash = xxhash64 of the band's values.
-    * Docs sharing any band hash are candidate near-duplicates; the
-    * candidate join is an equi-join on (band, band_hash) — broadcastable
-    * / bucketable, never a cross join. */
+    * numPerms/bands values each; band hash = xxhash64 of the band's
+    * values. Docs sharing any band hash are candidate near-duplicates;
+    * the candidate join is an equi-join on (band, band_hash) —
+    * broadcastable / bucketable, never a cross join. */
   def minHashBands(docs: DataFrame, k: Int = 3, numPerms: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = numPerms / bands
-    minHashSignatures(docs, k, numPerms)
-      .withColumn("band", expr(s"perm DIV $rowsPerBand"))
-      .groupBy("doc_id", "band")
-      .agg(sort_array(collect_list(struct(col("perm"), col("minh")))).as("sig"))
-      .withColumn("band_hash", xxhash64(to_json(col("sig"))))
+    val sig = minHashSignatures(docs, k, numPerms)
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j")): _*)
+    }
+    sig.select(col("doc_id"),
+        posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
       .select("doc_id", "band", "band_hash")
   }
 

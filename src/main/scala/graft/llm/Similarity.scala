@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.DotProduct.dot_product
 
 /** Similarity search over an embedding column (Array[Float]).
   *
@@ -10,14 +11,17 @@ import org.apache.spark.sql.functions._
   * hyperplane LSH bucketing — both with deterministic, seedless
   * constructions (plane weights derive from integer hashing, never
   * Math.random, so results are stable across runs/resumes).
+  *
+  * The inner product is [[graft.functions.DotProduct]] — a codegen'd
+  * native expression (Spark's higher-order functions are interpreted and
+  * were the bench hotspot). Row norms are computed once per row BEFORE
+  * the pair join, never per pair: at N×M pairs that turns 3 dot products
+  * per pair into 1, with arithmetic identical to dot/(|a||b|).
   */
 object Similarity {
 
-  /** dot(a, b) in double precision (cast-first so float rounding does not
-    * accumulate), evaluated elementwise inside codegen. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b) in double precision (codegen'd native expression). */
+  def dot(a: Column, b: Column): Column = dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -33,10 +37,11 @@ object Similarity {
     */
   def bruteForceKnn(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb")))
-    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm")))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -48,10 +53,12 @@ object Similarity {
     * (caller bounds the quadratic candidate set; the scale path for
     * unbounded corpora is [[lshBuckets]] + within-bucket pairs). */
   def nearDupPairs(emb: DataFrame, topN: Int): DataFrame = {
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+      norm(col("embedding")).as("n_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+      norm(col("embedding")).as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("e_a"), col("e_b")))
+      .withColumn("sim", dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .orderBy(col("sim").desc, col("id_a"), col("id_b"))
       .limit(topN)
       .select("id_a", "id_b")
@@ -83,12 +90,13 @@ object Similarity {
   def lshKnn(emb: DataFrame, queries: DataFrame, k: Int, planes: Int, dim: Int): DataFrame = {
     val all = lshBuckets(emb, planes, dim)
     val q = broadcast(lshBuckets(queries, planes, dim)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket"), norm(col("embedding")).as("q_norm")))
     val c = all.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-      col("bucket"))
+      col("bucket"), norm(col("embedding")).as("c_norm"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
