@@ -19,14 +19,58 @@ import graft.streaming.WebhookPipeline
   */
 object Backfill {
 
-  /** Pluggable entity source (Stripe API stand-in; zero-egress here). */
-  trait EntityFetcher {
+  /** Pluggable entity source (Stripe API stand-in; zero-egress here).
+    * Serializable: the dependent-scan and revalidation paths call it from
+    * executor partitions (mapPartitions), the reference's fan-out model
+    * (stripeSync.ts:929-946). */
+  trait EntityFetcher extends Serializable {
     /** Raw entity JSON stream for a table scan, optionally bounded by a
       * created range (P5 pushdown: the predicate goes to the source). */
     def list(tdef: TableDef, createdGte: Option[Long] = None,
              createdLt: Option[Long] = None): Iterator[String]
     /** Point lookup by id (S6). */
     def retrieve(tdef: TableDef, id: String): Option[String]
+    /** Child listing keyed by a parent id — payment methods per customer
+      * (S5, stripeSync.ts:912-949), checkout line items per session
+      * (A6, :1511-1523). */
+    def listForParent(tdef: TableDef, parentCol: String, parentId: String): Seq[String] =
+      Seq.empty
+    /** Full replacement JSON for a truncated embedded list (A7,
+      * expandEntity stripeSync.ts:1739-1760): given the owning entity id
+      * and the list field, return the complete list object
+      * (`{"object":"list","data":[...],"has_more":false}`). */
+    def expandList(tdef: TableDef, entityId: String, listField: String): Option[String] =
+      None
+  }
+
+  /** S5 + P6 + A8: fan-out dependent scan — payment methods cannot be
+    * listed globally, so scan live customers (deleted <> true,
+    * stripeSync.ts:917-919) and fetch per customer id, `width` ids per
+    * partition (reference: chunks of 10 in parallel, :929-931). The
+    * fetch runs in mapPartitions: parallelism = partitions, exactly the
+    * knob a 1000-executor cluster scales with. */
+  def syncDependent(spark: SparkSession, tablesDir: String, child: TableDef,
+                    parentTable: String, fkCol: String, fetcher: EntityFetcher,
+                    width: Int = 10): Long = {
+    import spark.implicits._
+    val path = s"$tablesDir/$parentTable"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) return 0L
+    val parents = spark.read.parquet(path)
+    val live =
+      if (parents.columns.contains("deleted"))
+        parents.filter(!coalesce(col("deleted"), lit(false)))
+      else parents
+    val ids = live.select("id").as[String]
+    val nPart = math.max(1, (ids.count() / width).toInt)
+    val payloads = ids.repartition(nPart)
+      .mapPartitions(it => it.flatMap(id => fetcher.listForParent(child, fkCol, id)))
+      .toDF("payload")
+    val n = payloads.count()
+    if (n > 0) {
+      val rows = child.projectFrom(payloads, "payload", current_timestamp())
+      MergeSink.upsertParquet(rows, tablesDir, child)
+    }
+    n
   }
 
   /** Upsert a chunk of raw entity JSON through the shared pipeline:

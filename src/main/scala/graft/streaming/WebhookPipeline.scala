@@ -3,9 +3,16 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{TableDef, TableDefs}
-import graft.operators.{MergeOps, MergeSink}
+import graft.operators.{Backfill, Enrichment, MergeOps, MergeSink}
 import graft.sources.StripeEvents
 import graft.sources.StripeEvents._
+
+/** Pipeline options, mirroring the reference's StripeSyncConfig
+  * (types.ts:5-58): `revalidateTables` =
+  * revalidateObjectsViaStripeApi (P8), `autoExpandLists` = A7. */
+final case class SyncConfig(
+    revalidateTables: Set[String] = Set.empty,
+    autoExpandLists: Boolean = false)
 
 /** The webhook hot path (SURVEY §3.1), Spark-first:
   *
@@ -21,7 +28,15 @@ import graft.sources.StripeEvents._
   * delivery + idempotent guarded merge = effectively exactly-once,
   * §2.6).
   */
-class WebhookPipeline(tablesDir: String) {
+class WebhookPipeline(tablesDir: String,
+    fetcher: Option[Backfill.EntityFetcher] = None,
+    config: SyncConfig = SyncConfig()) {
+
+  /** A7 targets: which jsonb list columns get expanded per table
+    * (stripeSync.ts:1072-1074, :1115-1117, :1281-1282, :1618-1620). */
+  private val expandFields: Map[String, Seq[String]] = Map(
+    "charges" -> Seq("refunds"), "invoices" -> Seq("lines"),
+    "credit_notes" -> Seq("lines"), "subscriptions" -> Seq("items"))
 
   /** Process one micro-batch of raw event JSON (column `value`). */
   def processBatch(raw: DataFrame, batchId: Long = 0L): Unit = {
@@ -38,13 +53,37 @@ class WebhookPipeline(tablesDir: String) {
     } finally envelope.unpersist()
   }
 
-  /** Full-schema upsert with event-created sync timestamp + child
-    * normalization for subscriptions (A5+J3). */
+  /** Full-schema upsert: optional revalidation (P8/P4, two-timestamp
+    * semantics), optional list expansion (A7), guarded merge, then child
+    * normalization for subscriptions (A5+J3) and checkout sessions (A6). */
   private def upsert(tdef: TableDef, events: DataFrame): Unit = {
     if (events.isEmpty) return
-    val rows = tdef.projectFrom(events, "payload", syncTimestamp())
+    val enriched = fetcher match {
+      case Some(f) if config.revalidateTables(tdef.table) =>
+        Enrichment.revalidate(events.select("payload", "created"), tdef, f)
+      case _ =>
+        events.select("payload", "created").withColumn("refetched", lit(false))
+    }
+    // getSyncTimestamp (stripeSync.ts:580-582): event.created when the
+    // webhook body is trusted, now() when the entity was re-fetched.
+    val ts = when(col("refetched"), current_timestamp())
+      .otherwise(timestamp_seconds(col("created")))
+    var rows = tdef.projectFrom(enriched, "payload", ts)
+    if (config.autoExpandLists)
+      fetcher.foreach { f =>
+        expandFields.getOrElse(tdef.table, Nil).foreach { field =>
+          rows = Enrichment.expandListColumn(rows, tdef, field, f)
+        }
+      }
     MergeSink.upsertParquet(rows, tablesDir, tdef)
     if (tdef.table == "subscriptions") normalizeSubscriptionItems(events)
+    if (tdef.table == "checkout_sessions")
+      fetcher.foreach { f =>
+        val items = Enrichment.checkoutLineItems(events,
+          TableDefs.checkoutSessionLineItems, f)
+        if (!items.isEmpty)
+          MergeSink.upsertParquet(items, tablesDir, TableDefs.checkoutSessionLineItems)
+      }
   }
 
   /** P3: the 3-column deleted projection — deliberately nulls the other
