@@ -83,6 +83,46 @@ object Similarity {
     emb.withColumn("bucket", bucket)
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into nLists Voronoi
+    * cells around deterministic centroids (the nLists lowest-id vectors —
+    * seed-free), then answer queries by scanning only the nProbe nearest
+    * cells. Build = one broadcast-join + rank window (each vector scores
+    * nLists centroids); query = candidate join on cell id. At 100 TB the
+    * cell id becomes the table's partition key, so a query touches
+    * nProbe/nLists of the data. Returns (query_id, neighbor_id, rnk). */
+  def ivfKnn(emb: DataFrame, queries: DataFrame, k: Int,
+             nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("list_id"), col("embedding").as("cent"),
+        norm(col("embedding")).as("cent_norm")))
+    def assign(df: DataFrame, idAs: String, keep: Int) = {
+      val scored = df.select(col("vec_id").as(idAs), col("embedding"),
+          norm(col("embedding")).as("v_norm"))
+        .join(cents, expr("true"))
+        .withColumn("c_sim", dot(col("embedding"), col("cent")) /
+          (col("v_norm") * col("cent_norm")))
+      val w = Window.partitionBy(idAs).orderBy(col("c_sim").desc, col("list_id"))
+      scored.withColumn("c_rnk", row_number().over(w))
+        .filter(col("c_rnk") <= keep)
+        .select(col(idAs), col("embedding"), col("v_norm"), col("list_id"))
+    }
+    val corpus = assign(emb, "neighbor_id", 1)
+    val qs = assign(queries, "query_id", nProbe)
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        col("v_norm").as("q_norm"), col("list_id"))
+    val scored = qs.join(
+        corpus.select(col("neighbor_id"), col("embedding").as("c_emb"),
+          col("v_norm").as("c_norm"), col("list_id")),
+        Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   /** ANN top-k via LSH buckets: only candidates sharing the query's bucket
     * are scored — the scan-once/shuffle-on-bucket scale path. Recall is
     * approximate by construction (queries in sparse buckets may return

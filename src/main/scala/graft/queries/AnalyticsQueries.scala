@@ -196,6 +196,32 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     },
 
+    Q("q39_cube",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice*1000000.0) AS BIGINT)) AS BIGINT) AS total_micros
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum(micros(col("o_totalprice"))).as("total_micros"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total_micros"))
+        .orderBy("status", "priority")
+    },
+
+    // HLL sketch (approx_count_distinct) — deterministic within Spark but
+    // not portable to another engine's sketch: rows-only check.
+    Q.noOracle("q40_approx_distinct") { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy("l_returnflag")
+    },
+
     Q("q12_pivot_status",
       """SELECT o_orderpriority,
         | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",

@@ -140,6 +140,13 @@ object LlmQueries {
         .orderBy("query_id", "rnk")
     },
 
+    Q.noOracle("q42_ann_ivf") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 3,
+        nLists = 16, nProbe = 4)
+        .orderBy("query_id", "rnk")
+    },
+
     Q("q37_multimodal_meta",
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | CAST((ascii(text) * 7) % 256 AS INTEGER) AS width,

@@ -221,6 +221,21 @@ object SyncQueries {
         .orderBy("user_id")
     },
 
+    // §2.6 streaming: the watermarked windowed aggregate, driven batch-
+    // mode (Spark's unified model) so DuckDB can oracle it via
+    // time_bucket. value totals in exact cents.
+    Q("q41_windowed_counts",
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(value*100.0) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin
+    ) { (s, dir) =>
+      graft.streaming.EventStreamAnalytics
+        .windowedCounts(Tables.events(s, dir), "1 hour", "2 hours")
+        .orderBy("win_start", "event_type")
+    },
+
     // S2: payload signature check (HMAC in the engine; content-hash form
     // here so DuckDB can oracle it — sha2/sha256 hex on both sides).
     Q("q24_signature",

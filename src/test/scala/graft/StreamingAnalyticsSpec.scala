@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreamAnalytics
+import graft.streaming.EventStreamAnalytics.{Ev, Session}
+
+class StreamingAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed counts with watermark run as a real stream and match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreamAnalytics.windowedCounts(df, "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("win_counts").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((t(0, 10), "click", 1.0), (t(0, 50), "click", 2.0),
+      (t(1, 5), "view", 3.0))
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql("SELECT * FROM win_counts ORDER BY win_start, event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.toSeq == Seq(
+      (t(0, 0), "click", 2L, 300L),
+      (t(1, 0), "view", 1L, 300L)))
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions on gap") {
+    val hour = 3600L * 1000000000L
+    val evs = Seq(
+      Ev(1L, 0L, 1.0), Ev(1L, hour / 2, 2.0),          // session 1
+      Ev(1L, 3 * hour, 5.0),                           // gap > 1h → session 2 (open)
+      Ev(2L, 0L, 9.0)).toDS()                          // user 2 (open)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreamAnalytics.sessionize(input.toDS(), gapNs = hour)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    input.addData(Ev(1L, 0L, 1.0), Ev(1L, hour / 2, 2.0))
+    input.addData(Ev(1L, 3 * hour, 5.0)) // closes session 1
+    try q.processAllAvailable() finally q.stop()
+    val closed = spark.sql("SELECT * FROM sessions").as[Session].collect()
+    assert(closed.toSeq == Seq(Session(1L, 0L, hour / 2, 2, 3.0)))
+  }
+
+  test("ivfKnn finds the identical vector and stays deterministic") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 3.0 + d * 0.7).toFloat))
+    } :+ (60L, Array.tabulate(8)(d => math.cos(17 * 3.0 + d * 0.7).toFloat)) // clone of 17
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.ivfKnn(df, df.filter(col("vec_id") === 60), k = 3,
+      nLists = 8, nProbe = 3).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("neighbor_id") == 17L) // exact clone ranked first
+    val again = graft.llm.Similarity.ivfKnn(df, df.filter(col("vec_id") === 60), k = 3,
+      nLists = 8, nProbe = 3).collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("engine functions are SQL-callable (extensions wiring + registry)") {
+    // the extensions class applies cleanly to a fresh builder config…
+    new graft.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+    // …and the live-session registration exposes the same functions:
+    graft.functions.GraftFunctions.registerAll(spark)
+    val hex = spark.sql("SELECT hmac_sha256('a.b', 'k') AS h").head().getString(0)
+    assert(hex.matches("[0-9a-f]{64}"))
+  }
+}
