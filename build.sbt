@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = 32 executor threads in ONE JVM: size the heap for the
+  // whole "cluster" (the box has 128 GiB; 8g meant GC thrash and 5-20x
+  // run-to-run variance on broadcast/window-heavy queries). Xms=Xmx +
+  // AlwaysPreTouch faults every heap page in at JVM start: in a microVM,
+  // first-touch page zeroing is expensive system time, and letting the
+  // heap grow lazily injected multi-second stalls into whatever query
+  // happened to be running when the heap expanded.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  "-XX:+AlwaysPreTouch",
 )
