@@ -26,14 +26,19 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] = 32 executor threads in ONE JVM: size the heap for the
-  // whole "cluster" (the box has 128 GiB; 8g meant GC thrash and 5-20x
-  // run-to-run variance on broadcast/window-heavy queries). Xms=Xmx +
-  // AlwaysPreTouch faults every heap page in at JVM start: in a microVM,
-  // first-touch page zeroing is expensive system time, and letting the
-  // heap grow lazily injected multi-second stalls into whatever query
-  // happened to be running when the heap expanded.
+)
+// local[32] = 32 executor threads in ONE JVM: size the heap for the
+// whole "cluster" (the box has 128 GiB; 8g meant GC thrash and 5-20x
+// run-to-run variance on broadcast/window-heavy queries). Xms=Xmx +
+// AlwaysPreTouch faults every heap page in at JVM start: in a microVM,
+// first-touch page zeroing is expensive system time, and letting the
+// heap grow lazily injected multi-second stalls into whatever query
+// happened to be running when the heap expanded. Scoped to `run` (the
+// Bench/Verify mains); test JVMs use small local sessions and would just
+// pay minutes of pretouch at startup.
+run / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
   "-XX:+AlwaysPreTouch",
 )
+Test / javaOptions ++= Seq("-Xmx8g")

@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * instead of rows-only.
   *
   * Catalyst Expression with codegen (single static call — the loop lives
-  * in [[PolyHash.eval]], JIT-compiled once, shared by interpreted and
+  * in [[PolyHash.hash]], JIT-compiled once, shared by interpreted and
   * generated paths so they cannot diverge).
   */
 case class PolyHash(child: Expression, mult: Long, modulus: Long, seed: Long)
@@ -26,11 +26,11 @@ case class PolyHash(child: Expression, mult: Long, modulus: Long, seed: Long)
   override def prettyName: String = "poly_hash"
 
   override protected def nullSafeEval(s: Any): Any =
-    PolyHash.eval(s.asInstanceOf[UTF8String], mult, modulus, seed)
+    PolyHash.hash(s.asInstanceOf[UTF8String], mult, modulus, seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s =>
-      s"graft.functions.PolyHash.eval($s, ${mult}L, ${modulus}L, ${seed}L)")
+      s"graft.functions.PolyHash.hash($s, ${mult}L, ${modulus}L, ${seed}L)")
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -43,7 +43,7 @@ object PolyHash {
   val DefaultMult: Long = 131L
   val DefaultSeed: Long = 7L
 
-  def eval(s: UTF8String, mult: Long, modulus: Long, seed: Long): Long = {
+  def hash(s: UTF8String, mult: Long, modulus: Long, seed: Long): Long = {
     // Iterate Unicode code points (== DuckDB ascii(substr(s,i,1)) per
     // character) — byte iteration would diverge on non-ASCII input.
     val str = s.toString

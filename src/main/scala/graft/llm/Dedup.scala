@@ -68,30 +68,40 @@ object Dedup {
   private def hashA(j: Int): Long = ((1103515245L * (j + 1) + 12345L) % (1L << 31)) | 1L
   private def hashB(j: Int): Long = (2654435761L * (j + 7)) % P
 
+  /** Band-combine constants: acc = (acc*BandMult + h) mod BandMod, acc0 =
+    * BandSeed. All intermediates < 1.32e18 < 2^63, so engines that error
+    * on BIGINT overflow (DuckDB) reproduce it exactly. */
+  private[llm] val BandMult = 1315423911L
+  private[llm] val BandMod = 1000000007L
+  private[llm] val BandSeed = 7L
+
   /** MinHash signatures: numPerms universal hashes h_j(x) = (a_j·x+b_j) mod P
-    * over xxhash64 shingle hashes (folded to 32 bits). One wide aggregate
-    * — numPerms min() columns over the exploded shingle table — instead
-    * of a numPerms× row explosion: the shuffle carries one row per doc
-    * with map-side partial mins, independent of corpus size. Output is
-    * wide: doc_id, h0..h{numPerms-1}. */
+    * over polynomial shingle hashes ([[graft.functions.PolyHash]], < 2^32 —
+    * chosen over xxhash64 so a DuckDB oracle can recompute the signature
+    * bit-for-bit). One wide aggregate — numPerms min() columns over the
+    * exploded shingle table — instead of a numPerms× row explosion: the
+    * shuffle carries one row per doc with map-side partial mins,
+    * independent of corpus size. Output is wide: doc_id, h0..h{numPerms-1}. */
   def minHashSignatures(docs: DataFrame, k: Int = 3, numPerms: Int = 32): DataFrame = {
     val hashed = shingles(docs, k)
-      .withColumn("x", pmod(xxhash64(col("shingle")), lit(4294967296L)))
+      .withColumn("x", graft.functions.PolyHash.poly_hash(col("shingle")))
     val mins = (0 until numPerms).map(j =>
       min((lit(hashA(j)) * col("x") + lit(hashB(j))) % lit(P)).as(s"h$j"))
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: split the signature into `bands` bands of
-    * numPerms/bands values each; band hash = xxhash64 of the band's
-    * values. Docs sharing any band hash are candidate near-duplicates;
-    * the candidate join is an equi-join on (band, band_hash) —
-    * broadcastable / bucketable, never a cross join. */
+    * numPerms/bands values each; band hash = polynomial fold of the
+    * band's values in j order. Docs sharing any band hash are candidate
+    * near-duplicates; the candidate join is an equi-join on
+    * (band, band_hash) — broadcastable / bucketable, never a cross join. */
   def minHashBands(docs: DataFrame, k: Int = 3, numPerms: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = numPerms / bands
     val sig = minHashSignatures(docs, k, numPerms)
     val bandHashes = (0 until bands).map { b =>
-      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j")): _*)
+      (b * rowsPerBand until (b + 1) * rowsPerBand).foldLeft(lit(BandSeed)) {
+        (acc, j) => (acc * lit(BandMult) + col(s"h$j")) % lit(BandMod)
+      }
     }
     sig.select(col("doc_id"),
         posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
@@ -115,35 +125,40 @@ object Dedup {
 
   // --- SimHash -------------------------------------------------------------
 
-  /** 64-bit SimHash over the token stream: each token votes ±1 on each bit
-    * of xxhash64(token); bit of the fingerprint = sign of the tally.
-    * Computed as 64 conditional-sum aggregate columns over the exploded
+  /** SimHash width: the polynomial token hash is < 2^32, giving 32
+    * meaningful bits (cross-engine-reproducible; 64-bit xxhash would not
+    * be recomputable by the DuckDB oracle). */
+  private[llm] val SimHashBits = 32
+
+  /** 32-bit SimHash over the token stream: each token votes ±1 on each bit
+    * of poly_hash(token); bit of the fingerprint = sign of the tally.
+    * Computed as 32 conditional-sum aggregate columns over the exploded
     * token table — one shuffle keyed by doc_id, partial aggregation
     * map-side, no row blow-up. */
   def simHash(docs: DataFrame): DataFrame = {
     val tokens = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val tallies = (0 until 64).map { b =>
+      .withColumn("h", graft.functions.PolyHash.poly_hash(col("tok")))
+    val tallies = (0 until SimHashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$b")
     }
     val agg = tokens.groupBy("doc_id").agg(tallies.head, tallies.tail: _*)
-    val sig = (0 until 64).map { b =>
+    val sig = (0 until SimHashBits).map { b =>
       when(col(s"b$b") > 0, lit(1L).cast("long") * lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, found via
-    * chunk-banding (pigeonhole: distance ≤ d ⇒ some 16-bit chunk equal,
-    * for d ≤ 3 with 4 chunks) — equi-join on chunks, then exact popcount
-    * verify. */
+    * chunk-banding (pigeonhole: distance ≤ d ⇒ some 8-bit chunk of the
+    * 32-bit signature equal, for d ≤ 3 with 4 chunks) — equi-join on
+    * chunks, then exact popcount verify. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simHash(docs)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftrightunsigned(col("simhash"), c * 8).bitwiseAND(lit(0xFFL))): _*))
         .as(Seq("chunk", "ch")))
     val cand = chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch")

@@ -212,14 +212,26 @@ object AnalyticsQueries {
         .orderBy("status", "priority")
     },
 
-    // HLL sketch (approx_count_distinct) — deterministic within Spark but
-    // not portable to another engine's sketch: rows-only check.
-    Q.noOracle("q40_approx_distinct") { (s, dir) =>
-      Tables(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
-        .orderBy("l_returnflag")
+    // HLL sketch — graft's own portable HyperLogLog
+    // ([[graft.functions.HyperLogLog]]): poly_hash registers + an
+    // all-integer estimator, so the DuckDB oracle replays the sketch
+    // bit-for-bit (Spark's approx_count_distinct sketch is
+    // engine-internal and could only ever be range-checked).
+    Q("q40_approx_distinct", {
+      val parts = graft.functions.HyperLogLog.sketchSql(
+        "l_returnflag", "l_partkey", "lineitem", "approx_parts")
+      val orders = graft.functions.HyperLogLog.sketchSql(
+        "l_returnflag", "l_orderkey", "lineitem", "approx_orders")
+      s"""SELECT p.g AS l_returnflag, p.approx_parts, o.approx_orders
+         |FROM $parts p JOIN $orders o ON p.g = o.g
+         |ORDER BY l_returnflag""".stripMargin
+    }) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val parts = graft.functions.HyperLogLog.approxDistinct(
+        li, Seq("l_returnflag"), "l_partkey", "approx_parts")
+      val orders = graft.functions.HyperLogLog.approxDistinct(
+        li, Seq("l_returnflag"), "l_orderkey", "approx_orders")
+      parts.join(orders, "l_returnflag").orderBy("l_returnflag")
     },
 
     Q("q12_pivot_status",

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{RangeJoin, SkewJoin}
+
+/** Round-2 widening of the relational surface: range/interval join,
+  * discrete percentiles, salted skew join, BPE-ish regex tokenization,
+  * RANGE window frames, ntile distribution. Same determinism rules as
+  * [[Q]] — exact integer outputs, total ORDER BY.
+  */
+object ExtendedQueries {
+
+  private val HOUR_NS = 3600000000000L
+
+  val all: Seq[Q] = Seq(
+
+    // Interval join (RangeJoin.intervalJoin): same-user clicks in the
+    // hour before each purchase. The reference has no range joins (§2.3)
+    // — this is part of the "relational surface beyond the mirror".
+    Q("q43_range_join",
+      """SELECT p.event_id AS purchase_id, count(*) AS n_clicks, min(c.event_id) AS first_click_id
+        |FROM (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events WHERE event_type = 'click') c
+        | ON c.user_id = p.user_id AND c.tns >= p.tns - 3600000000000 AND c.tns <= p.tns
+        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_ns"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_ns").as("c_ts"))
+      RangeJoin.intervalJoin(purchases, clicks, Seq("user_id"),
+          col("ts_ns") - HOUR_NS, col("ts_ns"), clicks("c_ts"))
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks"), min("click_id").as("first_click_id"))
+        .orderBy("purchase_id")
+    },
+
+    // Discrete percentiles by explicit rank arithmetic — the
+    // nearest-rank-below definition (index floor((n-1)q), 0-based) is
+    // pure integer selection, so it cross-checks exactly where
+    // interpolating percentile_cont could differ in ulps.
+    Q("q44_percentile_disc",
+      """WITH x AS (SELECT event_type, CAST(round(value*100.0) AS BIGINT) AS cents,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY CAST(round(value*100.0) AS BIGINT), event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events)
+        |SELECT event_type,
+        | max(CASE WHEN rn = ((n-1)*50)//100 + 1 THEN cents END) AS p50_cents,
+        | max(CASE WHEN rn = ((n-1)*90)//100 + 1 THEN cents END) AS p90_cents,
+        | max(CASE WHEN rn = ((n-1)*99)//100 + 1 THEN cents END) AS p99_cents
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, dir) =>
+      val cents = round(col("value") * lit(100.0)).cast("long")
+      val w = Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))
+      val wc = Window.partitionBy("event_type")
+      val ranked = Tables.events(s, dir)
+        .select(col("event_type"), cents.as("cents"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+      def pick(q: Int, alias: String) =
+        max(when(col("rn") === expr(s"((n-1)*$q) DIV 100 + 1"), col("cents"))).as(alias)
+      ranked.groupBy("event_type")
+        .agg(pick(50, "p50_cents"), pick(90, "p90_cents"), pick(99, "p99_cents"))
+        .orderBy("event_type")
+    },
+
+    // Salted skew join (SkewJoin.saltedInnerJoin): result must equal the
+    // plain join — the oracle IS the plain join, proving salting is a
+    // pure physical rewrite.
+    Q("q45_salted_join",
+      """SELECT c_nationkey, count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice*1000000.0) AS BIGINT)) AS BIGINT) AS total_micros
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+    ) { (s, dir) =>
+      SkewJoin.saltedInnerJoin(
+          Tables(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+          Tables(s, dir, "customer"), "c_custkey", saltSource = "o_orderkey")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * lit(1000000.0)).cast("long")).as("total_micros"))
+        .orderBy("c_nationkey")
+    },
+
+    // BPE-ish regex tokenization (mandate: "whitespace + a BPE-ish
+    // regex"): runs of letters, runs of digits, single other non-space —
+    // the GPT-2-style pre-tokenizer shape, minus unicode categories.
+    Q("q46_regex_tokens",
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_pieces,
+        | CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+        | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents").select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_pieces"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_alpha"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("long").as("n_num"))
+        .orderBy("doc_id")
+    },
+
+    // RANGE window frame over event time: per event, same-user activity
+    // in the trailing hour (value-based frame, not row-based).
+    Q("q47_range_frame",
+      """SELECT event_id,
+        | CAST(count(*) OVER w AS BIGINT) AS cnt_1h,
+        | CAST(sum(CAST(round(value*100.0) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_ns")
+        .rangeBetween(-HOUR_NS, 0)
+      Tables.events(s, dir)
+        .withColumn("cnt_1h", count(lit(1)).over(w))
+        .withColumn("cents_1h", sum(round(col("value") * lit(100.0)).cast("long")).over(w))
+        .select("event_id", "cnt_1h", "cents_1h")
+        .orderBy("event_id")
+    },
+
+    // ntile quartiles (deterministic under a total ORDER BY) summarized
+    // per bucket.
+    Q("q48_ntile",
+      """WITH x AS (SELECT event_type, CAST(round(value*100.0) AS BIGINT) AS cents,
+        |  ntile(4) OVER (PARTITION BY event_type
+        |    ORDER BY CAST(round(value*100.0) AS BIGINT), event_id) AS quartile
+        | FROM events)
+        |SELECT event_type, quartile, count(*) AS n,
+        | min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM x GROUP BY event_type, quartile ORDER BY event_type, quartile""".stripMargin
+    ) { (s, dir) =>
+      val cents = round(col("value") * lit(100.0)).cast("long")
+      val w = Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), cents.as("cents"), col("event_id"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy("event_type", "quartile")
+        .agg(count(lit(1)).as("n"), min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .orderBy("event_type", "quartile")
+    }
+  )
+}

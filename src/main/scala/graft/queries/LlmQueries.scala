@@ -13,6 +13,14 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object LlmQueries {
 
+  /** The exact dot product the engine's codegen'd expression computes —
+    * an ascending-index sequential fold in double over float inputs — as
+    * DuckDB SQL, so cosine comparisons in oracles are bit-identical
+    * (list_dot_product's summation order is unspecified; a fold is not). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
   val all: Seq[Q] = Seq(
 
     Q("q25_token_stats",
@@ -100,12 +108,49 @@ object LlmQueries {
         .limit(20)
     },
 
-    Q.noOracle("q32_minhash_bands") { (s, dir) =>
+    // MinHash signatures + LSH banding, fully oracle-checked: the shingle
+    // hash is poly_hash (Rabin-Karp mod 4294967291), the permutations are
+    // (a_j·x+b_j) mod 4294967311, the band hash a polynomial fold — every
+    // step exact BIGINT arithmetic DuckDB reproduces bit-for-bit.
+    Q("q32_minhash_bands",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+        |        FROM w WHERE len(l) >= 3),
+        | hx AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(1, length(shingle) + 1),
+        |            i -> CAST(ascii(substr(shingle, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |          (a, c) -> (a * 131 + c) % 4294967291) AS x
+        |        FROM sh),
+        | perms AS (SELECT j, ((1103515245 * (j + 1) + 12345) % 2147483648) | 1 AS a,
+        |                  (2654435761 * (j + 7)) % 4294967311 AS b
+        |           FROM range(0, 32) t(j)),
+        | mh AS (SELECT doc_id, j, min((a * x + b) % 4294967311) AS h
+        |        FROM hx CROSS JOIN perms GROUP BY doc_id, j),
+        | bh AS (SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+        |          list_reduce(list_prepend(CAST(7 AS BIGINT), list(h ORDER BY j)),
+        |            (acc, v) -> (acc * 1315423911 + v) % 1000000007) AS band_hash
+        |        FROM mh GROUP BY doc_id, band)
+        |SELECT doc_id, band, band_hash FROM bh ORDER BY doc_id, band""".stripMargin
+    ) { (s, dir) =>
       Dedup.minHashBands(Tables(s, dir, "documents"), k = 3, numPerms = 32, bands = 8)
         .orderBy("doc_id", "band")
     },
 
-    Q.noOracle("q33_simhash") { (s, dir) =>
+    // 32-bit SimHash over poly_hash(token) — exact ±1 bit tallies, so the
+    // oracle recomputes the full fingerprint.
+    Q("q33_simhash",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        | hx AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(1, length(tok) + 1),
+        |            i -> CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |          (a, c) -> (a * 131 + c) % 4294967291) AS h
+        |        FROM toks),
+        | bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+        |          FROM hx CROSS JOIN range(0, 32) t(b) GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(sum(CASE WHEN tally > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
       Dedup.simHash(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
@@ -134,13 +179,65 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     },
 
-    Q.noOracle("q36_ann_lsh") { (s, dir) =>
+    // LSH ANN, fully oracle-checked: the hyperplanes are the deterministic
+    // ±1 planeWeight construction, and every dot product in the oracle is
+    // the same ascending-index double fold the codegen'd expression runs —
+    // bucket bits and cosine ranks are bit-identical across engines.
+    Q("q36_ann_lsh",
+      s"""WITH planes AS (SELECT p, list_transform(range(0, 64),
+        |    d -> CASE WHEN ((CAST(p*1021 + d*2039 + 1 AS BIGINT) * 2654435761) >> 13) & 1 = 1
+        |         THEN 1.0 ELSE -1.0 END) AS w
+        |  FROM range(0, 6) t(p)),
+        | b AS (SELECT e.vec_id, e.embedding,
+        |        sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm,
+        |        CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.w")} > 0
+        |                      THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM embeddings e CROSS JOIN planes p GROUP BY ALL),
+        | pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |            ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sim
+        |           FROM b q JOIN b c ON q.bucket = c.bucket
+        |            AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        | r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
+        |         PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        |       FROM pairs)
+        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 3, planes = 6, dim = 64)
         .orderBy("query_id", "rnk")
     },
 
-    Q.noOracle("q42_ann_ivf") { (s, dir) =>
+    // IVF ANN, fully oracle-checked: Voronoi assignment to the 16
+    // deterministic centroids and the probe ranking replay the exact
+    // double arithmetic of the Spark plan.
+    Q("q42_ann_ivf",
+      s"""WITH v AS (SELECT vec_id, embedding,
+        |        sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        |       FROM embeddings),
+        | cents AS (SELECT vec_id AS list_id, embedding AS cent, nrm AS cn
+        |           FROM v WHERE vec_id < 16),
+        | asg0 AS (SELECT v.vec_id, v.embedding, v.nrm, c.list_id,
+        |           ${dotSql("v.embedding", "c.cent")} / (v.nrm * c.cn) AS c_sim
+        |          FROM v CROSS JOIN cents c),
+        | asg AS (SELECT vec_id, embedding, nrm, list_id,
+        |          row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY c_sim DESC, list_id) AS c_rnk
+        |         FROM asg0),
+        | corpus AS (SELECT vec_id AS neighbor_id, embedding, nrm, list_id
+        |            FROM asg WHERE c_rnk = 1),
+        | qs AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS qn, list_id
+        |        FROM asg WHERE vec_id < 10 AND c_rnk <= 4),
+        | pairs AS (SELECT q.query_id, c.neighbor_id,
+        |            ${dotSql("q.q_emb", "c.embedding")} / (q.qn * c.nrm) AS sim
+        |           FROM qs q JOIN corpus c USING (list_id)
+        |           WHERE q.query_id <> c.neighbor_id),
+        | r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
+        |         PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        |       FROM pairs)
+        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 3,
         nLists = 16, nProbe = 4)
