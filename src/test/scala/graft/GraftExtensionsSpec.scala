@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions path: a session built with GraftExtensions
+  * can call the engine's native expressions from plain SQL. (Own session
+  * — extensions bind at session build time, so SparkSpec's shared
+  * session can't be reused.) */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extension-registered functions work from spark.sql") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      val row = spark.sql(
+        """SELECT poly_hash('a') AS ph,
+          |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+          |       length(hmac_sha256('body', 'secret')) AS hm
+          |""".stripMargin).collect().head
+      assert(row.getLong(0) == 1014L)       // (7*131 + 'a'=97) mod p
+      assert(row.getDouble(1) == 11.0)
+      assert(row.getInt(2) == 64)           // sha256 hex length
+    } finally spark.stop()
+  }
+}
