@@ -39,23 +39,36 @@ object Dedup {
         ))).as("shingle"))
 
   /** All-pairs n-gram Jaccard via an inverted index — NOT a cross join.
-    * (doc, shingle) self-joined on shingle → common-shingle counts per
-    * pair; |A ∪ B| = |A| + |B| − common. Returns jaccard in ppm (exact
-    * integer arithmetic). Cost: Σ_shingle df² pair-candidates — at scale,
-    * prune ultra-frequent shingles first (stop-shingle cut), which is the
-    * standard practice; the 31-word corpus vocabulary keeps df small here.
+    * (doc, shingle-hash) self-joined on the hash → common-shingle counts
+    * per pair; |A ∪ B| = |A| + |B| − common. Returns jaccard in ppm
+    * (exact integer arithmetic).
+    *
+    * Plan shape choices (each removes a shuffle or shrinks one):
+    *   - join key is xxhash64 of the shingle, not the string: 8-byte
+    *     fixed-width shuffle keys (a 64-bit collision across a corpus's
+    *     shingle vocabulary is ~2^-25 even at 10^9 distinct shingles);
+    *   - each doc's set size n_sh is computed on the array BEFORE the
+    *     explode and travels with the rows, so there is no separate
+    *     sizes aggregate and no post-join size lookups — one self-join
+    *     + one aggregate total.
+    * Cost: Σ_shingle df² pair-candidates — at scale, prune
+    * ultra-frequent shingles first (stop-shingle cut / prefix filter),
+    * the standard all-pairs practice.
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3): DataFrame = {
-    val sh = shingles(docs, k)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val arr = array_distinct(transform(
+      sequence(lit(0), size(col("w")) - k),
+      i => xxhash64((0 until k).map(j => element_at(col("w"), i + j + 1)): _*)))
+    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), arr.as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("h"))
     val a = sh.as("a"); val b = sh.as("b")
-    val common = a.join(b, col("a.shingle") === col("b.shingle")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .withColumn("jaccard_ppm",
         expr("(common * 1000000) DIV (n_a + n_b - common)"))
       .select("id_a", "id_b", "common", "jaccard_ppm")

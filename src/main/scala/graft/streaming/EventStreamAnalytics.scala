@@ -27,6 +27,19 @@ object EventStreamAnalytics {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("value_cents"))
 
+  /** At-least-once delivery → at-most-once processing per event id:
+    * drop replayed webhook deliveries within the watermark horizon.
+    * SURVEY §2.6 notes the reference does NOT dedup event ids (its
+    * `events` table is never written, §1.2) — replays are only absorbed
+    * row-wise by the LWW guard; this operator closes that gap ahead of
+    * the merge. State is bounded by the watermark, so it holds on
+    * unbounded streams (the 100 TB path: state size ∝ events per
+    * watermark window, not stream length). */
+  def dedupEvents(events: DataFrame, idCol: String = "event_id",
+                  tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   case class Ev(user_id: Long, ts_ns: Long, value: Double)
   case class SessionState(start_ns: Long, last_ns: Long, n: Int, total: Double)
   case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Int,

@@ -26,6 +26,22 @@ class StreamingAnalyticsSpec extends SparkSpec {
       (t(1, 0), "view", 1L, 300L)))
   }
 
+  test("dedupEvents drops replayed deliveries within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type")
+    val q = graft.streaming.EventStreamAnalytics.dedupEvents(df)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("deduped").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    input.addData((1L, t(1), "click"), (1L, t(1), "click"), (2L, t(2), "view"))
+    input.addData((1L, t(1), "click"), (3L, t(3), "click")) // replay of 1 + new
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.sql("SELECT event_id FROM deduped ORDER BY event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions on gap") {
     val hour = 3600L * 1000000000L
     val evs = Seq(
@@ -60,7 +76,7 @@ class StreamingAnalyticsSpec extends SparkSpec {
 
   test("engine functions are SQL-callable (extensions wiring + registry)") {
     // the extensions class applies cleanly to a fresh builder config…
-    new graft.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+    new graft.plans.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
     // …and the live-session registration exposes the same functions:
     graft.functions.GraftFunctions.registerAll(spark)
     val hex = spark.sql("SELECT hmac_sha256('a.b', 'k') AS h").head().getString(0)
