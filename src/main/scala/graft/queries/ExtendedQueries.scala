@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.llm.Dedup
 import graft.operators.{RangeJoin, SkewJoin}
 
 /** Round-2 widening of the relational surface: range/interval join,
@@ -121,6 +122,44 @@ object ExtendedQueries {
         .withColumn("cents_1h", sum(round(col("value") * lit(100.0)).cast("long")).over(w))
         .select("event_id", "cnt_1h", "cents_1h")
         .orderBy("event_id")
+    },
+
+    // Array-column aggregation: per-label embedding component sums in
+    // exact scaled integers (float→double is exact, round-to-micros then
+    // integer-sum is order-independent — a float sum would hash-differ by
+    // summation order).
+    Q("q49_embedding_stats",
+      """SELECT label, count(*) AS n,
+        | CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS d0_micros,
+        | CAST(sum(CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS d1_micros,
+        | CAST(sum(CAST(round(CAST(embedding[3] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS d2_micros,
+        | CAST(sum(CAST(round(CAST(embedding[4] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS d3_micros
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+    ) { (s, dir) =>
+      def dMicros(i: Int) =
+        sum(round(element_at(col("embedding"), i + 1).cast("double") * lit(1000000.0))
+          .cast("long")).as(s"d${i}_micros")
+      Tables(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), dMicros(0), dMicros(1), dMicros(2), dMicros(3))
+        .orderBy("label")
+    },
+
+    // The dedup *materialization* step: keep one representative per exact
+    // text group (min doc_id) — the filter a training pipeline actually
+    // applies after dedup analysis. Broadcast-free: semi-join on
+    // (text-hash, doc_id) pairs from the same aggregate.
+    Q("q50_dedup_filter",
+      """SELECT d.doc_id FROM documents d
+        |JOIN (SELECT min(doc_id) AS rep_id FROM documents GROUP BY text) r
+        | ON d.doc_id = r.rep_id
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val reps = Dedup.exact(docs).select(col("rep_id").as("doc_id"))
+      docs.join(reps, Seq("doc_id"), "left_semi")
+        .select("doc_id")
+        .orderBy("doc_id")
     },
 
     // ntile quartiles (deterministic under a total ORDER BY) summarized
