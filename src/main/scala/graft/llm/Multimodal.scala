@@ -63,6 +63,46 @@ object Multimodal {
     }
   }
 
+  /** Feature-extraction schema: fixed-length Array[Float] per asset —
+    * the shape an embedding model produces; downstream similarity ops
+    * ([[Similarity]]) consume it unchanged. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** Partition-wise feature extraction (STUB): a real deployment loads
+    * the vision/audio model once per partition (amortized like
+    * mapInPandas batches) and embeds `payload`; the stub emits a
+    * deterministic `dim`-length byte-histogram-style vector so the
+    * plumbing — batch init, fixed-length output, float schema — is
+    * exercised end-to-end. */
+  def extractFeatures(docs: DataFrame, dim: Int = 8): DataFrame = {
+    val withBytes = withPayload(docs).select(col("doc_id"), col("payload"))
+    implicit val enc = RowEncoder.encoderFor(featureSchema)
+    withBytes.mapPartitions { rows =>
+      // per-partition init happens HERE in a real decoder (model load)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val acc = new Array[Float](dim)
+        var i = 0
+        while (i < bytes.length) { acc(i % dim) += (bytes(i) & 0xFF) / 255.0f; i += 1 }
+        Row(r.getLong(0), acc.toSeq)
+      }
+    }
+  }
+
+  /** Resize stub: clamp/pad the payload to exactly `outBytes` bytes (a
+    * real implementation decodes, resamples to w×h, re-encodes — same
+    * column contract: binary in, binary out, size bounded). Keeping the
+    * byte budget explicit is what makes 100 TB planning possible:
+    * downstream stages can size partitions by row count alone. */
+  def resizePayload(docs: DataFrame, outBytes: Int = 64): DataFrame =
+    withPayload(docs).select(col("doc_id"),
+      // SQL form: rpad/substring keep their BINARY overloads (the Scala
+      // rpad(Column,Int,String) would cast the payload to string)
+      expr(s"rpad(substring(payload, 1, $outBytes), $outBytes, x'00')")
+        .as("payload_resized"))
+
   /** Deterministic frame/patch sampling stub: every asset yields
     * ceil(n_bytes / stride) "frames", each a bounded slice of the payload —
     * the explode-shaped plumbing a video pipeline needs (asset → frames
