@@ -162,6 +162,49 @@ object ExtendedQueries {
         .orderBy("doc_id")
     },
 
+    // GROUPING SETS (the general form; q05/q39 cover its rollup/cube
+    // specializations) with grouping_id to disambiguate null-vs-ALL.
+    Q("q51_grouping_sets",
+      """SELECT coalesce(o_orderstatus, '-') AS status,
+        | coalesce(o_orderpriority, '-') AS priority,
+        | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        | count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, status, priority""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        // grouping() is only resolvable inside the grouping aggregate
+        .agg(count(lit(1)).as("n"),
+          (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+            .cast("long").as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("-")).as("status"),
+          coalesce(col("o_orderpriority"), lit("-")).as("priority"),
+          col("gid"), col("n"))
+        .orderBy("gid", "status", "priority")
+    },
+
+    // Array functions over tokenized text: sort/distinct/slice/join —
+    // deterministic string outputs on both engines.
+    Q("q52_array_ops",
+      """SELECT doc_id,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        | array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS first3,
+        | array_to_string(list_reverse_sort(list_distinct(string_split(text, ' ')))[1:2], ',') AS last2
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val toks = array_distinct(split(col("text"), " "))
+      Tables(s, dir, "documents").select(col("doc_id"),
+          size(toks).cast("long").as("n_distinct"),
+          concat_ws(",", slice(array_sort(toks), 1, 3)).as("first3"),
+          concat_ws(",", slice(reverse(array_sort(toks)), 1, 2)).as("last2"))
+        .orderBy("doc_id")
+    },
+
     // ntile quartiles (deterministic under a total ORDER BY) summarized
     // per bucket.
     Q("q48_ntile",
