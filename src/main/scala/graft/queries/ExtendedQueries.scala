@@ -205,6 +205,37 @@ object ExtendedQueries {
         .orderBy("doc_id")
     },
 
+    // Temporal extraction + aggregation (year/month are timezone-free on
+    // both engines; day-of-week numbering differs cross-engine, so it is
+    // deliberately excluded).
+    Q("q53_date_extract",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        | CAST(month(o_orderdate) AS BIGINT) AS m, count(*) AS n,
+        | CAST(sum(CAST(round(o_totalprice*100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * lit(100.0)).cast("long")).as("cents"))
+        .orderBy("y", "m")
+    },
+
+    // Fuzzy string matching: Levenshtein edit distance (same metric
+    // definition on both engines) of each doc's prefix against a probe —
+    // the data-cleaning primitive for near-match joins.
+    Q("q54_edit_distance",
+      """SELECT doc_id,
+        | CAST(levenshtein(substr(text, 1, 20), 'the quick brown fox') AS BIGINT) AS dist
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "documents").select(col("doc_id"),
+          levenshtein(substring(col("text"), 1, 20), lit("the quick brown fox"))
+            .cast("long").as("dist"))
+        .orderBy("doc_id")
+    },
+
     // ntile quartiles (deterministic under a total ORDER BY) summarized
     // per bucket.
     Q("q48_ntile",
