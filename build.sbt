@@ -42,3 +42,8 @@ run / javaOptions ++= Seq(
   "-XX:+AlwaysPreTouch",
 )
 Test / javaOptions ++= Seq("-Xmx8g")
+// Forked run output goes straight to stdout, NOT through sbt's logger:
+// the logger prefixes every line with "[info] ", which breaks any
+// consumer that greps for Bench's bare one-line JSON contract
+// (BENCH_r01.json recorded "parsed": null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
