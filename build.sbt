@@ -37,8 +37,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // Bench/Verify mains); test JVMs use small local sessions and would just
 // pay minutes of pretouch at startup.
 run / javaOptions ++= Seq(
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   "-XX:+AlwaysPreTouch",
 )
 Test / javaOptions ++= Seq("-Xmx8g")
