@@ -28,18 +28,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
 )
 // local[32] = 32 executor threads in ONE JVM: size the heap for the
-// whole "cluster" (the box has 128 GiB; 8g meant GC thrash and 5-20x
-// run-to-run variance on broadcast/window-heavy queries). Xms=Xmx +
-// AlwaysPreTouch faults every heap page in at JVM start: in a microVM,
-// first-touch page zeroing is expensive system time, and letting the
-// heap grow lazily injected multi-second stalls into whatever query
-// happened to be running when the heap expanded. Scoped to `run` (the
-// Bench/Verify mains); test JVMs use small local sessions and would just
-// pay minutes of pretouch at startup.
+// whole "cluster" (the box has 128 GiB; a lazily-grown 8g heap meant GC
+// thrash and 5-20x run-to-run variance on broadcast/window-heavy
+// queries). Xms=Xmx pins the heap size so GC never resizes it.
+// -XX:+AlwaysPreTouch is deliberately ABSENT: this microVM faults pages
+// at ~35 s/GiB, so pretouching 12 GiB cost ~7 minutes of JVM startup
+// (measured fork→SparkContext 15:23:30→15:30:42) — the round-2 bench
+// timeout (BENCH_r02.json rc=124) was exactly this. graft.Bench instead
+// prefaults a bounded slice of heap in parallel with a hard time cap,
+// and reports min-over-passes so residual first-touch stalls land in at
+// most one pass. 6g is ample: the sf0.1 inventory peaks well under 4g.
 run / javaOptions ++= Seq(
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
-  "-XX:+AlwaysPreTouch",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "6g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "6g")}",
 )
 Test / javaOptions ++= Seq("-Xmx8g")
 // Forked run output goes straight to stdout, NOT through sbt's logger:

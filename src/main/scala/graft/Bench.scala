@@ -1,17 +1,82 @@
 package graft
 
+import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
 
 /** Benchmark main: runs the full query inventory on
   * SPARK_GRAFT_SF_DIR, prints one JSON line (driver contract).
-  * Per-query time = full plan execution to a count() action after a
-  * shared-session warmup; AQE on, shuffle partitions sized for the
-  * local core count.
+  *
+  * Timing discipline for THIS box (Firecracker microVM whose host
+  * reclaims guest pages under/between runs; refaulting costs ~35 s/GiB,
+  * so identical plans swing 5-20x and a sequential pass can hit a
+  * ~10 s/query floor regardless of plan cost — measured round 3):
+  *
+  *   1. SEQUENTIAL passes (up to BENCH_PASSES), query by query while
+  *      wall clock stays under BENCH_DEADLINE_SEC, reporting per-query
+  *      min. On a calm box all passes fit and the numbers are clean,
+  *      uncontended timings — identical to a plain min-of-N bench.
+  *   2. Any query the deadline prevented from EVER running sequentially
+  *      is timed in one final CONCURRENT sweep (bounded pool): wall is
+  *      sum/concurrency even when throttled, so complete coverage is
+  *      guaranteed. Those numbers are contention-inflated upper bounds
+  *      — the price of a host that ate the budget. (Concurrent-FIRST
+  *      was tried and inverted: 8 × 32-thread queries thrashed the
+  *      throttled box into 14 min of sys time and inflated everything.)
+  *
+  * The JSON line therefore ALWAYS emits — round 2's sequential
+  * min-of-2 with no deadline was killed by the harness timeout and
+  * emitted nothing (BENCH_r02.json rc=124).
+  *
+  *   BENCH_PASSES         max sequential passes (default 2)
+  *   BENCH_DEADLINE_SEC   wall budget from main() start for sequential
+  *                        timing (default 210)
+  *   BENCH_CONCURRENCY    sweep pool size for never-timed queries
+  *                        (default 4; 0 disables the sweep)
+  *   BENCH_PREFAULT_GIB / BENCH_PREFAULT_CAP_SEC  heap prefault size /
+  *                        time cap (default 2 GiB / 20 s).
   */
 object Bench {
+
+  /** Prefault heap by touching one long per 4 KiB page across many
+    * threads, bounded by `capSec` — replaces -XX:+AlwaysPreTouch, whose
+    * serial fault-in of 12 GiB took ~7 min of JVM startup here
+    * (measured fork 15:23:30 → SparkContext 15:30:42; the round-2
+    * bench timeout was exactly this). Best-effort: pages not reached
+    * fault during pass 0, which min-over-passes absorbs. */
+  private def prefaultHeap(gib: Int, threads: Int, capSec: Int): Unit = {
+    val deadline = System.nanoTime() + capSec * 1000000000L
+    val perThreadBytes = gib.toLong * (1L << 30) / threads
+    val chunk = 1 << 22 // 4 MiB per allocation
+    val pool = (0 until threads).map { _ =>
+      new Thread(() => {
+        var held = 0L
+        val keep = mutable.ArrayBuffer.empty[Array[Long]]
+        while (held < perThreadBytes && System.nanoTime() < deadline) {
+          val a = new Array[Long](chunk / 8)
+          var i = 0
+          while (i < a.length) { a(i) = i; i += 512 } // one write per 4 KiB page
+          keep += a
+          held += chunk
+        }
+        keep.clear()
+      })
+    }
+    pool.foreach(_.start()); pool.foreach(_.join())
+  }
+
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val conc = sys.env.getOrElse("BENCH_CONCURRENCY", "4").toInt
+    val maxPasses = sys.env.getOrElse("BENCH_PASSES", "2").toInt
+    val deadlineSec = sys.env.getOrElse("BENCH_DEADLINE_SEC", "210").toDouble
+    prefaultHeap(
+      gib = sys.env.getOrElse("BENCH_PREFAULT_GIB", "2").toInt,
+      threads = cpus.toInt,
+      capSec = sys.env.getOrElse("BENCH_PREFAULT_CAP_SEC", "20").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,22 +87,45 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen paths once so per-query numbers measure the
-    // plan, not first-touch class loading.
+    // Warm codegen/classloading once.
     try SparkEntry.queries("q06_distinct_counts")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    // Two full timed passes, report min per query: this microVM's host
-    // reclaims guest memory between/under runs, injecting multi-second
-    // page-fault stalls at unpredictable moments (observed 5-20x swings
-    // on identical plans). The two passes are separated in time, so a
-    // stall burst can hit a query in at most one of them — min-of-2
-    // measures the engine, not the host's memory pressure.
-    def pass(): Seq[(String, Double)] = SparkEntry.inventory.map { q =>
-      val t0 = System.nanoTime()
+
+    val best = new ConcurrentHashMap[String, Double]()
+    def timeOne(q: graft.queries.Q, tag: String): Unit = {
+      val s0 = System.nanoTime()
       try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - s0) / 1e9
+      Console.err.println(f"[bench] $tag ${q.name}%-24s $t%8.2fs elapsed=$elapsed%7.1fs")
+      best.merge(q.name, t, (a, b) => math.min(a, b))
     }
-    val results = pass().zip(pass()).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+
+    // Sequential passes while budget remains: clean, uncontended mins.
+    var passes = 0
+    while (passes < maxPasses && elapsed < deadlineSec) {
+      SparkEntry.inventory.foreach { q =>
+        if (elapsed < deadlineSec) timeOne(q, s"seq$passes")
+      }
+      passes += 1
+    }
+
+    // Concurrent sweep for anything the deadline starved — guarantees a
+    // complete JSON even when the host ate the sequential budget.
+    val missing = SparkEntry.inventory.filterNot(q => best.containsKey(q.name))
+    if (missing.nonEmpty && conc > 0) {
+      val pool = Executors.newFixedThreadPool(conc)
+      missing.foreach(q => pool.submit(new Runnable {
+        def run(): Unit = timeOne(q, "conc")
+      }))
+      pool.shutdown()
+      pool.awaitTermination(1, TimeUnit.DAYS)
+    }
+
+    // (containsKey guard: CHM.get returns null for absent keys, which
+    // would silently unbox to 0.0.)
+    val results = SparkEntry.inventory.collect {
+      case q if best.containsKey(q.name) => q.name -> (best.get(q.name): Double)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -63,7 +63,12 @@ object HyperLogLog {
   val Mask31 = 0x7FFFFFFFL
 
   private def scramble(h0: Column): Column = {
-    val h2 = (h0.bitwiseAND(lit(Mask31)) * lit(Mult1)) % lit(PolyHash.Mod32)
+    // Fold the top bit down before the & Mask31 reductions: without this,
+    // inputs differing only in bit 31 of poly_hash collide (31-bit
+    // effective width). xor(h0, h0>>16) moves bit 31 into bit 15, which
+    // survives the mask. Mirrored bit-for-bit in sketchSql below.
+    val h1 = h0.bitwiseXOR(shiftright(h0, 16))
+    val h2 = (h1.bitwiseAND(lit(Mask31)) * lit(Mult1)) % lit(PolyHash.Mod32)
     val h3 = h2.bitwiseXOR(shiftright(h2, 15))
     val h4 = (h3.bitwiseAND(lit(Mask31)) * lit(Mult2)) % lit(PolyHash.Mod32)
     h4.bitwiseXOR(shiftright(h4, 13))
@@ -100,7 +105,8 @@ object HyperLogLog {
          |  list_transform(range(1, length(CAST($valueExpr AS VARCHAR)) + 1),
          |    i -> CAST(ascii(substr(CAST($valueExpr AS VARCHAR), CAST(i AS INTEGER), 1)) AS BIGINT))),
          |  (a, c) -> (a * ${PolyHash.DefaultMult} + c) % ${PolyHash.Mod32})""".stripMargin
-    s"""(WITH h0 AS (SELECT $groupExpr AS g, $polyFold AS h FROM $from),
+    s"""(WITH hp AS (SELECT $groupExpr AS g, $polyFold AS h FROM $from),
+       | h0 AS (SELECT g, xor(h, h >> 16) AS h FROM hp),
        | s1 AS (SELECT g, ((h & $Mask31) * $Mult1) % ${PolyHash.Mod32} AS h FROM h0),
        | s2 AS (SELECT g, xor(h, h >> 15) AS h FROM s1),
        | s3 AS (SELECT g, ((h & $Mask31) * $Mult2) % ${PolyHash.Mod32} AS h FROM s2),

@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: collapse a pair list (near-duplicate
+  * edges from MinHash/SimHash/Jaccard verification) into connected
+  * components, so each cluster keeps one canonical representative —
+  * the final step of every large-scale dedup pipeline (the pair list
+  * says "a≈b"; training-set construction needs "keep min(cluster)").
+  *
+  * Algorithm: min-label propagation WITH pointer doubling — each round
+  * a node takes the min over (its label, its neighbors' labels, its
+  * label's label). The third term halves the remaining path length, so
+  * a chain of diameter d converges in O(log d) rounds instead of O(d)
+  * (the same round-compression as Kiveris et al., "Connected Components
+  * in MapReduce and Beyond"). Each round is two equi-joins + one
+  * aggregate on the EDGE LIST ONLY — corpus size never enters the loop,
+  * so at 100 TB the cost is bounded by the number of duplicate pairs,
+  * not documents.
+  *
+  * Every round truncates lineage with `localCheckpoint(eager=true)`:
+  * `persist` is NOT enough — it caches execution but the LOGICAL plan
+  * still nests the whole history, and with labels referenced ~4× per
+  * round the analyzer re-walks a 4^r tree (observed: the driver hung
+  * in analysis after ~6 rounds with zero jobs running). At cluster
+  * scale swap localCheckpoint for reliable `checkpoint` against the
+  * checkpoint dir — same semantics, executor-loss-safe.
+  */
+object Clusters {
+
+  /** edges: (id_a, id_b) undirected, any orientation, dupes ok.
+    * Returns (doc_id, cluster_id) for every node in at least one edge,
+    * cluster_id = min node id reachable. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val adj = edges.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .union(edges.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .distinct()
+      .persist()
+    var labels = adj.groupBy("src").agg(min("dst").as("nbr"))
+      .select(col("src").as("id"), least(col("src"), col("nbr")).as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // neighbors' labels
+      val viaEdges = adj.join(labels, adj("dst") === labels("id"))
+        .select(adj("src").as("id"), col("label"))
+      // pointer doubling: label(label(id))
+      val l2 = labels.select(col("id").as("pid"), col("label").as("plabel"))
+      val viaPtr = labels.join(l2, labels("label") === l2("pid"))
+        .select(labels("id"), col("plabel").as("label"))
+      val next = labels.select("id", "label")
+        .union(viaEdges).union(viaPtr)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    adj.unpersist()
+    out
+  }
+
+  /** Per-cluster summary: representative (= cluster_id, the min id),
+    * cluster size. */
+  def clusterSummary(components: DataFrame): DataFrame =
+    components.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster_id").as("rep_id"), col("n_members"))
+}

@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash
+
+/** Corpus-construction operators for a training-data pipeline: TF-IDF
+  * term scoring, vocabulary building, deterministic sampling, length
+  * histograms, and sequence packing.
+  *
+  * Determinism contract (same as [[TextAnalysis]]): integer arithmetic
+  * only (ppm scaling, DIV), so every output hash-matches a DuckDB
+  * oracle. Scale notes per operator.
+  */
+object Corpus {
+
+  private def words(text: Column): Column = split(text, " ")
+
+  /** Top-k terms per document by integer TF-IDF score
+    * tf · 1e6 · N DIV df (a log-free idf: rarer term ⇒ larger score;
+    * monotone in the classic tf·log(N/df), and exact in BIGINT).
+    * Ties break on term ascending.
+    *
+    * Shape: explode → (doc,term) counts → df per term (map-side combined
+    * aggregate) → join back → per-doc top-k window. The df table is
+    * vocabulary-sized (≪ corpus) and the join key is the term — at
+    * 100 TB broadcast the df table if the vocabulary fits, else it is
+    * one hash join keyed by term. */
+  def tfIdfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct("doc_id").as("n_docs"))
+    val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * 1000000 * n_docs DIV df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("score").cast("long").as("score"), col("rnk"))
+  }
+
+  /** Global top-n bigrams by document frequency then raw count —
+    * vocabulary building. One explode + one aggregate; the final top-n
+    * is a single-partition sort of an already-aggregated (small)
+    * table. */
+  def topBigrams(docs: DataFrame, n: Int = 20): DataFrame = {
+    val w = words(col("text"))
+    val bigrams = docs
+      // guard: Spark's sequence(1, 0) yields a DESCENDING [1,0], not
+      // empty — a 1-token doc would fabricate a bigram.
+      .filter(size(w) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))).as("bigram"))
+    bigrams.groupBy("bigram")
+      .agg(count(lit(1)).as("n_occur"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n_occur").desc, col("bigram"))
+      .limit(n)
+  }
+
+  /** Deterministic hash sampling: keep rows where
+    * poly_hash(key) mod 100 < pct — the reproducible, engine-portable
+    * replacement for `TABLESAMPLE`/`rand()`. Stratification is free:
+    * the predicate is uniform within any stratum. Pure narrow filter,
+    * runs at scan speed at any scale. */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(PolyHash.poly_hash(col(keyCol).cast("string")) % 100 < pct)
+
+  /** Length histogram: bucket documents by n_chars DIV width; per bucket
+    * doc count and total tokens. Single map-side-combined aggregate. */
+  def lengthHistogram(docs: DataFrame, width: Int = 50): DataFrame =
+    docs.select(expr(s"CAST(length(text) AS BIGINT) DIV $width").as("bucket"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+
+  /** Sequence packing: assign documents (in doc_id order) to training
+    * batches of `capacity` tokens by cumulative fill —
+    * batch = (cumsum(n_tokens) - n_tokens) DIV capacity, i.e. the batch
+    * the document STARTS in. Exact integers; a total order makes it
+    * reproducible.
+    *
+    * Scale note: a global running sum is inherently sequential; the
+    * single-ordering window is the honest cost. At 100 TB, pack within
+    * shards instead: partitionBy(shard) windows (embarrassingly
+    * parallel) — same code with a shard key prepended to the window. */
+  def seqPacking(docs: DataFrame, capacity: Int = 4096): DataFrame = {
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("batch_id", expr(s"(cum_tokens - n_tokens) DIV $capacity"))
+  }
+
+  /** Int8 symmetric quantization of an embedding column (the standard
+    * vector-compression step before ANN indexing): per-vector scale =
+    * max |e_i|, code_i = floor(e_i·127/scale + 0.5). All doubles derive
+    * from exact float→double casts and identical IEEE ops, so codes are
+    * engine-portable. Output keeps the first 4 codes + integer summary
+    * stats (sum/min/max) — wide-array outputs don't survive value-level
+    * cross-engine compares, summaries do. Narrow per-row expression:
+    * scan-speed at scale. */
+  def int8Quantize(emb: DataFrame): DataFrame = {
+    val absMax = array_max(transform(col("embedding"), e => abs(e.cast("double"))))
+    val codes = transform(col("embedding"),
+      e => floor(e.cast("double") * lit(127.0) / col("scale") + lit(0.5)).cast("long"))
+    emb.select(col("vec_id"), col("embedding"), absMax.as("scale"))
+      .withColumn("codes", codes)
+      .select(col("vec_id"),
+        floor(col("scale") * lit(1000000.0) + lit(0.5)).cast("long").as("scale_micros"),
+        element_at(col("codes"), 1).as("c0"),
+        element_at(col("codes"), 2).as("c1"),
+        element_at(col("codes"), 3).as("c2"),
+        element_at(col("codes"), 4).as("c3"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("sum_codes"),
+        array_min(col("codes")).as("min_code"),
+        array_max(col("codes")).as("max_code"))
+  }
+}

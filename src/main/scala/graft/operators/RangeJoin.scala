@@ -35,19 +35,36 @@ object RangeJoin {
     * the bucket id + the exact range predicate. Shuffle is then keyed by
     * (bucket), so candidate pairs are bounded by bucket co-residency
     * instead of the full cross product. Intervals must satisfy
-    * hi-lo ≤ maxSpanBuckets·bucketWidth (enforced by the caller). */
+    * hi-lo ≤ maxSpanBuckets·bucketWidth (enforced inside the operator). */
+  /** An interval spanning more than `maxSpanBuckets` buckets fails the
+    * run with an explicit error instead of silently multiplying the row
+    * count (each overlapped bucket emits a copy of its row). Helper
+    * columns are prefixed `__graft_rj_` and rejected if the inputs
+    * already use those names. */
   def bucketedIntervalJoin(left: DataFrame, right: DataFrame,
                            lo: Column, hi: Column, ord: Column,
-                           bucketWidth: Long): DataFrame = {
+                           bucketWidth: Long,
+                           maxSpanBuckets: Long = 64): DataFrame = {
+    val (cLo, cHi, cBkt, cOrd, cBktR) = ("__graft_rj_lo", "__graft_rj_hi",
+      "__graft_rj_bkt", "__graft_rj_ord", "__graft_rj_bkt_r")
+    val reserved = Seq(cLo, cHi, cBkt, cOrd, cBktR)
+    require((left.columns ++ right.columns).intersect(reserved).isEmpty,
+      s"input columns collide with reserved ${reserved.mkString(", ")}")
     // DIV (not /): epoch-ns values exceed 2^53, double division would
     // corrupt bucket ids.
-    val l = left.withColumn("_lo", lo.cast("long")).withColumn("_hi", hi.cast("long"))
-      .withColumn("_bkt", explode(sequence(
-        expr(s"_lo DIV $bucketWidth"), expr(s"_hi DIV $bucketWidth"))))
-    val r = right.withColumn("_ord", ord.cast("long"))
-      .withColumn("_bkt_r", expr(s"_ord DIV $bucketWidth"))
-    l.join(r, col("_bkt") === col("_bkt_r")
-        && col("_ord") >= col("_lo") && col("_ord") <= col("_hi"))
-      .drop("_bkt", "_bkt_r", "_lo", "_hi", "_ord")
+    val l = left.withColumn(cLo, lo.cast("long")).withColumn(cHi, hi.cast("long"))
+      .withColumn(cBkt, explode(sequence(
+        when(expr(s"$cHi DIV $bucketWidth - $cLo DIV $bucketWidth") <= maxSpanBuckets,
+          expr(s"$cLo DIV $bucketWidth"))
+          .otherwise(raise_error(concat(
+            lit("bucketedIntervalJoin: interval ["),
+            col(cLo), lit(","), col(cHi),
+            lit(s"] spans more than $maxSpanBuckets buckets of width $bucketWidth")))),
+        expr(s"$cHi DIV $bucketWidth"))))
+    val r = right.withColumn(cOrd, ord.cast("long"))
+      .withColumn(cBktR, expr(s"$cOrd DIV $bucketWidth"))
+    l.join(r, col(cBkt) === col(cBktR)
+        && col(cOrd) >= col(cLo) && col(cOrd) <= col(cHi))
+      .drop(cBkt, cBktR, cLo, cHi, cOrd)
   }
 }

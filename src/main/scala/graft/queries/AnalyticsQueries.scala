@@ -217,6 +217,17 @@ object AnalyticsQueries {
     // all-integer estimator, so the DuckDB oracle replays the sketch
     // bit-for-bit (Spark's approx_count_distinct sketch is
     // engine-internal and could only ever be range-checked).
+    // Estimator regime: raw HLL with m=1024 registers needs distinct
+    // counts per group ≳ 2.5·m ≈ 2,560 to be meaningful (no
+    // linear-counting branch — it would need ln(), which is not
+    // cross-engine-exact). Per returnflag the true counts are:
+    // sf0.001 → 200 parts / ~1.1k orders (both OUT of regime, estimates
+    // collapse toward ~0.72·m ≈ 738 regardless of truth); sf0.01 →
+    // 2k parts (borderline) / 11k orders (in regime); sf0.1 → 20k /
+    // 110k (both in regime). Every SF still hash-matches the oracle —
+    // both engines compute the identical sketch — but as a cardinality
+    // SIGNAL trust q40 from sf0.1 up. Smoke reads at sf0.001 check
+    // plumbing only.
     Q("q40_approx_distinct", {
       val parts = graft.functions.HyperLogLog.sketchSql(
         "l_returnflag", "l_partkey", "lineitem", "approx_parts")

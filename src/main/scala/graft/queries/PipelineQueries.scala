@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Clusters, Corpus, Dedup}
+
+/** Round-3 training-pipeline operators: dedup-cluster resolution
+  * (connected components), TF-IDF term scoring, vocabulary building,
+  * deterministic sampling, length histograms, sequence packing, int8
+  * embedding quantization — plus the relational subquery surface
+  * (EXISTS semi-join, scalar subquery, multi-nation volume shipping).
+  * Determinism rules as in [[Q]].
+  */
+object PipelineQueries {
+
+  /** The q31 shingle/pair pipeline as DuckDB CTE text (shared by the
+    * cluster oracle). */
+  private val pairCtes =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+      |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+      |        FROM w WHERE len(l) >= 3),
+      | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      | p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2),
+      | pairs AS (SELECT id_a, id_b FROM p0
+      |           JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |           WHERE (CAST(common AS BIGINT) * 1000000)
+      |                 // (sa.n_sh + sb.n_sh - common) >= 300000)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Connected components over the near-duplicate pair graph — the
+    // canonical-representative step of a dedup pipeline. The oracle walks
+    // reachability with a recursive CTE; Spark runs iterative min-label
+    // propagation ([[graft.llm.Clusters]]), whose per-round cost is two
+    // shuffles over the EDGE LIST only.
+    Q("q55_dedup_clusters",
+      s"""WITH RECURSIVE $pairCtes,
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |           UNION SELECT id_b, id_a FROM pairs),
+         | reach AS (SELECT src AS id, dst AS r FROM edges
+         |           UNION
+         |           SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+         |SELECT id AS doc_id, CAST(min(least(id, r)) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), 3)
+        .filter(col("jaccard_ppm") >= 300000L)
+        .select("id_a", "id_b")
+      Clusters.connectedComponents(pairs).orderBy("doc_id")
+    },
+
+    Q("q56_tfidf_topk",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        | s AS (SELECT doc_id, term, (tf * 1000000 * n_docs) // df AS score
+        |       FROM tf JOIN df USING (term) CROSS JOIN n),
+        | r AS (SELECT doc_id, term, CAST(score AS BIGINT) AS score,
+        |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk
+        |       FROM s)
+        |SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      Corpus.tfIdfTopK(Tables(s, dir, "documents"), 3).orderBy("doc_id", "rnk")
+    },
+
+    Q("q57_hash_sample",
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |      i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |  (a, c) -> (a * 131 + c) % 4294967291) % 100 < 20
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Corpus.hashSample(Tables(s, dir, "documents"), "doc_id", 20)
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    Q("q58_length_histogram",
+      """WITH b AS (SELECT CAST(length(text) AS BIGINT) // 50 AS bucket,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT bucket, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    ) { (s, dir) =>
+      Corpus.lengthHistogram(Tables(s, dir, "documents"), 50).orderBy("bucket")
+    },
+
+    Q("q59_top_bigrams",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |          i -> l[i] || ' ' || l[i+1])) AS bigram
+        |        FROM w WHERE len(l) >= 2)
+        |SELECT bigram, count(*) AS n_occur, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM bg GROUP BY bigram ORDER BY n_occur DESC, bigram LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      Corpus.topBigrams(Tables(s, dir, "documents"), 20)
+    },
+
+    // TPC-H Q4 shape: EXISTS decorrelates to a left-semi join; Catalyst
+    // does this rewrite automatically for the SQL form — the DataFrame
+    // side states the semi-join directly.
+    Q("q60_exists_semijoin",
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |             WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz"))
+        .join(Tables(s, dir, "lineitem").filter(col("l_discount") > 0.05),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Scalar-subquery shape, kept in exact integers: price·N > Σprice
+    // avoids the average's division entirely.
+    Q("q61_scalar_subquery",
+      """SELECT p_partkey, CAST(round(p_retailprice * 1000000.0) AS BIGINT) AS price_micros
+        |FROM part
+        |WHERE CAST(round(p_retailprice * 1000000.0) AS BIGINT) * (SELECT count(*) FROM part)
+        |      > (SELECT CAST(sum(CAST(round(p_retailprice * 1000000.0) AS BIGINT)) AS BIGINT) FROM part)
+        |ORDER BY p_partkey""".stripMargin
+    ) { (s, dir) =>
+      val part = Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * lit(1000000.0)).cast("long").as("price_micros"))
+      val tot = part.agg(sum("price_micros").as("sum_micros"),
+        count(lit(1)).as("n_parts"))
+      part.crossJoin(broadcast(tot))
+        .filter(col("price_micros") * col("n_parts") > col("sum_micros"))
+        .select("p_partkey", "price_micros")
+        .orderBy("p_partkey")
+    },
+
+    // TPC-H Q7 shape (volume shipping between two nations): the two
+    // nation dims broadcast; lineitem⋈orders⋈customer/supplier are the
+    // real shuffles and AQE picks their sides.
+    Q("q62_volume_shipping",
+      """SELECT supp_nation, cust_nation, l_year, CAST(sum(vol) AS BIGINT) AS revenue_micros
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |        CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000.0) AS BIGINT) AS vol
+        |      FROM lineitem
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) t
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    ) { (s, dir) =>
+      val n1 = broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(n1, col("s_nationkey") === col("s_nkey"))
+        .join(n2, col("c_nationkey") === col("c_nkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .select(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1000000.0))
+            .cast("long").as("vol"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum("vol").as("revenue_micros"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // Int8 symmetric quantization — identical IEEE double ops on both
+    // engines (float→double casts are exact; floor(x·127/scale + 0.5)).
+    Q("q63_int8_quant",
+      """WITH q AS (SELECT vec_id,
+        |  list_max(list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))) AS scale,
+        |  list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 127.0
+        |    / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) + 0.5) AS BIGINT)) AS codes
+        | FROM embeddings)
+        |SELECT vec_id, CAST(floor(scale * 1000000.0 + 0.5) AS BIGINT) AS scale_micros,
+        | codes[1] AS c0, codes[2] AS c1, codes[3] AS c2, codes[4] AS c3,
+        | CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+        | CAST(list_min(codes) AS BIGINT) AS min_code,
+        | CAST(list_max(codes) AS BIGINT) AS max_code
+        |FROM q ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      Corpus.int8Quantize(Tables(s, dir, "embeddings")).orderBy("vec_id")
+    },
+
+    Q("q64_seq_packing",
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        | c AS (SELECT doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |       FROM t)
+        |SELECT doc_id, n_tokens, cum_tokens, (cum_tokens - n_tokens) // 4096 AS batch_id
+        |FROM c ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Corpus.seqPacking(Tables(s, dir, "documents"), 4096).orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Clusters, Corpus}
+
+/** Round-3 corpus-construction operators: connected components, TF-IDF,
+  * vocabulary, sampling, histogram, packing, quantization. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents merges chains and keeps islands apart") {
+    // components: {1,2,3,4} (chain), {10,11}, singleton edges only
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Clusters.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(4L) == 1L)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+  }
+
+  test("connectedComponents converges on a long chain within maxIter") {
+    val n = 12
+    val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val cc = Clusters.connectedComponents(edges, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(0L))
+    assert(cc.size == n + 1)
+  }
+
+  test("tfIdfTopK ranks rare terms above common ones") {
+    val docs = Seq(
+      (0L, "common common rare0"),
+      (1L, "common common rare1"),
+      (2L, "common common rare2")
+    ).toDF("doc_id", "text")
+    val top = Corpus.tfIdfTopK(docs, 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // tf(common)=2 but df=3; tf(rareX)=1, df=1 → score 1M·3 vs 2M·3/3=2M
+    assert(top(0L) == "rare0" && top(1L) == "rare1" && top(2L) == "rare2")
+  }
+
+  test("topBigrams counts occurrences and document frequency") {
+    val docs = Seq(
+      (0L, "a b a b"),   // "a b" twice, "b a" once
+      (1L, "a b c"),
+      (2L, "x")          // 1 token: must contribute nothing
+    ).toDF("doc_id", "text")
+    val rows = Corpus.topBigrams(docs, 10)
+      .select("bigram", "n_occur", "n_docs")
+      .as[(String, Long, Long)].collect().toList
+    assert(rows.head == (("a b", 3L, 2L)))
+    assert(!rows.exists(_._1.contains("x")))
+  }
+
+  test("hashSample is deterministic and a subset") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val s1 = Corpus.hashSample(docs, "doc_id", 20).select("doc_id")
+      .as[Long].collect().toSet
+    val s2 = Corpus.hashSample(docs, "doc_id", 20).select("doc_id")
+      .as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(s1.nonEmpty && s1.size < 200)
+    val s100 = Corpus.hashSample(docs, "doc_id", 100).count()
+    assert(s100 == 200)
+  }
+
+  test("seqPacking fills batches in order with exact cumulative counts") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j"))
+      .toDF("doc_id", "text")
+    val rows = Corpus.seqPacking(docs, capacity = 5)
+      .select("doc_id", "n_tokens", "cum_tokens", "batch_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(rows == List((1L, 3L, 3L, 0L), (2L, 2L, 5L, 0L),
+      (3L, 4L, 9L, 1L), (4L, 1L, 10L, 1L)))
+  }
+
+  test("int8Quantize: max-abs component maps to ±127, codes bounded") {
+    val emb = Seq((0L, Array(0.5f, -1.0f, 0.25f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Corpus.int8Quantize(emb)
+      .select("scale_micros", "c0", "c1", "c2", "c3", "min_code", "max_code")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(r._1 == 1000000L)
+    assert(r._2 == 64L)   // floor(0.5·127 + .5) = floor(64.0)
+    assert(r._3 == -127L) // floor(-127 + .5) = -127  (floor(-126.5))
+    assert(r._4 == 32L)   // floor(31.75 + .5) = 32
+    assert(r._5 == 0L)
+    assert(r._6 == -127L && r._7 == 64L)
+  }
+
+  test("lengthHistogram buckets by chars and sums tokens") {
+    val docs = Seq((0L, "aaaa bbbb"), (1L, "cc"), (2L, "d" * 60 + " e"))
+      .toDF("doc_id", "text")
+    val rows = Corpus.lengthHistogram(docs, 50)
+      .select("bucket", "n_docs", "total_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((0L, 2L, 3L), (1L, 1L, 2L)))
+  }
+}
