@@ -92,11 +92,37 @@ object Bench {
     catch { case _: Throwable => () }
 
     val best = new ConcurrentHashMap[String, Double]()
-    def timeOne(q: graft.queries.Q, tag: String): Unit = {
+    val queryTimeoutSec = sys.env.getOrElse("BENCH_QUERY_TIMEOUT_SEC", "90").toDouble
+    // budgetSec caps ONE query via job-group cancel: in round 3 a single
+    // query (q31) hit a host reclaim window mid-run and burned 286 s of
+    // the sequential budget, starving 30 other queries into the inflated
+    // concurrent sweep. The recorded time is the real elapsed-at-cancel
+    // (an honest lower bound on a bad day; on a calm box the cap never
+    // fires — q31 runs in seconds).
+    def timeOne(q: graft.queries.Q, tag: String,
+                budgetSec: Double = Double.MaxValue): Unit = {
       val s0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val group = s"bench-$tag-${q.name}"
+      val runner = new Thread(() => {
+        spark.sparkContext.setJobGroup(group, q.name, interruptOnCancel = true)
+        try { q.run(spark, sfDir).count() } catch { case _: Throwable => () }
+        finally spark.sparkContext.clearJobGroup()
+      })
+      runner.setDaemon(true)
+      runner.start()
+      // join(0) waits forever — clamp finite budgets to ≥1ms so a
+      // deadline race can't turn a capped wait into an infinite one.
+      val waitMs = if (budgetSec == Double.MaxValue) 0L
+        else math.max(1L, (budgetSec * 1000).toLong)
+      runner.join(waitMs) // 0 = wait forever
+      val cancelled = runner.isAlive
+      if (cancelled) {
+        spark.sparkContext.cancelJobGroup(group)
+        runner.join(30000)
+      }
       val t = (System.nanoTime() - s0) / 1e9
-      Console.err.println(f"[bench] $tag ${q.name}%-24s $t%8.2fs elapsed=$elapsed%7.1fs")
+      val mark = if (cancelled) " CANCELLED" else ""
+      Console.err.println(f"[bench] $tag ${q.name}%-24s $t%8.2fs elapsed=$elapsed%7.1fs$mark")
       best.merge(q.name, t, (a, b) => math.min(a, b))
     }
 
@@ -104,7 +130,8 @@ object Bench {
     var passes = 0
     while (passes < maxPasses && elapsed < deadlineSec) {
       SparkEntry.inventory.foreach { q =>
-        if (elapsed < deadlineSec) timeOne(q, s"seq$passes")
+        if (elapsed < deadlineSec)
+          timeOne(q, s"seq$passes", math.min(queryTimeoutSec, deadlineSec - elapsed))
       }
       passes += 1
     }

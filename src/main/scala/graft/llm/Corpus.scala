@@ -92,6 +92,33 @@ object Corpus {
       .withColumn("batch_id", expr(s"(cum_tokens - n_tokens) DIV $capacity"))
   }
 
+  /** Histogram-based approximate quantiles: bucket the value by
+    * `width`, cumulative-sum the bucket counts, and report the upper
+    * bound of the first bucket whose cumulative count reaches
+    * ceil(q·N) — the scalable percentile path (one map-side-combined
+    * aggregate + a vocabulary-sized window) versus an exact global
+    * sort. Error is bounded by `width`; all arithmetic is integer, so
+    * the estimate is engine-portable. Quantiles are given in permille
+    * (500 = median). */
+  def histogramQuantiles(df: DataFrame, valueExpr: Column, width: Long,
+                         quantilesPermille: Seq[Int]): DataFrame = {
+    val hist = df.select(valueExpr.cast("long").as("v"))
+      .select(expr(s"v DIV $width").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum("n").over(w))
+      .crossJoin(broadcast(df.select(count(lit(1)).as("n_total"))))
+    quantilesPermille.map { q =>
+      // smallest bucket with cum·1000 ≥ q·N — for integer cum this IS
+      // cum ≥ ceil(q·N/1000), with no division at all
+      cum.filter(col("cum") * 1000 >= col("n_total") * q)
+        .orderBy("bucket")
+        .limit(1)
+        .select(lit(q).cast("long").as("quantile_permille"),
+          ((col("bucket") + 1) * width - 1).as("est_upper"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Int8 symmetric quantization of an embedding column (the standard
     * vector-compression step before ANN indexing): per-vector scale =
     * max |e_i|, code_i = floor(e_i·127/scale + 0.5). All doubles derive

@@ -136,6 +136,43 @@ object Dedup {
       .filter(col("jaccard_ppm") >= minJaccardPpm)
   }
 
+  /** Sketch-based similarity ESTIMATION: for each LSH candidate pair,
+    * estimate Jaccard as (matching signature positions)·1e6 DIV numPerms
+    * — the classic MinHash property E[matches/numPerms] = J(A,B), no
+    * shingle-set intersection needed. At 100 TB this is the cheap
+    * verify: candidates touch only the (numPerms+1)-column signature
+    * table (corpus-row-sized), never the exploded shingle table the
+    * exact verify (ngramJaccardPairs) re-joins. Exact integer output →
+    * oracle-checkable. */
+  def minHashEstimates(docs: DataFrame, k: Int = 3, numPerms: Int = 32,
+                       bands: Int = 8): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    val sig = minHashSignatures(docs, k, numPerms)
+    val bandHashes = (0 until bands).map { b =>
+      (b * rowsPerBand until (b + 1) * rowsPerBand).foldLeft(lit(BandSeed)) {
+        (acc, j) => (acc * lit(BandMult) + col(s"h$j")) % lit(BandMod)
+      }
+    }
+    val bh = sig.select(col("doc_id"),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
+    val cand = bh.as("x").join(bh.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val a = sig.select(col("doc_id").as("id_a") +:
+      (0 until numPerms).map(j => col(s"h$j").as(s"a$j")): _*)
+    val b = sig.select(col("doc_id").as("id_b") +:
+      (0 until numPerms).map(j => col(s"h$j").as(s"b$j")): _*)
+    val matches = (0 until numPerms)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("matches", matches)
+      .withColumn("est_jaccard_ppm", expr(s"matches * 1000000 DIV $numPerms"))
+      .select("id_a", "id_b", "matches", "est_jaccard_ppm")
+  }
+
   // --- SimHash -------------------------------------------------------------
 
   /** SimHash width: the polynomial token hash is < 2^32, giving 32

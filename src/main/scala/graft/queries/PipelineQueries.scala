@@ -198,6 +198,67 @@ object PipelineQueries {
       Corpus.int8Quantize(Tables(s, dir, "embeddings")).orderBy("vec_id")
     },
 
+    // Sketch-based similarity estimation: MinHash signature agreement
+    // for LSH candidate pairs — the cheap verify (touches only the
+    // signature table) next to q31's exact shingle verify. The oracle
+    // replays the identical signature arithmetic (poly_hash shingles,
+    // (a·x+b) mod P permutations, band fold), so even the ESTIMATE is
+    // hash-checked.
+    Q("q65_minhash_est",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+        |        FROM w WHERE len(l) >= 3),
+        | hx AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(1, length(shingle) + 1),
+        |            i -> CAST(ascii(substr(shingle, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |          (a, c) -> (a * 131 + c) % 4294967291) AS x
+        |        FROM sh),
+        | perms AS (SELECT j, ((1103515245 * (j + 1) + 12345) % 2147483648) | 1 AS a,
+        |                  (2654435761 * (j + 7)) % 4294967311 AS b
+        |           FROM range(0, 32) t(j)),
+        | mh AS (SELECT doc_id, j, min((a * x + b) % 4294967311) AS h
+        |        FROM hx CROSS JOIN perms GROUP BY doc_id, j),
+        | bh AS (SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+        |          list_reduce(list_prepend(CAST(7 AS BIGINT), list(h ORDER BY j)),
+        |            (acc, v) -> (acc * 1315423911 + v) % 1000000007) AS band_hash
+        |        FROM mh GROUP BY doc_id, band),
+        | cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |          FROM bh x JOIN bh y ON x.band = y.band AND x.band_hash = y.band_hash
+        |           AND x.doc_id < y.doc_id),
+        | est AS (SELECT c.id_a, c.id_b,
+        |          CAST(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS BIGINT) AS matches
+        |         FROM cand c JOIN mh ma ON ma.doc_id = c.id_a
+        |          JOIN mh mb ON mb.doc_id = c.id_b AND mb.j = ma.j
+        |         GROUP BY 1, 2)
+        |SELECT id_a, id_b, matches, (matches * 1000000) // 32 AS est_jaccard_ppm
+        |FROM est ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      Dedup.minHashEstimates(Tables(s, dir, "documents"), k = 3, numPerms = 32, bands = 8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Histogram-based approximate quantiles — the 100 TB percentile
+    // path (one aggregate over value DIV width) next to q44's exact
+    // rank-arithmetic percentile. Integer arithmetic end to end.
+    Q("q66_hist_quantiles",
+      """WITH h AS (SELECT CAST(length(text) AS BIGINT) // 25 AS bucket, count(*) AS n
+        |           FROM documents GROUP BY bucket),
+        | c AS (SELECT bucket, CAST(sum(n) OVER (ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |       FROM h),
+        | t AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT CAST(q.q AS BIGINT) AS quantile_permille,
+        | (SELECT min((bucket + 1) * 25 - 1) FROM c, t
+        |  WHERE cum * 1000 >= n_total * q.q) AS est_upper
+        |FROM (SELECT unnest([500, 900, 990]) AS q) q
+        |ORDER BY quantile_permille""".stripMargin
+    ) { (s, dir) =>
+      Corpus.histogramQuantiles(Tables(s, dir, "documents"),
+          length(col("text")), width = 25L, quantilesPermille = Seq(500, 900, 990))
+        .orderBy("quantile_permille")
+    },
+
     Q("q64_seq_packing",
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),

@@ -89,6 +89,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r._6 == -127L && r._7 == 64L)
   }
 
+  test("minHashEstimates approximates planted near-dup similarity") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (0L, base), (1L, base + " extra"),
+      (2L, "completely different words about spark shuffles and partitions here")
+    ).toDF("doc_id", "text")
+    val est = graft.llm.Dedup.minHashEstimates(docs, k = 3, numPerms = 32, bands = 16)
+      .select("id_a", "id_b", "est_jaccard_ppm").as[(Long, Long, Long)].collect()
+    val pair01 = est.find(e => e._1 == 0L && e._2 == 1L)
+    assert(pair01.isDefined && pair01.get._3 > 400000L)
+    assert(!est.exists(e => e._2 == 2L && e._3 > 400000L))
+  }
+
+  test("histogramQuantiles brackets the exact quantile within one bucket") {
+    val docs = (1L to 100L).map(i => (i, "x" * i.toInt)).toDF("doc_id", "text")
+    val qs = Corpus.histogramQuantiles(docs, length(col("text")), width = 10L,
+        quantilesPermille = Seq(500, 900))
+      .as[(Long, Long)].collect().toMap
+    // p50 of 1..100 = 50 → bucket 5 → upper 59; p90 = 90 → bucket 9 → 99
+    assert(qs(500L) == 59L)
+    assert(qs(900L) == 99L)
+  }
+
   test("lengthHistogram buckets by chars and sums tokens") {
     val docs = Seq((0L, "aaaa bbbb"), (1L, "cc"), (2L, "d" * 60 + " e"))
       .toDF("doc_id", "text")
