@@ -78,6 +78,7 @@ object Bench {
       threads = cpus.toInt,
       capSec = sys.env.getOrElse("BENCH_PREFAULT_CAP_SEC", "20").toInt)
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

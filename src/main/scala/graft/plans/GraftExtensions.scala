@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate
 import graft.functions.{DotProduct, HmacSha256, PolyHash}
 
 /** Session-extension entry point — the supported way to make the engine's
@@ -38,5 +39,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(arr, arr) - double-precision dot product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    // Spark ships bloom_filter_agg / might_contain as Catalyst
+    // expressions for its own runtime join filtering but does NOT
+    // register them in the SQL function registry — surfacing them makes
+    // explicit bloom semi-join reduction (build a filter on the dim
+    // side, prune the fact scan before the shuffle) available to every
+    // session. Both are codegen'd internals, not UDFs.
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg",
+        "bloom_filter_agg(xxhash64(col)[, estItems[, numBits]]) - build a bloom filter"),
+      (exprs: Seq[Expression]) => {
+        val agg = exprs match {
+          case Seq(c) => new aggregate.BloomFilterAggregate(c)
+          case Seq(c, items) => new aggregate.BloomFilterAggregate(c, items)
+          case Seq(c, items, bits) => new aggregate.BloomFilterAggregate(c, items, bits)
+          case _ => throw new IllegalArgumentException(
+            "bloom_filter_agg takes 1-3 arguments")
+        }
+        agg.toAggregateExpression()
+      }))
+    ext.injectFunction((FunctionIdentifier("might_contain"),
+      info("might_contain",
+        "might_contain(bloom, xxhash64(col)) - probabilistic membership test"),
+      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs.head, exprs(1))))
   }
 }

@@ -259,6 +259,42 @@ object PipelineQueries {
         .orderBy("quantile_permille")
     },
 
+    // Explicit bloom semi-join reduction: build a bloom filter over the
+    // qualifying order keys (dim side), broadcast it, pre-filter
+    // lineitem BEFORE the join, then run the exact semi-join — false
+    // positives are removed by the join, so the result is exact and the
+    // oracle is the plain semi-join. At 100 TB the bloom probe prunes
+    // the fact shuffle to the matching fraction; Spark's own runtime
+    // filtering does this implicitly, here it is a first-class operator
+    // (internal Catalyst expressions surfaced via GraftExtensions).
+    Q("q67_bloom_prejoin",
+      """SELECT l_returnflag,
+        | count(*) AS n_items,
+        | CAST(sum(CAST(round(l_quantity * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_qty_micros
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_totalprice > 200000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, dir) =>
+      // might_contain requires its bloom input to be a constant or a
+      // scalar subquery (BLOOM_FILTER_BINARY_OP_WRONG_TYPE otherwise),
+      // so the probe is SQL; the functions come from GraftExtensions.
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT l_returnflag,
+          | count(*) AS n_items,
+          | sum(CAST(round(l_quantity * 1000000.0) AS BIGINT)) AS sum_qty_micros
+          |FROM lineitem
+          |WHERE might_contain(
+          |        (SELECT bloom_filter_agg(xxhash64(o_orderkey), 100000L)
+          |         FROM orders WHERE o_totalprice > 200000),
+          |        xxhash64(l_orderkey))
+          |  AND l_orderkey IN (SELECT o_orderkey FROM orders
+          |                     WHERE o_totalprice > 200000)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
     Q("q64_seq_packing",
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),

@@ -11,6 +11,7 @@ object Explain {
       else Seq("q01_pricing_summary")
     val dir = args.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

@@ -19,6 +19,7 @@ object PipelineDemo {
     val fixtureDir = if (args.nonEmpty) args(0)
       else "/root/reference/packages/fastify-app/src/test/stripe"
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -2,24 +2,23 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Driver-contract smoke: run SparkEntry.entry and print its row count
-  * (the driver's t1 gate checks rows > 0).
-  * Run: sbt "runMain graft.tools.Smoke"
-  */
-object Smoke {
+/** Ad-hoc SQL probe against the testdata tables:
+  * sbt "runMain graft.tools.Probe <sfdir> <sql...>" */
+object Probe {
   def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val sql = args.drop(1).mkString(" ")
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.entry(spark)
-    df.show(20, 40)
-    println(s"entry rows=${df.count()}")
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(sql).show(20, false)
     spark.stop()
   }
 }

@@ -26,6 +26,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getLong(0) == 1014L)       // (7*131 + 'a'=97) mod p
       assert(row.getDouble(1) == 11.0)
       assert(row.getInt(2) == 64)           // sha256 hex length
+
+      // bloom_filter_agg / might_contain (Spark internals surfaced by
+      // the extension): members hit, a non-member key is (with these
+      // sizes) a clean miss.
+      spark.sql("SELECT explode(sequence(1, 100)) AS k")
+        .createOrReplaceTempView("keys")
+      val bloom = spark.sql(
+        """SELECT k FROM (SELECT explode(sequence(1, 200)) AS k)
+          |WHERE might_contain(
+          |  (SELECT bloom_filter_agg(xxhash64(k), 100L) FROM keys),
+          |  xxhash64(k))""".stripMargin)
+        .collect().map(_.getInt(0)).toSet
+      assert((1 to 100).forall(bloom.contains)) // no false negatives
+      assert(bloom.size < 150)                  // pruning actually happened
     } finally spark.stop()
   }
 }
