@@ -295,6 +295,63 @@ object PipelineQueries {
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     },
 
+    // The end-to-end dedup KEEP LIST — what a training pipeline actually
+    // materializes: LSH band candidates → MinHash-estimate verify
+    // (cheap, signature-only) → connected components → keep only each
+    // cluster's representative (plus all untouched docs) via anti-join.
+    // Every stage is the scalable variant; the corpus-sized table is
+    // touched only by the narrow signature scan and the final anti-join.
+    Q("q68_dedup_keeplist",
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+        |        FROM w WHERE len(l) >= 3),
+        | hx AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(1, length(shingle) + 1),
+        |            i -> CAST(ascii(substr(shingle, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |          (a, c) -> (a * 131 + c) % 4294967291) AS x
+        |        FROM sh),
+        | perms AS (SELECT j, ((1103515245 * (j + 1) + 12345) % 2147483648) | 1 AS a,
+        |                  (2654435761 * (j + 7)) % 4294967311 AS b
+        |           FROM range(0, 32) t(j)),
+        | mh AS (SELECT doc_id, j, min((a * x + b) % 4294967311) AS h
+        |        FROM hx CROSS JOIN perms GROUP BY doc_id, j),
+        | bh AS (SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+        |          list_reduce(list_prepend(CAST(7 AS BIGINT), list(h ORDER BY j)),
+        |            (acc, v) -> (acc * 1315423911 + v) % 1000000007) AS band_hash
+        |        FROM mh GROUP BY doc_id, band),
+        | cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |          FROM bh x JOIN bh y ON x.band = y.band AND x.band_hash = y.band_hash
+        |           AND x.doc_id < y.doc_id),
+        | est AS (SELECT c.id_a, c.id_b,
+        |          sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS matches
+        |         FROM cand c JOIN mh ma ON ma.doc_id = c.id_a
+        |          JOIN mh mb ON mb.doc_id = c.id_b AND mb.j = ma.j
+        |         GROUP BY 1, 2),
+        | pairs AS (SELECT id_a, id_b FROM est
+        |           WHERE (matches * 1000000) // 32 >= 500000),
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |           UNION SELECT id_b, id_a FROM pairs),
+        | reach AS (SELECT src AS id, dst AS r FROM edges
+        |           UNION
+        |           SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        | comp AS (SELECT id, min(least(id, r)) AS cluster_id FROM reach GROUP BY id)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM comp c
+        |                  WHERE c.id = d.doc_id AND c.id <> c.cluster_id)
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val edges = Dedup.minHashEstimates(docs, k = 3, numPerms = 32, bands = 8)
+        .filter(col("est_jaccard_ppm") >= 500000L)
+        .select("id_a", "id_b")
+      val cc = Clusters.connectedComponents(edges)
+      val drop = cc.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     Q("q64_seq_packing",
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),

@@ -14,6 +14,11 @@ class BucketingSpec extends AnyFunSuite {
 
   test("same-bucketed tables sort-merge join with no shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    // Force a REAL new session: getOrCreate returns the shared SparkSpec
+    // session otherwise, ignoring the static warehouse conf (observed:
+    // tables landed in ./spark-warehouse inside the repo).
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-bucketing-spec")
@@ -49,6 +54,8 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_items")
       spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
     }
   }
 }

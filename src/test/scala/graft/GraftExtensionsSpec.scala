@@ -10,6 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
 
   test("extension-registered functions work from spark.sql") {
+    // getOrCreate would silently return the SparkSpec suites' shared
+    // session and IGNORE withExtensions (observed: the bloom functions
+    // resolved standalone but not in the full suite run) — clear the
+    // active/default session so this builder really builds one.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-spec")
@@ -40,6 +46,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect().map(_.getInt(0)).toSet
       assert((1 to 100).forall(bloom.contains)) // no false negatives
       assert(bloom.size < 150)                  // pruning actually happened
-    } finally spark.stop()
+    } finally {
+      spark.stop()
+      // leave no stopped default session behind for later suites
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
   }
 }

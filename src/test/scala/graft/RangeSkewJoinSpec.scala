@@ -24,6 +24,25 @@ class RangeSkewJoinSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("bucketedIntervalJoin fails loudly on intervals wider than maxSpanBuckets") {
+    val wide = Seq((1L, 0L, 10000L)).toDF("lid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.bucketedIntervalJoin(wide, right, col("lo"), col("hi"),
+        col("ord"), bucketWidth = 10, maxSpanBuckets = 4).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("spans more than")))
+  }
+
+  test("bucketedIntervalJoin rejects inputs using its reserved helper columns") {
+    val clash = Seq((1L, 0L, 10L)).toDF("__graft_rj_lo", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.bucketedIntervalJoin(clash, right, col("lo"), col("hi"),
+        col("ord"), bucketWidth = 10)
+    }
+  }
+
   test("intervalJoin (keyed) equals equi-join + range filter") {
     val l = Seq((1L, 1L, 10L, 20L), (2L, 1L, 30L, 40L), (3L, 2L, 10L, 20L))
       .toDF("lid", "k", "lo", "hi")
