@@ -352,6 +352,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // FULL OUTER join — the one join type the inventory lacked: the
+    // orders-per-customer aggregate against the high-balance customer
+    // set, preserving unmatched rows on BOTH sides (customers with
+    // orders but modest balances, and high-balance customers with no
+    // orders).
+    Q("q69_full_outer",
+      """SELECT COALESCE(o.c, b.c) AS custkey, o.n_orders, b.acctbal_micros
+        |FROM (SELECT o_custkey AS c, count(*) AS n_orders FROM orders GROUP BY 1) o
+        |FULL OUTER JOIN (SELECT c_custkey AS c,
+        |                   CAST(round(c_acctbal * 1000000.0) AS BIGINT) AS acctbal_micros
+        |                 FROM customer WHERE c_acctbal > 5000) b
+        |ON o.c = b.c
+        |ORDER BY custkey""".stripMargin
+    ) { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c_o"))
+        .agg(count(lit(1)).as("n_orders"))
+      val b = Tables(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey").as("c_b"),
+          round(col("c_acctbal") * lit(1000000.0)).cast("long").as("acctbal_micros"))
+      o.join(b, col("c_o") === col("c_b"), "full_outer")
+        .select(coalesce(col("c_o"), col("c_b")).as("custkey"),
+          col("n_orders"), col("acctbal_micros"))
+        .orderBy("custkey")
+    },
+
     Q("q64_seq_packing",
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),
