@@ -182,6 +182,35 @@ class WebhookPipelineSpec extends SparkSpec {
     assert(row.getAs[java.sql.Timestamp]("last_synced_at").getTime / 1000 == 111L)
   }
 
+  test("streaming restart from checkpoint: duplicate delivery + out-of-order replay stay idempotent") {
+    val dir = tmpDir("graft_restart")
+    val in = tmpDir("graft_restart_in")
+    val ckpt = tmpDir("graft_restart_ckpt")
+    def custEvent(evtId: String, ts: Long, email: String) =
+      s"""{"id":"$evtId","type":"customer.updated","created":$ts,
+         |"data":{"object":{"id":"cus_ck","object":"customer","email":"$email"}}}"""
+        .stripMargin.replaceAll("\n", "")
+    // Run 1: one event at ts=200.
+    Files.write(Paths.get(s"$in/b1.json"), custEvent("evt_a", 200, "new@x.com").getBytes)
+    val pipeline = new WebhookPipeline(dir)
+    val q1 = pipeline.start(spark, in, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    // Run 2 (RESTART, same checkpoint): Stripe redelivers evt_a
+    // (at-least-once) and an OLDER event arrives late — both must no-op
+    // against the ts=200 state; a genuinely newer event must win.
+    Files.write(Paths.get(s"$in/b2.json"),
+      (custEvent("evt_a", 200, "new@x.com") + "\n" +
+        custEvent("evt_old", 100, "stale@x.com")).getBytes)
+    Files.write(Paths.get(s"$in/b3.json"), custEvent("evt_b", 300, "final@x.com").getBytes)
+    val q2 = pipeline.start(spark, in, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = readTable(dir, "customers").filter(col("id") === "cus_ck")
+      .select("email", "last_synced_at").collect()
+    assert(rows.length == 1, s"expected exactly one row, got ${rows.length}")
+    assert(rows.head.getAs[String]("email") == "final@x.com")
+    assert(rows.head.getAs[java.sql.Timestamp]("last_synced_at").getTime / 1000 == 300L)
+  }
+
   test("entitlement summary delta: table converges to the current set (J4, entitlements.test.ts)") {
     val dir = tmpDir("graft_ent")
     val pipeline = new WebhookPipeline(dir)
