@@ -64,6 +64,11 @@ object Dedup {
       .select(col("doc_id"), arr.as("hs"))
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
         explode(col("hs")).as("h"))
+      // Materialize the shingle table once: both self-join sides would
+      // otherwise re-run the scan + split + shingle-hash + explode
+      // (measured ~2x the hash work of the whole query at sf0.1). At
+      // cluster scale use reliable checkpoint / a staged table instead.
+      .localCheckpoint(true)
     val a = sh.as("a"); val b = sh.as("b")
     a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
