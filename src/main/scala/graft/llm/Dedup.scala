@@ -130,7 +130,8 @@ object Dedup {
     * Jaccard (ppm). `minJaccardPpm` filters the verified pairs. */
   def minHashLshPairs(docs: DataFrame, k: Int = 3, numPerms: Int = 32,
                       bands: Int = 8, minJaccardPpm: Long = 500000L): DataFrame = {
-    val bh = minHashBands(docs, k, numPerms, bands)
+    // self-joined below — materialize the band table once.
+    val bh = minHashBands(docs, k, numPerms, bands).localCheckpoint(true)
     val cand = bh.as("x").join(bh.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
           && col("x.doc_id") < col("y.doc_id"))
@@ -152,7 +153,10 @@ object Dedup {
   def minHashEstimates(docs: DataFrame, k: Int = 3, numPerms: Int = 32,
                        bands: Int = 8): DataFrame = {
     val rowsPerBand = numPerms / bands
-    val sig = minHashSignatures(docs, k, numPerms)
+    // Referenced three times below (band explode + both join sides) —
+    // materialize the signature aggregate once instead of re-running
+    // the shingle+min pipeline per reference.
+    val sig = minHashSignatures(docs, k, numPerms).localCheckpoint(true)
     val bandHashes = (0 until bands).map { b =>
       (b * rowsPerBand until (b + 1) * rowsPerBand).foldLeft(lit(BandSeed)) {
         (acc, j) => (acc * lit(BandMult) + col(s"h$j")) % lit(BandMod)
@@ -210,7 +214,8 @@ object Dedup {
     * 32-bit signature equal, for d ≤ 3 with 4 chunks) — equi-join on
     * chunks, then exact popcount verify. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simHash(docs)
+    // chunked self-joins below — materialize the simhash aggregate once.
+    val sh = simHash(docs).localCheckpoint(true)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 8).bitwiseAND(lit(0xFFL))): _*))
