@@ -28,6 +28,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(cc.size == n + 1)
   }
 
+  test("connectedComponents matches union-find on seeded random graphs") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> find(x)).toMap
+    }
+    for (seed <- Seq(1, 42, 7)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(25)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      val expected = unionFind(30, edges)
+      val got = Clusters.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed=$seed: $got != $expected")
+    }
+  }
+
   test("tfIdfTopK ranks rare terms above common ones") {
     val docs = Seq(
       (0L, "common common rare0"),
