@@ -104,6 +104,23 @@ object Backfill {
     TableDefs.active.map(t =>
       t.table -> syncEntity(spark, tablesDir, t, fetcher, createdGte)).toMap
 
+  /** Scheduled-window backfill, the reference's cron routes
+    * (routes/sync/daily.ts:12-14, weekly/monthly analogous):
+    * created >= now − {1, 7, 30} days. `nowEpochS` injectable for
+    * deterministic tests. */
+  def syncWindow(spark: SparkSession, tablesDir: String, fetcher: EntityFetcher,
+                 window: String,
+                 nowEpochS: Long = System.currentTimeMillis() / 1000): Map[String, Long] = {
+    val days = window match {
+      case "daily" => 1L
+      case "weekly" => 7L
+      case "monthly" => 30L
+      case other => throw new IllegalArgumentException(
+        s"unknown window '$other' (daily|weekly|monthly)")
+    }
+    syncAll(spark, tablesDir, fetcher, createdGte = Some(nowEpochS - days * 86400))
+  }
+
   /** S6: point sync — id prefix → TableDef → retrieve → shared pipeline
     * (syncSingleEntity, stripeSync.ts:606-662). */
   def syncSingle(spark: SparkSession, tablesDir: String, fetcher: EntityFetcher,

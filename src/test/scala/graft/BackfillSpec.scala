@@ -52,6 +52,29 @@ class BackfillSpec extends SparkSpec {
     assert(Backfill.backfillParents(spark, dir, projected, TableDefs.charges, fetcher).isEmpty)
   }
 
+  test("syncWindow maps daily/weekly/monthly to created >= now-Nd pushdown (cron routes)") {
+    val dir = tmpDir("graft_bf5")
+    val now = 1000000L
+    val docs = Seq(
+      ("""{"id":"cus_old","object":"customer","email":"o@x.y","created":1000}""", 1000L),
+      (s"""{"id":"cus_new","object":"customer","email":"n@x.y","created":${now - 3600}}""", now - 3600))
+    val gteAware = new Backfill.EntityFetcher {
+      def list(tdef: TableDef, gte: Option[Long], lt: Option[Long]): Iterator[String] =
+        docs.iterator
+          .filter(_._1.contains(s""""object":"${tdef.stripeObject}""""))
+          .filter(d => gte.forall(d._2 >= _))
+          .map(_._1)
+      def retrieve(tdef: TableDef, id: String): Option[String] = None
+    }
+    val counts = Backfill.syncWindow(spark, dir, gteAware, "daily", nowEpochS = now)
+    assert(counts("customers") == 1L) // cus_old (created=1000) outside now-1d
+    assert(spark.read.parquet(s"$dir/customers").select("id").as[String]
+      .collect().toSeq == Seq("cus_new"))
+    intercept[IllegalArgumentException] {
+      Backfill.syncWindow(spark, dir, gteAware, "hourly", nowEpochS = now)
+    }
+  }
+
   test("syncEntity scans + chunks + counts (S3/S4)") {
     val dir = tmpDir("graft_bf4")
     val n = Backfill.syncEntity(spark, dir, TableDefs.charges, fetcher, chunkSize = 1)
