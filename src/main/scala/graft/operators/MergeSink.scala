@@ -85,6 +85,32 @@ object MergeSink {
        |   OR "${tdef.table}"."last_synced_at" < EXCLUDED."last_synced_at"""".stripMargin
   }
 
+  /** The same guarded upsert as ANSI `MERGE` (SQL:2003) from a staging
+    * table — the portable form for engines without Postgres's
+    * `ON CONFLICT` (Derby, Iceberg/Delta SQL front ends, warehouse
+    * MERGE). The staging-table source is also the realistic batch
+    * shape: executors bulk-append the micro-batch to the stage, one
+    * MERGE applies it. Semantics identical to [[guardedUpsertSql]]:
+    * strict `<` guard, so same-timestamp replays no-op.
+    * Integration-tested against a live in-memory Derby
+    * (MergeSinkJdbcSpec). */
+  def guardedMergeSql(tdef: TableDef, sourceTable: String,
+                      schema: Option[String] = None): String = {
+    val allCols = tdef.columns :+ "last_synced_at"
+    def q(c: String) = s""""$c""""
+    val tgt = schema.map(s => s""""$s".""").getOrElse("") + q(tdef.table)
+    val updates = allCols.filterNot(_ == tdef.key)
+      .map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+    s"""MERGE INTO $tgt t
+       |USING $sourceTable s
+       |ON t.${q(tdef.key)} = s.${q(tdef.key)}
+       |WHEN MATCHED AND (t."last_synced_at" IS NULL
+       |                  OR t."last_synced_at" < s."last_synced_at")
+       |  THEN UPDATE SET $updates
+       |WHEN NOT MATCHED THEN INSERT (${allCols.map(q).mkString(", ")})
+       |  VALUES (${allCols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
+  }
+
   /** Plain upsert (S8, postgres.ts:133-157): no timestamp guard. */
   def upsertSql(tdef: TableDef, schema: String = "stripe"): String = {
     val cols = tdef.columns.map(c => s""""$c"""")
