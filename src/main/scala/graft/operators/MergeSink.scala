@@ -17,10 +17,11 @@ import graft.model.TableDef
   *     format MERGE (Delta/Iceberg `MERGE WHEN MATCHED AND s.ts > t.ts`),
   *     which shares the exact plan shape produced here.
   *   - **JDBC SQL generation**: the text of the reference's guarded
-  *     `INSERT … ON CONFLICT … DO UPDATE … WHERE` statement, for a
-  *     Postgres mirror driven from foreachBatch. Generated, not executed,
-  *     in this container (no Postgres) — semantics are unit-tested via
-  *     the lakehouse path which implements the same algebra.
+  *     `INSERT … ON CONFLICT … DO UPDATE … WHERE` statement for a
+  *     Postgres mirror driven from foreachBatch (no Postgres in this
+  *     container), plus the portable ANSI `MERGE` form
+  *     ([[guardedMergeSql]]) whose guard semantics ARE executed and
+  *     verified against a live in-memory Derby (MergeSinkJdbcSpec).
   *
   * Both paths run intra-batch LWW first: `ON CONFLICT` cannot see two
   * rows for one key in a single statement, and a lakehouse merge must
