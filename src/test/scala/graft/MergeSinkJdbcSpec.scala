@@ -1,7 +1,6 @@
 package graft
 
 import java.sql.{DriverManager, Timestamp}
-import org.scalatest.funsuite.AnyFunSuite
 import graft.model.TableDef
 import graft.operators.MergeSink
 
@@ -11,8 +10,9 @@ import graft.operators.MergeSink
   * upsertManyWithTimestampProtection semantics (postgres.ts:181-204,
   * webhooks.test.ts:202-284): insert when absent, update only when the
   * incoming sync timestamp is strictly newer, no-op on stale AND on
-  * same-timestamp replays. */
-class MergeSinkJdbcSpec extends AnyFunSuite {
+  * same-timestamp replays — plus the full foreachBatch-shaped
+  * DataFrame → staging-table → MERGE sink path (upsertJdbc). */
+class MergeSinkJdbcSpec extends SparkSpec {
 
   private val tdef = TableDef("widgets", "widget", Seq("wid_"),
     columns = Seq("id", "amount"))
@@ -56,6 +56,38 @@ class MergeSinkJdbcSpec extends AnyFunSuite {
       conn.close()
       // in-memory Derby drop (throws a "successful shutdown" SQLException)
       try DriverManager.getConnection("jdbc:derby:memory:graftmerge;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
+  test("upsertJdbc: DataFrame batches flow through stage + MERGE with LWW intact") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftsink;create=true"
+    def batchDF(rows: (String, Long, Long)*) =
+      rows.toSeq.toDF("id", "amount", "ts")
+        .select($"id", $"amount",
+          org.apache.spark.sql.functions.timestamp_seconds($"ts").as("last_synced_at"))
+    try {
+      // batch 1: two versions of wid_1 in ONE batch (intra-batch LWW
+      // must collapse to ts=200 before the merge sees them) + wid_2
+      MergeSink.upsertJdbc(
+        batchDF(("wid_1", 5L, 200L), ("wid_1", 3L, 150L), ("wid_2", 9L, 100L)),
+        url, tdef)
+      // batch 2: stale wid_1 (no-op) + newer wid_2 (wins)
+      MergeSink.upsertJdbc(
+        batchDF(("wid_1", 99L, 120L), ("wid_2", 11L, 400L)), url, tdef)
+      val conn = DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(
+          """SELECT "id", "amount", "last_synced_at" FROM "widgets" ORDER BY "id"""")
+        assert(rs.next() && rs.getString(1) == "wid_1" && rs.getLong(2) == 5L
+          && rs.getTimestamp(3).getTime / 1000 == 200L)
+        assert(rs.next() && rs.getString(1) == "wid_2" && rs.getLong(2) == 11L
+          && rs.getTimestamp(3).getTime / 1000 == 400L)
+        assert(!rs.next())
+      } finally conn.close()
+    } finally {
+      try DriverManager.getConnection("jdbc:derby:memory:graftsink;drop=true")
       catch { case _: java.sql.SQLException => () }
     }
   }
