@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.DotProduct.dot_product
+
+/** Deterministic Lloyd's k-means over an embedding column — the
+  * centroid-training step the IVF index ([[Similarity.ivfKnn]]) assumes
+  * as given. Design constraints, in order:
+  *
+  *   - **Seed-free determinism**: init = the k lowest-vec_id vectors
+  *     (not kmeans||/random); ties in assignment break on the lower
+  *     cell id. Same input ⇒ bit-identical centroids on every run.
+  *   - **Scale shape**: each iteration is one broadcast of k·dim
+  *     doubles + one map-side-combined aggregate over the corpus —
+  *     no shuffle of the vectors themselves, the standard distributed
+  *     k-means layout. Iteration count is FIXED (no driver-side
+  *     convergence polling): at 100 TB an extra pass costs more than
+  *     it saves, and fixed rounds keep lineage bounded.
+  *   - Distance = squared-euclidean expanded as |v|² − 2·v·c + |c|²;
+  *     |v|² is per-row constant and drops out of the argmin, so the
+  *     per-cell score is just c·c − 2·v·c (one codegen'd dot product
+  *     per cell).
+  *
+  * Returns (cell_id, n_members, centroid: Array[Double]).
+  */
+object KMeans {
+
+  /** One assignment pass against fixed centroid literals. */
+  private def assignTo(cents: Seq[(Long, Array[Double])])(emb: DataFrame): DataFrame = {
+    val scored = cents.map { case (cid, c) =>
+      val cArr = array(c.map(lit): _*)
+      val cc = c.map(x => x * x).sum
+      struct((lit(cc) - lit(2.0) * dot_product(col("embedding"), cArr)).as("score"),
+        lit(cid).as("cell"))
+    }
+    // array_min over (score, cell) structs: lexicographic → lowest score,
+    // ties to the lowest cell id. Deterministic.
+    emb.withColumn("cell", array_min(array(scored: _*)).getField("cell"))
+  }
+
+  /** Train k centroids with `iters` fixed Lloyd iterations. */
+  def train(emb: DataFrame, k: Int, iters: Int = 5, dim: Int = 64): Seq[(Long, Array[Double])] = {
+    val init = emb.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i.toLong, r.getSeq[Float](1).map(_.toDouble).toArray)
+      }.toSeq
+    (0 until iters).foldLeft(init) { (cents, _) =>
+      val assigned = assignTo(cents)(emb)
+      val sums = (0 until dim).map(d =>
+        sum(element_at(col("embedding"), d + 1).cast("double")).as(s"s$d"))
+      val agg = assigned.groupBy("cell")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      agg.map { r =>
+        val n = r.getAs[Long]("n").toDouble
+        (r.getAs[Long]("cell"),
+          (0 until dim).map(d => r.getAs[Double](s"s$d") / n).toArray)
+      }.toSeq.sortBy(_._1)
+    }
+  }
+
+  /** Assign every vector to its trained cell: (vec_id, cell). */
+  def assign(emb: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame =
+    assignTo(cents)(emb).select(col("vec_id"), col("cell"))
+
+  /** Cluster summary: cell sizes after training. */
+  def summary(emb: DataFrame, k: Int, iters: Int = 5, dim: Int = 64): DataFrame = {
+    val cents = train(emb, k, iters, dim)
+    assign(emb, cents).groupBy("cell").agg(count(lit(1)).as("n_members"))
+  }
+}
