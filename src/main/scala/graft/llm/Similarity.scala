@@ -17,6 +17,11 @@ import graft.functions.DotProduct.dot_product
   * were the bench hotspot). Row norms are computed once per row BEFORE
   * the pair join, never per pair: at N×M pairs that turns 3 dot products
   * per pair into 1, with arithmetic identical to dot/(|a||b|).
+  *
+  * Precondition: vectors must be nonzero — cosine divides by the norms,
+  * and under ANSI mode a zero vector fails the job (DIVIDE_BY_ZERO)
+  * rather than silently ranking on NaN. Filter zero vectors out upstream
+  * (they carry no direction and don't belong in cosine ANN anyway).
   */
 object Similarity {
 
@@ -99,6 +104,51 @@ object Similarity {
       val scored = df.select(col("vec_id").as(idAs), col("embedding"),
           norm(col("embedding")).as("v_norm"))
         .join(cents, expr("true"))
+        .withColumn("c_sim", dot(col("embedding"), col("cent")) /
+          (col("v_norm") * col("cent_norm")))
+      val w = Window.partitionBy(idAs).orderBy(col("c_sim").desc, col("list_id"))
+      scored.withColumn("c_rnk", row_number().over(w))
+        .filter(col("c_rnk") <= keep)
+        .select(col(idAs), col("embedding"), col("v_norm"), col("list_id"))
+    }
+    val corpus = assign(emb, "neighbor_id", 1)
+    val qs = assign(queries, "query_id", nProbe)
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        col("v_norm").as("q_norm"), col("list_id"))
+    val scored = qs.join(
+        corpus.select(col("neighbor_id"), col("embedding").as("c_emb"),
+          col("v_norm").as("c_norm"), col("list_id")),
+        Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** IVF over TRAINED centroids ([[KMeans.train]]) instead of the
+    * seed-free lowest-id picks: cells actually follow the data
+    * distribution, so probe recall per scanned fraction improves — the
+    * production IVF build. Same query shape as [[ivfKnn]]: corpus
+    * assigned to its nearest cell, queries probe their nProbe nearest
+    * cells, candidates meet in an equi-join on cell id. */
+  def ivfKnnTrained(emb: DataFrame, queries: DataFrame, k: Int,
+                    kCells: Int = 16, nProbe: Int = 4, iters: Int = 5,
+                    dim: Int = 64): DataFrame = {
+    val cents = KMeans.train(emb, kCells, iters, dim)
+    val centDf = broadcast(
+      emb.sparkSession.createDataFrame(
+          cents.map { case (cid, c) => (cid, c) }
+        ).toDF("list_id", "cent_d")
+        .select(col("list_id"),
+          col("cent_d").cast("array<double>").as("cent"))
+        .withColumn("cent_norm", sqrt(dot(col("cent"), col("cent")))))
+    def assign(df: DataFrame, idAs: String, keep: Int) = {
+      val scored = df.select(col("vec_id").as(idAs), col("embedding"),
+          norm(col("embedding")).as("v_norm"))
+        .join(centDf, expr("true"))
         .withColumn("c_sim", dot(col("embedding"), col("cent")) /
           (col("v_norm") * col("cent_norm")))
       val w = Window.partitionBy(idAs).orderBy(col("c_sim").desc, col("list_id"))

@@ -7,12 +7,13 @@ import graft.llm.KMeans
 class KMeansSpec extends SparkSpec {
   import spark.implicits._
 
-  // two well-separated 4-d blobs: ids 0-4 near (0,0,0,0), 5-9 near (10,10,10,10)
+  // two well-separated 4-d blobs: ids 0-4 near (1,1,1,1), 5-9 near
+  // (10,10,10,10) — centers off the origin so cosine norms stay nonzero
   private def blob(center: Float, ids: Range) =
     ids.map(i => (i.toLong, Array(center + i * 0.01f, center - i * 0.01f,
       center + 0.02f * i, center)))
   private lazy val emb =
-    (blob(0f, 0 until 5) ++ blob(10f, 5 until 10)).toDF("vec_id", "embedding")
+    (blob(1f, 0 until 5) ++ blob(10f, 5 until 10)).toDF("vec_id", "embedding")
 
   test("k-means recovers planted blobs") {
     val cents = KMeans.train(emb, k = 2, iters = 4, dim = 4)
@@ -25,8 +26,20 @@ class KMeansSpec extends SparkSpec {
     assert(lowCell != hiCell)
     // centroids land near the blob centers
     val c = cents.toMap
-    assert(math.abs(c(lowCell)(3) - 0.0) < 0.1)
+    assert(math.abs(c(lowCell)(3) - 1.0) < 0.1)
     assert(math.abs(c(hiCell)(3) - 10.0) < 0.1)
+  }
+
+  test("trained-IVF ANN finds the identical vector within its cell") {
+    // duplicate vec 7 as vec 20: its top neighbor must be the twin
+    val twin = emb.as[(Long, Array[Float])].collect().find(_._1 == 7L).get._2
+    val corpus = (emb.as[(Long, Array[Float])].collect().toSeq :+ (20L, twin))
+      .toDF("vec_id", "embedding")
+    val res = graft.llm.Similarity.ivfKnnTrained(
+        corpus, corpus.filter($"vec_id" === 20L), k = 1,
+        kCells = 2, nProbe = 1, iters = 3, dim = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(res.toSeq == Seq((20L, 7L, 1L)))
   }
 
   test("training is bit-deterministic across runs") {
