@@ -93,6 +93,21 @@ object Bench {
     catch { case _: Throwable => () }
 
     val best = new ConcurrentHashMap[String, Double]()
+    val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emitJson(): Unit = if (printed.compareAndSet(false, true)) {
+      val results = SparkEntry.inventory.collect {
+        case q if best.containsKey(q.name) => q.name -> (best.get(q.name): Double)
+      }
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      Console.out.flush()
+    }
+    // Last-ditch: if the harness SIGTERMs the JVM mid-run, emit whatever
+    // was measured instead of nothing (best-effort — sbt's output pump
+    // may already be gone, but when it isn't, partial data beats null).
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emitJson()))
     val queryTimeoutSec = sys.env.getOrElse("BENCH_QUERY_TIMEOUT_SEC", "90").toDouble
     // budgetSec caps ONE query via job-group cancel: in round 3 a single
     // query (q31) hit a host reclaim window mid-run and burned 286 s of
@@ -149,15 +164,7 @@ object Bench {
       pool.awaitTermination(1, TimeUnit.DAYS)
     }
 
-    // (containsKey guard: CHM.get returns null for absent keys, which
-    // would silently unbox to 0.0.)
-    val results = SparkEntry.inventory.collect {
-      case q if best.containsKey(q.name) => q.name -> (best.get(q.name): Double)
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    emitJson()
     spark.stop()
   }
 }
