@@ -56,11 +56,16 @@ object KMeans {
       val agg = assigned.groupBy("cell")
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
-      agg.map { r =>
+      val updated = agg.map { r =>
         val n = r.getAs[Long]("n").toDouble
         (r.getAs[Long]("cell"),
           (0 until dim).map(d => r.getAs[Double](s"s$d") / n).toArray)
-      }.toSeq.sortBy(_._1)
+      }.toMap
+      // a cell that captured no vectors keeps its previous centroid
+      // (standard Lloyd fallback) instead of silently vanishing and
+      // shrinking k for every later iteration
+      cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+        .sortBy(_._1)
     }
   }
 
