@@ -357,6 +357,70 @@ object PipelineQueries {
     // set, preserving unmatched rows on BOTH sides (customers with
     // orders but modest balances, and high-balance customers with no
     // orders).
+    // Keep-BEST dedup: same cluster resolution as q68 but the survivor
+    // is the longest document (ties → lowest doc_id) — the policy real
+    // corpus pipelines use (quality/length beats arrival order). One
+    // extra rank window over the (tiny) cluster membership table.
+    Q("q70_dedup_keep_best",
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+        |        FROM w WHERE len(l) >= 3),
+        | hx AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(1, length(shingle) + 1),
+        |            i -> CAST(ascii(substr(shingle, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |          (a, c) -> (a * 131 + c) % 4294967291) AS x
+        |        FROM sh),
+        | perms AS (SELECT j, ((1103515245 * (j + 1) + 12345) % 2147483648) | 1 AS a,
+        |                  (2654435761 * (j + 7)) % 4294967311 AS b
+        |           FROM range(0, 32) t(j)),
+        | mh AS (SELECT doc_id, j, min((a * x + b) % 4294967311) AS h
+        |        FROM hx CROSS JOIN perms GROUP BY doc_id, j),
+        | bh AS (SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+        |          list_reduce(list_prepend(CAST(7 AS BIGINT), list(h ORDER BY j)),
+        |            (acc, v) -> (acc * 1315423911 + v) % 1000000007) AS band_hash
+        |        FROM mh GROUP BY doc_id, band),
+        | cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |          FROM bh x JOIN bh y ON x.band = y.band AND x.band_hash = y.band_hash
+        |           AND x.doc_id < y.doc_id),
+        | est AS (SELECT c.id_a, c.id_b,
+        |          sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS matches
+        |         FROM cand c JOIN mh ma ON ma.doc_id = c.id_a
+        |          JOIN mh mb ON mb.doc_id = c.id_b AND mb.j = ma.j
+        |         GROUP BY 1, 2),
+        | pairs AS (SELECT id_a, id_b FROM est
+        |           WHERE (matches * 1000000) // 32 >= 500000),
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |           UNION SELECT id_b, id_a FROM pairs),
+        | reach AS (SELECT src AS id, dst AS r FROM edges
+        |           UNION
+        |           SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        | comp AS (SELECT id, min(least(id, r)) AS cluster_id FROM reach GROUP BY id),
+        | ranked AS (SELECT c.id, c.cluster_id,
+        |             row_number() OVER (PARTITION BY c.cluster_id
+        |               ORDER BY length(d.text) DESC, c.id) AS rk
+        |            FROM comp c JOIN documents d ON d.doc_id = c.id)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+        |FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM ranked r
+        |                  WHERE r.id = d.doc_id AND r.rk > 1)
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val edges = Dedup.minHashEstimates(docs, k = 3, numPerms = 32, bands = 8)
+        .filter(col("est_jaccard_ppm") >= 500000L)
+        .select("id_a", "id_b")
+      val cc = Clusters.connectedComponents(edges)
+      val ranked = cc.join(docs.select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+      val w = Window.partitionBy("cluster_id").orderBy(col("len").desc, col("doc_id"))
+      val losers = ranked.withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1).select("doc_id")
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     Q("q69_full_outer",
       """SELECT COALESCE(o.c, b.c) AS custkey, o.n_orders, b.acctbal_micros
         |FROM (SELECT o_custkey AS c, count(*) AS n_orders FROM orders GROUP BY 1) o
