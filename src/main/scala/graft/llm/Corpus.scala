@@ -92,6 +92,25 @@ object Corpus {
       .withColumn("batch_id", expr(s"(cum_tokens - n_tokens) DIV $capacity"))
   }
 
+  /** Shard-keyed sequence packing — the 100 TB form of [[seqPacking]]:
+    * documents are assigned to `nShards` deterministic shards
+    * (doc_id mod nShards) and packed independently within each shard by
+    * the same cumulative-fill rule. The window partitions by shard, so
+    * every shard sorts and packs in parallel — no global single-reducer
+    * ordering; within a shard the result is exactly [[seqPacking]] of
+    * that shard's documents. Batches are (shard, batch_in_shard)
+    * pairs. */
+  def seqPackingSharded(docs: DataFrame, capacity: Int = 4096,
+                        nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("batch_in_shard", expr(s"(cum_tokens - n_tokens) DIV $capacity"))
+  }
+
   /** Histogram-based approximate quantiles: bucket the value by
     * `width`, cumulative-sum the bucket counts, and report the upper
     * bound of the first bucket whose cumulative count reaches

@@ -51,19 +51,44 @@ object Dedup {
     *     explode and travels with the rows, so there is no separate
     *     sizes aggregate and no post-join size lookups — one self-join
     *     + one aggregate total.
-    * Cost: Σ_shingle df² pair-candidates — at scale, prune
-    * ultra-frequent shingles first (stop-shingle cut / prefix filter),
-    * the standard all-pairs practice.
+    * Cost: Σ_shingle df² pair-candidates — the quadratic term is owned
+    * entirely by high-df shingles, so `maxShingleDf` applies the
+    * standard stop-shingle cut: shingles appearing in more than
+    * `maxShingleDf` documents are treated as boilerplate stopwords and
+    * removed from the Jaccard universe (both intersections AND set
+    * sizes — the result is the true Jaccard over the filtered shingle
+    * sets, identically reproducible by an oracle with the same HAVING
+    * stage). One shared boilerplate shingle across 10^6 docs would
+    * otherwise contribute 10^12 candidates; with the cut its
+    * contribution is zero. The stop set is vocabulary-scale-tiny
+    * (only shingles with df > cap), so it broadcasts.
+    *
+    * Pick `maxShingleDf` ≈ 0.1% of corpus size at scale; the default
+    * Long.MaxValue disables the cut (exact all-shingle Jaccard).
     */
-  def ngramJaccardPairs(docs: DataFrame, k: Int = 3): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3,
+                        maxShingleDf: Long = Long.MaxValue): DataFrame = {
     val arr = array_distinct(transform(
       sequence(lit(0), size(col("w")) - k),
       i => xxhash64((0 until k).map(j => element_at(col("w"), i + j + 1)): _*)))
-    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), arr.as("hs"))
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
-        explode(col("hs")).as("h"))
+    val shRows =
+      if (maxShingleDf == Long.MaxValue)
+        // no cut: set size is the array size, computed before the explode
+        base.select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+          explode(col("hs")).as("h"))
+      else {
+        val sh0 = base.select(col("doc_id"), explode(col("hs")).as("h"))
+        val stop = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select("h")
+        // post-cut set size: count over the doc's surviving shingles
+        sh0.join(broadcast(stop), Seq("h"), "left_anti")
+          .withColumn("n_sh",
+            count(lit(1)).over(Window.partitionBy("doc_id")).cast("long"))
+      }
+    val sh = shRows
       // Materialize the shingle table once: both self-join sides would
       // otherwise re-run the scan + split + shingle-hash + explode
       // (measured ~2x the hash work of the whole query at sf0.1). At
@@ -129,7 +154,8 @@ object Dedup {
   /** Candidate pairs from LSH banding, verified with exact shingle
     * Jaccard (ppm). `minJaccardPpm` filters the verified pairs. */
   def minHashLshPairs(docs: DataFrame, k: Int = 3, numPerms: Int = 32,
-                      bands: Int = 8, minJaccardPpm: Long = 500000L): DataFrame = {
+                      bands: Int = 8, minJaccardPpm: Long = 500000L,
+                      maxShingleDf: Long = Long.MaxValue): DataFrame = {
     // self-joined below — materialize the band table once.
     val bh = minHashBands(docs, k, numPerms, bands).localCheckpoint(true)
     val cand = bh.as("x").join(bh.as("y"),
@@ -137,7 +163,7 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val verified = ngramJaccardPairs(docs, k)
+    val verified = ngramJaccardPairs(docs, k, maxShingleDf)
     cand.join(verified, Seq("id_a", "id_b"))
       .filter(col("jaccard_ppm") >= minJaccardPpm)
   }
@@ -209,25 +235,68 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, found via
-    * chunk-banding (pigeonhole: distance ≤ d ⇒ some 8-bit chunk of the
-    * 32-bit signature equal, for d ≤ 3 with 4 chunks) — equi-join on
-    * chunks, then exact popcount verify. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // chunked self-joins below — materialize the simhash aggregate once.
-    val sh = simHash(docs).localCheckpoint(true)
-    val chunked = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 8).bitwiseAND(lit(0xFFL))): _*))
+  /** Chunk-banded hamming pairs over a per-doc signature column
+    * (pigeonhole: hamming ≤ nChunks−1 ⇒ some chunk equal) — candidate
+    * generation is an equi-join on (chunk index, chunk value), then an
+    * exact popcount verify. Bucket count per chunk position is
+    * 2^chunkBits: the candidate tail at corpus scale is n²/2^chunkBits
+    * per position, so WIDER chunks (more bits) shrink the quadratic
+    * tail. */
+  private def chunkBandPairs(sh: DataFrame, sigCol: String, nChunks: Int,
+                             chunkBits: Int, maxHamming: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
+    val chunked = sh.select(col("doc_id"), col(sigCol),
+      posexplode(array((0 until nChunks).map(c =>
+        shiftrightunsigned(col(sigCol), c * chunkBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "ch")))
     val cand = chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+        col(s"x.$sigCol").as("sh_a"), col(s"y.$sigCol").as("sh_b"))
       .distinct()
-    cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, found via
+    * chunk-banding over the 32-bit signature (4 chunks of 8 bits ⇒
+    * exact for maxHamming ≤ 3). Oracle-checkable (q71) — but 8-bit
+    * chunks mean only 256 buckets per position, an n²/256 candidate
+    * tail: at corpus scale use [[simHashPairs64]]. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    // chunked self-joins inside — materialize the simhash aggregate once.
+    chunkBandPairs(simHash(docs).localCheckpoint(true), "simhash",
+      nChunks = 4, chunkBits = 8, maxHamming = maxHamming)
+
+  /** 64-bit SimHash over xxhash64 token hashes — the SCALE variant of
+    * [[simHash]]: twice the signature entropy and (via
+    * [[simHashPairs64]]) 16-bit chunks = 65,536 buckets per position,
+    * cutting the banding candidate tail 256× vs the 32-bit form.
+    * xxhash64 is not replayable by the SQL oracle, so this variant is
+    * spec-tested rather than oracle-checked (the 32-bit [[simHash]] is
+    * the oracle-exact form). The signature is assembled with bitwise OR
+    * (bit 63 would overflow an additive build under ANSI arithmetic). */
+  def simHash64(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val tallies = (0 until 64).map { b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val agg = tokens.groupBy("doc_id").agg(tallies.head, tallies.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
+    agg.select(col("doc_id"), sig.as("simhash64"))
+  }
+
+  /** Near-dup pairs over the 64-bit SimHash: 4 chunks of 16 bits (exact
+    * for maxHamming ≤ 3), 65,536 buckets per chunk position — the
+    * corpus-scale banding. */
+  def simHashPairs64(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    chunkBandPairs(simHash64(docs).localCheckpoint(true), "simhash64",
+      nChunks = 4, chunkBits = 16, maxHamming = maxHamming)
 }

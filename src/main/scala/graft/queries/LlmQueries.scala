@@ -89,11 +89,18 @@ object LlmQueries {
       Dedup.exact(Tables(s, dir, "documents")).orderBy("rep_id")
     },
 
+    // The df > 64 stop-shingle cut (HAVING stage) is a no-op at the test
+    // SFs (max observed df: 7 at sf0.01, 25 at sf0.1) but keeps the
+    // Σdf² candidate set bounded at corpus scale — the oracle applies
+    // the identical cut, so the hash-match holds at ANY cap value.
     Q("q31_jaccard_pairs",
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+        | sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
         |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
         |        FROM w WHERE len(l) >= 3),
+        | stop AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 64),
+        | sh AS (SELECT doc_id, shingle FROM sh0
+        |        WHERE shingle NOT IN (SELECT shingle FROM stop)),
         | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -103,7 +110,7 @@ object LlmQueries {
         |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |ORDER BY jaccard_ppm DESC, id_a, id_b LIMIT 20""".stripMargin
     ) { (s, dir) =>
-      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), 3)
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), 3, maxShingleDf = 64L)
         .orderBy(col("jaccard_ppm").desc, col("id_a"), col("id_b"))
         .limit(20)
     },
@@ -152,6 +159,37 @@ object LlmQueries {
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       Dedup.simHash(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // SimHash near-dup pairs via 8-bit chunk banding + popcount verify —
+    // the oracle recomputes the full 32-bit fingerprints (as q33), replays
+    // the banding equi-join, and verifies hamming ≤ 3 with bit_count.
+    // Banding is exact for hamming ≤ 3 (pigeonhole over 4 chunks), so
+    // this equals the all-pairs popcount filter.
+    Q("q71_simhash_pairs",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        | hx AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(1, length(tok) + 1),
+        |            i -> CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |          (a, c) -> (a * 131 + c) % 4294967291) AS h
+        |        FROM toks),
+        | bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+        |          FROM hx CROSS JOIN range(0, 32) t(b) GROUP BY doc_id, b),
+        | sims AS (SELECT doc_id, CAST(sum(CASE WHEN tally > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+        |          FROM bits GROUP BY doc_id),
+        | ch AS (SELECT doc_id, simhash, c AS chunk,
+        |          (simhash >> CAST(c * 8 AS INTEGER)) & 255 AS chv
+        |        FROM sims CROSS JOIN range(0, 4) t(c)),
+        | cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |            x.simhash AS sa, y.simhash AS sb
+        |          FROM ch x JOIN ch y ON x.chunk = y.chunk AND x.chv = y.chv
+        |           AND x.doc_id < y.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      Dedup.simHashPairs(Tables(s, dir, "documents"), maxHamming = 3)
+        .orderBy("id_a", "id_b")
     },
 
     Q("q34_cosine_knn",

@@ -14,12 +14,15 @@ import graft.llm.{Clusters, Corpus, Dedup}
 object PipelineQueries {
 
   /** The q31 shingle/pair pipeline as DuckDB CTE text (shared by the
-    * cluster oracle). */
+    * cluster oracle), including q31's df > 64 stop-shingle cut. */
   private val pairCtes =
     """w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-      | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+      | sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
       |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
       |        FROM w WHERE len(l) >= 3),
+      | stop AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 64),
+      | sh AS (SELECT doc_id, shingle FROM sh0
+      |        WHERE shingle NOT IN (SELECT shingle FROM stop)),
       | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       | p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
       |        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -46,7 +49,8 @@ object PipelineQueries {
          |SELECT id AS doc_id, CAST(min(least(id, r)) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      val pairs = Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), 3)
+      val pairs = Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), 3,
+          maxShingleDf = 64L)
         .filter(col("jaccard_ppm") >= 300000L)
         .select("id_a", "id_b")
       Clusters.connectedComponents(pairs).orderBy("doc_id")
@@ -441,6 +445,25 @@ object PipelineQueries {
         .select(coalesce(col("c_o"), col("c_b")).as("custkey"),
           col("n_orders"), col("acctbal_micros"))
         .orderBy("custkey")
+    },
+
+    // Shard-keyed sequence packing: q64's cumulative fill, but windowed
+    // per shard (doc_id mod 8) — the embarrassingly-parallel form that
+    // replaces q64's global single-reducer ordering at corpus scale.
+    Q("q72_seq_packing_sharded",
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        | c AS (SELECT doc_id, shard, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |       FROM t)
+        |SELECT doc_id, shard, n_tokens, cum_tokens,
+        | (cum_tokens - n_tokens) // 4096 AS batch_in_shard
+        |FROM c ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Corpus.seqPackingSharded(Tables(s, dir, "documents"), 4096, nShards = 8)
+        .orderBy("doc_id")
     },
 
     Q("q64_seq_packing",

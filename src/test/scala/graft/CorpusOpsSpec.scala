@@ -99,6 +99,26 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, 4L, 9L, 1L), (4L, 1L, 10L, 1L)))
   }
 
+  test("seqPackingSharded equals seqPacking applied per shard") {
+    val docs = (1L to 40L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val nShards = 4
+    val sharded = Corpus.seqPackingSharded(docs, capacity = 10, nShards = nShards)
+      .select("doc_id", "shard", "n_tokens", "cum_tokens", "batch_in_shard")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // oracle: run the global packer on each shard's subset independently
+    val expected = (0 until nShards).flatMap { s =>
+      Corpus.seqPacking(docs.filter(pmod(col("doc_id"), lit(nShards)) === s),
+          capacity = 10)
+        .select("doc_id", "n_tokens", "cum_tokens", "batch_id")
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (id, n, cum, b) => (id, s.toLong, n, cum, b) }
+    }.toSet
+    assert(sharded == expected)
+    // every doc appears exactly once
+    assert(sharded.size == 40)
+  }
+
   test("int8Quantize: max-abs component maps to ±127, codes bounded") {
     val emb = Seq((0L, Array(0.5f, -1.0f, 0.25f, 0.0f)))
       .toDF("vec_id", "embedding")

@@ -25,6 +25,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngramJaccardPairs stop-shingle cut prunes boilerplate-only pairs") {
+    // every doc carries the same boilerplate suffix; only 0 and 1 share
+    // real content. df(boilerplate interior shingles) = 6 > cap = 5.
+    val boiler = "please call now to subscribe today"
+    val dd = Seq(
+      (0L, s"alpha beta gamma delta epsilon $boiler"),
+      (1L, s"alpha beta gamma delta zeta $boiler"),
+      (2L, s"one unique sentence here $boiler"),
+      (3L, s"two distinct words there $boiler"),
+      (4L, s"three separate tokens everywhere $boiler"),
+      (5L, s"four other terms nowhere $boiler")
+    ).toDF("doc_id", "text")
+    val cap = 5L
+    // Scala-side oracle: exact Jaccard over the df-filtered shingle sets.
+    val sets: Map[Long, Set[Seq[String]]] = (0L to 5L).map { i =>
+      val t = dd.filter(col("doc_id") === i).head().getString(1)
+      i -> t.split(" ").sliding(3).map(_.toSeq).toSet
+    }.toMap
+    val df_ = sets.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+    val filtered = sets.map { case (i, s) => i -> s.filter(df_(_) <= cap) }
+    val expected = (for {
+      i <- 0L to 5L; j <- i + 1 to 5L
+      common = (filtered(i) intersect filtered(j)).size.toLong
+      if common > 0
+      union = filtered(i).size + filtered(j).size - common
+    } yield (i, j, common, common * 1000000L / union)).toSet
+    val got = Dedup.ngramJaccardPairs(dd, 3, maxShingleDf = cap)
+      .select("id_a", "id_b", "common", "jaccard_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.map(p => (p._1, p._2)) == Set((0L, 1L)))
+    // without the cut the boilerplate connects every pair
+    assert(Dedup.ngramJaccardPairs(dd, 3).count() == 15)
+  }
+
   test("minHashLshPairs surfaces the planted near-duplicates and skips unrelated docs") {
     val pairs = Dedup.minHashLshPairs(docs, k = 3, numPerms = 32, bands = 16,
       minJaccardPpm = 400000)
@@ -43,9 +78,29 @@ class LlmOpsSpec extends SparkSpec {
     val dd = Seq((0L, base), (1L, base), (2L, "nothing shared at all whatsoever"))
       .toDF("doc_id", "text")
     val pairs = Dedup.simHashPairs(dd, maxHamming = 3)
-      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
     assert(!pairs.exists(p => p._2 == 2L))
+  }
+
+  test("simHashPairs64: near-identical docs pair at low hamming, unrelated docs do not") {
+    val dd = Seq(
+      (0L, base), (1L, base), (2L, base + " extra"),
+      (3L, "nothing shared at all whatsoever between these strange texts")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs64(dd, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+    assert(!pairs.exists(p => p._2 == 3L))
+    // banding is exact for hamming ≤ 3: the verified pair set must equal
+    // the brute-force popcount over all signature pairs
+    val sigs = Dedup.simHash64(dd).as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(pairs.toSet == brute)
   }
 
   test("bruteForceKnn ranks an identical vector first") {
