@@ -19,13 +19,14 @@ import org.apache.spark.sql.functions._
   * so at 100 TB the cost is bounded by the number of duplicate pairs,
   * not documents.
   *
-  * Every round truncates lineage with `localCheckpoint(eager=true)`:
-  * `persist` is NOT enough — it caches execution but the LOGICAL plan
-  * still nests the whole history, and with labels referenced ~4× per
-  * round the analyzer re-walks a 4^r tree (observed: the driver hung
-  * in analysis after ~6 rounds with zero jobs running). At cluster
-  * scale swap localCheckpoint for reliable `checkpoint` against the
-  * checkpoint dir — same semantics, executor-loss-safe.
+  * Every round truncates lineage with [[Stage]] (localCheckpoint by
+  * default): `persist` is NOT enough — it caches execution but the
+  * LOGICAL plan still nests the whole history, and with labels
+  * referenced ~4× per round the analyzer re-walks a 4^r tree
+  * (observed: the driver hung in analysis after ~6 rounds with zero
+  * jobs running). At cluster scale set [[Stage.ReliableConf]] (plus a
+  * checkpoint dir) to swap every round to reliable `checkpoint` —
+  * same semantics, executor-loss-safe.
   */
 object Clusters {
 
@@ -39,9 +40,8 @@ object Clusters {
         col("id_a").cast("long").as("dst")))
       .distinct()
       .persist()
-    var labels = adj.groupBy("src").agg(min("dst").as("nbr"))
-      .select(col("src").as("id"), least(col("src"), col("nbr")).as("label"))
-      .localCheckpoint(true)
+    var labels = Stage(adj.groupBy("src").agg(min("dst").as("nbr"))
+      .select(col("src").as("id"), least(col("src"), col("nbr")).as("label")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -52,10 +52,9 @@ object Clusters {
       val l2 = labels.select(col("id").as("pid"), col("label").as("plabel"))
       val viaPtr = labels.join(l2, labels("label") === l2("pid"))
         .select(labels("id"), col("plabel").as("label"))
-      val next = labels.select("id", "label")
+      val next = Stage(labels.select("id", "label")
         .union(viaEdges).union(viaPtr)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .groupBy("id").agg(min("label").as("label")))
       val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") < col("o.label")).limit(1).count()
       labels = next

@@ -33,7 +33,13 @@ object Corpus {
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct("doc_id").as("n_docs"))
     val scored = tf.join(df_, "term").crossJoin(broadcast(n))
-      .withColumn("score", expr("tf * 1000000 * n_docs DIV df"))
+      // DECIMAL(38,0) intermediate: tf·1e6·n_docs overflows BIGINT once
+      // tf·n_docs ≳ 9.2e12 (a 10^9-doc corpus with tf 10^4); the wide
+      // product then floor-divides exactly. The oracle mirrors this with
+      // a HUGEINT cast. The RESULT must still fit in BIGINT — true
+      // whenever df ≳ tf·n_docs/9.2e12, i.e. for every non-vanishing df.
+      .withColumn("score",
+        expr("CAST(tf AS DECIMAL(38,0)) * 1000000 * n_docs DIV df"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

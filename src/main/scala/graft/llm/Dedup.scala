@@ -88,12 +88,11 @@ object Dedup {
           .withColumn("n_sh",
             count(lit(1)).over(Window.partitionBy("doc_id")).cast("long"))
       }
-    val sh = shRows
-      // Materialize the shingle table once: both self-join sides would
-      // otherwise re-run the scan + split + shingle-hash + explode
-      // (measured ~2x the hash work of the whole query at sf0.1). At
-      // cluster scale use reliable checkpoint / a staged table instead.
-      .localCheckpoint(true)
+    // Materialize the shingle table once: both self-join sides would
+    // otherwise re-run the scan + split + shingle-hash + explode
+    // (measured ~2x the hash work of the whole query at sf0.1).
+    // Stage() honors the reliable-checkpoint switch for cluster runs.
+    val sh = Stage(shRows)
     val a = sh.as("a"); val b = sh.as("b")
     a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -157,7 +156,7 @@ object Dedup {
                       bands: Int = 8, minJaccardPpm: Long = 500000L,
                       maxShingleDf: Long = Long.MaxValue): DataFrame = {
     // self-joined below — materialize the band table once.
-    val bh = minHashBands(docs, k, numPerms, bands).localCheckpoint(true)
+    val bh = Stage(minHashBands(docs, k, numPerms, bands))
     val cand = bh.as("x").join(bh.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
           && col("x.doc_id") < col("y.doc_id"))
@@ -182,7 +181,7 @@ object Dedup {
     // Referenced three times below (band explode + both join sides) —
     // materialize the signature aggregate once instead of re-running
     // the shingle+min pipeline per reference.
-    val sig = minHashSignatures(docs, k, numPerms).localCheckpoint(true)
+    val sig = Stage(minHashSignatures(docs, k, numPerms))
     val bandHashes = (0 until bands).map { b =>
       (b * rowsPerBand until (b + 1) * rowsPerBand).foldLeft(lit(BandSeed)) {
         (acc, j) => (acc * lit(BandMult) + col(s"h$j")) % lit(BandMod)
@@ -267,7 +266,7 @@ object Dedup {
     * tail: at corpus scale use [[simHashPairs64]]. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     // chunked self-joins inside — materialize the simhash aggregate once.
-    chunkBandPairs(simHash(docs).localCheckpoint(true), "simhash",
+    chunkBandPairs(Stage(simHash(docs)), "simhash",
       nChunks = 4, chunkBits = 8, maxHamming = maxHamming)
 
   /** 64-bit SimHash over xxhash64 token hashes — the SCALE variant of
@@ -297,6 +296,6 @@ object Dedup {
     * for maxHamming ≤ 3), 65,536 buckets per chunk position — the
     * corpus-scale banding. */
   def simHashPairs64(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    chunkBandPairs(simHash64(docs).localCheckpoint(true), "simhash64",
+    chunkBandPairs(Stage(simHash64(docs)), "simhash64",
       nChunks = 4, chunkBits = 16, maxHamming = maxHamming)
 }

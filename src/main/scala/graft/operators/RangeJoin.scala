@@ -40,7 +40,13 @@ object RangeJoin {
     * run with an explicit error instead of silently multiplying the row
     * count (each overlapped bucket emits a copy of its row). Helper
     * columns are prefixed `__graft_rj_` and rejected if the inputs
-    * already use those names. */
+    * already use those names.
+    *
+    * NULL lo/hi intervals are DROPPED before the span check: a NULL
+    * bound can never satisfy `ord >= lo && ord <= hi` (the predicate is
+    * NULL), so dropping them reproduces what the inner join would do
+    * anyway — without the NULL span expression falling into the
+    * span-violation `raise_error` branch and failing the job. */
   def bucketedIntervalJoin(left: DataFrame, right: DataFrame,
                            lo: Column, hi: Column, ord: Column,
                            bucketWidth: Long,
@@ -52,7 +58,8 @@ object RangeJoin {
       s"input columns collide with reserved ${reserved.mkString(", ")}")
     // DIV (not /): epoch-ns values exceed 2^53, double division would
     // corrupt bucket ids.
-    val l = left.withColumn(cLo, lo.cast("long")).withColumn(cHi, hi.cast("long"))
+    val l = left.filter(lo.isNotNull && hi.isNotNull)
+      .withColumn(cLo, lo.cast("long")).withColumn(cHi, hi.cast("long"))
       .withColumn(cBkt, explode(sequence(
         when(expr(s"$cHi DIV $bucketWidth - $cLo DIV $bucketWidth") <= maxSpanBuckets,
           expr(s"$cLo DIV $bucketWidth"))

@@ -221,6 +221,9 @@ object LlmQueries {
     // ±1 planeWeight construction, and every dot product in the oracle is
     // the same ascending-index double fold the codegen'd expression runs —
     // bucket bits and cosine ranks are bit-identical across engines.
+    // MULTI-PROBE at hamming 1: Spark explodes the query's probe buckets
+    // (equi-join stays); the oracle states the same candidate set as
+    // bit_count(xor(buckets)) <= 1.
     Q("q36_ann_lsh",
       s"""WITH planes AS (SELECT p, list_transform(range(0, 64),
         |    d -> CASE WHEN ((CAST(p*1021 + d*2039 + 1 AS BIGINT) * 2654435761) >> 13) & 1 = 1
@@ -233,7 +236,7 @@ object LlmQueries {
         |       FROM embeddings e CROSS JOIN planes p GROUP BY ALL),
         | pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |            ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sim
-        |           FROM b q JOIN b c ON q.bucket = c.bucket
+        |           FROM b q JOIN b c ON bit_count(xor(q.bucket, c.bucket)) <= 1
         |            AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
         | r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
         |         PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
@@ -242,7 +245,8 @@ object LlmQueries {
         |ORDER BY query_id, rnk""".stripMargin
     ) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-      Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 3, planes = 6, dim = 64)
+      Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 3, planes = 6, dim = 64,
+          probeHamming = 1)
         .orderBy("query_id", "rnk")
     },
 

@@ -61,7 +61,8 @@ object PipelineQueries {
         | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         | n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-        | s AS (SELECT doc_id, term, (tf * 1000000 * n_docs) // df AS score
+        | s AS (SELECT doc_id, term,
+        |        (CAST(tf AS HUGEINT) * 1000000 * n_docs) // df AS score
         |       FROM tf JOIN df USING (term) CROSS JOIN n),
         | r AS (SELECT doc_id, term, CAST(score AS BIGINT) AS score,
         |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk

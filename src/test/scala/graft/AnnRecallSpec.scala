@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Similarity
+
+/** Retrieval QUALITY of the approximate ANN paths against exact
+  * brute force on the real sf0.01 embeddings (64-dim, driver-generated):
+  * the CORRECTNESS gate proves the approximate operators deterministic,
+  * this proves they retrieve — recall@10 over 20 queries must clear a
+  * floor. All pipelines here are deterministic (seedless hashes), so
+  * measured recall is exact and repeatable: LSH 0.07/0.26/0.56/0.74 at
+  * probeHamming 0-3 (these near-uniform synthetic embeddings are the
+  * hyperplane-LSH worst case — recall ≈ 1.6× the scanned fraction),
+  * IVF 0.805, trained IVF 0.790. Floors sit below the measured values
+  * only enough to absorb testdata regeneration, while a real regression
+  * (broken bucket hash, wrong probe join) lands far below. */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 20)
+  private val K = 10
+
+  private lazy val exact: Map[Long, Set[Long]] =
+    Similarity.bruteForceKnn(emb, queries, K)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+
+  private def recallAtK(approx: Array[(Long, Long)]): Double = {
+    val byQ = approx.groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val hits = exact.toSeq.map { case (q, truth) =>
+      (byQ.getOrElse(q, Set.empty) intersect truth).size
+    }.sum
+    hits.toDouble / exact.values.map(_.size).sum
+  }
+
+  test("lshKnn multi-probe recall@10 vs brute force clears the floor") {
+    val r = (0 to 3).map { h =>
+      val got = Similarity.lshKnn(emb, queries, k = K, planes = 6, dim = 64,
+          probeHamming = h)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      val rec = recallAtK(got)
+      info(f"lshKnn probeHamming=$h recall@10 = $rec%.3f")
+      rec
+    }
+    // recall must rise with probe width (measured 0.07 / 0.26 / 0.56 / 0.74)
+    assert(r.zip(r.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in probes: $r")
+    // h=2 must beat scanning the same fraction at random: 22/64 buckets
+    assert(r(2) >= 0.45, f"lshKnn h=2 recall@10 ${r(2)}%.3f below floor 0.45")
+    // h=3 clears the headline 0.6 floor
+    assert(r(3) >= 0.6, f"lshKnn h=3 recall@10 ${r(3)}%.3f below floor 0.6")
+  }
+
+  test("ivfKnn recall@10 vs brute force clears the floor") {
+    val got = Similarity.ivfKnn(emb, queries, k = K, nLists = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val r = recallAtK(got)
+    info(f"ivfKnn recall@10 = $r%.3f")
+    assert(r >= 0.6, f"ivfKnn recall@10 $r%.3f below floor 0.6")
+  }
+
+  test("ivfKnnTrained recall@10 is at least the untrained floor") {
+    val got = Similarity.ivfKnnTrained(emb, queries, k = K, kCells = 16,
+        nProbe = 4, iters = 5, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val r = recallAtK(got)
+    info(f"ivfKnnTrained recall@10 = $r%.3f")
+    assert(r >= 0.6, f"ivfKnnTrained recall@10 $r%.3f below floor 0.6")
+  }
+}

@@ -52,6 +52,35 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("Stage reliable-checkpoint mode produces identical dedup results") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon eta"),
+      (2L, "totally different content in this document")
+    ).toDF("doc_id", "text")
+    val ccLocal = Clusters.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val pairsLocal = graft.llm.Dedup.ngramJaccardPairs(docs, 3, maxShingleDf = 10L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(graft.llm.Stage.ReliableConf, "true")
+    try {
+      val ccRel = Clusters.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      val pairsRel = graft.llm.Dedup.ngramJaccardPairs(docs, 3, maxShingleDf = 10L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(ccRel == ccLocal)
+      assert(pairsRel == pairsLocal)
+      // reliable mode actually wrote checkpoint data to the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0)
+    } finally spark.conf.unset(graft.llm.Stage.ReliableConf)
+  }
+
   test("tfIdfTopK ranks rare terms above common ones") {
     val docs = Seq(
       (0L, "common common rare0"),

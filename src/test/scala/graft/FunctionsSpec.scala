@@ -57,6 +57,37 @@ class FunctionsSpec extends SparkSpec {
     assert(TableDefs.forStripeId("zz_1").isEmpty)
   }
 
+  test("golden: guardedUpsertSql(charges) reproduces the reference statement text") {
+    // The reference's upsert-with-timestamp-protection for charges
+    // (postgres.ts:181-204 applied to schemas/charge.ts), transcribed
+    // token-for-token with the TWO documented batch-form deviations:
+    //   1. one multi-row `VALUES %s` placeholder instead of per-row
+    //      yesql `:param` tuples (executors bind many rows per statement);
+    //   2. the guard/update reference the inserted row via SQL-standard
+    //      `EXCLUDED."last_synced_at"` instead of the `:last_synced_at`
+    //      bind parameter (identical value — it IS the inserted column).
+    // The property list below is copied literally from the reference's
+    // schemas/charge.ts:4-42 — if TableDefs.charges ever drifts from the
+    // reference schema, this golden breaks.
+    val props = Seq(
+      "id", "object", "paid", "order", "amount", "review", "source",
+      "status", "created", "dispute", "invoice", "outcome", "refunds",
+      "captured", "currency", "customer", "livemode", "metadata",
+      "refunded", "shipping", "application", "description", "destination",
+      "failure_code", "on_behalf_of", "fraud_details", "receipt_email",
+      "payment_intent", "receipt_number", "transfer_group",
+      "amount_refunded", "application_fee", "failure_message",
+      "source_transfer", "balance_transaction", "statement_descriptor",
+      "payment_method_details")
+    val expected =
+      s"""INSERT INTO "stripe"."charges" (${(props :+ "last_synced_at").map(c => s""""$c"""").mkString(", ")})
+         |VALUES %s
+         |ON CONFLICT ("id") DO UPDATE SET ${(props.filterNot(_ == "id") :+ "last_synced_at").map(c => s""""$c" = EXCLUDED."$c"""").mkString(", ")}
+         |WHERE "charges"."last_synced_at" IS NULL
+         |   OR "charges"."last_synced_at" < EXCLUDED."last_synced_at"""".stripMargin
+    assert(graft.operators.MergeSink.guardedUpsertSql(TableDefs.charges) == expected)
+  }
+
   test("guarded upsert SQL carries the timestamp-protection predicate (S9, postgres.ts:189-204)") {
     val sql = graft.operators.MergeSink.guardedUpsertSql(TableDefs.charges)
     assert(sql.contains("""ON CONFLICT ("id") DO UPDATE"""))
