@@ -132,14 +132,12 @@ object Dedup {
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding: split the signature into `bands` bands of
-    * numPerms/bands values each; band hash = polynomial fold of the
-    * band's values in j order. Docs sharing any band hash are candidate
-    * near-duplicates; the candidate join is an equi-join on
-    * (band, band_hash) — broadcastable / bucketable, never a cross join. */
-  def minHashBands(docs: DataFrame, k: Int = 3, numPerms: Int = 32, bands: Int = 8): DataFrame = {
+  /** Band hashes from an already-computed signature table (doc_id,
+    * h0..h{numPerms-1}) — the signature table is the ARTIFACT a corpus
+    * pipeline persists; banding it is a narrow projection, so candidate
+    * generation against stored signatures never re-reads text. */
+  def bandsFromSignatures(sig: DataFrame, numPerms: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = numPerms / bands
-    val sig = minHashSignatures(docs, k, numPerms)
     val bandHashes = (0 until bands).map { b =>
       (b * rowsPerBand until (b + 1) * rowsPerBand).foldLeft(lit(BandSeed)) {
         (acc, j) => (acc * lit(BandMult) + col(s"h$j")) % lit(BandMod)
@@ -149,6 +147,14 @@ object Dedup {
         posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
       .select("doc_id", "band", "band_hash")
   }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * numPerms/bands values each; band hash = polynomial fold of the
+    * band's values in j order. Docs sharing any band hash are candidate
+    * near-duplicates; the candidate join is an equi-join on
+    * (band, band_hash) — broadcastable / bucketable, never a cross join. */
+  def minHashBands(docs: DataFrame, k: Int = 3, numPerms: Int = 32, bands: Int = 8): DataFrame =
+    bandsFromSignatures(minHashSignatures(docs, k, numPerms), numPerms, bands)
 
   /** Candidate pairs from LSH banding, verified with exact shingle
     * Jaccard (ppm). `minJaccardPpm` filters the verified pairs. */
@@ -205,6 +211,60 @@ object Dedup {
       .withColumn("matches", matches)
       .withColumn("est_jaccard_ppm", expr(s"matches * 1000000 DIV $numPerms"))
       .select("id_a", "id_b", "matches", "est_jaccard_ppm")
+  }
+
+  /** INCREMENTAL dedup — the operation a production corpus pipeline runs
+    * on every ingest batch: decide which NEW documents to keep, given
+    * only the persisted signature table of the existing corpus
+    * (doc_id, h0..h{numPerms-1} — see [[minHashSignatures]]). The
+    * existing corpus TEXT is never read: its signatures band via a
+    * narrow projection, candidates meet in (band, band_hash) equi-joins,
+    * and the verify is signature agreement ([[minHashEstimates]]'
+    * arithmetic). Cost scales with the NEW batch + the signature table,
+    * not with corpus text size — the property that makes daily dedup
+    * of a 100 TB corpus feasible.
+    *
+    * Drop policy (greedy by id, the streaming-ingest standard): a new
+    * document is dropped iff its estimated Jaccard ≥ `minEstPpm`
+    * against ANY existing document, or against a LOWER-id document of
+    * the same batch (so within-batch duplicate groups keep exactly
+    * their min id, matching q68's keep-list policy for chains of
+    * directly-similar docs). Precondition: new and existing doc_ids
+    * are disjoint.
+    *
+    * Returns the kept subset of `newDocs`, all columns intact. */
+  def dedupIncremental(newDocs: DataFrame, existingSigs: DataFrame,
+                       k: Int = 3, numPerms: Int = 32, bands: Int = 8,
+                       minEstPpm: Long = 500000L): DataFrame = {
+    val newSigs = Stage(minHashSignatures(newDocs, k, numPerms))
+    val nb = bandsFromSignatures(newSigs, numPerms, bands)
+    val eb = bandsFromSignatures(existingSigs, numPerms, bands)
+    // candidates: (new, existing) on any shared band; (new, earlier new)
+    val candOld = nb.as("n").join(eb.as("o"),
+        col("n.band") === col("o.band") && col("n.band_hash") === col("o.band_hash"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("other_id"))
+    val candNew = nb.as("n").join(nb.as("o"),
+        col("n.band") === col("o.band") && col("n.band_hash") === col("o.band_hash")
+          && col("o.doc_id") < col("n.doc_id"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("other_id"))
+    val cand = candOld.union(candNew).distinct()
+    // signature-agreement verify — the "other" side may be an existing or
+    // a new doc, so probe the union of both signature tables
+    val allSigs = existingSigs.select(newSigs.columns.map(col): _*)
+      .unionByName(newSigs)
+    val a = newSigs.select(col("doc_id").as("new_id") +:
+      (0 until numPerms).map(j => col(s"h$j").as(s"a$j")): _*)
+    val b = allSigs.select(col("doc_id").as("other_id") +:
+      (0 until numPerms).map(j => col(s"h$j").as(s"b$j")): _*)
+    val matches = (0 until numPerms)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val drop = cand.join(a, "new_id").join(b, "other_id")
+      .withColumn("matches", matches)
+      .filter(expr(s"matches * 1000000 DIV $numPerms") >= minEstPpm)
+      .select(col("new_id").as("doc_id"))
+      .distinct()
+    newDocs.join(drop, Seq("doc_id"), "left_anti")
   }
 
   // --- SimHash -------------------------------------------------------------

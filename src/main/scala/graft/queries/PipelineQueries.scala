@@ -448,6 +448,56 @@ object PipelineQueries {
         .orderBy("custkey")
     },
 
+    // INCREMENTAL dedup: the even-id docs play the existing corpus (only
+    // their SIGNATURE table is given to the operator), the odd-id docs
+    // are the ingest batch. A new doc is dropped when its MinHash
+    // estimate reaches 0.5 against any existing doc or a lower-id
+    // batchmate. The oracle replays signatures for both sides and the
+    // same greedy-by-id policy.
+    Q("q73_dedup_incremental",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+        |        FROM w WHERE len(l) >= 3),
+        | hx AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(1, length(shingle) + 1),
+        |            i -> CAST(ascii(substr(shingle, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |          (a, c) -> (a * 131 + c) % 4294967291) AS x
+        |        FROM sh),
+        | perms AS (SELECT j, ((1103515245 * (j + 1) + 12345) % 2147483648) | 1 AS a,
+        |                  (2654435761 * (j + 7)) % 4294967311 AS b
+        |           FROM range(0, 32) t(j)),
+        | mh AS (SELECT doc_id, j, min((a * x + b) % 4294967311) AS h
+        |        FROM hx CROSS JOIN perms GROUP BY doc_id, j),
+        | bh AS (SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+        |          list_reduce(list_prepend(CAST(7 AS BIGINT), list(h ORDER BY j)),
+        |            (acc, v) -> (acc * 1315423911 + v) % 1000000007) AS band_hash
+        |        FROM mh GROUP BY doc_id, band),
+        | cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS other_id
+        |          FROM bh n JOIN bh o ON n.band = o.band AND n.band_hash = o.band_hash
+        |          WHERE n.doc_id % 2 = 1 AND o.doc_id <> n.doc_id
+        |           AND (o.doc_id % 2 = 0 OR o.doc_id < n.doc_id)),
+        | est AS (SELECT c.new_id, c.other_id,
+        |          sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS matches
+        |         FROM cand c JOIN mh ma ON ma.doc_id = c.new_id
+        |          JOIN mh mb ON mb.doc_id = c.other_id AND mb.j = ma.j
+        |         GROUP BY 1, 2),
+        | dropped AS (SELECT DISTINCT new_id FROM est
+        |             WHERE (matches * 1000000) // 32 >= 500000)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id % 2 = 1
+        | AND NOT EXISTS (SELECT 1 FROM dropped WHERE new_id = d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val existingSigs = Dedup.minHashSignatures(
+        docs.filter(col("doc_id") % 2 === 0), k = 3, numPerms = 32)
+      Dedup.dedupIncremental(docs.filter(col("doc_id") % 2 === 1), existingSigs,
+          k = 3, numPerms = 32, bands = 8, minEstPpm = 500000L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // Shard-keyed sequence packing: q64's cumulative fill, but windowed
     // per shard (doc_id mod 8) — the embarrassingly-parallel form that
     // replaces q64's global single-reducer ordering at corpus scale.

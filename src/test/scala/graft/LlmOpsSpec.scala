@@ -68,6 +68,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedupIncremental drops batch docs similar to the corpus or to earlier batchmates") {
+    val existing = Seq((0L, base), (2L, "some other corpus document here today"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, base + " extra"),                                   // dup of corpus 0 → drop
+      (3L, "entirely new material nobody has seen before now"), // unique → keep
+      (5L, "twin sentences that match their later sibling ok"), // kept (lowest of pair)
+      (7L, "twin sentences that match their later sibling ok")  // dup of 5 → drop
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(existing, k = 3, numPerms = 32)
+    val kept = Dedup.dedupIncremental(fresh, sigs, k = 3, numPerms = 32,
+        bands = 16, minEstPpm = 400000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 5L))
+  }
+
   test("minhash signatures are deterministic across runs") {
     val a = Dedup.minHashBands(docs).orderBy("doc_id", "band").collect().toSeq
     val b = Dedup.minHashBands(docs).orderBy("doc_id", "band").collect().toSeq
