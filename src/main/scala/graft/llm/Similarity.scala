@@ -77,6 +77,40 @@ object Similarity {
       .select("id_a", "id_b")
   }
 
+  /** Embedding near-dup pairs at corpus scale — the LSH-bucketed form of
+    * [[nearDupPairs]] (which is caller-bounded quadratic): candidates are
+    * pairs whose LSH buckets differ in at most `probeHamming` plane
+    * signs, met in an equi-join on bucket (one side explodes its probe
+    * buckets, so the join key stays a plain long and the corpus is
+    * never replicated), then exact cosine ≥ `minSim` verifies. Expected
+    * candidate count is n²·Σ_{i≤h} C(p,i)/2^p over n vectors and p
+    * planes — the caller tunes p to the corpus size. Approximate by
+    * construction: a true pair landing > h plane-sign flips apart is
+    * missed (AnnRecallSpec quantifies the bucket-recall tradeoff). */
+  def bucketedNearDupPairs(emb: DataFrame, planes: Int, dim: Int,
+                           minSim: Double, probeHamming: Int = 1): DataFrame = {
+    // both join sides below — materialize buckets + norms once
+    val b = Stage(lshBuckets(emb, planes, dim)
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0))
+    val masks: Seq[Long] = (0 until (1 << planes))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
+      .map(_.toLong)
+    val probes = b.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+      col("nrm").as("n_a"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+        .as("bucket"))
+    probes.join(
+        b.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+          col("nrm").as("n_b"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("sim") >= minSim)
+      .select("id_a", "id_b")
+  }
+
   /** Deterministic ±1 hyperplane weight for (plane, dim): a multiplicative
     * integer hash bit (Knuth constant), reproducible anywhere. */
   private[llm] def planeWeight(p: Int, d: Int): Double = {

@@ -286,6 +286,32 @@ object LlmQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // Bucketed embedding near-dup pairs — q35's scale path as a first-
+    // class oracle entry: candidates = bucket hamming ≤ 1 (stated
+    // directly as bit_count(xor(...)) in the oracle; Spark explodes the
+    // probe buckets to keep an equi-join), verify = exact cosine ≥ 0.4
+    // over the same double fold both engines run.
+    Q("q74_bucketed_neardup",
+      s"""WITH planes AS (SELECT p, list_transform(range(0, 64),
+        |    d -> CASE WHEN ((CAST(p*1021 + d*2039 + 1 AS BIGINT) * 2654435761) >> 13) & 1 = 1
+        |         THEN 1.0 ELSE -1.0 END) AS w
+        |  FROM range(0, 6) t(p)),
+        | b AS (SELECT e.vec_id, e.embedding,
+        |        sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm,
+        |        CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.w")} > 0
+        |                      THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM embeddings e CROSS JOIN planes p GROUP BY ALL)
+        |SELECT a.vec_id AS id_a, c.vec_id AS id_b
+        |FROM b a JOIN b c ON bit_count(xor(a.bucket, c.bucket)) <= 1
+        | AND a.vec_id < c.vec_id
+        |WHERE ${dotSql("a.embedding", "c.embedding")} / (a.nrm * c.nrm) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      Similarity.bucketedNearDupPairs(Tables(s, dir, "embeddings"),
+          planes = 6, dim = 64, minSim = 0.4, probeHamming = 1)
+        .orderBy("id_a", "id_b")
+    },
+
     Q("q37_multimodal_meta",
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | CAST((ascii(text) * 7) % 256 AS INTEGER) AS width,

@@ -144,6 +144,23 @@ class LlmOpsSpec extends SparkSpec {
       vecs.filter(col("vec_id") < 3), k = 3, planes = 4, dim = 8).collect().toSeq)
   }
 
+  test("bucketedNearDupPairs finds parallel vectors and skips orthogonal ones") {
+    val vecs = Seq(
+      (0L, Array.tabulate(8)(d => (d + 1).toFloat)),
+      (1L, Array.tabulate(8)(d => (d + 1) * 2.0f)),  // parallel to 0 (cos=1)
+      (2L, Array.tabulate(8)(d => if (d == 0) 1.0f else 0.0f)),
+      (3L, Array.tabulate(8)(d => if (d == 7) 1.0f else -0.001f)) // ~orthogonal to 2
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.bucketedNearDupPairs(vecs, planes = 4, dim = 8,
+        minSim = 0.9, probeHamming = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))   // identical direction, same bucket
+    assert(!pairs.contains((2L, 3L)))  // below threshold even if co-bucketed
+    // deterministic across runs
+    assert(pairs == Similarity.bucketedNearDupPairs(vecs, planes = 4, dim = 8,
+      minSim = 0.9, probeHamming = 1).as[(Long, Long)].collect().toSet)
+  }
+
   test("multimodal: payload bytes round-trip and frames cover the payload") {
     val d = Seq((0L, "abcdef"), (1L, "x" * 200)).toDF("doc_id", "text")
     val meta = Multimodal.extractMeta(d).orderBy("doc_id").collect()
