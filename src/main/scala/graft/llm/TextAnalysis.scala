@@ -72,6 +72,50 @@ object TextAnalysis {
     scored.withColumn("pred_lang", pred).drop("text")
   }
 
+  /** Repetition metrics — the distinct-token-ratio family of quality
+    * rules (Gopher-style corpus cleaning): machine-generated / looping
+    * text collapses to few distinct tokens. Outputs per doc: n_tokens,
+    * n_distinct, distinct_ppm = n_distinct·1e6 DIV n_tokens, and the
+    * max single-token share in ppm (a doc that is 40% one token is
+    * boilerplate whatever its distinct ratio). Narrow per-row array
+    * expressions — scan speed at any scale. */
+  def repetitionStats(docs: DataFrame, maxRepPpmFlag: Long = 300000L): DataFrame = {
+    val w = words(col("text"))
+    docs.select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        size(array_distinct(w)).cast("long").as("n_distinct"),
+        // most frequent token's count: max over distinct tokens of their
+        // occurrence count (array-local, no explode/shuffle)
+        array_max(transform(array_distinct(w),
+          t => size(filter(w, x => x === t)))).cast("long").as("top_tok_cnt"))
+      .withColumn("distinct_ppm", expr("(n_distinct * 1000000) DIV n_tokens"))
+      .withColumn("top_tok_ppm", expr("(top_tok_cnt * 1000000) DIV n_tokens"))
+      .withColumn("is_repetitive",
+        (col("top_tok_ppm") >= maxRepPpmFlag).cast("int"))
+  }
+
+  /** PII detection / redaction: flag and mask email-shaped and long-
+    * digit-run (phone/card-shaped) tokens. Patterns are deliberately in
+    * the common regex subset Java (Spark) and RE2 (other engines) parse
+    * identically — character classes, +, {m,}, no backrefs or
+    * lookaround. Redaction replaces each match with a fixed tag, so
+    * downstream token counts stay aligned. Narrow per-row expressions —
+    * scan speed. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val DigitRunRe = "[0-9]{9,}"
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(DigitRunRe), lit(0)))
+          .cast("long").as("n_digit_runs"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          DigitRunRe, "<NUM>").as("scrubbed"))
+      .withColumn("has_pii",
+        ((col("n_emails") + col("n_digit_runs")) > 0).cast("int"))
+
   /** Rolling polynomial fingerprint over the token stream:
     * h = fold(tokens, 0; acc*31 + (ascii(first char)*1000 + len)) mod p.
     * Word-level Rabin-Karp-style hash; pure integer arithmetic so it is

@@ -72,6 +72,40 @@ object LlmQueries {
       TextAnalysis.fingerprint(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // Repetition metrics (Gopher-style distinct-token-ratio rules).
+    Q("q75_repetition",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | m AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+        |        CAST(list_max(list_transform(list_distinct(l),
+        |          t -> len(list_filter(l, x -> x = t)))) AS BIGINT) AS top_tok_cnt
+        |       FROM w)
+        |SELECT doc_id, n_tokens, n_distinct, top_tok_cnt,
+        | (n_distinct * 1000000) // n_tokens AS distinct_ppm,
+        | (top_tok_cnt * 1000000) // n_tokens AS top_tok_ppm,
+        | CAST((top_tok_cnt * 1000000) // n_tokens >= 300000 AS INTEGER) AS is_repetitive
+        |FROM m ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.repetitionStats(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // PII detection / redaction. Patterns live in the Java∩RE2 regex
+    // subset so both engines match identically; the oracle needs the 'g'
+    // flag (DuckDB replaces first-match-only by default, Spark replaces
+    // all).
+    Q("q76_pii_scrub",
+      s"""SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '${TextAnalysis.DigitRunRe}')) AS BIGINT) AS n_digit_runs,
+        | regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+        |   '${TextAnalysis.DigitRunRe}', '<NUM>', 'g') AS scrubbed,
+        | CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
+        |   + len(regexp_extract_all(text, '${TextAnalysis.DigitRunRe}')) > 0 AS INTEGER) AS has_pii
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.piiScrub(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
     Q("q29_dedup_key",
       """SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS norm_key,
         | min(doc_id) AS rep_id, count(*) AS n_dups
