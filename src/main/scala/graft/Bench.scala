@@ -71,7 +71,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val conc = sys.env.getOrElse("BENCH_CONCURRENCY", "4").toInt
-    val maxPasses = sys.env.getOrElse("BENCH_PASSES", "2").toInt
+    // 3 passes fit comfortably inside the deadline on a calm box (full
+    // sequential sweep measured ~60 s at sf0.1); on a noisy box the
+    // deadline cuts later passes, never coverage.
+    val maxPasses = sys.env.getOrElse("BENCH_PASSES", "3").toInt
     val deadlineSec = sys.env.getOrElse("BENCH_DEADLINE_SEC", "210").toDouble
     prefaultHeap(
       gib = sys.env.getOrElse("BENCH_PREFAULT_GIB", "2").toInt,

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.llm.Dedup
+
+/** Streaming corpus ingest with incremental dedup — the LLM-pipeline
+  * counterpart of [[WebhookPipeline]]: an unbounded stream of documents
+  * is folded into a training corpus while near-duplicates are dropped
+  * at the door.
+  *
+  * The persistent artifact is the MinHash SIGNATURE STORE (a parquet
+  * dir of doc_id, h0..h{numPerms-1}): per micro-batch,
+  *   1. replayed doc_ids are anti-joined away against the store
+  *      (at-least-once delivery → at-most-once admission per id);
+  *   2. [[Dedup.dedupIncremental]] drops batch docs near-duplicating
+  *      the store or an earlier batchmate — cost scales with the batch
+  *      plus the signature store, corpus TEXT is never re-read;
+  *   3. survivors append to the corpus dir, their signatures to the
+  *      store.
+  * The two appends are not one transaction on plain parquet: the store
+  * is written LAST, so a crash between them can re-admit a document on
+  * replay (at-least-once into the corpus), which downstream exact
+  * dedup absorbs; on a transactional table format both appends join
+  * one commit and the pipeline is exactly-once.
+  */
+object CorpusIngest {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** One micro-batch: returns the number of admitted documents.
+    * foreachBatch-compatible. */
+  def processBatch(batch: DataFrame, corpusDir: String, sigDir: String,
+                   k: Int = 3, numPerms: Int = 32, bands: Int = 8,
+                   minEstPpm: Long = 500000L): Long = {
+    val spark = batch.sparkSession
+    val existingSigs =
+      if (Files.exists(Paths.get(sigDir))) spark.read.parquet(sigDir)
+      else Dedup.minHashSignatures(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          docSchema), k, numPerms)
+    val fresh = batch.select("doc_id", "text")
+      .join(existingSigs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val kept = Dedup.dedupIncremental(fresh, existingSigs, k, numPerms,
+      bands, minEstPpm)
+    // Admission must be decided before the two appends (kept is read
+    // twice): one small batch-sized materialization.
+    val admitted = graft.llm.Stage(kept)
+    val n = admitted.count()
+    if (n > 0) {
+      admitted.write.mode(SaveMode.Append).parquet(corpusDir)
+      Dedup.minHashSignatures(admitted, k, numPerms)
+        .write.mode(SaveMode.Append).parquet(sigDir)
+    }
+    n
+  }
+
+  /** Structured Streaming driver: file-drop source of JSON documents
+    * ({"doc_id": …, "text": …} per line). */
+  def start(spark: SparkSession, inputDir: String, corpusDir: String,
+            sigDir: String, checkpoint: String) = {
+    spark.readStream
+      .schema(docSchema)
+      .json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        processBatch(df, corpusDir, sigDir); ()
+      }
+      .start()
+  }
+}

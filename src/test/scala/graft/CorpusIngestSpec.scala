@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.CorpusIngest
+
+/** The streaming ingest-dedup loop, driven batch-by-batch the way
+  * foreachBatch would: replays are dropped by id, near-dups by
+  * signature, and the signature store accumulates only admitted docs. */
+class CorpusIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+
+  test("ingest admits novel docs, drops replays and near-duplicates across batches") {
+    val corpusDir = tmpDir("corpus") + "/docs"
+    val sigDir = tmpDir("corpus") + "/sigs"
+    def ingest(rows: (Long, String)*): Long =
+      CorpusIngest.processBatch(rows.toDF("doc_id", "text"), corpusDir, sigDir,
+        k = 3, numPerms = 32, bands = 16, minEstPpm = 400000L)
+
+    // batch 1: two novel docs
+    assert(ingest(0L -> base,
+      1L -> "a first unique document about spark partitions and shuffles") == 2L)
+    // batch 2: replay of 1 (same id) → id-dropped; near-dup of 0 → sig-dropped;
+    // one novel doc admitted
+    assert(ingest(
+      1L -> "a first unique document about spark partitions and shuffles",
+      2L -> (base + " extra"),
+      3L -> "completely new material never seen in any earlier batch") == 1L)
+    val corpus = spark.read.parquet(corpusDir).select("doc_id")
+      .as[Long].collect().toSet
+    assert(corpus == Set(0L, 1L, 3L))
+    // store holds exactly the admitted docs' signatures
+    val sigs = spark.read.parquet(sigDir).select("doc_id").as[Long].collect().toSet
+    assert(sigs == Set(0L, 1L, 3L))
+    // batch 3: replaying an admitted doc is a no-op (idempotent restart)
+    assert(ingest(3L -> "completely new material never seen in any earlier batch") == 0L)
+  }
+}
