@@ -81,4 +81,50 @@ class BackfillSpec extends SparkSpec {
     assert(n == 1L)
     assert(spark.read.parquet(s"$dir/charges").head().getAs[Long]("amount") == 5L)
   }
+
+  test("RetryingFetcher retries transient failures with exponential backoff") {
+    import graft.operators.RetryingFetcher
+    // fails the first two retrieve calls, then succeeds
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = new Backfill.EntityFetcher {
+      def list(tdef: TableDef, gte: Option[Long], lt: Option[Long]): Iterator[String] =
+        store.valuesIterator.filter(_.contains(s""""object":"${tdef.stripeObject}""""))
+      def retrieve(tdef: TableDef, id: String): Option[String] = {
+        if (calls.incrementAndGet() <= 2) throw new RuntimeException("rate limited")
+        store.get(id)
+      }
+    }
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val retrying = new RetryingFetcher(flaky, maxAttempts = 3,
+      baseDelayMs = 100L, sleeper = slept += _)
+    assert(retrying.retrieve(TableDefs.charges, "ch_1").isDefined)
+    assert(slept.toSeq == Seq(100L, 200L)) // base · 2^(attempt−1)
+    // exhausted attempts surface the failure
+    calls.set(0)
+    val giveUp = new RetryingFetcher(flaky, maxAttempts = 2,
+      baseDelayMs = 1L, sleeper = _ => ())
+    calls.set(-100) // 102 consecutive failures > 2 attempts
+    intercept[RuntimeException] { giveUp.retrieve(TableDefs.charges, "ch_1") }
+  }
+
+  test("RetryingFetcher resumes a cursor that dies mid-iteration") {
+    import graft.operators.RetryingFetcher
+    val docs = (1 to 8).map(i => s"""{"id":"ch_$i","object":"charge","amount":$i}""")
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = new Backfill.EntityFetcher {
+      def list(tdef: TableDef, gte: Option[Long], lt: Option[Long]): Iterator[String] = {
+        val attempt = attempts.incrementAndGet()
+        // first cursor dies after 3 rows; the re-listed one survives
+        if (attempt == 1) docs.iterator.take(3) ++ Iterator.continually[String](
+          throw new RuntimeException("connection reset")).take(1)
+        else docs.iterator
+      }
+      def retrieve(tdef: TableDef, id: String): Option[String] = None
+    }
+    val retrying = new RetryingFetcher(flaky, maxAttempts = 3,
+      baseDelayMs = 1L, sleeper = _ => ())
+    val got = retrying.list(TableDefs.charges, None, None).toSeq
+    assert(got == docs)        // every row exactly once, order preserved
+    assert(attempts.get() == 2) // one restart
+  }
 }
