@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.DotProduct.dot_product
+
+/** Product Quantization (PQ) — the memory-bound ANN path for corpus-
+  * scale embedding search (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011): the D-dim vector splits into
+  * `m` subspaces of D/m dims, each subspace trains its own `ksub`-cell
+  * codebook ([[KMeans]] — deterministic, seed-free), and a vector is
+  * stored as m small codes. At 64-dim float → 8 codes, a 32× compression:
+  * a 100 TB float corpus becomes ~3 TB of codes that fit an executor
+  * fleet's memory, which is the entire point.
+  *
+  * Query scoring is ADC (asymmetric distance computation): the QUERY
+  * side precomputes, per subspace, the table of squared distances from
+  * its sub-vector to every centroid — m·ksub doubles computed ONCE per
+  * query before the candidate join (they ride the broadcast) — and a
+  * candidate's approximate distance is just m table lookups summed, not
+  * a D-dim dot product. |q_sub|² terms are per-query constants summing
+  * to |q|², so they drop out of the per-query ranking exactly like the
+  * norm in [[KMeans]]' assignment.
+  *
+  * Deterministic end to end (codebooks, argmin tie-break on lower cell
+  * id, rank tie-break on neighbor id) — spec-tested for recall against
+  * brute force; no SQL oracle (centroids are trained artifacts, like
+  * [[Similarity.ivfKnnTrained]]).
+  */
+object ProductQuantizer {
+
+  /** Per-subspace codebooks: cents(s) = [[KMeans.train]] output over the
+    * s-th sub-vector slice. */
+  case class Codebook(m: Int, ksub: Int, subDim: Int,
+                      cents: Seq[Seq[(Long, Array[Double])]])
+
+  def train(emb: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 5,
+            dim: Int = 64): Codebook = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val books = (0 until m).map { s =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+      KMeans.train(sub, ksub, iters, subDim)
+    }
+    Codebook(m, ksub, subDim, books)
+  }
+
+  /** Encode every vector as its m nearest-centroid cell ids:
+    * (vec_id, codes: Array[Long]). Narrow expression over centroid
+    * literals — scan speed, no shuffle; this is the table a PQ pipeline
+    * persists in place of the raw vectors. */
+  def encode(emb: DataFrame, cb: Codebook): DataFrame = {
+    val codeCols = (0 until cb.m).map { s =>
+      val sub = slice(col("embedding"), s * cb.subDim + 1, cb.subDim)
+      val scored = cb.cents(s).map { case (cid, c) =>
+        val cArr = array(c.map(lit): _*)
+        val cc = c.map(x => x * x).sum
+        struct((lit(cc) - lit(2.0) * dot_product(sub, cArr)).as("score"),
+          lit(cid).as("cell"))
+      }
+      array_min(array(scored: _*)).getField("cell")
+    }
+    emb.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC top-k by approximate squared L2 distance: `coded` is the
+    * [[encode]] output (the corpus the cluster actually holds), queries
+    * bring raw vectors. Returns (query_id, neighbor_id, rnk). */
+  def adcTopK(coded: DataFrame, queries: DataFrame, cb: Codebook,
+              k: Int): DataFrame = {
+    // distance tables, once per query row, broadcast with the queries
+    val withTables = (0 until cb.m).foldLeft(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))) {
+      (df, s) =>
+        val qSub = slice(col("q_emb"), s * cb.subDim + 1, cb.subDim)
+        val table = array(cb.cents(s).map { case (_, c) =>
+          val cArr = array(c.map(lit): _*)
+          lit(c.map(x => x * x).sum) - lit(2.0) * dot_product(qSub, cArr)
+        }: _*)
+        df.withColumn(s"t$s", table)
+    }
+    val q = broadcast(withTables.drop("q_emb"))
+    val pairs = q.join(
+      coded.select(col("vec_id").as("neighbor_id"), col("codes")),
+      col("query_id") =!= col("neighbor_id"))
+    // candidate cost: m lookups + adds — never a D-dim dot product
+    val score = (0 until cb.m).map { s =>
+      element_at(col(s"t$s"),
+        element_at(col("codes"), s + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    pairs.withColumn("adc_dist", score)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** ADC shortlist + exact re-rank — the production PQ query: codes
+    * shortlist `shortlist` candidates per query (cheap, code-table
+    * only), then ONLY those rows re-join the raw vectors for an exact
+    * L2 rank. The corpus-sized vector table is touched for
+    * queries·shortlist rows, not scanned per query — at 32×
+    * compression the fleet holds codes in memory and pages in raw
+    * vectors for the shortlist alone. Measured on sf0.01 (8×16 codes,
+    * shortlist 50): recall@10 = 0.325 ADC-only → see
+    * ProductQuantizerSpec for the re-ranked floor. */
+  def adcTopKReranked(coded: DataFrame, queries: DataFrame, emb: DataFrame,
+                      cb: Codebook, k: Int, shortlist: Int = 50): DataFrame = {
+    val cand = adcTopK(coded, queries, cb, shortlist)
+      .select("query_id", "neighbor_id")
+    val qv = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val cv = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    // |q|² is constant per query → rank by |c|² − 2·q·c
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("l2_part").asc, col("neighbor_id"))
+    cand.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .withColumn("l2_part",
+        dot_product(col("c_emb"), col("c_emb"))
+          - lit(2.0) * dot_product(col("q_emb"), col("c_emb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.ProductQuantizer
+
+/** PQ/ADC retrieval quality on the real sf0.01 embeddings: ground truth
+  * is exact squared-L2 top-k computed in plain Scala (the corpus is
+  * collect-small at this SF), the operator runs the distributed path
+  * (trained codebooks → coded corpus → ADC join). Deterministic
+  * codebooks ⇒ measured recall is exact and repeatable. */
+class ProductQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private val K = 10
+
+  private lazy val vectors: Map[Long, Array[Double]] =
+    emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+
+  private def exactL2TopK(queryIds: Seq[Long]): Map[Long, Set[Long]] =
+    queryIds.map { q =>
+      val qv = vectors(q)
+      q -> vectors.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          val d = qv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d, id)
+        }
+        .sortBy(identity).take(K).map(_._2).toSet
+    }.toMap
+
+  test("identical vectors encode to identical codes") {
+    val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 2, dim = 64)
+    val twice = emb.limit(5).unionAll(emb.limit(5))
+    val codes = ProductQuantizer.encode(twice, cb)
+      .groupBy("vec_id").agg(countDistinct("codes").as("n"))
+      .select("n").as[Long].collect()
+    assert(codes.forall(_ == 1L))
+  }
+
+  test("ADC and ADC+rerank recall vs exact L2 clear their floors") {
+    val queryIds = (0L until 20L).toSeq
+    val truth = exactL2TopK(queryIds)
+    val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 3, dim = 64)
+    val coded = ProductQuantizer.encode(emb, cb)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+      truth.toSeq.map { case (q, t) =>
+        (got.getOrElse(q, Set.empty) intersect t).size
+      }.sum.toDouble / (queryIds.size * K)
+    }
+    val qs = emb.filter(col("vec_id") < 20)
+    val adcOnly = recallOf(ProductQuantizer.adcTopK(coded, qs, cb, K))
+    val reranked = recallOf(
+      ProductQuantizer.adcTopKReranked(coded, qs, emb, cb, K, shortlist = 50))
+    info(f"PQ(8x16) recall@10: ADC-only $adcOnly%.3f, +rerank(50) $reranked%.3f")
+    // 32 bits/vector on near-uniform data: raw ADC is a shortlister, not
+    // a ranker — the rerank stage is what production PQ ships
+    assert(adcOnly >= 0.25, f"ADC recall@10 $adcOnly%.3f below floor 0.25")
+    assert(reranked >= 0.6, f"reranked recall@10 $reranked%.3f below floor 0.6")
+    assert(reranked > adcOnly)
+  }
+}
