@@ -117,6 +117,29 @@ object Corpus {
       .withColumn("batch_in_shard", expr(s"(cum_tokens - n_tokens) DIV $capacity"))
   }
 
+  /** Snapshot diff — change detection between two corpus versions (the
+    * SCD step of corpus versioning): FULL OUTER join on doc_id, content
+    * compared by the rolling token fingerprint
+    * ([[TextAnalysis.fingerprint]] — integer, oracle-replayable) so the
+    * join carries two longs per doc, never the texts. Emits only
+    * changed rows (`added` / `removed` / `changed`); unchanged docs —
+    * the overwhelming mass at corpus scale — are filtered before any
+    * downstream work. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = TextAnalysis.fingerprint(oldDocs)
+      .select(col("doc_id").as("o_id"), col("fingerprint").as("o_fp"))
+    val n = TextAnalysis.fingerprint(newDocs)
+      .select(col("doc_id").as("n_id"), col("fingerprint").as("n_fp"))
+    o.join(n, col("o_id") === col("n_id"), "full_outer")
+      .withColumn("status",
+        when(col("o_id").isNull, lit("added"))
+          .when(col("n_id").isNull, lit("removed"))
+          .when(col("o_fp") =!= col("n_fp"), lit("changed"))
+          .otherwise(lit("same")))
+      .filter(col("status") =!= "same")
+      .select(coalesce(col("n_id"), col("o_id")).as("doc_id"), col("status"))
+  }
+
   /** Histogram-based approximate quantiles: bucket the value by
     * `width`, cumulative-sum the bucket counts, and report the upper
     * bound of the first bucket whose cumulative count reaches

@@ -517,6 +517,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus snapshot diff: old = ids not divisible by 7, new = ids not
+    // divisible by 11 with every %5 doc's text amended — added/removed/
+    // changed detected by fingerprint compare over a FULL OUTER join.
+    Q("q77_snapshot_diff",
+      """WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        | neu AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+        |                             ELSE text END AS text
+        |         FROM documents WHERE doc_id % 11 <> 0),
+        | ofp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(text, ' '),
+        |             w -> CAST(ascii(w) AS BIGINT) * 1000 + length(w))),
+        |          (a, b) -> (a * 31 + b) % 1000000007) AS fp FROM old),
+        | nfp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(text, ' '),
+        |             w -> CAST(ascii(w) AS BIGINT) * 1000 + length(w))),
+        |          (a, b) -> (a * 31 + b) % 1000000007) AS fp FROM neu)
+        |SELECT doc_id, status FROM (
+        | SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp <> n.fp THEN 'changed' ELSE 'same' END AS status
+        | FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id) t
+        |WHERE status <> 'same' ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+      val neu = docs.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" updated"))).otherwise(col("text")))
+      Corpus.snapshotDiff(old, neu).orderBy("doc_id")
+    },
+
     Q("q64_seq_packing",
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),

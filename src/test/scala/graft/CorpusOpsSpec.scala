@@ -148,6 +148,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sharded.size == 40)
   }
 
+  test("snapshotDiff classifies added/removed/changed and hides unchanged") {
+    val old = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val neu = Seq((2L, "gamma delta"), (3L, "epsilon zeta CHANGED"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val diff = Corpus.snapshotDiff(old, neu)
+      .as[(Long, String)].collect().toSet
+    assert(diff == Set((1L, "removed"), (3L, "changed"), (4L, "added")))
+  }
+
   test("int8Quantize: max-abs component maps to ±127, codes bounded") {
     val emb = Seq((0L, Array(0.5f, -1.0f, 0.25f, 0.0f)))
       .toDF("vec_id", "embedding")
