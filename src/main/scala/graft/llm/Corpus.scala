@@ -73,6 +73,21 @@ object Corpus {
   def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(PolyHash.poly_hash(col(keyCol).cast("string")) % 100 < pct)
 
+  /** Balanced training-mix sampling: keep the `perStratum` documents
+    * with the smallest poly_hash(doc_id) within each stratum (e.g.
+    * language) — a deterministic, engine-portable "random N per group".
+    * Strata with fewer than N docs keep everything, so the output is the
+    * closest achievable balance. One rank window per stratum; at corpus
+    * scale the shuffle is keyed by the stratum and each partition sorts
+    * only its stratum's (hash, id) pairs. */
+  def balancedSample(df: DataFrame, strataCol: String, perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(PolyHash.poly_hash(col("doc_id").cast("string")), col("doc_id"))
+    df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= perStratum)
+      .drop("rnk")
+  }
+
   /** Length histogram: bucket documents by n_chars DIV width; per bucket
     * doc count and total tokens. Single map-side-combined aggregate. */
   def lengthHistogram(docs: DataFrame, width: Int = 50): DataFrame =

@@ -85,6 +85,26 @@ object PipelineQueries {
         .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // Balanced training mix: the 20 hash-smallest docs per language —
+    // deterministic "random N per group" (portable TABLESAMPLE-per-
+    // stratum). The oracle replays the poly_hash rank.
+    Q("q78_balanced_mix",
+      """WITH h AS (SELECT doc_id, lang,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |      i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |   (a, c) -> (a * 131 + c) % 4294967291) AS hv
+        |  FROM documents),
+        | r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rnk
+        |       FROM h)
+        |SELECT doc_id, lang FROM r WHERE rnk <= 20 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Corpus.balancedSample(Tables(s, dir, "documents"), "lang", 20)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     Q("q58_length_histogram",
       """WITH b AS (SELECT CAST(length(text) AS BIGINT) // 50 AS bucket,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)

@@ -148,6 +148,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sharded.size == 40)
   }
 
+  test("balancedSample keeps at most N per stratum, all of small strata, deterministically") {
+    val docs = ((1L to 30L).map(i => (i, "en")) ++ Seq((100L, "de"), (101L, "de")))
+      .toDF("doc_id", "lang")
+    val out = Corpus.balancedSample(docs, "lang", 5)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byLang("en").size == 5)
+    assert(byLang("de") == Set(100L, 101L)) // under-full stratum kept whole
+    assert(out.toSet == Corpus.balancedSample(docs, "lang", 5)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet)
+  }
+
   test("snapshotDiff classifies added/removed/changed and hides unchanged") {
     val old = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
       .toDF("doc_id", "text")
