@@ -132,6 +132,32 @@ object Corpus {
       .withColumn("batch_in_shard", expr(s"(cum_tokens - n_tokens) DIV $capacity"))
   }
 
+  /** Sliding-window document chunking — the preprocessing step that
+    * turns long documents into training/embedding chunks of
+    * `chunkTokens` tokens overlapping by `overlap`: chunk i covers
+    * tokens [i·stride, i·stride + chunkTokens) with
+    * stride = chunkTokens − overlap; the last chunk may be short; a doc
+    * shorter than one chunk yields itself. Pure array arithmetic
+    * (sequence + slice) exploded per doc — no shuffle, and the chunk
+    * count per doc is ⌈max(n−overlap, 1)/stride⌉ so output size is
+    * predictable. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
+                     overlap: Int = 16): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than chunkTokens")
+    val stride = chunkTokens - overlap
+    val w = words(col("text"))
+    val nChunks = greatest(lit(1L),
+      ceil((size(w).cast("long") - overlap) / lit(stride.toDouble)).cast("long"))
+    docs.select(col("doc_id"), w.as("toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no"),
+        array_join(slice(col("toks"),
+          (col("chunk_no") * stride + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+      .withColumn("n_tokens",
+        size(words(col("chunk_text"))).cast("long"))
+  }
+
   /** Snapshot diff — change detection between two corpus versions (the
     * SCD step of corpus versioning): FULL OUTER join on doc_id, content
     * compared by the rolling token fingerprint

@@ -98,6 +98,76 @@ object ProductQuantizer {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** IVFADC — the billion-scale composition (FAISS's IVF,PQ index,
+    * Jégou et al. 2011): coarse [[KMeans]] cells bound the SCAN (a
+    * query touches ~nProbe/kCells of the codes), PQ codes bound the
+    * MEMORY (the corpus lives as cell id + m codes). Query: exact
+    * assignment to the nProbe nearest cells (kCells centroid scores —
+    * tiny), then ADC over only the probed cells' codes via an equi-join
+    * on cell id, then exact re-rank of the shortlist against raw
+    * vectors. This variant codes RAW vectors with one shared codebook
+    * (IVF-Flat-PQ) rather than per-cell residuals — cheaper to train
+    * and good enough when cells are many; residual coding is the
+    * natural extension. Returns (query_id, neighbor_id, rnk). */
+  def ivfAdcTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                 kCells: Int = 16, nProbe: Int = 4, m: Int = 8,
+                 ksub: Int = 16, iters: Int = 3, dim: Int = 64,
+                 shortlist: Int = 50): DataFrame = {
+    val cells = KMeans.train(emb, kCells, iters, dim)
+    val cb = train(emb, m, ksub, iters, dim)
+    // corpus: cell id + codes — the only corpus-sized table ADC touches
+    val coded = KMeans.assign(emb, cells)
+      .join(encode(emb, cb), Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+    // queries: nProbe nearest cells by exact L2 (|q|² drops from argmin)
+    val cellScores = cells.map { case (cid, c) =>
+      val cArr = array(c.map(lit): _*)
+      struct((lit(c.map(x => x * x).sum)
+        - lit(2.0) * dot_product(col("q_emb"), cArr)).as("score"),
+        lit(cid).as("cell"))
+    }
+    val qCells = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("probe", slice(array_sort(array(cellScores: _*)), 1, nProbe))
+      .select(col("query_id"), col("q_emb"),
+        explode(col("probe").getField("cell")).as("cell"))
+    val withTables = (0 until cb.m).foldLeft(qCells) { (df, s) =>
+      val qSub = slice(col("q_emb"), s * cb.subDim + 1, cb.subDim)
+      val table = array(cb.cents(s).map { case (_, c) =>
+        val cArr = array(c.map(lit): _*)
+        lit(c.map(x => x * x).sum) - lit(2.0) * dot_product(qSub, cArr)
+      }: _*)
+      df.withColumn(s"t$s", table)
+    }
+    val q = broadcast(withTables.drop("q_emb"))
+    val score = (0 until cb.m).map { s =>
+      element_at(col(s"t$s"),
+        element_at(col("codes"), s + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    val cand = q.join(coded, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", score)
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // exact re-rank of the shortlist only
+    val qv = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val cv = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("l2_part").asc, col("neighbor_id"))
+    cand.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .withColumn("l2_part",
+        dot_product(col("c_emb"), col("c_emb"))
+          - lit(2.0) * dot_product(col("q_emb"), col("c_emb")))
+      .withColumn("rnk", row_number().over(wExact).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   /** ADC shortlist + exact re-rank — the production PQ query: codes
     * shortlist `shortlist` candidates per query (cheap, code-table
     * only), then ONLY those rows re-join the raw vectors for an exact

@@ -105,6 +105,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Sliding-window chunking (32-token chunks, 8-token overlap):
+    // chunk i = tokens [i·24, i·24+32); both engines slice the same
+    // token array, so chunk text and counts are byte-identical.
+    Q("q79_chunking",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | n AS (SELECT doc_id, l,
+        |        greatest(1, CAST(ceil((len(l) - 8) / 24.0) AS BIGINT)) AS nc
+        |       FROM w),
+        | c AS (SELECT doc_id, l, unnest(range(0, nc)) AS chunk_no FROM n)
+        |SELECT doc_id, chunk_no,
+        | array_to_string(l[CAST(chunk_no*24 + 1 AS INTEGER) : CAST(chunk_no*24 + 32 AS INTEGER)], ' ') AS chunk_text,
+        | CAST(len(l[CAST(chunk_no*24 + 1 AS INTEGER) : CAST(chunk_no*24 + 32 AS INTEGER)]) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin
+    ) { (s, dir) =>
+      Corpus.chunkDocuments(Tables(s, dir, "documents"),
+          chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_no")
+    },
+
     Q("q58_length_histogram",
       """WITH b AS (SELECT CAST(length(text) AS BIGINT) // 50 AS bucket,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)

@@ -160,6 +160,19 @@ class CorpusOpsSpec extends SparkSpec {
       .select("doc_id", "lang").as[(Long, String)].collect().toSet)
   }
 
+  test("chunkDocuments covers every token with the stated overlap") {
+    // 10 tokens, chunk 4, overlap 1 → stride 3 → ceil(9/3) = 3 chunks
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "a b")).toDF("doc_id", "text")
+    val rows = Corpus.chunkDocuments(docs, chunkTokens = 4, overlap = 1)
+      .select("doc_id", "chunk_no", "chunk_text", "n_tokens")
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(rows == List(
+      (1L, 0L, "t0 t1 t2 t3", 4L),
+      (1L, 1L, "t3 t4 t5 t6", 4L),
+      (1L, 2L, "t6 t7 t8 t9", 4L),
+      (2L, 0L, "a b", 2L)))   // short doc → itself
+  }
+
   test("snapshotDiff classifies added/removed/changed and hides unchanged") {
     val old = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
       .toDF("doc_id", "text")

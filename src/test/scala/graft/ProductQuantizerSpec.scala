@@ -39,6 +39,24 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(codes.forall(_ == 1L))
   }
 
+  test("IVFADC (cells + codes + rerank) recall vs exact L2 clears the floor") {
+    val queryIds = (0L until 20L).toSeq
+    val truth = exactL2TopK(queryIds)
+    val got = ProductQuantizer.ivfAdcTopK(emb,
+        emb.filter(col("vec_id") < 20), k = K,
+        kCells = 16, nProbe = 4, m = 8, ksub = 16, iters = 3, dim = 64,
+        shortlist = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val recall = truth.toSeq.map { case (q, t) =>
+      (got.getOrElse(q, Set.empty) intersect t).size
+    }.sum.toDouble / (queryIds.size * K)
+    info(f"IVFADC(16 cells, probe 4, 8x16 codes, rerank 50) recall@10 = $recall%.3f")
+    // bounded by cell recall × shortlist recall; the scan touched ~4/16
+    // of the codes and the raw vectors only for 50 rows per query
+    assert(recall >= 0.45, f"IVFADC recall@10 $recall%.3f below floor 0.45")
+  }
+
   test("ADC and ADC+rerank recall vs exact L2 clear their floors") {
     val queryIds = (0L until 20L).toSeq
     val truth = exactL2TopK(queryIds)
