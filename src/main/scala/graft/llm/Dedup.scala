@@ -67,7 +67,31 @@ object Dedup {
     * Long.MaxValue disables the cut (exact all-shingle Jaccard).
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3,
-                        maxShingleDf: Long = Long.MaxValue): DataFrame = {
+                        maxShingleDf: Long = Long.MaxValue): DataFrame =
+    shinglePairCounts(docs, k, maxShingleDf)
+      .withColumn("jaccard_ppm",
+        expr("(common * 1000000) DIV (n_a + n_b - common)"))
+      .select("id_a", "id_b", "common", "jaccard_ppm")
+
+  /** Containment pairs over the same inverted index: containment =
+    * common DIV min(|A|, |B|) — catches a short document EMBEDDED in a
+    * long one (quotes, boilerplate wrappers, prompt templates), which
+    * symmetric Jaccard under-scores because the union is dominated by
+    * the longer side. Same cost and scale shape as
+    * [[ngramJaccardPairs]]. */
+  def containmentPairs(docs: DataFrame, k: Int = 3,
+                       minContainPpm: Long = 800000L,
+                       maxShingleDf: Long = Long.MaxValue): DataFrame =
+    shinglePairCounts(docs, k, maxShingleDf)
+      .withColumn("contain_ppm",
+        expr("(common * 1000000) DIV least(n_a, n_b)"))
+      .filter(col("contain_ppm") >= minContainPpm)
+      .select("id_a", "id_b", "common", "contain_ppm")
+
+  /** Shared inverted-index pair core: (id_a, id_b, n_a, n_b, common)
+    * for every pair with ≥1 shared (surviving) shingle. */
+  private def shinglePairCounts(docs: DataFrame, k: Int,
+                                maxShingleDf: Long): DataFrame = {
     val arr = array_distinct(transform(
       sequence(lit(0), size(col("w")) - k),
       i => xxhash64((0 until k).map(j => element_at(col("w"), i + j + 1)): _*)))
@@ -98,9 +122,6 @@ object Dedup {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard_ppm",
-        expr("(common * 1000000) DIV (n_a + n_b - common)"))
-      .select("id_a", "id_b", "common", "jaccard_ppm")
   }
 
   // --- MinHash + LSH ------------------------------------------------------

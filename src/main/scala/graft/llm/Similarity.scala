@@ -130,6 +130,55 @@ object Similarity {
     emb.withColumn("bucket", bucket)
   }
 
+  /** Per-table LSH buckets for `tables` INDEPENDENT hash tables — table
+    * t uses plane indices t·planes … t·planes+planes−1 of the same
+    * deterministic construction, so tables share nothing. Output one
+    * row per (vector, table): (…, tbl, bucket). */
+  def lshTableBuckets(emb: DataFrame, planes: Int, dim: Int,
+                      tables: Int): DataFrame = {
+    val bucketArr = array((0 until tables).map { t =>
+      (0 until planes).map { p =>
+        val w = array((0 until dim).map(d =>
+          lit(planeWeight(t * planes + p, d))): _*)
+        when(dot(col("embedding"), w) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    emb.select(col("vec_id"), col("embedding"),
+      posexplode(bucketArr).as(Seq("tbl", "bucket")))
+  }
+
+  /** Multi-TABLE LSH ANN — the other recall knob next to multi-probe
+    * ([[lshKnn]] `probeHamming`): L independent tables, candidate =
+    * same bucket in ANY table. Probe count grows linearly (L lookups)
+    * where multi-probe grows combinatorially, at L× index memory —
+    * the classic tradeoff; production systems use both. Measured on
+    * the sf0.01 embeddings (6 planes, k=10): recall@10 = 0.07 with one
+    * table, 0.22 with 4 tables — see AnnRecallSpec. */
+  def lshKnnMultiTable(emb: DataFrame, queries: DataFrame, k: Int,
+                       planes: Int, dim: Int, tables: Int = 4): DataFrame = {
+    val c = lshTableBuckets(emb, planes, dim, tables)
+      .select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
+    val q = broadcast(lshTableBuckets(queries, planes, dim, tables)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket")))
+    val cand = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+      .filter(col("q_norm") > 0))
+    val cv = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+      .filter(col("c_norm") > 0)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .withColumn("sim",
+        dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into nLists Voronoi
     * cells around deterministic centroids (the nLists lowest-id vectors —
     * seed-free), then answer queries by scanning only the nProbe nearest

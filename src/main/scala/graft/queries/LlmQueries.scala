@@ -149,6 +149,29 @@ object LlmQueries {
         .limit(20)
     },
 
+    // Containment over the same inverted index: common DIV min(|A|,|B|)
+    // catches short-doc-embedded-in-long-doc (quotes, templates) that
+    // symmetric Jaccard under-scores.
+    Q("q80_containment_pairs",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+        |        FROM w WHERE len(l) >= 3),
+        | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+        | (CAST(common AS BIGINT) * 1000000) // least(sa.n_sh, sb.n_sh) AS contain_ppm
+        |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE (CAST(common AS BIGINT) * 1000000) // least(sa.n_sh, sb.n_sh) >= 800000
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      Dedup.containmentPairs(Tables(s, dir, "documents"), 3,
+          minContainPpm = 800000L)
+        .orderBy("id_a", "id_b")
+    },
+
     // MinHash signatures + LSH banding, fully oracle-checked: the shingle
     // hash is poly_hash (Rabin-Karp mod 4294967291), the permutations are
     // (a_j·x+b_j) mod 4294967311, the band hash a polynomial fold — every

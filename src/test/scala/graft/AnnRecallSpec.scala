@@ -53,6 +53,18 @@ class AnnRecallSpec extends SparkSpec {
     assert(r(3) >= 0.6, f"lshKnn h=3 recall@10 ${r(3)}%.3f below floor 0.6")
   }
 
+  test("lshKnnMultiTable recall@10 beats one table and clears its floor") {
+    val single = Similarity.lshKnn(emb, queries, k = K, planes = 6, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val multi = Similarity.lshKnnMultiTable(emb, queries, k = K,
+        planes = 6, dim = 64, tables = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val rs = recallAtK(single); val rm = recallAtK(multi)
+    info(f"lshKnn 1 table recall@10 = $rs%.3f, 4 tables = $rm%.3f")
+    assert(rm > rs, f"4 tables ($rm%.3f) should beat 1 ($rs%.3f)")
+    assert(rm >= 0.15, f"4-table recall@10 $rm%.3f below floor 0.15")
+  }
+
   test("ivfKnn recall@10 vs brute force clears the floor") {
     val got = Similarity.ivfKnn(emb, queries, k = K, nLists = 16, nProbe = 4)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect()

@@ -68,6 +68,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containmentPairs flags a short doc embedded in a long one that Jaccard misses") {
+    val short_ = "alpha beta gamma delta epsilon"
+    val long_ = short_ + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val dd = Seq((0L, long_), (1L, short_), (2L, "unrelated words entirely here"))
+      .toDF("doc_id", "text")
+    val contain = Dedup.containmentPairs(dd, 3, minContainPpm = 900000L)
+      .as[(Long, Long, Long, Long)].collect().toList
+    // all 3 of the short doc's shingles appear in the long doc → 1.0
+    assert(contain == List((0L, 1L, 3L, 1000000L)))
+    // symmetric Jaccard on the same pair is far below near-dup range
+    val j = Dedup.ngramJaccardPairs(dd, 3)
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .select("jaccard_ppm").as[Long].head()
+    assert(j < 100000L)
+  }
+
   test("dedupIncremental drops batch docs similar to the corpus or to earlier batchmates") {
     val existing = Seq((0L, base), (2L, "some other corpus document here today"))
       .toDF("doc_id", "text")
