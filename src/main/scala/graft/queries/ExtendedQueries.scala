@@ -17,6 +17,70 @@ object ExtendedQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Funnel conversion: purchases preceded by a same-user view within
+    // the hour — a keyed interval LEFT SEMI join (the event-sequence
+    // pattern), aggregated per user.
+    // µs precision on both sides: the oracle engine reads the TIMESTAMP
+    // (NANOS) column µs-truncated, so comparisons and outputs use
+    // ts_ns DIV 1000 = its epoch_us exactly (floor truncation commutes
+    // with min and with the window bounds).
+    Q("q81_funnel",
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS p_us FROM events
+        |           WHERE event_type = 'purchase'),
+        | v AS (SELECT user_id, epoch_us(ts) AS v_us FROM events
+        |       WHERE event_type = 'view'),
+        | conv AS (SELECT * FROM p WHERE EXISTS (
+        |   SELECT 1 FROM v WHERE v.user_id = p.user_id
+        |    AND v.v_us <= p.p_us AND p.p_us <= v.v_us + 3600000000))
+        |SELECT user_id, count(*) AS n_conversions,
+        | CAST(min(p_us) AS BIGINT) AS first_conv_us
+        |FROM conv GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"),
+          expr("ts_ns DIV 1000").as("v_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns DIV 1000").as("p_us"))
+      purchases.join(views,
+          col("user_id") === col("v_user")
+            && col("v_us") <= col("p_us")
+            && col("p_us") <= col("v_us") + (HOUR_NS / 1000L), "left_semi")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_conversions"),
+          min("p_us").as("first_conv_us"))
+        .orderBy("user_id")
+    },
+
+    // Weekly retention cohorts: cohort = integer week of a user's first
+    // event (epoch ns DIV week-ns — exact), activity = distinct active
+    // weeks per user; counts per (cohort, offset). Two aggregates and
+    // one join keyed by user — no sessionization state needed.
+    Q("q82_retention",
+      """WITH f AS (SELECT user_id, min(epoch_us(ts)) // 604800000000 AS w0
+        |           FROM events GROUP BY user_id),
+        | a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+        |       FROM events)
+        |SELECT CAST(f.w0 AS BIGINT) AS cohort_week,
+        | CAST(a.w - f.w0 AS BIGINT) AS week_offset,
+        | count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      // DIV, not /: epoch values exceed 2^53, double division would
+      // corrupt the week index; µs on both sides (see q81 note)
+      val first = ev.groupBy("user_id")
+        .agg(expr("min(ts_ns DIV 1000) DIV 604800000000").as("w0"))
+      val active = ev.select(col("user_id"),
+        expr("ts_ns DIV 1000 DIV 604800000000").as("w")).distinct()
+      active.join(first, Seq("user_id"))
+        .groupBy(col("w0").as("cohort_week"), (col("w") - col("w0")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // Interval join (RangeJoin.intervalJoin): same-user clicks in the
     // hour before each purchase. The reference has no range joins (§2.3)
     // — this is part of the "relational surface beyond the mirror".
