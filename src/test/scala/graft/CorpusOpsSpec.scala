@@ -173,6 +173,29 @@ class CorpusOpsSpec extends SparkSpec {
       (2L, 0L, "a b", 2L)))   // short doc → itself
   }
 
+  test("chunking invariant: chunks reconstruct every doc exactly (seeded random corpus)") {
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 30L).map { i =>
+      val n = 1 + rnd.nextInt(90)
+      (i, (0 until n).map(j => s"w${rnd.nextInt(50)}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((ct, ov) <- Seq((8, 2), (16, 4), (5, 0))) {
+      val chunks = Corpus.chunkDocuments(docs, chunkTokens = ct, overlap = ov)
+        .select("doc_id", "chunk_no", "chunk_text")
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3.split(" ").toSeq)).toMap
+      val original = docs.as[(Long, String)].collect().toMap
+        .view.mapValues(_.split(" ").toSeq).toMap
+      original.foreach { case (id, toks) =>
+        val cs = chunks(id)
+        val rebuilt = cs.head ++ cs.tail.flatMap(_.drop(ov))
+        assert(rebuilt == toks, s"doc $id not reconstructed at ct=$ct ov=$ov")
+        // every chunk except the last is exactly chunkTokens long
+        assert(cs.init.forall(_.size == ct))
+      }
+    }
+  }
+
   test("snapshotDiff classifies added/removed/changed and hides unchanged") {
     val old = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
       .toDF("doc_id", "text")

@@ -84,6 +84,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(j < 100000L)
   }
 
+  test("containment bounds jaccard on a seeded random corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"tok$i")
+    val dd = (1L to 25L).map { i =>
+      val n = 3 + rnd.nextInt(20)
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(dd, 3)
+      .select("id_a", "id_b", "jaccard_ppm")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val con = Dedup.containmentPairs(dd, 3, minContainPpm = 0L)
+      .select("id_a", "id_b", "contain_ppm")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // same candidate pairs (shared inverted index), and for every pair
+    // jaccard ≤ containment ≤ 1.0 (min ≤ union denominators)
+    assert(jac.keySet == con.keySet)
+    jac.foreach { case (pair, j) =>
+      val c = con(pair)
+      assert(j <= c && c <= 1000000L, s"pair $pair j=$j c=$c")
+    }
+  }
+
   test("dedupIncremental drops batch docs similar to the corpus or to earlier batchmates") {
     val existing = Seq((0L, base), (2L, "some other corpus document here today"))
       .toDF("doc_id", "text")
