@@ -78,7 +78,13 @@ object Dedup {
     * long one (quotes, boilerplate wrappers, prompt templates), which
     * symmetric Jaccard under-scores because the union is dominated by
     * the longer side. Same cost and scale shape as
-    * [[ngramJaccardPairs]]. */
+    * [[ngramJaccardPairs]].
+    *
+    * The stop-shingle cut defaults OFF here, deliberately: containment
+    * hunts boilerplate, and the cut removes exactly the highest-df
+    * shingles such templates are made of. At corpus scale either set
+    * `maxShingleDf` high (bounding only the pathological tail) or
+    * restrict the input to a candidate set from LSH banding first. */
   def containmentPairs(docs: DataFrame, k: Int = 3,
                        minContainPpm: Long = 800000L,
                        maxShingleDf: Long = Long.MaxValue): DataFrame =
