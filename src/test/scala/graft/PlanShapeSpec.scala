@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression guards for the shapes the 100 TB story
+  * depends on: the pair/ANN operators must never degenerate into
+  * cartesian products, candidate joins must stay hash joins on their
+  * bucket/band keys, and column pruning must reach the parquet scan.
+  * A change that silently flips one of these (a lost equi-join key, a
+  * non-broadcastable condition) passes value-level correctness but dies
+  * at scale — this spec fails it in CI instead. Runs at sf0.001 (plan
+  * shape is SF-independent). */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("pair operators never plan a cartesian product") {
+    for (q <- Seq("q31_jaccard_pairs", "q32_minhash_bands", "q71_simhash_pairs",
+        "q73_dedup_incremental", "q74_bucketed_neardup", "q80_containment_pairs")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  test("ANN candidate joins are hash joins, not nested loops") {
+    for (q <- Seq("q36_ann_lsh", "q42_ann_ivf", "q74_bucketed_neardup")) {
+      val p = planOf(q)
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$q lost its equi-join: $p")
+    }
+    // the bucket joins must not nest-loop at all; IVF's one nested loop
+    // is the deliberate BROADCAST of the 16-row centroid table (each
+    // vector scores every centroid), never a shuffled cartesian
+    for (q <- Seq("q36_ann_lsh", "q74_bucketed_neardup"))
+      assert(!planOf(q).contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a nested loop")
+  }
+
+  test("brute-force KNN is the one deliberate broadcast nested loop") {
+    // q34 scans the corpus once against broadcast queries BY DESIGN —
+    // guard that the broadcast (not a shuffled cartesian) carries it
+    val p = planOf("q34_cosine_knn")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("projection pruning reaches the parquet scan of the star join") {
+    // q02 joins 5 tables but reads only the join keys + aggregated cols:
+    // the lineitem scan must not read comment/shipmode/etc.
+    val p = planOf("q02_revenue_by_nation")
+    val lineitemScan = p.linesIterator
+      .filter(l => l.contains("parquet") && l.contains("lineitem"))
+      .mkString("\n")
+    assert(!lineitemScan.contains("l_comment"),
+      s"lineitem scan reads unneeded columns: $lineitemScan")
+  }
+
+  test("dimension filters push down to the parquet scan") {
+    val p = planOf("q11_shipdate_range")
+    assert(p.contains("PushedFilters: [") && p.contains("l_shipdate"),
+      s"q11 shipdate range not pushed to the scan")
+  }
+}
