@@ -20,5 +20,8 @@ object GraftFunctions {
         PolyHash.DefaultMult, PolyHash.Mod32, PolyHash.DefaultSeed), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
   }
 }
