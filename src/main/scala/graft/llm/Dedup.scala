@@ -152,8 +152,13 @@ object Dedup {
     * shuffle carries one row per doc with map-side partial mins,
     * independent of corpus size. Output is wide: doc_id, h0..h{numPerms-1}. */
   def minHashSignatures(docs: DataFrame, k: Int = 3, numPerms: Int = 32): DataFrame = {
-    val hashed = shingles(docs, k)
-      .withColumn("x", graft.functions.PolyHash.poly_hash(col("shingle")))
+    // one native pass ([[graft.functions.PolyShingleHashes]]) instead of
+    // the interpreted shingle-string chain — values are bit-identical to
+    // poly_hash over the joined shingle strings, so oracles are unmoved
+    val hashed = docs.select(col("doc_id"),
+        graft.functions.PolyShingleHashes.poly_shingle_hashes(col("text"), k).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .select(col("doc_id"), explode(col("xs")).as("x"))
     val mins = (0 until numPerms).map(j =>
       min((lit(hashA(j)) * col("x") + lit(hashB(j))) % lit(P)).as(s"h$j"))
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)

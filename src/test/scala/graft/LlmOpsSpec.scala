@@ -122,6 +122,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept == Set(3L, 5L))
   }
 
+  test("PolyShingleHashes matches poly_hash over joined shingle strings (random docs)") {
+    val rnd = new scala.util.Random(11)
+    val dd = (1L to 20L).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i, (0 until n).map(_ => s"w${rnd.nextInt(40)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val native = dd.select(col("doc_id"),
+        graft.functions.PolyShingleHashes.poly_shingle_hashes(col("text"), 3).as("xs"))
+      .as[(Long, Array[Long])].collect()
+      .map { case (id, xs) => id -> xs.toSet }.toMap
+    val viaStrings = Dedup.shingles(dd, 3)
+      .withColumn("x", graft.functions.PolyHash.poly_hash(col("shingle")))
+      .select("doc_id", "x").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    // docs with < 3 tokens: native yields empty array, string path no rows
+    native.filter(_._2.nonEmpty).foreach { case (id, xs) =>
+      assert(xs == viaStrings(id), s"doc $id value sets differ")
+    }
+    assert(native.filter(_._2.nonEmpty).keySet == viaStrings.keySet)
+  }
+
   test("minhash signatures are deterministic across runs") {
     val a = Dedup.minHashBands(docs).orderBy("doc_id", "band").collect().toSeq
     val b = Dedup.minHashBands(docs).orderBy("doc_id", "band").collect().toSeq
