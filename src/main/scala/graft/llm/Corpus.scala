@@ -51,14 +51,11 @@ object Corpus {
     * is a single-partition sort of an already-aggregated (small)
     * table. */
   def topBigrams(docs: DataFrame, n: Int = 20): DataFrame = {
-    val w = words(col("text"))
-    val bigrams = docs
-      // guard: Spark's sequence(1, 0) yields a DESCENDING [1,0], not
-      // empty — a 1-token doc would fabricate a bigram.
-      .filter(size(w) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(w) - 1),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))).as("bigram"))
+    // native one-pass n-gram expression (the old sequence/transform HOF
+    // chain also needed a size >= 2 guard against sequence(1,0)'s
+    // descending surprise; TokenNgrams just returns an empty array)
+    val bigrams = docs.select(col("doc_id"),
+      explode(graft.functions.TokenNgrams.token_ngrams(col("text"), 2)).as("bigram"))
     bigrams.groupBy("bigram")
       .agg(count(lit(1)).as("n_occur"), countDistinct("doc_id").as("n_docs"))
       .orderBy(col("n_occur").desc, col("bigram"))

@@ -30,13 +30,10 @@ object Dedup {
 
   /** Distinct k-token shingles per doc: (doc_id, shingle). */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), size(col("w")) - k),
-          i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j + 1)): _*)
-        ))).as("shingle"))
+    docs.select(col("doc_id"),
+        array_distinct(graft.functions.TokenNgrams.token_ngrams(col("text"), k)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
 
   /** All-pairs n-gram Jaccard via an inverted index — NOT a cross join.
     * (doc, shingle-hash) self-joined on the hash → common-shingle counts
