@@ -31,11 +31,19 @@ object MergeSink {
 
   /** Guarded merge of `batch` into the parquet table at `dir`.
     * Strict `>` on `tsCol` (reference uses strict `<` on the stored side,
-    * postgres.ts:203): same-timestamp replays are no-ops. */
+    * postgres.ts:203): same-timestamp replays are no-ops.
+    *
+    * NULL-key rows (malformed payloads, id-less objects) are DROPPED at
+    * the door: a null key can never equi-join the target, so each batch
+    * would append one more junk row forever; the reference's Postgres PK
+    * instead fails the whole statement, which in a webhook stream means
+    * endlessly retrying a poison event. Dropping the row and keeping the
+    * batch is the streaming-correct choice. */
   def upsertParquet(batch: DataFrame, dir: String, tdef: TableDef,
                     tsCol: String = "last_synced_at"): Unit = {
     val spark = batch.sparkSession
-    val deduped = MergeOps.lwwLatest(batch, Seq(tdef.key), Seq(tsCol))
+    val deduped = MergeOps.lwwLatest(
+      batch.filter(col(tdef.key).isNotNull), Seq(tdef.key), Seq(tsCol))
     val path = s"$dir/${tdef.table}"
     val merged =
       if (Files.exists(Paths.get(path))) {
@@ -86,7 +94,10 @@ object MergeSink {
   def upsertJdbc(batch: DataFrame, url: String, tdef: TableDef,
                  tsCol: String = "last_synced_at",
                  stringType: String = "VARCHAR(512)"): Unit = {
-    val deduped = MergeOps.lwwLatest(batch, Seq(tdef.key), Seq(tsCol))
+    // same NULL-key poison guard as upsertParquet (the staging table has
+    // a NOT NULL PK — one bad row would fail the whole batch merge)
+    val deduped = MergeOps.lwwLatest(
+      batch.filter(col(tdef.key).isNotNull), Seq(tdef.key), Seq(tsCol))
     val stage = s"${tdef.table}__stage"
     val stringCols = deduped.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)

@@ -78,6 +78,27 @@ class WebhookPipelineSpec extends SparkSpec {
     assert(checked >= 25, s"only $checked fixture rows checked")
   }
 
+  test("poison rows: null-id payloads are dropped at the sink, valid rows land, no junk accumulates") {
+    import graft.operators.MergeSink
+    val dir = tmpDir("graft_poison")
+    val good = """{"id":"cus_ok","object":"customer","email":"a@b.c","created":10}"""
+    val bad = """{"object":"customer","email":"no-id@b.c","created":11}""" // id missing
+    val garbage = """not json at all"""
+    def upsert(payloads: String*): Unit = {
+      val rows = TableDefs.customers.projectFrom(
+        payloads.toDF("payload"), "payload", current_timestamp())
+      MergeSink.upsertParquet(rows, dir, TableDefs.customers)
+    }
+    upsert(good, bad, garbage)
+    val after1 = readTable(dir, "customers")
+    assert(after1.count() == 1)
+    assert(after1.select("id").as[String].head() == "cus_ok")
+    // replaying the poison batch must not grow the table (the old
+    // behavior appended one null-id row per batch: null never equi-joins)
+    upsert(bad, garbage)
+    assert(readTable(dir, "customers").count() == 1)
+  }
+
   test("out-of-order protection: older event does not overwrite newer state (webhooks.test.ts:202-284)") {
     val dir = tmpDir("graft_ooo")
     val pipeline = new WebhookPipeline(dir)
