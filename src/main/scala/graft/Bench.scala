@@ -122,13 +122,18 @@ object Bench {
           Some((shortKey(q.name), bestCancelled.get(q.name): Double, true))
         else None
       }
-      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      // Locale.ROOT: the f interpolator uses the JVM default locale, and
+      // a comma decimal separator (de_DE etc.) would make the line
+      // unparseable JSON — the exact parsed:null failure this code fixes.
+      def num(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
       val cancelled = results.collect { case (k, _, true) => "\"" + k + "\"" }
       val cancelledField =
         if (cancelled.isEmpty) "" else cancelled.mkString(",\"cancelled\":[", ",", "]")
       val total = results.map(_._2).sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$cancelledField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$cancelledField,"sf":"$sfDir"}"""
     }
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def emitJson(): Unit = {

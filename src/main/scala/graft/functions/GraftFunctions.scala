@@ -21,7 +21,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHashes(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
+      "shingle_hashes", exprs => {
+        val kExpr = exprs(1)
+        require(kExpr.foldable && kExpr.eval(null) != null,
+          "shingle_hashes(text, k): k must be a non-null integer literal")
+        ShingleHashes(exprs.head,
+          kExpr.eval(null).asInstanceOf[Number].intValue())
+      }, "scala_udf")
   }
 }

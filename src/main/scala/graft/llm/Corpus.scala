@@ -77,9 +77,10 @@ object Corpus {
     * closest achievable balance. One rank window per stratum; at corpus
     * scale the shuffle is keyed by the stratum and each partition sorts
     * only its stratum's (hash, id) pairs. */
-  def balancedSample(df: DataFrame, strataCol: String, perStratum: Int): DataFrame = {
+  def balancedSample(df: DataFrame, strataCol: String, perStratum: Int,
+                     keyCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(strataCol)
-      .orderBy(PolyHash.poly_hash(col("doc_id").cast("string")), col("doc_id"))
+      .orderBy(PolyHash.poly_hash(col(keyCol).cast("string")), col(keyCol))
     df.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= perStratum)
       .drop("rnk")

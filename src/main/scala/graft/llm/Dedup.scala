@@ -107,7 +107,9 @@ object Dedup {
         base.select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
           explode(col("hs")).as("h"))
       else {
-        val sh0 = base.select(col("doc_id"), explode(col("hs")).as("h"))
+        // staged: sh0 feeds BOTH the stop aggregate and the anti-join —
+        // unstaged it would re-run the scan + shingle hash twice
+        val sh0 = Stage(base.select(col("doc_id"), explode(col("hs")).as("h")))
         val stop = sh0.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDf).select("h")
         // post-cut set size: count over the doc's surviving shingles

@@ -89,7 +89,8 @@ object Similarity {
     * missed (AnnRecallSpec quantifies the bucket-recall tradeoff). */
   def bucketedNearDupPairs(emb: DataFrame, planes: Int, dim: Int,
                            minSim: Double, probeHamming: Int = 1): DataFrame = {
-    // both join sides below — materialize buckets + norms once
+    // referenced three times below (probe side, bucket side, vector
+    // lookups) — materialize buckets + norms once
     val b = Stage(lshBuckets(emb, planes, dim)
       .select(col("vec_id"), col("embedding"), col("bucket"),
         norm(col("embedding")).as("nrm"))
@@ -97,15 +98,21 @@ object Similarity {
     val masks: Seq[Long] = (0 until (1 << planes))
       .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
       .map(_.toLong)
-    val probes = b.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
-      col("nrm").as("n_a"),
+    // the probe explode carries (id, bucket) ONLY — the 64-dim vectors
+    // would otherwise be replicated once per probe mask through the
+    // shuffle; they rejoin by id for the surviving candidates below
+    val probes = b.select(col("vec_id").as("id_a"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
         .as("bucket"))
-    probes.join(
-        b.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
-          col("nrm").as("n_b"), col("bucket")),
-        Seq("bucket"))
+    val candIds = probes.join(
+        b.select(col("vec_id").as("id_b"), col("bucket")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val va = b.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+      col("nrm").as("n_a"))
+    val vb = b.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+      col("nrm").as("n_b"))
+    candIds.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("sim", dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .filter(col("sim") >= minSim)
       .select("id_a", "id_b")

@@ -78,17 +78,28 @@ object TextAnalysis {
     * n_distinct, distinct_ppm = n_distinct·1e6 DIV n_tokens, and the
     * max single-token share in ppm (a doc that is 40% one token is
     * boilerplate whatever its distinct ratio). Narrow per-row array
-    * expressions — scan speed at any scale. */
+    * expressions, all linear/linearithmic in the token count — a
+    * per-distinct-token rescan would be O(distinct·n) and melt on
+    * exactly the long degenerate documents this filter targets. */
   def repetitionStats(docs: DataFrame, maxRepPpmFlag: Long = 300000L): DataFrame = {
     val w = words(col("text"))
+    // most frequent token's count = longest equal-run of the SORTED
+    // token array: one sort + one linear fold (state: current run, best)
+    val topCnt = aggregate(
+      array_sort(w),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     docs.select(
         col("doc_id"),
         size(w).cast("long").as("n_tokens"),
         size(array_distinct(w)).cast("long").as("n_distinct"),
-        // most frequent token's count: max over distinct tokens of their
-        // occurrence count (array-local, no explode/shuffle)
-        array_max(transform(array_distinct(w),
-          t => size(filter(w, x => x === t)))).cast("long").as("top_tok_cnt"))
+        topCnt.as("top_tok_cnt"))
       .withColumn("distinct_ppm", expr("(n_distinct * 1000000) DIV n_tokens"))
       .withColumn("top_tok_ppm", expr("(top_tok_cnt * 1000000) DIV n_tokens"))
       .withColumn("is_repetitive",

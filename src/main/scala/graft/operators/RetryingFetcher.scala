@@ -52,8 +52,17 @@ class RetryingFetcher(inner: Backfill.EntityFetcher,
           catch {
             case _: Exception if attempt < maxAttempts =>
               backoff(attempt); attempt += 1
-              // restart the cursor and skip what we already emitted
-              it = retry(inner.list(tdef, createdGte, createdLt).drop(emitted.toInt))
+              // restart the cursor and skip what we already emitted —
+              // counted with a Long loop (Iterator.drop takes Int, and a
+              // truncated count past 2^31 rows would replay from row 0)
+              it = retry {
+                val fresh = inner.list(tdef, createdGte, createdLt)
+                var skipped = 0L
+                while (skipped < emitted && fresh.hasNext) {
+                  fresh.next(); skipped += 1
+                }
+                fresh
+              }
           }
         }
         throw new IllegalStateException("unreachable")

@@ -33,7 +33,16 @@ object CorpusIngest {
     StructField("doc_id", LongType), StructField("text", StringType)))
 
   /** One micro-batch: returns the number of admitted documents.
-    * foreachBatch-compatible. */
+    * foreachBatch-compatible.
+    *
+    * The signature store doubles as the ADMISSION LEDGER: every admitted
+    * doc_id gets a row, including documents too short to shingle (their
+    * h-columns are NULL — null band hashes never equi-join, so they
+    * contribute no candidates, but the replay guard sees them; without
+    * the ledger row a short doc would be re-admitted on every
+    * at-least-once replay). Duplicate ids within one batch are collapsed
+    * first (replayed lines are byte-identical, so which row survives is
+    * immaterial). */
   def processBatch(batch: DataFrame, corpusDir: String, sigDir: String,
                    k: Int = 3, numPerms: Int = 32, bands: Int = 8,
                    minEstPpm: Long = 500000L): Long = {
@@ -44,6 +53,7 @@ object CorpusIngest {
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           docSchema), k, numPerms)
     val fresh = batch.select("doc_id", "text")
+      .dropDuplicates("doc_id")
       .join(existingSigs.select("doc_id"), Seq("doc_id"), "left_anti")
     val kept = Dedup.dedupIncremental(fresh, existingSigs, k, numPerms,
       bands, minEstPpm)
@@ -53,7 +63,10 @@ object CorpusIngest {
     val n = admitted.count()
     if (n > 0) {
       admitted.write.mode(SaveMode.Append).parquet(corpusDir)
-      Dedup.minHashSignatures(admitted, k, numPerms)
+      // ledger rows for ALL admitted ids; short docs carry NULL h-columns
+      admitted.select("doc_id")
+        .join(Dedup.minHashSignatures(admitted, k, numPerms),
+          Seq("doc_id"), "left_outer")
         .write.mode(SaveMode.Append).parquet(sigDir)
     }
     n

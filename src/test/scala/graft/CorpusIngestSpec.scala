@@ -36,4 +36,27 @@ class CorpusIngestSpec extends SparkSpec {
     // batch 3: replaying an admitted doc is a no-op (idempotent restart)
     assert(ingest(3L -> "completely new material never seen in any earlier batch") == 0L)
   }
+
+  test("short docs and intra-batch duplicates stay exactly-once via the admission ledger") {
+    val corpusDir = tmpDir("corpus2") + "/docs"
+    val sigDir = tmpDir("corpus2") + "/sigs"
+    def ingest(rows: (Long, String)*): Long =
+      CorpusIngest.processBatch(rows.toDF("doc_id", "text"), corpusDir, sigDir,
+        k = 3, numPerms = 32, bands = 16, minEstPpm = 400000L)
+    // doc 1 is too short to shingle (2 tokens < k=3); doc 2 arrives
+    // twice in the same batch
+    assert(ingest(1L -> "tiny doc",
+      2L -> "a normal length document with plenty of tokens",
+      2L -> "a normal length document with plenty of tokens") == 2L)
+    // replay: the ledger row (null signature) blocks re-admission of the
+    // short doc; the duplicate id was collapsed in-batch
+    assert(ingest(1L -> "tiny doc") == 0L)
+    val corpus = spark.read.parquet(corpusDir).select("doc_id")
+      .as[Long].collect().toSeq.sorted
+    assert(corpus == Seq(1L, 2L))
+    // ledger carries BOTH ids; the short doc's h-columns are null
+    val ledger = spark.read.parquet(sigDir)
+    assert(ledger.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(ledger.filter(col("doc_id") === 1L).select("h0").head().isNullAt(0))
+  }
 }
