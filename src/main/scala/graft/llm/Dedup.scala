@@ -20,6 +20,23 @@ object Dedup {
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_dups"))
       .drop("text")
 
+  /** One representative (min doc_id) per distinct text, text kept — the
+    * EXACT-DUP PRE-PASS every band-join operator wants in front of it:
+    * an exact-duplicate class of m documents shares ALL bands/chunks, so
+    * one band bucket would hold all m and emit m²/2 candidate pairs
+    * (10⁵ copies of one boilerplate page → 5·10⁹ pairs from a single
+    * key). Collapsed to one representative the class emits none, and the
+    * collapse is RESULT-PRESERVING for keep-list / keep-best dedup:
+    * members have identical signatures (hence exactly their rep's
+    * candidate edges), equal length, and higher ids than their rep, so
+    * they can never be a cluster survivor under min-id or
+    * longest-then-min-id policies — dropping them up front changes
+    * nothing downstream (q68/q70 do this; their oracles don't and hash
+    * identically). Members rejoin as an anti-join against the rep set. */
+  def exactReps(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text")
+
   /** Normalized-key dedup: dedup on a canonical key (here: first k
     * tokens). The groupBy shuffles only (key, doc_id). */
   def byKey(docs: DataFrame, k: Int = 3): DataFrame =
@@ -90,6 +107,43 @@ object Dedup {
         expr("(common * 1000000) DIV least(n_a, n_b)"))
       .filter(col("contain_ppm") >= minContainPpm)
       .select("id_a", "id_b", "common", "contain_ppm")
+
+  /** CANDIDATE-BOUNDED containment — the scale-safe call shape for
+    * [[containmentPairs]], whose full inverted-index form carries the
+    * Σdf² exposure with its stop-shingle cut deliberately off: compute
+    * containment only for the pairs in `cand` (id_a, id_b — e.g. LSH
+    * band candidates from [[minHashBands]], or any recall-oriented
+    * candidate generator). Cost is |cand| × shingles-per-doc keyed-join
+    * rows — linear in the candidate set, never quadratic in any bucket.
+    * For every candidate pair the returned containment is IDENTICAL to
+    * [[containmentPairs]]' (same shingle universe, no cut); pairs
+    * outside `cand` are simply not scored. */
+  def containmentPairsFromCandidates(docs: DataFrame, cand: DataFrame,
+                                     k: Int = 3,
+                                     minContainPpm: Long = 800000L): DataFrame = {
+    // duplicate candidate rows would double the common counts
+    val candD = cand.select("id_a", "id_b").distinct()
+    val involved = candD.select(col("id_a").as("doc_id"))
+      .union(candD.select(col("id_b").as("doc_id"))).distinct()
+    // only candidate-touched docs are shingled at all
+    val base = docs.join(involved, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.ShingleHashes.shingle_hashes(col("text"), k).as("hs"))
+      .filter(size(col("hs")) > 0)
+    // joined twice below (a-side and b-side) — materialize once
+    val sh = Stage(base.select(col("doc_id"),
+      size(col("hs")).cast("long").as("n_sh"), explode(col("hs")).as("h")))
+    candD.join(sh.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"),
+        col("h")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"),
+        col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("contain_ppm",
+        expr("(common * 1000000) DIV least(n_a, n_b)"))
+      .filter(col("contain_ppm") >= minContainPpm)
+      .select("id_a", "id_b", "common", "contain_ppm")
+  }
 
   /** Shared inverted-index pair core: (id_a, id_b, n_a, n_b, common)
     * for every pair with ≥1 shared (surviving) shingle. The shingle
@@ -179,6 +233,27 @@ object Dedup {
       .select("doc_id", "band", "band_hash")
   }
 
+  /** Drop buckets shared by more than `cap` rows from a banded table —
+    * the band-join dual of the stop-shingle cut: a bucket of df docs
+    * emits df²/2 candidate pairs, and the biggest buckets at corpus
+    * scale are exact/near-exact duplicate CLASSES (which share every
+    * band). Pairs connected ONLY through a dropped bucket are missed,
+    * so [[exactReps]] first (collapsing the classes the cap would
+    * otherwise blind the join to), then size `cap` around the largest
+    * near-dup class you still want resolved pairwise. Off
+    * (Long.MaxValue) by default — the oracle-checked forms run uncut.
+    * The over-cap key set is tiny by construction → broadcast anti-join. */
+  private def capBucketDf(banded: DataFrame, cap: Long,
+                          keys: Seq[String]): DataFrame =
+    if (cap == Long.MaxValue) Stage(banded)
+    else {
+      val b = Stage(banded)
+      val hot = b.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+        .select(keys.map(col): _*)
+      b.join(broadcast(hot), keys, "left_anti")
+    }
+
   /** LSH banding: split the signature into `bands` bands of
     * numPerms/bands values each; band hash = polynomial fold of the
     * band's values in j order. Docs sharing any band hash are candidate
@@ -188,12 +263,16 @@ object Dedup {
     bandsFromSignatures(minHashSignatures(docs, k, numPerms), numPerms, bands)
 
   /** Candidate pairs from LSH banding, verified with exact shingle
-    * Jaccard (ppm). `minJaccardPpm` filters the verified pairs. */
+    * Jaccard (ppm). `minJaccardPpm` filters the verified pairs.
+    * `maxBandDf` bounds any one band bucket's df (see [[capBucketDf]]):
+    * the hot-bucket guard for duplicate-heavy corpora. */
   def minHashLshPairs(docs: DataFrame, k: Int = 3, numPerms: Int = 32,
                       bands: Int = 8, minJaccardPpm: Long = 500000L,
-                      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+                      maxShingleDf: Long = Long.MaxValue,
+                      maxBandDf: Long = Long.MaxValue): DataFrame = {
     // self-joined below — materialize the band table once.
-    val bh = Stage(minHashBands(docs, k, numPerms, bands))
+    val bh = capBucketDf(minHashBands(docs, k, numPerms, bands),
+      maxBandDf, Seq("band", "band_hash"))
     val cand = bh.as("x").join(bh.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
           && col("x.doc_id") < col("y.doc_id"))
@@ -266,10 +345,39 @@ object Dedup {
     * Returns the kept subset of `newDocs`, all columns intact. */
   def dedupIncremental(newDocs: DataFrame, existingSigs: DataFrame,
                        k: Int = 3, numPerms: Int = 32, bands: Int = 8,
-                       minEstPpm: Long = 500000L): DataFrame = {
-    val newSigs = Stage(minHashSignatures(newDocs, k, numPerms))
-    val nb = bandsFromSignatures(newSigs, numPerms, bands)
-    val eb = bandsFromSignatures(existingSigs, numPerms, bands)
+                       minEstPpm: Long = 500000L,
+                       maxBandDf: Long = Long.MaxValue): DataFrame =
+    dedupIncrementalSigs(newDocs, Stage(minHashSignatures(newDocs, k, numPerms)),
+      existingSigs, numPerms, bands, minEstPpm, maxBandDf)
+
+  /** [[dedupIncremental]] with the new batch's signatures PRECOMPUTED by
+    * the caller — the streaming-ingest path ([[graft.streaming.CorpusIngest]])
+    * computes them once and reuses them for its admission-ledger append,
+    * so each micro-batch shingles its documents exactly once. `newSigs`
+    * must be [[minHashSignatures]]-shaped over exactly `newDocs` (and
+    * already materialized if the caller reuses it — it is referenced
+    * three times here). `maxBandDf` caps any one (band, band_hash)
+    * bucket's population across new+existing (see [[capBucketDf]]). */
+  def dedupIncrementalSigs(newDocs: DataFrame, newSigs: DataFrame,
+                           existingSigs: DataFrame,
+                           numPerms: Int = 32, bands: Int = 8,
+                           minEstPpm: Long = 500000L,
+                           maxBandDf: Long = Long.MaxValue): DataFrame = {
+    val nb0 = bandsFromSignatures(newSigs, numPerms, bands)
+    val eb0 = bandsFromSignatures(existingSigs, numPerms, bands)
+    // the hot-bucket population spans BOTH sides (a duplicate class is
+    // part persisted, part incoming), so the df count runs on the union
+    // and the same over-cap key set prunes both band tables
+    val (nb, eb) =
+      if (maxBandDf == Long.MaxValue) (nb0, eb0)
+      else {
+        val hot = Stage(
+          nb0.select("band", "band_hash").union(eb0.select("band", "band_hash"))
+            .groupBy("band", "band_hash").agg(count(lit(1)).as("df"))
+            .filter(col("df") > maxBandDf).select("band", "band_hash"))
+        (nb0.join(broadcast(hot), Seq("band", "band_hash"), "left_anti"),
+         eb0.join(broadcast(hot), Seq("band", "band_hash"), "left_anti"))
+      }
     // candidates: (new, existing) on any shared band; (new, earlier new)
     val candOld = nb.as("n").join(eb.as("o"),
         col("n.band") === col("o.band") && col("n.band_hash") === col("o.band_hash"))
@@ -331,14 +439,19 @@ object Dedup {
     * exact popcount verify. Bucket count per chunk position is
     * 2^chunkBits: the candidate tail at corpus scale is n²/2^chunkBits
     * per position, so WIDER chunks (more bits) shrink the quadratic
-    * tail. */
+    * tail. `maxBandDf` caps any one (chunk, value) bucket — identical
+    * SimHashes (exact-dup classes) share all chunks, the same hot-bucket
+    * blowup the MinHash band join has (see [[capBucketDf]]). */
   private def chunkBandPairs(sh: DataFrame, sigCol: String, nChunks: Int,
-                             chunkBits: Int, maxHamming: Int): DataFrame = {
+                             chunkBits: Int, maxHamming: Int,
+                             maxBandDf: Long = Long.MaxValue): DataFrame = {
     val mask = (1L << chunkBits) - 1
-    val chunked = sh.select(col("doc_id"), col(sigCol),
-      posexplode(array((0 until nChunks).map(c =>
-        shiftrightunsigned(col(sigCol), c * chunkBits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("chunk", "ch")))
+    val chunked = capBucketDf(
+      sh.select(col("doc_id"), col(sigCol),
+        posexplode(array((0 until nChunks).map(c =>
+          shiftrightunsigned(col(sigCol), c * chunkBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("chunk", "ch"))),
+      maxBandDf, Seq("chunk", "ch"))
     val cand = chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch")
           && col("x.doc_id") < col("y.doc_id"))
@@ -355,10 +468,12 @@ object Dedup {
     * exact for maxHamming ≤ 3). Oracle-checkable (q71) — but 8-bit
     * chunks mean only 256 buckets per position, an n²/256 candidate
     * tail: at corpus scale use [[simHashPairs64]]. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBandDf: Long = Long.MaxValue): DataFrame =
     // chunked self-joins inside — materialize the simhash aggregate once.
     chunkBandPairs(Stage(simHash(docs)), "simhash",
-      nChunks = 4, chunkBits = 8, maxHamming = maxHamming)
+      nChunks = 4, chunkBits = 8, maxHamming = maxHamming,
+      maxBandDf = maxBandDf)
 
   /** 64-bit SimHash over xxhash64 token hashes — the SCALE variant of
     * [[simHash]]: twice the signature entropy and (via
@@ -386,7 +501,9 @@ object Dedup {
   /** Near-dup pairs over the 64-bit SimHash: 4 chunks of 16 bits (exact
     * for maxHamming ≤ 3), 65,536 buckets per chunk position — the
     * corpus-scale banding. */
-  def simHashPairs64(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+  def simHashPairs64(docs: DataFrame, maxHamming: Int = 3,
+                     maxBandDf: Long = Long.MaxValue): DataFrame =
     chunkBandPairs(Stage(simHash64(docs)), "simhash64",
-      nChunks = 4, chunkBits = 16, maxHamming = maxHamming)
+      nChunks = 4, chunkBits = 16, maxHamming = maxHamming,
+      maxBandDf = maxBandDf)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Clusters, Corpus, Dedup}
+import graft.llm.{Clusters, Corpus, Dedup, Stage}
 
 /** Round-3 training-pipeline operators: dedup-cluster resolution
   * (connected components), TF-IDF term scoring, vocabulary building,
@@ -386,12 +386,20 @@ object PipelineQueries {
         |ORDER BY d.doc_id""".stripMargin
     ) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val edges = Dedup.minHashEstimates(docs, k = 3, numPerms = 32, bands = 8)
+      // exact-dup pre-pass (hot-bucket guard): only one representative
+      // per distinct text enters the band join, so an exact-dup class of
+      // m docs contributes 0 candidate pairs instead of m²/2. Result-
+      // preserving (Dedup.exactReps scaladoc) — the oracle runs uncut
+      // over all docs and hashes identically.
+      val reps = Stage(Dedup.exactReps(docs.select("doc_id", "text")))
+      val exactLosers = docs.select("doc_id")
+        .join(reps, Seq("doc_id"), "left_anti")
+      val edges = Dedup.minHashEstimates(reps, k = 3, numPerms = 32, bands = 8)
         .filter(col("est_jaccard_ppm") >= 500000L)
         .select("id_a", "id_b")
       val cc = Clusters.connectedComponents(edges)
-      val drop = cc.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-      docs.join(drop, Seq("doc_id"), "left_anti")
+      val ccLosers = cc.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      docs.join(ccLosers.union(exactLosers), Seq("doc_id"), "left_anti")
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },
@@ -452,7 +460,13 @@ object PipelineQueries {
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, dir, "documents")
-      val edges = Dedup.minHashEstimates(docs, k = 3, numPerms = 32, bands = 8)
+      // exact-dup pre-pass as in q68 — result-preserving for keep-best
+      // too: class members tie their rep on length and lose on id, so
+      // none can be a cluster survivor (Dedup.exactReps scaladoc).
+      val reps = Stage(Dedup.exactReps(docs.select("doc_id", "text")))
+      val exactLosers = docs.select("doc_id")
+        .join(reps, Seq("doc_id"), "left_anti")
+      val edges = Dedup.minHashEstimates(reps, k = 3, numPerms = 32, bands = 8)
         .filter(col("est_jaccard_ppm") >= 500000L)
         .select("id_a", "id_b")
       val cc = Clusters.connectedComponents(edges)
@@ -460,7 +474,7 @@ object PipelineQueries {
       val w = Window.partitionBy("cluster_id").orderBy(col("len").desc, col("doc_id"))
       val losers = ranked.withColumn("rk", row_number().over(w))
         .filter(col("rk") > 1).select("doc_id")
-      docs.join(losers, Seq("doc_id"), "left_anti")
+      docs.join(losers.union(exactLosers), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")
     },

@@ -19,13 +19,16 @@ import graft.llm.Dedup
   *   2. [[Dedup.dedupIncremental]] drops batch docs near-duplicating
   *      the store or an earlier batchmate — cost scales with the batch
   *      plus the signature store, corpus TEXT is never re-read;
-  *   3. survivors append to the corpus dir, their signatures to the
-  *      store.
-  * The two appends are not one transaction on plain parquet: the store
-  * is written LAST, so a crash between them can re-admit a document on
-  * replay (at-least-once into the corpus), which downstream exact
-  * dedup absorbs; on a transactional table format both appends join
-  * one commit and the pipeline is exactly-once.
+  *   3. survivors' signatures append to the store, then the documents
+  *      to the corpus dir.
+  * The two appends are not one transaction on plain parquet; the store
+  * is written FIRST (fail-closed): a crash between them leaves a doc
+  * ledgered but absent from the corpus, so the replay guard drops it
+  * forever — the corpus never holds a duplicate row. (The opposite
+  * order would re-admit on replay: at-least-once duplicates downstream
+  * would have to absorb.) On a transactional table format both appends
+  * join one commit and the pipeline is exactly-once with no drop
+  * window.
   */
 object CorpusIngest {
 
@@ -55,19 +58,23 @@ object CorpusIngest {
     val fresh = batch.select("doc_id", "text")
       .dropDuplicates("doc_id")
       .join(existingSigs.select("doc_id"), Seq("doc_id"), "left_anti")
-    val kept = Dedup.dedupIncremental(fresh, existingSigs, k, numPerms,
-      bands, minEstPpm)
+    // ONE shingle+min pass per batch: the signatures feed the dedup AND
+    // the ledger append below (round-4 cost: dedupIncremental computed
+    // them internally and the ledger recomputed them for admitted docs)
+    val freshSigs = graft.llm.Stage(Dedup.minHashSignatures(fresh, k, numPerms))
+    val kept = Dedup.dedupIncrementalSigs(fresh, freshSigs, existingSigs,
+      numPerms, bands, minEstPpm)
     // Admission must be decided before the two appends (kept is read
     // twice): one small batch-sized materialization.
     val admitted = graft.llm.Stage(kept)
     val n = admitted.count()
     if (n > 0) {
-      admitted.write.mode(SaveMode.Append).parquet(corpusDir)
-      // ledger rows for ALL admitted ids; short docs carry NULL h-columns
+      // ledger FIRST (fail-closed — see class doc); rows for ALL
+      // admitted ids, short docs carrying NULL h-columns
       admitted.select("doc_id")
-        .join(Dedup.minHashSignatures(admitted, k, numPerms),
-          Seq("doc_id"), "left_outer")
+        .join(freshSigs, Seq("doc_id"), "left_outer")
         .write.mode(SaveMode.Append).parquet(sigDir)
+      admitted.write.mode(SaveMode.Append).parquet(corpusDir)
     }
     n
   }

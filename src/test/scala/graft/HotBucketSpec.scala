@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Clusters, Dedup, Stage}
+
+/** Hot-bucket (duplicate-class) scale safety for the band-join candidate
+  * generators: an exact-duplicate class of m documents shares every
+  * band/chunk, so one bucket would emit m²/2 candidate pairs. Two
+  * guards, both proven here: the exact-dup PRE-PASS ([[Dedup.exactReps]],
+  * result-preserving, used by q68/q70) and the `maxBandDf` bucket cap
+  * (the band-join dual of the stop-shingle cut). */
+class HotBucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val uniq = Seq(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda",
+    "one two three four five six seven eight nine ten eleven twelve",
+    "spark shuffles partition data across executors during wide transformations",
+    "the quick brown fox jumps over the lazy dog near the river bank")
+
+  private def keepList(docs: org.apache.spark.sql.DataFrame,
+                       prePass: Boolean): Set[Long] = {
+    val base =
+      if (prePass) Stage(Dedup.exactReps(docs.select("doc_id", "text")))
+      else docs
+    val edges = Dedup.minHashEstimates(base, k = 3, numPerms = 32, bands = 16)
+      .filter(col("est_jaccard_ppm") >= 400000L).select("id_a", "id_b")
+    val cc = Clusters.connectedComponents(edges)
+    val ccLosers = cc.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val exactLosers =
+      if (prePass) docs.select("doc_id").join(base, Seq("doc_id"), "left_anti")
+      else docs.select("doc_id").limit(0)
+    docs.join(ccLosers.union(exactLosers), Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+  }
+
+  test("exact pre-pass is result-preserving for the keep-list pipeline") {
+    // 3 exact copies (0,1,2), a near-dup pair (3,4), two unique (5,6)
+    val docs = Seq(
+      0L -> uniq(0), 1L -> uniq(0), 2L -> uniq(0),
+      3L -> uniq(1), 4L -> (uniq(1) + " thirteen"),
+      5L -> uniq(2), 6L -> uniq(3)).toDF("doc_id", "text")
+    val withPre = keepList(docs, prePass = true)
+    assert(withPre == keepList(docs, prePass = false))
+    assert(withPre == Set(0L, 3L, 5L, 6L))
+  }
+
+  test("10^4 exact copies of one doc: candidate pairs stay O(n), not m^2") {
+    val big = ((0L until 10000L).map(i => (i, uniq(0))) ++
+      Seq(10000L -> uniq(1), 10001L -> (uniq(1) + " thirteen"),
+        10002L -> uniq(2))).toDF("doc_id", "text")
+    val reps = Stage(Dedup.exactReps(big))
+    // the 10^4-member class collapses to ONE banded representative
+    assert(reps.count() == 4L)
+    val cand = Dedup.minHashEstimates(reps, k = 3, numPerms = 32, bands = 16)
+    // uncapped banding would generate ~5*10^7 candidate pairs from the
+    // class bucket alone; the pre-pass bounds candidates by rep pairs
+    assert(cand.count() <= 6L)
+    // full keep-list: class keeps its min id, near-dup pair keeps 10000
+    assert(keepList(big, prePass = true) == Set(0L, 10000L, 10002L))
+  }
+
+  test("maxBandDf prunes hot band buckets from the LSH pair join") {
+    // a 40-copy class floods every one of its band buckets (df = 40);
+    // the near-dup pair (100, 101) lives in quiet df=2 buckets
+    val docs = ((0L until 40L).map(i => (i, uniq(0))) ++
+      Seq(100L -> uniq(1), 101L -> (uniq(1) + " thirteen")))
+      .toDF("doc_id", "text")
+    val uncut = Dedup.minHashLshPairs(docs, k = 3, numPerms = 32, bands = 16,
+      minJaccardPpm = 400000L)
+    assert(uncut.filter(col("id_a") < 40 && col("id_b") < 40).count() == 780L)
+    val capped = Dedup.minHashLshPairs(docs, k = 3, numPerms = 32, bands = 16,
+      minJaccardPpm = 400000L, maxBandDf = 10L)
+    assert(capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet ==
+      Set((100L, 101L)))
+  }
+
+  test("maxBandDf prunes hot chunk buckets from the SimHash pair join") {
+    // identical texts ⇒ identical simhash ⇒ all 4 chunks collide
+    val docs = ((0L until 30L).map(i => (i, uniq(0))) ++
+      Seq(100L -> uniq(1), 101L -> uniq(1))).toDF("doc_id", "text")
+    assert(Dedup.simHashPairs(docs, maxHamming = 3).count() == 436L) // 435 + 1
+    val capped = Dedup.simHashPairs(docs, maxHamming = 3, maxBandDf = 10L)
+    assert(capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet ==
+      Set((100L, 101L)))
+  }
+
+  test("dedupIncremental caps hot buckets spanning new and existing sides") {
+    // existing: 20 copies of uniq(0); new batch: 20 more copies + one
+    // novel doc. Uncapped, every copy is dropped (candidates vs the
+    // store); capped at 10, the class buckets (df 40 across both sides)
+    // are pruned so the copies sail through — the cap is explicitly a
+    // recall trade, which is why exact dedup must run first at scale.
+    val existing = (0L until 20L).map(i => (i, uniq(0))).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(existing, k = 3, numPerms = 32)
+    val batch = ((100L until 120L).map(i => (i, uniq(0))) ++
+      Seq(200L -> uniq(2))).toDF("doc_id", "text")
+    val uncapped = Dedup.dedupIncremental(batch, sigs, k = 3, numPerms = 32,
+      bands = 16, minEstPpm = 400000L).select("doc_id").as[Long].collect().toSet
+    assert(uncapped == Set(200L))
+    val capped = Dedup.dedupIncremental(batch, sigs, k = 3, numPerms = 32,
+      bands = 16, minEstPpm = 400000L, maxBandDf = 10L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped == (100L until 120L).toSet + 200L)
+  }
+
+  test("dedupIncrementalSigs with precomputed signatures matches the internal path") {
+    val existing = Seq(0L -> uniq(0), 1L -> uniq(2)).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(existing, k = 3, numPerms = 32)
+    val batch = Seq(10L -> (uniq(0) + " extra"), 11L -> uniq(3),
+      12L -> (uniq(3) + " again")).toDF("doc_id", "text")
+    val internal = Dedup.dedupIncremental(batch, sigs, k = 3, numPerms = 32,
+      bands = 16, minEstPpm = 400000L).select("doc_id").as[Long].collect().toSet
+    val pre = Stage(Dedup.minHashSignatures(batch, k = 3, numPerms = 32))
+    val external = Dedup.dedupIncrementalSigs(batch, pre, sigs, numPerms = 32,
+      bands = 16, minEstPpm = 400000L).select("doc_id").as[Long].collect().toSet
+    assert(external == internal)
+    assert(internal == Set(11L)) // 10 near-dups 0; 12 near-dups batchmate 11
+  }
+
+  test("containmentPairsFromCandidates equals the full form on its candidates") {
+    // 1 is embedded in 0 (containment 1.0), 3 shares half of 2, 4 unique
+    val docs = Seq(
+      0L -> (uniq(0) + " " + uniq(1)), 1L -> uniq(0),
+      2L -> (uniq(2) + " " + uniq(3)), 3L -> uniq(2),
+      4L -> "totally disjoint filler words nothing shared anywhere at all")
+      .toDF("doc_id", "text")
+    val ids = (0L to 4L)
+    val allPairs = (for { a <- ids; b <- ids if a < b } yield (a, b))
+      .toDF("id_a", "id_b")
+    val minPpm = 500000L
+    val full = Dedup.containmentPairs(docs, k = 3, minContainPpm = minPpm)
+      .select("id_a", "id_b", "common", "contain_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val bounded = Dedup.containmentPairsFromCandidates(docs, allPairs, k = 3,
+        minContainPpm = minPpm)
+      .select("id_a", "id_b", "common", "contain_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(bounded == full)
+    assert(full.map(p => (p._1, p._2)) == Set((0L, 1L), (2L, 3L)))
+    // with LSH band candidates the result is full ∩ cand, values identical
+    val cand = Dedup.minHashBands(docs, k = 3, numPerms = 32, bands = 16)
+      .as("x").join(Dedup.minHashBands(docs, k = 3, numPerms = 32, bands = 16).as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct()
+    val candSet = cand.as[(Long, Long)].collect().toSet
+    val viaCand = Dedup.containmentPairsFromCandidates(docs, cand, k = 3,
+        minContainPpm = minPpm)
+      .select("id_a", "id_b", "common", "contain_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaCand == full.filter(p => candSet.contains((p._1, p._2))))
+  }
+}
