@@ -27,8 +27,25 @@ import graft.functions.DotProduct.dot_product
   */
 object KMeans {
 
-  /** One assignment pass against fixed centroid literals. */
+  /** Literal-path budget in centroid doubles (k·dim): below it the
+    * centroids inline as expression-tree literals (zero shuffle, whole-
+    * stage codegen); above it — production k=4096·dim=1024 would be 4M
+    * literals, an analyzer/codegen blowup — assignment switches to the
+    * broadcast-DataFrame join ([[assignJoin]], the
+    * [[Similarity.ivfKnnTrained]] centroid shape). */
+  private[graft] val LiteralBudget: Long = 1L << 16
+
+  /** One assignment pass: literal or join path by [[LiteralBudget]].
+    * Both paths are bit-identical (same doubles, same lexicographic
+    * (score, cell) tie-break — KMeansSpec proves it). */
   private def assignTo(cents: Seq[(Long, Array[Double])])(emb: DataFrame): DataFrame = {
+    val doubles = cents.length.toLong * cents.headOption.map(_._2.length).getOrElse(0)
+    if (doubles <= LiteralBudget) assignLiteral(cents)(emb)
+    else assignJoin(cents)(emb)
+  }
+
+  /** Literal path: k structs of (score, cell) in the expression tree. */
+  private[graft] def assignLiteral(cents: Seq[(Long, Array[Double])])(emb: DataFrame): DataFrame = {
     val scored = cents.map { case (cid, c) =>
       val cArr = array(c.map(lit): _*)
       val cc = c.map(x => x * x).sum
@@ -38,6 +55,31 @@ object KMeans {
     // array_min over (score, cell) structs: lexicographic → lowest score,
     // ties to the lowest cell id. Deterministic.
     emb.withColumn("cell", array_min(array(scored: _*)).getField("cell"))
+  }
+
+  /** Join path: centroids as a broadcast DataFrame (k rows), scored via
+    * a broadcast nested-loop, argmin per vector as min(struct(score,
+    * cell)) — the same lexicographic tie-break as the literal path, so
+    * results are bit-identical. Cost vs the literal path: one shuffle
+    * keyed by vec_id (map-side-combined min) plus the rejoin that
+    * restores the caller's columns — the price of keeping k·dim out of
+    * the expression tree. */
+  private[graft] def assignJoin(cents: Seq[(Long, Array[Double])])(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      cents.map { case (cid, c) => (cid, c.toSeq, c.map(x => x * x).sum) }
+        .toDF("__cell", "__cent", "__cc")
+        .select(col("__cell"), col("__cent").cast("array<double>").as("__cent"),
+          col("__cc")))
+    val best = emb.select(col("vec_id"), col("embedding"))
+      .join(centDf, expr("true"))
+      .withColumn("__score",
+        col("__cc") - lit(2.0) * dot_product(col("embedding"), col("__cent")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("__score"), col("__cell"))).as("__mn"))
+      .select(col("vec_id"), col("__mn.__cell").as("cell"))
+    emb.join(best, Seq("vec_id"))
   }
 
   /** Train k centroids with `iters` fixed Lloyd iterations. */

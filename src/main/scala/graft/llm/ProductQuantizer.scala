@@ -48,10 +48,20 @@ object ProductQuantizer {
   }
 
   /** Encode every vector as its m nearest-centroid cell ids:
-    * (vec_id, codes: Array[Long]). Narrow expression over centroid
-    * literals — scan speed, no shuffle; this is the table a PQ pipeline
-    * persists in place of the raw vectors. */
-  def encode(emb: DataFrame, cb: Codebook): DataFrame = {
+    * (vec_id, codes: Array[Long]). Below [[KMeans.LiteralBudget]]
+    * codebook doubles (m·ksub·subDim = ksub·dim) the centroids inline
+    * as literals — narrow expression, scan speed, no shuffle, the table
+    * a PQ pipeline persists in place of the raw vectors. Above it
+    * (production ksub=256 on dim≥1024) the literal tree would blow up
+    * the analyzer, so encoding switches to per-subspace broadcast-join
+    * assignment ([[encodeJoin]]); both paths are bit-identical
+    * (ProductQuantizerSpec). */
+  def encode(emb: DataFrame, cb: Codebook): DataFrame =
+    if (cb.m.toLong * cb.ksub * cb.subDim <= KMeans.LiteralBudget)
+      encodeLiteral(emb, cb)
+    else encodeJoin(emb, cb)
+
+  private[graft] def encodeLiteral(emb: DataFrame, cb: Codebook): DataFrame = {
     val codeCols = (0 until cb.m).map { s =>
       val sub = slice(col("embedding"), s * cb.subDim + 1, cb.subDim)
       val scored = cb.cents(s).map { case (cid, c) =>
@@ -64,6 +74,20 @@ object ProductQuantizer {
     }
     emb.select(col("vec_id"), array(codeCols: _*).as("codes"))
   }
+
+  /** Scale path: each subspace assigns via [[KMeans.assignJoin]]
+    * (broadcast centroid rows, never literals), codes reassembled by
+    * vec_id equi-joins. m keyed joins instead of one narrow scan — the
+    * price of keeping ksub·dim doubles out of the expression tree. */
+  private[graft] def encodeJoin(emb: DataFrame, cb: Codebook): DataFrame =
+    (0 until cb.m).map { s =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), s * cb.subDim + 1, cb.subDim).as("embedding"))
+      KMeans.assignJoin(cb.cents(s))(sub)
+        .select(col("vec_id"), col("cell").as(s"__c$s"))
+    }.reduce(_.join(_, Seq("vec_id")))
+      .select(col("vec_id"),
+        array((0 until cb.m).map(s => col(s"__c$s")): _*).as("codes"))
 
   /** ADC top-k by approximate squared L2 distance: `coded` is the
     * [[encode]] output (the corpus the cluster actually holds), queries

@@ -154,22 +154,14 @@ object Similarity {
       posexplode(bucketArr).as(Seq("tbl", "bucket")))
   }
 
-  /** Multi-TABLE LSH ANN — the other recall knob next to multi-probe
-    * ([[lshKnn]] `probeHamming`): L independent tables, candidate =
-    * same bucket in ANY table. Probe count grows linearly (L lookups)
-    * where multi-probe grows combinatorially, at L× index memory —
-    * the classic tradeoff; production systems use both. Measured on
-    * the sf0.01 embeddings (6 planes, k=10): recall@10 = 0.07 with one
-    * table, 0.22 with 4 tables — see AnnRecallSpec. */
-  def lshKnnMultiTable(emb: DataFrame, queries: DataFrame, k: Int,
-                       planes: Int, dim: Int, tables: Int = 4): DataFrame = {
-    val c = lshTableBuckets(emb, planes, dim, tables)
-      .select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
-    val q = broadcast(lshTableBuckets(queries, planes, dim, tables)
-      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket")))
-    val cand = q.join(c, Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").distinct()
+  /** Exact-cosine verify + rank of a candidate pair set (query_id,
+    * neighbor_id): candidates rejoin the raw vectors BY ID (the
+    * candidate join itself never carries embeddings), score with the
+    * codegen'd dot product, rank per query with deterministic
+    * neighbor-id tie-break. Shared tail of every candidate-generating
+    * ANN variant. */
+  private def rankCandidates(cand: DataFrame, emb: DataFrame,
+                             queries: DataFrame, k: Int): DataFrame = {
     val qv = broadcast(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
       .filter(col("q_norm") > 0))
@@ -184,6 +176,48 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** Multi-TABLE LSH ANN — the other recall knob next to multi-probe
+    * ([[lshKnn]] `probeHamming`): L independent tables, candidate =
+    * same bucket in ANY table. Probe count grows linearly (L lookups)
+    * where multi-probe grows combinatorially, at L× index memory —
+    * the classic tradeoff; production systems use both
+    * ([[lshKnnComposite]]). Measured on the sf0.01 embeddings (6
+    * planes, k=10): recall@10 = 0.07 with one table, 0.22 with 4
+    * tables — see AnnRecallSpec. */
+  def lshKnnMultiTable(emb: DataFrame, queries: DataFrame, k: Int,
+                       planes: Int, dim: Int, tables: Int = 4): DataFrame =
+    lshKnnComposite(emb, queries, k, planes, dim, tables, probeHamming = 0)
+
+  /** COMPOSED multi-table × multi-probe LSH ANN — both recall knobs in
+    * one operator, the configuration production ANN services actually
+    * run: L independent tables, each probed at every bucket within
+    * hamming distance h of the query's bucket in THAT table. Candidate
+    * set = union over tables of each table's probe set — a strict
+    * superset of both single-knob variants at the same L or h, so
+    * recall dominates each (exact-cosine verify makes recall monotone
+    * in the candidate set; AnnRecallSpec asserts the floors). Cost:
+    * L·Σ_{i≤h} C(planes,i) probe buckets per query, still exploded on
+    * the broadcast QUERY side only — the corpus-side table is scanned
+    * once and never replicated, and the candidate join stays an
+    * equi-join on (tbl, bucket). */
+  def lshKnnComposite(emb: DataFrame, queries: DataFrame, k: Int,
+                      planes: Int, dim: Int, tables: Int = 4,
+                      probeHamming: Int = 1): DataFrame = {
+    val c = lshTableBuckets(emb, planes, dim, tables)
+      .select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
+    val masks: Seq[Long] = (0 until (1 << planes))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeHamming)
+      .map(_.toLong)
+    val q = broadcast(lshTableBuckets(queries, planes, dim, tables)
+      .select(col("vec_id").as("query_id"), col("tbl"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+          .as("bucket")))
+    val cand = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    rankCandidates(cand, emb, queries, k)
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into nLists Voronoi

@@ -65,6 +65,23 @@ class AnnRecallSpec extends SparkSpec {
     assert(rm >= 0.15, f"4-table recall@10 $rm%.3f below floor 0.15")
   }
 
+  test("composed multi-table × multi-probe recall dominates both single-knob variants") {
+    val L = 2; val h = 1
+    def rec(df: org.apache.spark.sql.DataFrame): Double =
+      recallAtK(df.select("query_id", "neighbor_id").as[(Long, Long)].collect())
+    val rc = rec(Similarity.lshKnnComposite(emb, queries, k = K,
+      planes = 6, dim = 64, tables = L, probeHamming = h))
+    val rt = rec(Similarity.lshKnnMultiTable(emb, queries, k = K,
+      planes = 6, dim = 64, tables = L))
+    val rp = rec(Similarity.lshKnn(emb, queries, k = K, planes = 6, dim = 64,
+      probeHamming = h))
+    info(f"composite L=$L h=$h recall@10 = $rc%.3f (tables-only $rt%.3f, probe-only $rp%.3f)")
+    // candidate superset + exact verify ⇒ recall dominates each knob alone
+    assert(rc >= rt, f"composite $rc%.3f below tables-only $rt%.3f")
+    assert(rc >= rp, f"composite $rc%.3f below probe-only $rp%.3f")
+    assert(rc >= 0.3, f"composite recall@10 $rc%.3f below floor 0.3")
+  }
+
   test("ivfKnn recall@10 vs brute force clears the floor") {
     val got = Similarity.ivfKnn(emb, queries, k = K, nLists = 16, nProbe = 4)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect()

@@ -42,6 +42,29 @@ class KMeansSpec extends SparkSpec {
     assert(res.toSeq == Seq((20L, 7L, 1L)))
   }
 
+  test("literal-path and join-path assignment are bit-identical at k=64") {
+    // 64 synthetic centroids over the 4-d space, including ones placed to
+    // force score ties (identical centroids 10 and 11 → tie-break must
+    // pick the lower cell on both paths)
+    val cents: Seq[(Long, Array[Double])] = (0L until 64L).map { cid =>
+      val base = (cid % 12).toDouble
+      val c =
+        // cells 10 and 11 identical → exact score ties; both paths must
+        // break to the lower cell id
+        if (cid == 10L || cid == 11L) Array(10.0, 10.0, 10.0, 10.0)
+        else Array(base, base + 0.5 * (cid % 3), base - 0.25 * (cid % 5), base)
+      (cid, c)
+    }
+    val lit = KMeans.assignLiteral(cents)(emb)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val join = KMeans.assignJoin(cents)(emb)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(lit == join)
+    assert(lit.size == 10)
+    // the high blob actually hits the planted tie and resolves low
+    assert(lit(5L) == 10L)
+  }
+
   test("training is bit-deterministic across runs") {
     val a = KMeans.train(emb, k = 2, iters = 3, dim = 4)
     val b = KMeans.train(emb, k = 2, iters = 3, dim = 4)

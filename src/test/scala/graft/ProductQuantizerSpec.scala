@@ -39,6 +39,17 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(codes.forall(_ == 1L))
   }
 
+  test("literal and broadcast-join encoding produce identical codes") {
+    val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 2, dim = 64)
+    val sample = emb.filter(col("vec_id") < 200)
+    val lit = ProductQuantizer.encodeLiteral(sample, cb)
+      .as[(Long, Array[Long])].collect().map { case (id, c) => id -> c.toSeq }.toMap
+    val join = ProductQuantizer.encodeJoin(sample, cb)
+      .as[(Long, Array[Long])].collect().map { case (id, c) => id -> c.toSeq }.toMap
+    assert(lit == join)
+    assert(lit.size == 200)
+  }
+
   test("IVFADC (cells + codes + rerank) recall vs exact L2 clears the floor") {
     val queryIds = (0L until 20L).toSeq
     val truth = exactL2TopK(queryIds)
