@@ -132,7 +132,12 @@ object Bench {
       val cancelled = results.collect { case (k, _, true) => "\"" + k + "\"" }
       val cancelledField =
         if (cancelled.isEmpty) "" else cancelled.mkString(",\"cancelled\":[", ",", "]")
-      val total = results.map(_._2).sum
+      // "value" sums COMPLETED minima only: a cancelled run's
+      // elapsed-at-cancel measures the budget, not the query, and mixing
+      // it in would make cross-round totals apples-to-oranges (round-4
+      // ADVICE). Cancelled queries still appear in "queries" (as their
+      // elapsed lower bound) and are named in "cancelled".
+      val total = results.collect { case (_, v, false) => v }.sum
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$cancelledField,"sf":"$sfDir"}"""
     }
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)

@@ -25,8 +25,20 @@ object GraftFunctions {
         val kExpr = exprs(1)
         require(kExpr.foldable && kExpr.eval(null) != null,
           "shingle_hashes(text, k): k must be a non-null integer literal")
-        ShingleHashes(exprs.head,
-          kExpr.eval(null).asInstanceOf[Number].intValue())
+        // integral types only: shingle_hashes(text, 2.7) must error, not
+        // silently truncate to k=2
+        val k = kExpr.eval(null) match {
+          case b: java.lang.Byte    => b.longValue()
+          case s: java.lang.Short   => s.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long    => l.longValue()
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes(text, k): k must be an integral literal, got " +
+              s"$other: ${kExpr.dataType.simpleString}")
+        }
+        require(k >= 1 && k <= Int.MaxValue,
+          s"shingle_hashes(text, k): k out of range: $k")
+        ShingleHashes(exprs.head, k.toInt)
       }, "scala_udf")
   }
 }

@@ -8,13 +8,26 @@ import graft.model.TableDef
   * every fetch call is retried up to `maxAttempts` with delay
   * base·2^(attempt−1).
   *
+  * Only TRANSIENT failures retry (`retryOn`, default: IO / timeout /
+  * interrupted-IO exception classes — the network-shaped errors a
+  * remote API emits). Deterministic failures (auth errors, malformed
+  * requests, NPEs) rethrow immediately instead of burning
+  * maxAttempts·backoff masking the real error class.
+  *
   * `list` streams pages lazily, so a failure can also happen MID-
-  * iteration; the wrapper then re-lists from the start and skips the
-  * rows already emitted (cursor orderings are stable in the reference
-  * API). A skipped-row mismatch under an unstable source degrades to
-  * duplicated rows downstream, which the idempotent LWW/guarded merge
-  * absorbs — retries compose with the sink's replay safety rather than
-  * needing their own exactly-once bookkeeping.
+  * iteration. Recovery re-lists from the start and suppresses rows
+  * already emitted by VALUE (a 64-bit FNV-1a hash per emitted row, kept
+  * in memory for the life of the iterator): under a stable cursor
+  * ordering this resumes exactly where the old cursor died, and under
+  * an UNSTABLE ordering (rows shifted by concurrent inserts — e.g. a
+  * reverse-created listing growing at the head) no unseen row is ever
+  * skipped, because suppression matches row content, never a position
+  * count. Failure modes left: a 64-bit hash collision drops/duplicates
+  * one row (~2⁻⁶⁴ per pair), and a row the SOURCE legitimately emits
+  * twice is emitted once per distinct retry window — both absorbed by
+  * the idempotent LWW/guarded merge downstream, composing with the
+  * sink's replay safety rather than needing exactly-once bookkeeping.
+  * Memory: 8 boxed longs per emitted row, bounded by one entity scan.
   *
   * `sleeper` is injectable so specs assert the backoff schedule instead
   * of sleeping through it. Serializable like the seam it wraps (the
@@ -22,7 +35,8 @@ import graft.model.TableDef
 class RetryingFetcher(inner: Backfill.EntityFetcher,
                       maxAttempts: Int = 3,
                       baseDelayMs: Long = 200L,
-                      sleeper: Long => Unit = Thread.sleep)
+                      sleeper: Long => Unit = Thread.sleep,
+                      retryOn: Throwable => Boolean = RetryingFetcher.transient)
     extends Backfill.EntityFetcher {
 
   private def backoff(attempt: Int): Unit =
@@ -33,7 +47,7 @@ class RetryingFetcher(inner: Backfill.EntityFetcher,
     while (true) {
       try return f
       catch {
-        case _: Exception if attempt < maxAttempts =>
+        case e: Exception if attempt < maxAttempts && retryOn(e) =>
           backoff(attempt); attempt += 1
       }
     }
@@ -43,32 +57,30 @@ class RetryingFetcher(inner: Backfill.EntityFetcher,
   override def list(tdef: TableDef, createdGte: Option[Long],
                     createdLt: Option[Long]): Iterator[String] =
     new Iterator[String] {
-      private var emitted = 0L
+      private val emitted = scala.collection.mutable.HashSet.empty[Long]
       private var it = retry(inner.list(tdef, createdGte, createdLt))
       private def recovering[T](f: => T): T = {
         var attempt = 1
         while (true) {
           try return f
           catch {
-            case _: Exception if attempt < maxAttempts =>
+            case e: Exception if attempt < maxAttempts && retryOn(e) =>
               backoff(attempt); attempt += 1
-              // restart the cursor and skip what we already emitted —
-              // counted with a Long loop (Iterator.drop takes Int, and a
-              // truncated count past 2^31 rows would replay from row 0)
-              it = retry {
-                val fresh = inner.list(tdef, createdGte, createdLt)
-                var skipped = 0L
-                while (skipped < emitted && fresh.hasNext) {
-                  fresh.next(); skipped += 1
-                }
-                fresh
-              }
+              // restart the cursor, suppressing already-emitted rows by
+              // content hash — position-independent, so an ordering
+              // shift between listings can never hide an unseen row
+              it = retry(inner.list(tdef, createdGte, createdLt)
+                .filterNot(row => emitted.contains(RetryingFetcher.fnv64(row))))
           }
         }
         throw new IllegalStateException("unreachable")
       }
       def hasNext: Boolean = recovering(it.hasNext)
-      def next(): String = { val v = recovering(it.next()); emitted += 1; v }
+      def next(): String = {
+        val v = recovering(it.next())
+        emitted += RetryingFetcher.fnv64(v)
+        v
+      }
     }
 
   override def retrieve(tdef: TableDef, id: String): Option[String] =
@@ -81,4 +93,30 @@ class RetryingFetcher(inner: Backfill.EntityFetcher,
   override def expandList(tdef: TableDef, entityId: String,
                           listField: String): Option[String] =
     retry(inner.expandList(tdef, entityId, listField))
+}
+
+object RetryingFetcher {
+
+  /** Default transient-failure predicate: the network-shaped exception
+    * classes (connection reset, timeout, rate-limit surfaced as IO).
+    * Anything else — auth, malformed request, NPE — is deterministic
+    * and rethrows immediately. */
+  val transient: Throwable => Boolean = {
+    case _: java.io.IOException                     => true
+    case _: java.util.concurrent.TimeoutException   => true
+    case e: java.io.UncheckedIOException            => e.getCause != null
+    case _                                          => false
+  }
+
+  /** 64-bit FNV-1a over the row text — the emitted-row fingerprint. */
+  private[operators] def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
 }

@@ -1,0 +1,60 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.streaming.WebhookPipeline
+
+/** Sink-path benchmark query — the reference's actual hot path
+  * (`postgres.ts:64-104` guarded upsert, driven per event by
+  * `stripeSync.ts:107-578`): replay the 71-fixture webhook corpus
+  * through the full pipeline (envelope parse → route → intra-batch LWW →
+  * guarded parquet merge → child normalization → set-difference passes)
+  * with the corpus repeated BENCH_SINK_COPIES times per batch (default
+  * 10 → ~710 at-least-once deliveries through intra-batch LWW) for
+  * BENCH_SINK_BATCHES batches (default 1; a second batch exercises the
+  * cross-batch guard's no-op replay path, at the price of doubling the
+  * ~100 tiny merge jobs this pipeline fans into — job-launch overhead,
+  * not merge throughput, dominates at fixture scale). Duplicate
+  * deliveries collapse under the merge guard — idempotence is exactly
+  * the property the sink is built around — so the final per-table row
+  * counts are deterministic. No SQL oracle (the result is sink-table
+  * state, not a query over the test tables) → rows-only check;
+  * WebhookPipelineSpec golden-checks the same corpus row by row. */
+object SinkQueries {
+
+  private val fixtureDir =
+    "/root/reference/packages/fastify-app/src/test/stripe"
+
+  val all: Seq[Q] = Seq(
+    Q.noOracle("qs1_webhook_sink") { (s, _) =>
+      import s.implicits._
+      val batches = sys.env.getOrElse("BENCH_SINK_BATCHES", "1").toInt
+      val copies = sys.env.getOrElse("BENCH_SINK_COPIES", "10").toInt
+      val fx: Seq[String] =
+        if (Files.exists(Paths.get(fixtureDir)))
+          Files.list(Paths.get(fixtureDir)).iterator().asScala
+            .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+            .map(p => new String(Files.readAllBytes(p)).replaceAll("\n", " "))
+        else Seq.empty
+      if (fx.isEmpty) Seq(("no_fixtures", 0L)).toDF("table", "n_rows")
+      else {
+        val dir = Files.createTempDirectory("graft_sinkbench").toString
+        val pipeline = new WebhookPipeline(dir)
+        val df = Seq.fill(copies)(fx).flatten.toDF("value")
+        (0 until batches).foreach(i => pipeline.processBatch(df, i.toLong))
+        // counts are collected EAGERLY: the temp sink state is deleted
+        // below, so the returned frame must not re-read it lazily
+        val tables = new java.io.File(dir).listFiles()
+          .filter(_.isDirectory).map(_.getName).sorted.toSeq
+        val counts = tables.map(t => (t, s.read.parquet(s"$dir/$t").count()))
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(dir))
+        counts.toDF("table", "n_rows").orderBy("table")
+      }
+    }
+  )
+}

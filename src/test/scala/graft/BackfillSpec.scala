@@ -90,7 +90,7 @@ class BackfillSpec extends SparkSpec {
       def list(tdef: TableDef, gte: Option[Long], lt: Option[Long]): Iterator[String] =
         store.valuesIterator.filter(_.contains(s""""object":"${tdef.stripeObject}""""))
       def retrieve(tdef: TableDef, id: String): Option[String] = {
-        if (calls.incrementAndGet() <= 2) throw new RuntimeException("rate limited")
+        if (calls.incrementAndGet() <= 2) throw new java.io.IOException("rate limited")
         store.get(id)
       }
     }
@@ -104,7 +104,26 @@ class BackfillSpec extends SparkSpec {
     val giveUp = new RetryingFetcher(flaky, maxAttempts = 2,
       baseDelayMs = 1L, sleeper = _ => ())
     calls.set(-100) // 102 consecutive failures > 2 attempts
-    intercept[RuntimeException] { giveUp.retrieve(TableDefs.charges, "ch_1") }
+    intercept[java.io.IOException] { giveUp.retrieve(TableDefs.charges, "ch_1") }
+  }
+
+  test("RetryingFetcher rethrows deterministic failures without retrying") {
+    import graft.operators.RetryingFetcher
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val broken = new Backfill.EntityFetcher {
+      def list(tdef: TableDef, gte: Option[Long], lt: Option[Long]): Iterator[String] =
+        Iterator.empty
+      def retrieve(tdef: TableDef, id: String): Option[String] = {
+        calls.incrementAndGet()
+        throw new IllegalArgumentException("bad api key")
+      }
+    }
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val retrying = new RetryingFetcher(broken, maxAttempts = 5,
+      baseDelayMs = 100L, sleeper = slept += _)
+    intercept[IllegalArgumentException] { retrying.retrieve(TableDefs.charges, "x") }
+    assert(calls.get() == 1)     // no second attempt
+    assert(slept.isEmpty)        // no backoff burned on a permanent error
   }
 
   test("RetryingFetcher resumes a cursor that dies mid-iteration") {
@@ -116,7 +135,7 @@ class BackfillSpec extends SparkSpec {
         val attempt = attempts.incrementAndGet()
         // first cursor dies after 3 rows; the re-listed one survives
         if (attempt == 1) docs.iterator.take(3) ++ Iterator.continually[String](
-          throw new RuntimeException("connection reset")).take(1)
+          throw new java.io.IOException("connection reset")).take(1)
         else docs.iterator
       }
       def retrieve(tdef: TableDef, id: String): Option[String] = None
@@ -126,5 +145,32 @@ class BackfillSpec extends SparkSpec {
     val got = retrying.list(TableDefs.charges, None, None).toSeq
     assert(got == docs)        // every row exactly once, order preserved
     assert(attempts.get() == 2) // one restart
+  }
+
+  test("RetryingFetcher resume loses no rows when the re-listed cursor is reordered") {
+    import graft.operators.RetryingFetcher
+    val docs = (1 to 6).map(i => s"""{"id":"ch_$i","object":"charge","amount":$i}""")
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = new Backfill.EntityFetcher {
+      def list(tdef: TableDef, gte: Option[Long], lt: Option[Long]): Iterator[String] = {
+        val attempt = attempts.incrementAndGet()
+        // cursor dies after ch_1..ch_3; the re-listed cursor has a NEW
+        // row (ch_0) inserted at the head and ch_4 moved into the old
+        // prefix — a count-skip of 3 would silently drop ch_4 and emit
+        // the already-seen ch_3 again
+        if (attempt == 1) docs.iterator.take(3) ++ Iterator.continually[String](
+          throw new java.io.IOException("connection reset")).take(1)
+        else (Seq("""{"id":"ch_0","object":"charge","amount":0}""",
+          docs(3), docs(2), docs(0), docs(1), docs(4), docs(5))).iterator
+      }
+      def retrieve(tdef: TableDef, id: String): Option[String] = None
+    }
+    val retrying = new RetryingFetcher(flaky, maxAttempts = 3,
+      baseDelayMs = 1L, sleeper = _ => ())
+    val got = retrying.list(TableDefs.charges, None, None).toSeq
+    // prefix before the crash, then every not-yet-seen row of the new
+    // listing exactly once — nothing lost, nothing duplicated
+    assert(got == docs.take(3) ++
+      Seq("""{"id":"ch_0","object":"charge","amount":0}""", docs(3), docs(4), docs(5)))
   }
 }

@@ -81,5 +81,15 @@ class StreamingAnalyticsSpec extends SparkSpec {
     graft.functions.GraftFunctions.registerAll(spark)
     val hex = spark.sql("SELECT hmac_sha256('a.b', 'k') AS h").head().getString(0)
     assert(hex.matches("[0-9a-f]{64}"))
+    // shingle_hashes: integral k works, fractional k ERRORS instead of
+    // silently truncating (2.7 must not run as k=2)
+    assert(spark.sql("SELECT size(shingle_hashes('a b c d', 3)) AS n")
+      .head().getInt(0) == 2)
+    val err = intercept[Throwable] {
+      spark.sql("SELECT shingle_hashes('a b c d', 2.7)").collect()
+    }
+    val chain = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("integral"), s"unexpected error: $chain")
   }
 }
