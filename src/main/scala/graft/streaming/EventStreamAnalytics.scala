@@ -40,6 +40,72 @@ object EventStreamAnalytics {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** STREAMING funnel — q81's conversion predicate (purchase with a
+    * same-user view in the preceding `windowStr`) as a stream-stream
+    * interval LEFT SEMI join with watermarks on both sides: the
+    * canonical Structured Streaming form. State per side is bounded by
+    * the watermark + join window (the engine drops view state once no
+    * future purchase can reach it, and filters input rows older than
+    * the watermark — late data beyond it is DROPPED, late data within
+    * it still converts, in whichever micro-batch completes the pair).
+    * Emits conversions (user_id, event_id, p_ts) append-only; the
+    * per-user totals of the batch twin are a downstream aggregate (or
+    * the batch query itself over the sink — the unified-model point). */
+  def streamingFunnel(events: DataFrame, windowStr: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowStr"),
+      "left_semi")
+  }
+
+  case class RetEv(user_id: Long, ts_us: Long)
+  case class RetState(w0: Long, weeks: Set[Long])
+  case class RetRow(user_id: Long, week: Long, cohort_week: Long, week_offset: Long)
+
+  private val WeekUs = 604800000000L
+
+  /** STREAMING retention — q82's cohort arithmetic as per-user custom
+    * state (mapGroupsWithState family): state = (first week w0, seen
+    * weeks), output = DELTA rows (user_id, week, cohort_week,
+    * week_offset), last-write-wins per (user_id, week) — the same
+    * merge philosophy as the sync engine's sink. Out-of-order events
+    * are handled EXACTLY: a late event from an earlier week shifts the
+    * user's cohort, and the operator re-emits every seen week with the
+    * corrected (cohort_week, week_offset), which LWW then supersedes —
+    * so the folded output equals the batch q82 input whatever the
+    * arrival order (spec-proven). Replays emit nothing (idempotent).
+    * State per user is one long + the distinct-week set — bounded by
+    * product-lifetime weeks, not event count; cohort counts per
+    * (cohort_week, week_offset) are a downstream aggregate over the
+    * folded rows. */
+  def retentionDeltas(events: Dataset[RetEv]): Dataset[RetRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, RetRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[RetEv], state: GroupState[RetState]) =>
+          val incoming = rows.map(e => e.ts_us / WeekUs).toSet
+          val st = state.getOption.getOrElse(RetState(Long.MaxValue, Set.empty))
+          val weeks = st.weeks ++ incoming
+          val w0 =
+            if (incoming.isEmpty) st.w0
+            else math.min(st.w0, incoming.min)
+          state.update(RetState(w0, weeks))
+          // cohort shift rewrites every prior row; otherwise only the
+          // genuinely new weeks emit
+          val emit = if (w0 != st.w0) weeks else incoming -- st.weeks
+          emit.toSeq.sorted.map(w => RetRow(uid, w, w0, w - w0)).iterator
+      }
+  }
+
   case class Ev(user_id: Long, ts_ns: Long, value: Double)
   case class SessionState(start_ns: Long, last_ns: Long, n: Int, total: Double)
   case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Int,
