@@ -86,6 +86,56 @@ object Corpus {
       .drop("rnk")
   }
 
+  /** Benchmark DECONTAMINATION — the overlap check every serious
+    * training pipeline runs before release (n-gram collision against
+    * held-out evaluation sets, GPT-3 appendix-C style): flag corpus
+    * documents sharing at least one k-token shingle with any benchmark
+    * document, with the count of distinct shared shingles as the
+    * contamination score. Returns (doc_id, n_shared) for flagged docs
+    * only; the clean corpus is the anti-join against it.
+    *
+    * Shape: one shingle scan per side (codegen'd
+    * [[graft.functions.ShingleHashes]], 8-byte join keys), benchmark
+    * shingle set deduped then semi-joined — benchmark suites are tiny
+    * relative to a corpus, so the set BROADCASTS and the corpus is
+    * never shuffled; cost is one scan + one broadcast semi-join +
+    * one doc-keyed aggregate, at any corpus size. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: Int = 5): DataFrame = {
+    def shingled(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.ShingleHashes.shingle_hashes(col("text"), k)).as("h"))
+    val benchSet = shingled(benchmark).select("h").distinct()
+    shingled(corpus)
+      .join(broadcast(benchSet), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(countDistinct("h").as("n_shared"))
+  }
+
+  /** TOKEN-BUDGET mixture sampling — build a training mix by taking,
+    * per stratum (language/source/domain), documents in deterministic
+    * pseudo-random order until the stratum's token budget is filled
+    * (the document that crosses the budget is kept: every stratum
+    * reaches ≥ budget tokens when it has them — the data-mixing rule
+    * corpora like The Pile weight sources by). Order key is the exact
+    * integer fold (doc_id · 2654435761) mod 1000000007 — engine-
+    * portable, seed-free, uniform. Returns the sampled rows with
+    * n_tokens and the running cum within the stratum.
+    *
+    * Shape: one window per stratum (shuffle keyed by the stratum
+    * column, each partition sorts only its stratum) — the same
+    * parallel form as [[seqPackingSharded]]; no global order, no
+    * driver loop. */
+  def tokenBudgetMix(docs: DataFrame, strataCol: String,
+                     budgetTokens: Long): DataFrame = {
+    val t = docs.select(col("doc_id"), col(strataCol),
+      size(words(col("text"))).cast("long").as("n_tokens"),
+      ((col("doc_id") * lit(2654435761L)) % lit(1000000007L)).as("__rnd"))
+    val w = Window.partitionBy(strataCol).orderBy(col("__rnd"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") - col("n_tokens") < budgetTokens)
+      .drop("__rnd")
+  }
+
   /** Length histogram: bucket documents by n_chars DIV width; per bucket
     * doc count and total tokens. Single map-side-combined aggregate. */
   def lengthHistogram(docs: DataFrame, width: Int = 50): DataFrame =

@@ -602,6 +602,51 @@ object PipelineQueries {
       Corpus.snapshotDiff(old, neu).orderBy("doc_id")
     },
 
+    // Benchmark decontamination: docs with doc_id % 10 = 0 play the
+    // held-out evaluation set; corpus docs sharing any 5-token shingle
+    // with it are flagged with their distinct-shared-shingle count.
+    // Spark joins on 8-byte shingle hashes (broadcast bench set, corpus
+    // never shuffled); the oracle replays it on the shingle strings.
+    Q("q83_decontam",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+        |               || ' ' || l[i+4]))) AS shingle
+        |        FROM w WHERE len(l) >= 5),
+        | bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+        | corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT c.doc_id, count(DISTINCT c.shingle) AS n_shared
+        |FROM corp c JOIN bench b ON c.shingle = b.shingle
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Corpus.decontaminate(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), k = 5)
+        .orderBy("doc_id")
+    },
+
+    // Token-budget mixture sampling: per language, take docs in
+    // deterministic pseudo-random order until 3000 tokens are reached
+    // (the crossing doc kept) — the per-source weighting rule of
+    // training-mix construction, as per-stratum windows (no global
+    // order, no driver loop).
+    Q("q84_token_mix",
+      """WITH t AS (SELECT doc_id, lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |             (doc_id * 2654435761) % 1000000007 AS rnd
+        |           FROM documents),
+        | c AS (SELECT doc_id, lang, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY rnd, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |       FROM t)
+        |SELECT doc_id, lang, n_tokens, cum FROM c
+        |WHERE cum - n_tokens < 3000 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Corpus.tokenBudgetMix(Tables(s, dir, "documents"), "lang", 3000L)
+        .orderBy("doc_id")
+    },
+
     Q("q64_seq_packing",
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),

@@ -21,10 +21,39 @@ class PlanShapeSpec extends SparkSpec {
 
   test("pair operators never plan a cartesian product") {
     for (q <- Seq("q31_jaccard_pairs", "q32_minhash_bands", "q71_simhash_pairs",
-        "q73_dedup_incremental", "q74_bucketed_neardup", "q80_containment_pairs")) {
+        "q73_dedup_incremental", "q74_bucketed_neardup", "q80_containment_pairs",
+        "q68_dedup_keeplist", "q70_dedup_keep_best", "q83_decontam")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
+  }
+
+  test("round-5 guard/candidate operators keep equi-join shapes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    // capped LSH pair join: still hash equi-joins on (band, band_hash),
+    // no cartesian introduced by the cap's anti-join
+    val capped = graft.llm.Dedup.minHashLshPairs(docs, k = 3, numPerms = 8,
+      bands = 4, minJaccardPpm = 1L, maxBandDf = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!capped.contains("CartesianProduct"), "capped band join went cartesian")
+    // candidate-bounded containment: keyed joins only
+    val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val cb = graft.llm.Dedup.containmentPairsFromCandidates(docs, cand, k = 3,
+        minContainPpm = 1L)
+      .queryExecution.executedPlan.toString
+    assert(!cb.contains("CartesianProduct") && !cb.contains("BroadcastNestedLoopJoin"),
+      "candidate-bounded containment lost its equi-joins")
+    // composite ANN: bucket candidate join stays an equi-join
+    val emb = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 3.0 + d).toFloat))).toDF("vec_id", "embedding")
+    val comp = graft.llm.Similarity.lshKnnComposite(emb,
+        emb.filter(col("vec_id") < 2), k = 3, planes = 4, dim = 8,
+        tables = 2, probeHamming = 1)
+      .queryExecution.executedPlan.toString
+    assert(!comp.contains("CartesianProduct"), "composite ANN went cartesian")
   }
 
   test("ANN candidate joins are hash joins, not nested loops") {
