@@ -42,8 +42,14 @@ class WebhookPipeline(tablesDir: String,
   def processBatch(raw: DataFrame, batchId: Long = 0L): Unit = {
     val envelope = StripeEvents.parseEnvelope(raw).cache()
     try {
-      StripeEvents.route(envelope).foreach { case (tdef, action, events) =>
-        action match {
+      // ONE aggregate decides which route groups have events — the
+      // per-group emptiness probes it replaces were ~25 driver-visible
+      // jobs per micro-batch, pure scheduling overhead on the hot path
+      val typeCounts: Map[String, Long] = envelope.groupBy("event_type")
+        .count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      StripeEvents.route(envelope).foreach { case (tdef, action, types, events) =>
+        if (types.exists(t => typeCounts.getOrElse(t, 0L) > 0L)) action match {
           case Upsert           => upsert(tdef, events)
           case DeletedUpsert    => deletedUpsert(tdef, events)
           case Delete           => delete(tdef, events)
@@ -57,7 +63,6 @@ class WebhookPipeline(tablesDir: String,
     * semantics), optional list expansion (A7), guarded merge, then child
     * normalization for subscriptions (A5+J3) and checkout sessions (A6). */
   private def upsert(tdef: TableDef, events: DataFrame): Unit = {
-    if (events.isEmpty) return
     val enriched = fetcher match {
       case Some(f) if config.revalidateTables(tdef.table) =>
         Enrichment.revalidate(events.select("payload", "created"), tdef, f)
@@ -90,7 +95,6 @@ class WebhookPipeline(tablesDir: String,
     * live columns (useNullForMissing, §7.5 hard part: replicate, don't
     * "fix"). */
   private def deletedUpsert(tdef: TableDef, events: DataFrame): Unit = {
-    if (events.isEmpty) return
     val rows = tdef.projectFrom(
       events.withColumn("payload",
         to_json(struct(
@@ -102,12 +106,10 @@ class WebhookPipeline(tablesDir: String,
   }
 
   /** S10 hard delete. */
-  private def delete(tdef: TableDef, events: DataFrame): Unit = {
-    if (events.isEmpty) return
+  private def delete(tdef: TableDef, events: DataFrame): Unit =
     MergeSink.deleteParquet(
       events.select(get_json_object(col("payload"), "$.id").as("id")),
       tablesDir, tdef)
-  }
 
   /** Split a JSON array at `path` inside `payloadCol` into one row per
     * element, the element's raw JSON in `elemCol`. from_json cannot keep
@@ -169,7 +171,6 @@ class WebhookPipeline(tablesDir: String,
     * current entitlement set, then hard-delete the customer's rows not
     * in it. */
   private def entitlementDelta(events: DataFrame): Unit = {
-    if (events.isEmpty) return
     val tdef = TableDefs.activeEntitlements
     val ents = explodeJsonArray(
       events.select(
