@@ -145,6 +145,31 @@ object Dedup {
       .select("id_a", "id_b", "common", "contain_ppm")
   }
 
+  /** DUPLICATE-SPAN flagging — the k-gram building block of exact-
+    * substring dedup (the "dedup training data at the substring level"
+    * result: repeated ≥k-token spans across a corpus are memorization
+    * fuel even when whole documents differ): for every document, count
+    * the distinct k-token shingles whose corpus document-frequency is
+    * ≥ `minDf`. A flagged span is text shared verbatim with at least
+    * one other document; (doc_id, n_dup_spans) ranks documents by how
+    * much boilerplate/quotation they carry, and the anti-join against
+    * the flagged set is the clean corpus.
+    *
+    * Shape: one shingle scan (codegen'd, 8-byte keys), one df
+    * aggregate keyed by shingle hash (map-side combined), one semi-join
+    * back, one doc-keyed count — two shuffles total, both keyed; the
+    * df≥2 set at web scale is LARGE (most boilerplate repeats), so it
+    * stays a shuffled semi-join, never a broadcast. */
+  def duplicateSpans(docs: DataFrame, k: Int = 8, minDf: Long = 2L): DataFrame = {
+    // feeds both the df aggregate and the semi-join probe — stage once
+    val sh = Stage(docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHashes.shingle_hashes(col("text"), k)).as("h")))
+    val dup = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("h")
+    sh.join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+  }
+
   /** Shared inverted-index pair core: (id_a, id_b, n_a, n_b, common)
     * for every pair with ≥1 shared (surviving) shingle. The shingle
     * hashing is the codegen'd [[graft.functions.ShingleHashes]] — one

@@ -647,6 +647,53 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Duplicate-span flagging: per doc, the count of distinct 8-token
+    // shingles appearing in ≥2 documents — the exact-substring-dedup
+    // building block (verbatim-repeated spans are memorization fuel
+    // even when whole docs differ). Spark works on 8-byte shingle
+    // hashes; the oracle replays on the strings.
+    Q("q85_dup_spans",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 6),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+        |               l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7]))) AS shingle
+        |        FROM w WHERE len(l) >= 8),
+        | df AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2)
+        |SELECT s.doc_id, count(*) AS n_dup_spans
+        |FROM sh s JOIN df USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      Dedup.duplicateSpans(Tables(s, dir, "documents"), k = 8, minDf = 2L)
+        .orderBy("doc_id")
+    },
+
+    // END-TO-END corpus build — the three-stage composition a training
+    // pipeline actually ships: quality gate (≥20 tokens, q26's is_short
+    // rule) → exact dedup to min-id representatives (q30) → per-language
+    // token-budget mix (q84). Every stage is the scalable variant; the
+    // whole chain stays oracle-exact (no recursion, no sketches).
+    Q("q86_corpus_build",
+      """WITH ok AS (SELECT doc_id, lang, text FROM documents
+        |            WHERE CAST(len(string_split(text, ' ')) AS BIGINT) >= 20),
+        | reps AS (SELECT min(doc_id) AS doc_id FROM ok GROUP BY text),
+        | surv AS (SELECT o.doc_id, o.lang,
+        |            CAST(len(string_split(o.text, ' ')) AS BIGINT) AS n_tokens,
+        |            (o.doc_id * 2654435761) % 1000000007 AS rnd
+        |          FROM ok o JOIN reps r ON r.doc_id = o.doc_id),
+        | c AS (SELECT doc_id, lang, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY rnd, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |       FROM surv)
+        |SELECT doc_id, lang, n_tokens, cum FROM c
+        |WHERE cum - n_tokens < 2000 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val ok = docs.filter(size(split(col("text"), " ")).cast("long") >= 20)
+      val reps = Dedup.exactReps(ok.select("doc_id", "text"))
+      val surv = ok.join(reps.select("doc_id"), Seq("doc_id"), "left_semi")
+      Corpus.tokenBudgetMix(surv, "lang", 2000L).orderBy("doc_id")
+    },
+
     Q("q64_seq_packing",
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),
