@@ -45,6 +45,24 @@ class HotBucketSpec extends SparkSpec {
     assert(withPre == Set(0L, 3L, 5L, 6L))
   }
 
+  test("exact pre-pass equivalence holds over randomized corpora (fixed seed)") {
+    val rng = new scala.util.Random(42)
+    val vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi").split(" ")
+    (1 to 3).foreach { round =>
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      var id = 0L
+      (0 until 6).foreach { _ =>
+        val t = (0 until 12).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+        (0 to rng.nextInt(2)).foreach { _ => buf += ((id, t)); id += 1 } // exact copies
+        if (rng.nextBoolean()) { buf += ((id, t + " extra")); id += 1 }  // near-dup
+      }
+      val docs = buf.toSeq.toDF("doc_id", "text")
+      assert(keepList(docs, prePass = true) == keepList(docs, prePass = false),
+        s"pre-pass equivalence broke in round $round")
+    }
+  }
+
   test("10^4 exact copies of one doc: candidate pairs stay O(n), not m^2") {
     val big = ((0L until 10000L).map(i => (i, uniq(0))) ++
       Seq(10000L -> uniq(1), 10001L -> (uniq(1) + " thirteen"),
