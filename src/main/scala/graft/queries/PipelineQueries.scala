@@ -647,6 +647,59 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // LSH-candidate-bounded containment — q80's scale-safe form: the
+    // candidate set comes from MinHash banding (cost linear in band
+    // buckets), containment is scored only over those pairs
+    // (Dedup.containmentPairsFromCandidates — linear in |cand|, never
+    // Σdf²). On this corpus the result EQUALS the full q80 (the bands
+    // catch every ≥0.8-containment pair); at 100 TB this is the only
+    // responsible call shape. Oracle replays bands + string-shingle
+    // containment.
+    Q("q87_containment_lsh",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+        |        FROM w WHERE len(l) >= 3),
+        | hx AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(1, length(shingle) + 1),
+        |            i -> CAST(ascii(substr(shingle, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |          (a, c) -> (a * 131 + c) % 4294967291) AS x
+        |        FROM sh),
+        | perms AS (SELECT j, ((1103515245 * (j + 1) + 12345) % 2147483648) | 1 AS a,
+        |                  (2654435761 * (j + 7)) % 4294967311 AS b
+        |           FROM range(0, 32) t(j)),
+        | mh AS (SELECT doc_id, j, min((a * x + b) % 4294967311) AS h
+        |        FROM hx CROSS JOIN perms GROUP BY doc_id, j),
+        | bh AS (SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+        |          list_reduce(list_prepend(CAST(7 AS BIGINT), list(h ORDER BY j)),
+        |            (acc, v) -> (acc * 1315423911 + v) % 1000000007) AS band_hash
+        |        FROM mh GROUP BY doc_id, band),
+        | cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |          FROM bh x JOIN bh y ON x.band = y.band AND x.band_hash = y.band_hash
+        |           AND x.doc_id < y.doc_id),
+        | sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        | com AS (SELECT c.id_a, c.id_b, count(*) AS common
+        |         FROM cand c JOIN sh a ON a.doc_id = c.id_a
+        |                     JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        |         GROUP BY 1, 2)
+        |SELECT m.id_a, m.id_b, m.common,
+        | (m.common * 1000000) // least(sa.n_sh, sb.n_sh) AS contain_ppm
+        |FROM com m JOIN sz sa ON sa.doc_id = m.id_a JOIN sz sb ON sb.doc_id = m.id_b
+        |WHERE (m.common * 1000000) // least(sa.n_sh, sb.n_sh) >= 800000
+        |ORDER BY m.id_a, m.id_b""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val bh = Stage(Dedup.minHashBands(docs, k = 3, numPerms = 32, bands = 8))
+      val cand = bh.as("x").join(bh.as("y"),
+          col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      Dedup.containmentPairsFromCandidates(docs, cand, k = 3,
+          minContainPpm = 800000L)
+        .orderBy("id_a", "id_b")
+    },
+
     // Duplicate-span flagging: per doc, the count of distinct 8-token
     // shingles appearing in ≥2 documents — the exact-substring-dedup
     // building block (verbatim-repeated spans are memorization fuel

@@ -22,7 +22,8 @@ class PlanShapeSpec extends SparkSpec {
   test("pair operators never plan a cartesian product") {
     for (q <- Seq("q31_jaccard_pairs", "q32_minhash_bands", "q71_simhash_pairs",
         "q73_dedup_incremental", "q74_bucketed_neardup", "q80_containment_pairs",
-        "q68_dedup_keeplist", "q70_dedup_keep_best", "q83_decontam")) {
+        "q68_dedup_keeplist", "q70_dedup_keep_best", "q83_decontam",
+        "q85_dup_spans", "q87_containment_lsh")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
