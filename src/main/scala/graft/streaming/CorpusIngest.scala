@@ -45,25 +45,48 @@ object CorpusIngest {
     * the ledger row a short doc would be re-admitted on every
     * at-least-once replay). Duplicate ids within one batch are collapsed
     * first (replayed lines are byte-identical, so which row survives is
-    * immaterial). */
+    * immaterial).
+    *
+    * Production knobs:
+    *   - `maxBandDf` caps any one (band, band_hash) bucket across
+    *     store + batch ([[Dedup.dedupIncrementalSigs]]) — the store is
+    *     deduped by construction, but families of just-below-threshold
+    *     documents can still pile into shared buckets over months of
+    *     ingest; the cap bounds that tail.
+    *   - `benchmark` (doc_id, text) enables DECONTAMINATION AT THE
+    *     DOOR: batch docs sharing more than `maxBenchShared` distinct
+    *     `decontamK`-gram shingles with the benchmark set are rejected
+    *     before dedup — cheaper than scrubbing the corpus later, and
+    *     the rejection leaves no ledger row, so a cleaned-up re-send of
+    *     the same doc_id can be admitted. */
   def processBatch(batch: DataFrame, corpusDir: String, sigDir: String,
                    k: Int = 3, numPerms: Int = 32, bands: Int = 8,
-                   minEstPpm: Long = 500000L): Long = {
+                   minEstPpm: Long = 500000L,
+                   maxBandDf: Long = Long.MaxValue,
+                   benchmark: Option[DataFrame] = None,
+                   decontamK: Int = 8, maxBenchShared: Long = 0L): Long = {
     val spark = batch.sparkSession
     val existingSigs =
       if (Files.exists(Paths.get(sigDir))) spark.read.parquet(sigDir)
       else Dedup.minHashSignatures(
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           docSchema), k, numPerms)
-    val fresh = batch.select("doc_id", "text")
+    val dedupedIds = batch.select("doc_id", "text")
       .dropDuplicates("doc_id")
       .join(existingSigs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val fresh = benchmark match {
+      case Some(b) =>
+        val contaminated = graft.llm.Corpus.decontaminate(dedupedIds, b, decontamK)
+          .filter(col("n_shared") > maxBenchShared).select("doc_id")
+        dedupedIds.join(contaminated, Seq("doc_id"), "left_anti")
+      case None => dedupedIds
+    }
     // ONE shingle+min pass per batch: the signatures feed the dedup AND
     // the ledger append below (round-4 cost: dedupIncremental computed
     // them internally and the ledger recomputed them for admitted docs)
     val freshSigs = graft.llm.Stage(Dedup.minHashSignatures(fresh, k, numPerms))
     val kept = Dedup.dedupIncrementalSigs(fresh, freshSigs, existingSigs,
-      numPerms, bands, minEstPpm)
+      numPerms, bands, minEstPpm, maxBandDf)
     // Admission must be decided before the two appends (kept is read
     // twice): one small batch-sized materialization.
     val admitted = graft.llm.Stage(kept)

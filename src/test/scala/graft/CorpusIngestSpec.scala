@@ -37,6 +37,31 @@ class CorpusIngestSpec extends SparkSpec {
     assert(ingest(3L -> "completely new material never seen in any earlier batch") == 0L)
   }
 
+  test("benchmark decontamination rejects contaminated docs at the door") {
+    val corpusDir = tmpDir("corpus3") + "/docs"
+    val sigDir = tmpDir("corpus3") + "/sigs"
+    val bench = Seq(
+      (900L, "held out evaluation question about the seven wonders of the ancient world"))
+      .toDF("doc_id", "text")
+    // doc 1 quotes an 8-token benchmark span verbatim; doc 2 is clean
+    val n = CorpusIngest.processBatch(Seq(
+        1L -> "contaminated doc copying evaluation question about the seven wonders of the ancient world here",
+        2L -> "a perfectly clean training document with no benchmark overlap at all")
+        .toDF("doc_id", "text"),
+      corpusDir, sigDir, k = 3, numPerms = 32, bands = 16,
+      minEstPpm = 400000L, benchmark = Some(bench))
+    assert(n == 1L)
+    assert(spark.read.parquet(corpusDir).select("doc_id").as[Long]
+      .collect().toSeq == Seq(2L))
+    // rejection left no ledger row: a cleaned-up re-send of id 1 admits
+    val n2 = CorpusIngest.processBatch(
+      Seq(1L -> "the same document rewritten without any quoted benchmark span inside")
+        .toDF("doc_id", "text"),
+      corpusDir, sigDir, k = 3, numPerms = 32, bands = 16,
+      minEstPpm = 400000L, benchmark = Some(bench))
+    assert(n2 == 1L)
+  }
+
   test("short docs and intra-batch duplicates stay exactly-once via the admission ledger") {
     val corpusDir = tmpDir("corpus2") + "/docs"
     val sigDir = tmpDir("corpus2") + "/sigs"
