@@ -48,15 +48,48 @@ class WebhookPipeline(tablesDir: String,
       val typeCounts: Map[String, Long] = envelope.groupBy("event_type")
         .count().collect()
         .map(r => (r.getString(0), r.getLong(1))).toMap
-      StripeEvents.route(envelope).foreach { case (tdef, action, types, events) =>
-        if (types.exists(t => typeCounts.getOrElse(t, 0L) > 0L)) action match {
-          case Upsert           => upsert(tdef, events)
-          case DeletedUpsert    => deletedUpsert(tdef, events)
-          case Delete           => delete(tdef, events)
-          case EntitlementDelta => entitlementDelta(events)
-        }
+      def rank(a: StripeEvents.Action): Int = a match {
+        case Upsert => 0; case DeletedUpsert => 1
+        case EntitlementDelta => 2; case Delete => 3
       }
+      val live = StripeEvents.route(envelope).filter {
+        case (_, _, types, _) => types.exists(t => typeCounts.getOrElse(t, 0L) > 0L)
+      }
+      // Action ranks stay a strict barrier (a same-id create+delete in
+      // one micro-batch must resolve to deleted — StripeEvents.route's
+      // ordering contract); WITHIN a rank every group targets a
+      // different table, so their merges are independent Spark actions
+      // and run concurrently — the reference's own Promise.all
+      // parallelism (stripeSync.ts:1066-1069), bounded by a small pool.
+      live.groupBy { case (_, action, _, _) => rank(action) }
+        .toSeq.sortBy(_._1)
+        .foreach { case (_, groups) => runConcurrently(groups) }
     } finally envelope.unpersist()
+  }
+
+  private def runConcurrently(
+      groups: Seq[(TableDef, StripeEvents.Action, Seq[String], DataFrame)]): Unit = {
+    def run(g: (TableDef, StripeEvents.Action, Seq[String], DataFrame)): Unit =
+      g match { case (tdef, action, _, events) => action match {
+        case Upsert           => upsert(tdef, events)
+        case DeletedUpsert    => deletedUpsert(tdef, events)
+        case Delete           => delete(tdef, events)
+        case EntitlementDelta => entitlementDelta(events)
+      }}
+    if (groups.sizeIs <= 1) groups.foreach(run)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, groups.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: java.util.List[java.util.concurrent.Callable[Unit]] =
+          groups.map { g =>
+            new java.util.concurrent.Callable[Unit] { def call(): Unit = run(g) }
+          }.asJava
+        // invokeAll waits for all; surface the first failure
+        pool.invokeAll(tasks).asScala.foreach(_.get())
+      } finally pool.shutdown()
+    }
   }
 
   /** Full-schema upsert: optional revalidation (P8/P4, two-timestamp
