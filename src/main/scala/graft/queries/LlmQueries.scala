@@ -307,6 +307,43 @@ object LlmQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // COMPOSED multi-table × multi-probe ANN, fully oracle-checked:
+    // 2 independent tables (table t uses plane indices 6t..6t+5 of the
+    // same deterministic construction), each probed at hamming ≤ 1 —
+    // candidate iff SOME table's buckets are within hamming 1. The
+    // oracle replays the plane weights, per-table buckets, and the
+    // exact-cosine rank.
+    Q("q88_ann_multitable",
+      s"""WITH planes AS (SELECT t, p, list_transform(range(0, 64),
+        |    d -> CASE WHEN ((CAST((t*6 + p)*1021 + d*2039 + 1 AS BIGINT) * 2654435761) >> 13) & 1 = 1
+        |         THEN 1.0 ELSE -1.0 END) AS w
+        |  FROM range(0, 2) tt(t) CROSS JOIN range(0, 6) pp(p)),
+        | b AS (SELECT e.vec_id, p.t,
+        |        CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.w")} > 0
+        |                      THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.t),
+        | cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |          FROM b q JOIN b c ON q.t = c.t
+        |           AND bit_count(xor(q.bucket, c.bucket)) <= 1
+        |          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        | n AS (SELECT vec_id, embedding,
+        |        sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+        | pairs AS (SELECT cd.query_id, cd.neighbor_id,
+        |            ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sim
+        |           FROM cand cd JOIN n q ON q.vec_id = cd.query_id
+        |            JOIN n c ON c.vec_id = cd.neighbor_id),
+        | r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
+        |         PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        |       FROM pairs)
+        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshKnnComposite(emb, emb.filter(col("vec_id") < 10), k = 3,
+          planes = 6, dim = 64, tables = 2, probeHamming = 1)
+        .orderBy("query_id", "rnk")
+    },
+
     // IVF ANN, fully oracle-checked: Voronoi assignment to the 16
     // deterministic centroids and the probe ranking replay the exact
     // double arithmetic of the Spark plan.
