@@ -79,6 +79,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("cell-partitioned IVF corpus prunes partitions at the scan") {
+    // the 100 TB IVF claim made concrete: write the corpus partitioned
+    // by its Voronoi cell, probe a cell subset, and the scan must carry
+    // the cell filter as a PartitionFilter (touching nProbe/nLists of
+    // the files), not read-everything-then-filter
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 3.0 + d * 0.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.llm.KMeans.train(emb, k = 4, iters = 2, dim = 8)
+    val dir = tmpDir("ivf_part")
+    graft.llm.KMeans.assign(emb, cents)
+      .join(emb, Seq("vec_id"))
+      .write.partitionBy("cell").parquet(s"$dir/corpus")
+    val probed = spark.read.parquet(s"$dir/corpus")
+      .filter(col("cell").isin(0L, 1L))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell filter did not reach the scan as a partition filter: $plan")
+    assert(probed.select("vec_id").distinct().count() ==
+      graft.llm.KMeans.assign(emb, cents).filter(col("cell") < 2).count())
+  }
+
   test("projection pruning reaches the parquet scan of the star join") {
     // q02 joins 5 tables but reads only the join keys + aggregated cols:
     // the lineitem scan must not read comment/shipmode/etc.
