@@ -97,12 +97,38 @@ object Backfill {
       .map(chunk => upsertChunk(spark, tablesDir, tdef, chunk.toSeq))
       .sum
 
-  /** S7: `object:'all'` backfill — every active entity sequentially
-    * (stripeSync.ts:664-778). Returns per-table synced counts. */
+  /** S7: `object:'all'` backfill — every active entity
+    * (stripeSync.ts:664-778; the reference runs them sequentially).
+    * Returns per-table synced counts.
+    *
+    * `parallelism` > 1 scans entities CONCURRENTLY on a bounded pool —
+    * each entity targets its own table, so the per-entity merge chains
+    * never conflict (the same independence the webhook pipeline's
+    * same-rank merges exploit); the fetcher must tolerate concurrent
+    * calls (the real API client does — the reference serializes only by
+    * choice of control flow, not by data dependency). Default 1 =
+    * reference-faithful sequential order. */
   def syncAll(spark: SparkSession, tablesDir: String, fetcher: EntityFetcher,
-              createdGte: Option[Long] = None): Map[String, Long] =
-    TableDefs.active.map(t =>
-      t.table -> syncEntity(spark, tablesDir, t, fetcher, createdGte)).toMap
+              createdGte: Option[Long] = None,
+              parallelism: Int = 1): Map[String, Long] =
+    if (parallelism <= 1)
+      TableDefs.active.map(t =>
+        t.table -> syncEntity(spark, tablesDir, t, fetcher, createdGte)).toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, TableDefs.active.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: java.util.List[java.util.concurrent.Callable[(String, Long)]] =
+          TableDefs.active.map { t =>
+            new java.util.concurrent.Callable[(String, Long)] {
+              def call(): (String, Long) =
+                t.table -> syncEntity(spark, tablesDir, t, fetcher, createdGte)
+            }
+          }.asJava
+        pool.invokeAll(tasks).asScala.map(_.get()).toMap
+      } finally pool.shutdown()
+    }
 
   /** Scheduled-window backfill, the reference's cron routes
     * (routes/sync/daily.ts:12-14, weekly/monthly analogous):

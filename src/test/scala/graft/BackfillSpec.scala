@@ -82,6 +82,18 @@ class BackfillSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/charges").head().getAs[Long]("amount") == 5L)
   }
 
+  test("parallel syncAll matches the sequential scan (S7, independent tables)") {
+    val seqDir = tmpDir("graft_bf6s")
+    val parDir = tmpDir("graft_bf6p")
+    val sequential = Backfill.syncAll(spark, seqDir, fetcher)
+    val parallel = Backfill.syncAll(spark, parDir, fetcher, parallelism = 4)
+    assert(parallel == sequential)
+    assert(parallel("charges") == 1L)
+    for (t <- Seq("charges", "invoices", "customers"))
+      assert(spark.read.parquet(s"$parDir/$t").select("id").as[String].collect().toSet ==
+        spark.read.parquet(s"$seqDir/$t").select("id").as[String].collect().toSet)
+  }
+
   test("RetryingFetcher retries transient failures with exponential backoff") {
     import graft.operators.RetryingFetcher
     // fails the first two retrieve calls, then succeeds
