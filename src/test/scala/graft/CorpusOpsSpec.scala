@@ -243,6 +243,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert(qs(900L) == 99L)
   }
 
+  test("tokenBudgetMix keeps under-budget strata whole and crosses the budget once") {
+    val docs = Seq(
+      (1L, "a b c d e", "big"), (2L, "f g h i j", "big"), (3L, "k l m n o", "big"),
+      (4L, "p q", "tiny")).toDF("doc_id", "text", "lang")
+    val got = Corpus.tokenBudgetMix(docs, "lang", budgetTokens = 7L)
+      .select("doc_id", "lang", "n_tokens", "cum")
+      .as[(Long, String, Long, Long)].collect()
+    // tiny stratum (2 tokens < budget) kept whole
+    assert(got.filter(_._2 == "tiny").map(_._1).toSeq == Seq(4L))
+    // big stratum: docs taken in hash order until cum-n < 7 fails —
+    // the crossing doc is kept, the rest dropped
+    val big = got.filter(_._2 == "big")
+    assert(big.length == 2)
+    assert(big.map(_._3).sum >= 7L)
+  }
+
+  test("decontaminate ignores docs shorter than the shingle width and clean docs") {
+    val bench = Seq((9L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "three four five"),                                 // < k=8 tokens
+      (2L, "totally unrelated clean text with nothing shared here at all"),
+      (3L, "quoting one two three four five six seven eight verbatim"))
+      .toDF("doc_id", "text")
+    val flagged = Corpus.decontaminate(corpus, bench, k = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged == Map(3L -> 1L))
+  }
+
+  test("duplicateSpans is empty on a span-unique corpus") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),
+      (2L, "j k l m n o p q r")).toDF("doc_id", "text")
+    assert(graft.llm.Dedup.duplicateSpans(docs, k = 8).count() == 0L)
+    // and flags both sides of one shared 8-token span
+    val dup = Seq(
+      (1L, "x a b c d e f g h"),
+      (2L, "y a b c d e f g h")).toDF("doc_id", "text")
+    assert(graft.llm.Dedup.duplicateSpans(dup, k = 8)
+      .as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("lengthHistogram buckets by chars and sums tokens") {
     val docs = Seq((0L, "aaaa bbbb"), (1L, "cc"), (2L, "d" * 60 + " e"))
       .toDF("doc_id", "text")
