@@ -1,7 +1,6 @@
 package graft
 
 import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
-import org.apache.spark.sql.SparkSession
 import scala.collection.mutable
 
 /** Benchmark main: runs the full query inventory on
@@ -80,16 +79,7 @@ object Bench {
       gib = sys.env.getOrElse("BENCH_PREFAULT_GIB", "2").toInt,
       threads = cpus.toInt,
       capSec = sys.env.getOrElse("BENCH_PREFAULT_CAP_SEC", "20").toInt)
-    val spark = SparkSession.builder()
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     // Warm codegen/classloading once.
     try SparkEntry.queries("q06_distinct_counts")(spark, sfDir).count()

@@ -317,19 +317,22 @@ object Dedup {
     * exact verify (ngramJaccardPairs) re-joins. Exact integer output →
     * oracle-checkable. */
   def minHashEstimates(docs: DataFrame, k: Int = 3, numPerms: Int = 32,
-                       bands: Int = 8): DataFrame = {
-    val rowsPerBand = numPerms / bands
-    // Referenced three times below (band explode + both join sides) —
+                       bands: Int = 8): DataFrame =
+    // Referenced three times inside (band explode + both join sides) —
     // materialize the signature aggregate once instead of re-running
     // the shingle+min pipeline per reference.
-    val sig = Stage(minHashSignatures(docs, k, numPerms))
-    val bandHashes = (0 until bands).map { b =>
-      (b * rowsPerBand until (b + 1) * rowsPerBand).foldLeft(lit(BandSeed)) {
-        (acc, j) => (acc * lit(BandMult) + col(s"h$j")) % lit(BandMod)
-      }
-    }
-    val bh = sig.select(col("doc_id"),
-      posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
+    minHashEstimatesFromSignatures(Stage(minHashSignatures(docs, k, numPerms)),
+      numPerms, bands)
+
+  /** [[minHashEstimates]] over an ALREADY-PERSISTED signature table
+    * (doc_id, h0..h{numPerms-1}) — the artifact-first form: a corpus
+    * pipeline stores signatures once ([[minHashSignatures]]) and every
+    * later pairs/cluster/keep-list pass starts here, never re-reading
+    * text. `sig` should be a stored table or otherwise cheap to rescan
+    * (it is referenced three times). */
+  def minHashEstimatesFromSignatures(sig: DataFrame, numPerms: Int = 32,
+                                     bands: Int = 8): DataFrame = {
+    val bh = bandsFromSignatures(sig, numPerms, bands)
     val cand = bh.as("x").join(bh.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
           && col("x.doc_id") < col("y.doc_id"))

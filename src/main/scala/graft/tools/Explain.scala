@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Dump the formatted physical plan of named queries.
   * Run: sbt "runMain graft.tools.Explain q01_pricing_summary [sfdir]"
@@ -10,15 +9,7 @@ object Explain {
     val names = if (args.nonEmpty) args.filterNot(_.startsWith("/")).toSeq
       else Seq("q01_pricing_summary")
     val dir = args.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"========== $n ==========")

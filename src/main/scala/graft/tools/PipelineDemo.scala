@@ -3,7 +3,6 @@ package graft.tools
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
 import graft.model.TableDefs
 import graft.streaming.WebhookPipeline
 
@@ -18,13 +17,7 @@ object PipelineDemo {
   def main(args: Array[String]): Unit = {
     val fixtureDir = if (args.nonEmpty) args(0)
       else "/root/reference/packages/fastify-app/src/test/stripe"
-    val spark = SparkSession.builder()
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
 
     val tablesDir = Files.createTempDirectory("graft_demo_tables").toString

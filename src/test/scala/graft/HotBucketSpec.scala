@@ -136,6 +136,22 @@ class HotBucketSpec extends SparkSpec {
     assert(internal == Set(11L)) // 10 near-dups 0; 12 near-dups batchmate 11
   }
 
+  test("minHashEstimatesFromSignatures over a stored table matches the doc path") {
+    val docs = Seq(0L -> uniq(0), 1L -> (uniq(0) + " extra"),
+      2L -> uniq(2), 3L -> uniq(3)).toDF("doc_id", "text")
+    val fromDocs = Dedup.minHashEstimates(docs, k = 3, numPerms = 32, bands = 16)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // round-trip the signature artifact through parquet like a pipeline would
+    val dir = tmpDir("sigstore")
+    Dedup.minHashSignatures(docs, k = 3, numPerms = 32)
+      .write.parquet(s"$dir/sigs")
+    val fromStore = Dedup.minHashEstimatesFromSignatures(
+        spark.read.parquet(s"$dir/sigs"), numPerms = 32, bands = 16)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fromStore == fromDocs)
+    assert(fromDocs.exists(p => p._1 == 0L && p._2 == 1L))
+  }
+
   test("containmentPairsFromCandidates equals the full form on its candidates") {
     // 1 is embedded in 0 (containment 1.0), 3 shares half of 2, 4 unique
     val docs = Seq(
