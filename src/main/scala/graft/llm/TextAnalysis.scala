@@ -140,4 +140,42 @@ object TextAnalysis {
         lit(0L),
         (acc, h) => (acc * lit(31L) + h) % lit(1000000007L)
       ).as("fingerprint"))
+
+  /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every positional k-token gram, slide a
+    * window of `w` consecutive hashes, keep each window's minimum.
+    * Guarantees: any shared run of w+k−1 tokens yields at least one
+    * shared fingerprint (detection floor), while storing only ~2/(w+1)
+    * of the gram hashes — the LOCAL fingerprinting that whole-doc
+    * hashing (q28) and random sampling can't give. One narrow window
+    * per doc (shuffle keyed by doc_id), fingerprints deduped per doc.
+    * poly_hash grams keep the oracle replayable. */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col("doc_id"),
+        graft.functions.TokenNgrams.token_ngrams(col("text"), k).as("gs"))
+      .filter(size(col("gs")) >= w)
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_g"),
+        posexplode(col("gs")).as(Seq("pos", "gram")))
+      .withColumn("hv", graft.functions.PolyHash.poly_hash(col("gram")))
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    grams.withColumn("fp", min("hv").over(win))
+      .filter(col("pos") <= col("n_g") - w) // full windows only
+      .select("doc_id", "fp").distinct()
+  }
+
+  /** Candidate pairs by shared winnowing fingerprints (≥ `minShared`) —
+    * MOSS's similarity-detection join: an equi-join on the fingerprint
+    * value over the (sparse) fingerprint table, never the grams. The
+    * same hot-bucket caveat as every inverted index applies: run
+    * [[Dedup.exactReps]] first on duplicate-heavy corpora. */
+  def winnowingPairs(docs: DataFrame, k: Int = 4, w: Int = 5,
+                     minShared: Long = 2L): DataFrame = {
+    val fps = Stage(winnowingFingerprints(docs, k, w))
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Clusters, Corpus, Dedup, Stage}
+import graft.llm.{Clusters, Corpus, Dedup, Stage, TextAnalysis}
 
 /** Round-3 training-pipeline operators: dedup-cluster resolution
   * (connected components), TF-IDF term scoring, vocabulary building,
@@ -745,6 +745,37 @@ object PipelineQueries {
       val reps = Dedup.exactReps(ok.select("doc_id", "text"))
       val surv = ok.join(reps.select("doc_id"), Seq("doc_id"), "left_semi")
       Corpus.tokenBudgetMix(surv, "lang", 2000L).orderBy("doc_id")
+    },
+
+    // Winnowing (MOSS) fingerprint pairs: positional 4-gram poly
+    // hashes, min per 5-window, shared-fingerprint candidates with
+    // shared-count ≥ 2. The oracle replays grams, hashes, the window
+    // min, the full-window filter, and the pair join.
+    Q("q89_winnowing",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | g0 AS (SELECT doc_id, CAST(len(l) - 3 AS BIGINT) AS n_g,
+        |         unnest(list_transform(range(1, len(l) - 2),
+        |           i -> {'pos': CAST(i - 1 AS BIGINT),
+        |                 'gram': l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]})) AS s
+        |        FROM w WHERE len(l) >= 4),
+        | h AS (SELECT doc_id, s.pos AS pos, n_g, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(1, length(s.gram) + 1),
+        |            i -> CAST(ascii(substr(s.gram, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |          (a, c) -> (a * 131 + c) % 4294967291) AS hv
+        |       FROM g0),
+        | wm AS (SELECT doc_id, pos, n_g, min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+        |        FROM h),
+        | fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_g - 5),
+        | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |           FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 2
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.winnowingPairs(Tables(s, dir, "documents"),
+          k = 4, w = 5, minShared = 2L)
+        .orderBy("id_a", "id_b")
     },
 
     Q("q64_seq_packing",

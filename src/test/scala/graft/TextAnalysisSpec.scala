@@ -35,4 +35,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1) == ((0L, 0L, "no personal data in this sentence at all", 0)))
     assert(r(2) == ((2L, 1L, "two mails <EMAIL> <EMAIL> and card <NUM> here", 1)))
   }
+
+  test("winnowing guarantees a shared fingerprint for any shared w+k-1 token run") {
+    // k=4, w=5 ⇒ any shared run of 8 tokens must produce ≥1 shared
+    // fingerprint (the Schleimer et al. detection floor); disjoint docs
+    // must produce none
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"left padding words before $shared"),
+      (2L, s"$shared and then entirely different trailing content"),
+      (3L, "zebra yak xylophone wombat vulture toucan salmon rabbit quail"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowingPairs(docs, k = 4, w = 5, minShared = 1L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // fingerprint density: ~2/(w+1) of gram count, never more than grams
+    val fps = TextAnalysis.winnowingFingerprints(docs, k = 4, w = 5)
+    val perDoc = fps.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc.values.forall(n => n >= 1))
+    assert(perDoc(3L) <= 6) // 9 tokens → 6 grams → ≤ 2 full windows... ≤ grams
+  }
 }
