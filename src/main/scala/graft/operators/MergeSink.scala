@@ -67,7 +67,7 @@ object MergeSink {
   /** Local-mode atomic table swap: write to a staging dir, then move into
     * place. (A table format makes this a metadata commit; the staging
     * write keeps the read-own-table merge loop safe.) */
-  private def writeAtomic(df: DataFrame, path: String): Unit = {
+  private[graft] def writeAtomic(df: DataFrame, path: String): Unit = {
     val tmp = path + "__stage"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val spark = df.sparkSession

@@ -102,6 +102,31 @@ object CorpusIngest {
     n
   }
 
+  /** SMALL-FILE COMPACTION for the append-based stores (corpus dir,
+    * signature ledger): every micro-batch appends a handful of parquet
+    * files, so a long-running ingest leaves thousands of KB-sized files
+    * — the classic lakehouse operational debt (each scan pays per-file
+    * open/footer cost; the NameNode/listing pays per-entry). Rewrites
+    * the directory as ceil(bytes / targetBytes) files via an atomic
+    * staging swap ([[graft.operators.MergeSink.writeAtomic]]), data
+    * unchanged. Run it from a maintenance schedule, not the hot loop;
+    * on a transactional table format this is OPTIMIZE/rewriteDataFiles.
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    graft.operators.MergeSink.writeAtomic(
+      spark.read.parquet(dir).repartition(n), dir)
+    val after = fs.listStatus(new Path(dir))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
+
   /** Structured Streaming driver: file-drop source of JSON documents
     * ({"doc_id": …, "text": …} per line). */
   def start(spark: SparkSession, inputDir: String, corpusDir: String,

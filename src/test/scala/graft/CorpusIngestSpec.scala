@@ -37,6 +37,32 @@ class CorpusIngestSpec extends SparkSpec {
     assert(ingest(3L -> "completely new material never seen in any earlier batch") == 0L)
   }
 
+  test("compact rewrites the append swamp into few files with identical data") {
+    val corpusDir = tmpDir("corpus4") + "/docs"
+    val sigDir = tmpDir("corpus4") + "/sigs"
+    def ingest(rows: (Long, String)*): Long =
+      CorpusIngest.processBatch(rows.toDF("doc_id", "text"), corpusDir, sigDir,
+        k = 3, numPerms = 32, bands = 16, minEstPpm = 400000L)
+    val texts = Seq(
+      "spark executors shuffle partitioned data across wide stages",
+      "the ancient library held thousands of forgotten manuscripts",
+      "quantum error correction requires redundant physical qubits",
+      "sourdough fermentation depends on wild yeast and lactobacilli",
+      "alpine glaciers carve valleys over tens of millennia",
+      "market liquidity evaporates when volatility spikes suddenly")
+    texts.zipWithIndex.foreach { case (t, i) => assert(ingest(i.toLong -> t) == 1L) }
+    val before = spark.read.parquet(corpusDir)
+      .orderBy("doc_id").collect().toSeq
+    val (nBefore, nAfter) = CorpusIngest.compact(spark, corpusDir)
+    assert(nBefore >= 6)        // one-plus file per append batch
+    assert(nAfter == 1)         // tiny data → one target file
+    val after = spark.read.parquet(corpusDir)
+      .orderBy("doc_id").collect().toSeq
+    assert(after == before)
+    // the ingest loop keeps working against the compacted store
+    assert(ingest(100L -> "a brand new document arriving after compaction ran") == 1L)
+  }
+
   test("benchmark decontamination rejects contaminated docs at the door") {
     val corpusDir = tmpDir("corpus3") + "/docs"
     val sigDir = tmpDir("corpus3") + "/sigs"
