@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.llm.{Clusters, Corpus, Dedup, Stage, TextAnalysis}
+import graft.operators.Layout
 
 /** Round-3 training-pipeline operators: dedup-cluster resolution
   * (connected components), TF-IDF term scoring, vocabulary building,
@@ -776,6 +777,27 @@ object PipelineQueries {
       TextAnalysis.winnowingPairs(Tables(s, dir, "documents"),
           k = 4, w = 5, minShared = 2L)
         .orderBy("id_a", "id_b")
+    },
+
+    // Z-order curve values (operators.Layout) over two independent
+    // order keys — the clustered-layout write path's bit math,
+    // oracle-replayed as explicit shift/mask/sum terms in DuckDB.
+    Q("q90_zorder_curve", {
+      val terms = (0 until 8).map(j =>
+        s"(((x >> $j) & 1) << ${2 * j + 1}) + (((y >> $j) & 1) << ${2 * j})")
+        .mkString(" + ")
+      s"""WITH m AS (SELECT o_orderkey, o_orderkey % 256 AS x, o_custkey % 256 AS y
+         |           FROM orders)
+         |SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         |       CAST($terms AS BIGINT) AS z
+         |FROM m ORDER BY o_orderkey""".stripMargin
+    }) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          Layout.zValue(
+            Seq(pmod(col("o_orderkey"), lit(256)),
+                pmod(col("o_custkey"), lit(256))), 8).as("z"))
+        .orderBy("o_orderkey")
     },
 
     Q("q64_seq_packing",
