@@ -69,6 +69,35 @@ object MergeOps {
   def setDiffDelete(existing: DataFrame, current: DataFrame, key: String): DataFrame =
     existing.join(current.select(key).distinct(), Seq(key), "left_anti")
 
+  /** SCD2 history build: turn a change stream into slowly-changing-
+    * dimension type-2 rows — per key, versions numbered in (tsCol,
+    * tieCols) order, each valid from its own timestamp until the next
+    * change (`valid_to` NULL on the current row). The reference's mirror
+    * keeps ONLY latest state (every upsert overwrites, postgres.ts:
+    * 181-204); this is the history-preserving sink mode a warehouse user
+    * asks for next, and the base table [[asOfState]] serves point-in-time
+    * queries from. One window per key partition — no global order, scales
+    * as a single keyed shuffle. `tieCols` must make the order total for
+    * deterministic versions under equal timestamps.
+    */
+  def scd2History(df: DataFrame, keys: Seq[String], tsCol: String,
+                  tieCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    df.withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Point-in-time state over an [[scd2History]] table: the one version
+    * of each key whose [valid_from, valid_to) interval covers `at`. A
+    * filter, not a window — prunes before any downstream join.
+    */
+  def asOfState(history: DataFrame, at: Column): DataFrame =
+    history.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
+
   /** Child-table normalization (reference A4/A5/A6): explode a nested
     * array column into child rows, tagging the parent key — the
     * subscription_items / checkout_session_line_items pattern

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.llm.Dedup
-import graft.operators.{RangeJoin, SkewJoin}
+import graft.operators.{MergeOps, RangeJoin, SkewJoin}
 
 /** Round-2 widening of the relational surface: range/interval join,
   * discrete percentiles, salted skew join, BPE-ish regex tokenization,
@@ -79,6 +79,33 @@ object ExtendedQueries {
         .groupBy(col("w0").as("cohort_week"), (col("w") - col("w0")).as("week_offset"))
         .agg(countDistinct("user_id").as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // SCD2 history build (MergeOps.scd2History): the change stream as
+    // slowly-changing-dimension rows — per-user versions with
+    // [valid_from, valid_to) intervals, current row open-ended. The
+    // reference's mirror keeps only latest state (postgres.ts upsert);
+    // this is the history-preserving sink mode. One keyed window.
+    Q("q91_scd2_history",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        | v AS (SELECT user_id, event_id, ts_us,
+        |        CAST(row_number() OVER w AS BIGINT) AS version,
+        |        lead(ts_us) OVER w AS valid_to
+        |       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, event_id, version,
+        |       CAST(ts_us AS BIGINT) AS valid_from_us,
+        |       CAST(valid_to AS BIGINT) AS valid_to_us,
+        |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts_ns DIV 1000").as("ts_us"))
+      MergeOps.scd2History(ev, Seq("user_id"), "ts_us", Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("version"),
+          col("valid_from").as("valid_from_us"),
+          col("valid_to").as("valid_to_us"),
+          col("is_current").cast("long").as("is_current"))
+        .orderBy("user_id", "version")
     },
 
     // Interval join (RangeJoin.intervalJoin): same-user clicks in the

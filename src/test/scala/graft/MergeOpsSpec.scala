@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
 import graft.operators.MergeOps
 
 /** LWW merge invariants — the property the reference only spot-checks
@@ -60,5 +61,32 @@ class MergeOpsSpec extends SparkSpec {
     val gone = MergeOps.setDiffDelete(existing, current, "id")
       .select("id").as[String].collect().sorted
     assert(gone.toSeq == Seq("i1", "i3"))
+  }
+
+  test("scd2History: versions chain, intervals tile, one current per key") {
+    val changes = Seq(
+      ("a", 10L, 1L, "v1"), ("a", 20L, 2L, "v2"), ("a", 20L, 3L, "v3"),
+      ("b", 5L, 4L, "w1")).toDF("id", "ts", "seq", "v")
+    val hist = MergeOps.scd2History(changes, Seq("id"), "ts", Seq("seq"))
+      .orderBy("id", "version").collect()
+    // versions 1..n per key, tie at ts=20 broken by seq
+    assert(hist.map(r => (r.getString(0), r.getLong(4), r.getString(3))).toSeq ==
+      Seq(("a", 1L, "v1"), ("a", 2L, "v2"), ("a", 3L, "v3"), ("b", 1L, "w1")))
+    // each valid_to equals the next version's valid_from; last is open
+    val a = hist.filter(_.getString(0) == "a")
+    assert(a.init.map(r => r.getLong(6)).toSeq ==
+      a.tail.map(r => r.getLong(5)).toSeq)
+    assert(hist.count(_.getBoolean(7)) == 2)
+
+    // as-of lookup returns exactly one covering version per key
+    val at15 = MergeOps.asOfState(
+        MergeOps.scd2History(changes, Seq("id"), "ts", Seq("seq")), lit(15L))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(at15 == Map("a" -> "v1", "b" -> "w1"))
+    // the tied pair: only the LAST version at ts=20 covers t=20
+    val at20 = MergeOps.asOfState(
+        MergeOps.scd2History(changes, Seq("id"), "ts", Seq("seq")), lit(20L))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(at20 == Map("a" -> "v3", "b" -> "w1"))
   }
 }
