@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Clusters, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators (builder mandate, beyond the
   * reference's own surface): dedup, similarity search, text analysis,
@@ -404,6 +404,48 @@ object LlmQueries {
       Similarity.bucketedNearDupPairs(Tables(s, dir, "embeddings"),
           planes = 6, dim = 64, minSim = 0.4, probeHamming = 1)
         .orderBy("id_a", "id_b")
+    },
+
+    // Semantic (embedding-space) dedup keep-list — SemDeDup's shape:
+    // LSH-bucketed cosine near-dup pairs (q74) → connected components
+    // (q55's loop) → keep the min-id representative per cluster,
+    // anti-join the rest away. Embeddings get the same end-to-end
+    // keep-list text dedup has in q68; every stage is the scalable
+    // variant (bucketed candidates, edge-list CC, final anti-join).
+    Q("q92_semantic_keeplist",
+      s"""WITH RECURSIVE planes AS (SELECT p, list_transform(range(0, 64),
+        |    d -> CASE WHEN ((CAST(p*1021 + d*2039 + 1 AS BIGINT) * 2654435761) >> 13) & 1 = 1
+        |         THEN 1.0 ELSE -1.0 END) AS w
+        |  FROM range(0, 6) t(p)),
+        | b AS (SELECT e.vec_id, e.embedding,
+        |        sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm,
+        |        CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.w")} > 0
+        |                      THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM embeddings e CROSS JOIN planes p GROUP BY ALL),
+        | pairs AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+        |           FROM b a JOIN b c ON bit_count(xor(a.bucket, c.bucket)) <= 1
+        |            AND a.vec_id < c.vec_id
+        |           WHERE ${dotSql("a.embedding", "c.embedding")} / (a.nrm * c.nrm) >= 0.4),
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |           UNION SELECT id_b, id_a FROM pairs),
+        | reach AS (SELECT src AS id, dst AS r FROM edges
+        |           UNION
+        |           SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        | cl AS (SELECT id AS vec_id, min(least(id, r)) AS cluster_id
+        |        FROM reach GROUP BY id)
+        |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM cl WHERE vec_id <> cluster_id)
+        |ORDER BY e.vec_id""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val pairs = Similarity.bucketedNearDupPairs(emb,
+        planes = 6, dim = 64, minSim = 0.4, probeHamming = 1)
+      val dropped = Clusters.connectedComponents(pairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("vec_id"))
+      emb.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .orderBy("vec_id")
     },
 
     Q("q37_multimodal_meta",

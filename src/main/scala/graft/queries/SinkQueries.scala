@@ -47,7 +47,22 @@ object SinkQueries {
         // below, so the returned frame must not re-read it lazily
         val tables = new java.io.File(dir).listFiles()
           .filter(_.isDirectory).map(_.getName).sorted.toSeq
-        val counts = tables.map(t => (t, s.read.parquet(s"$dir/$t").count()))
+        // ~21 independent metadata-only count jobs: run them on a thread
+        // pool so wall time is one job launch, not 21 sequential ones
+        // (job-launch overhead dominates counts at fixture scale)
+        val counts = {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(8, math.max(1, tables.size)))
+          try {
+            val futs = tables.map { t =>
+              pool.submit(new java.util.concurrent.Callable[(String, Long)] {
+                def call(): (String, Long) =
+                  (t, s.read.parquet(s"$dir/$t").count())
+              })
+            }
+            futs.map(_.get())
+          } finally pool.shutdown()
+        }
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
           f.delete()
