@@ -74,18 +74,32 @@ object HyperLogLog {
     h4.bitwiseXOR(shiftright(h4, 13))
   }
 
-  def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                     alias: String): DataFrame = {
+  /** Per-group register table (groupCols..., bucket, r) — the sketch in
+    * its mergeable form: registers of two data slices combine by
+    * max-per-bucket ([[mergeRegisters]]), which is what makes the sketch
+    * an incremental-maintenance state (operators.IncrementalAgg). */
+  def registers(df: DataFrame, groupCols: Seq[String],
+                valueCol: String): DataFrame = {
     val h = scramble(PolyHash.poly_hash(col(valueCol).cast("string")))
-    val registers = df
-      .select(groupCols.map(col) :+ shiftright(h, SuffixBits).as("bucket")
+    df.select(groupCols.map(col) :+ shiftright(h, SuffixBits).as("bucket")
         :+ rho(h.bitwiseAND(lit((1L << SuffixBits) - 1))).as("rho_"): _*)
       .groupBy(groupCols.head, groupCols.tail :+ "bucket": _*)
       .agg(max("rho_").as("r"))
-    // All-integer estimate: DIV keeps every step exact (Column./ would go
-    // through double and lose bits above 2^53).
+  }
+
+  /** Merge register tables from disjoint (or overlapping — max is
+    * idempotent) data slices: union + max per (group, bucket). */
+  def mergeRegisters(groupCols: Seq[String], states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(groupCols.head, groupCols.tail :+ "bucket": _*)
+      .agg(max("r").as("r"))
+
+  /** Estimate from a register table. All-integer: DIV keeps every step
+    * exact (Column./ would go through double and lose bits above 2^53). */
+  def estimate(regs: DataFrame, groupCols: Seq[String],
+               alias: String): DataFrame = {
     val numerator = AlphaPpm * M * M * (1L << (SuffixBits + 1))
-    registers
+    regs
       .groupBy(groupCols.head, groupCols.tail: _*)
       .agg(
         expr(s"sum(shiftleft(CAST(1 AS BIGINT), ${SuffixBits + 1} - r))").as("z_present"),
@@ -95,6 +109,10 @@ object HyperLogLog {
       .select(groupCols.map(col) :+
         expr(s"(${numerator}L DIV z23) DIV 1000000").as(alias): _*)
   }
+
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     alias: String): DataFrame =
+    estimate(registers(df, groupCols, valueCol), groupCols, alias)
 
   /** The same whole-sketch pipeline as SQL text (one sketch), for oracle
     * queries: estimates distinct `valueExpr` per `groupExpr` over `from`. */

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.HyperLogLog
+
+/** Incremental aggregate maintenance — algebraic partial states that
+  * merge across batches so rollups are MAINTAINED, never recomputed
+  * from raw data.
+  *
+  * The reference recomputes its analytics straight off the mirror on
+  * every query (SURVEY §2.9 — the Postgres mirror IS the serving
+  * layer); at mirror scale that's fine, at 100 TB a `GROUP BY` over
+  * raw history per dashboard refresh is the anti-pattern. The state
+  * here is a tiny keyed table per rollup: count/sum/min/max are
+  * trivially algebraic, and approximate distinct rides the
+  * [[graft.functions.HyperLogLog]] register table, whose merge is
+  * max-per-bucket — so `merge(state(A), state(B)) == state(A ∪ B)`
+  * EXACTLY (IncrementalAggSpec proves value equality, and q93 proves
+  * it against the oracle's full-rescan aggregate). Each incoming batch
+  * touches only its own rows plus the state table; raw history is
+  * never re-read.
+  *
+  * sum is maintained over caller-scaled BIGINT (micros), keeping the
+  * merge order-independent — a double sum would make merged and
+  * rescanned states differ in low bits.
+  */
+object IncrementalAgg {
+
+  /** Scalar state of one batch: (keys..., n, sum_v, min_v, max_v) over
+    * a long-valued column. */
+  def scalarState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.head, keys.tail: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol)).as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Merge scalar states (any number, any grouping of the data into
+    * batches): counts and sums add, bounds take min/max. Keys present
+    * in only one state pass through untouched. */
+  def mergeScalar(keys: Seq[String], states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(keys.head, keys.tail: _*)
+      .agg(sum("n").as("n"),
+        sum("sum_v").as("sum_v"),
+        min("min_v").as("min_v"),
+        max("max_v").as("max_v"))
+
+  /** Distinct-count state of one batch: the HLL register table. */
+  def distinctState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    HyperLogLog.registers(df, keys, valueCol)
+
+  /** Merge distinct-count states; overlapping batches are safe (max is
+    * idempotent — at-least-once delivery cannot inflate the estimate). */
+  def mergeDistinct(keys: Seq[String], states: DataFrame*): DataFrame =
+    HyperLogLog.mergeRegisters(keys, states: _*)
+
+  /** Final rollup row per key from the two state tables. */
+  def finalizeState(scalar: DataFrame, distinct: DataFrame, keys: Seq[String],
+                    distinctAlias: String): DataFrame =
+    scalar.join(HyperLogLog.estimate(distinct, keys, distinctAlias), keys)
+}

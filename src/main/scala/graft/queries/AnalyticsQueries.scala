@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.IncrementalAgg
 
 /** The relational surface the reference delegates to its Postgres mirror
   * (SURVEY §2.9): scans, filters, equi-joins, aggregates (incl. rollup /
@@ -243,6 +244,43 @@ object AnalyticsQueries {
       val orders = graft.functions.HyperLogLog.approxDistinct(
         li, Seq("l_returnflag"), "l_orderkey", "approx_orders")
       parts.join(orders, "l_returnflag").orderBy("l_returnflag")
+    },
+
+    // Incremental rollup maintenance (operators.IncrementalAgg): the
+    // Spark side builds TWO per-batch partial states (orders split by
+    // key parity), merges them algebraically, and finalizes; the oracle
+    // computes the same rollup in ONE full-table aggregate. A hash
+    // match proves merge(state(A), state(B)) == state(A ∪ B) exactly —
+    // including the HLL register merge behind approx_custkeys.
+    Q("q93_incremental_rollup", {
+      val hll = graft.functions.HyperLogLog.sketchSql(
+        "o_orderstatus", "o_custkey", "orders", "approx_custkeys")
+      s"""SELECT s.o_orderstatus, s.n, s.sum_micros, s.min_micros,
+         | s.max_micros, h.approx_custkeys
+         |FROM (SELECT o_orderstatus, count(*) AS n,
+         |        CAST(sum(CAST(round(o_totalprice*1000000.0) AS BIGINT)) AS BIGINT) AS sum_micros,
+         |        CAST(min(CAST(round(o_totalprice*1000000.0) AS BIGINT)) AS BIGINT) AS min_micros,
+         |        CAST(max(CAST(round(o_totalprice*1000000.0) AS BIGINT)) AS BIGINT) AS max_micros
+         |      FROM orders GROUP BY 1) s
+         |JOIN $hll h ON h.g = s.o_orderstatus
+         |ORDER BY s.o_orderstatus""".stripMargin
+    }) { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+        .withColumn("price_micros", micros(col("o_totalprice")))
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+      val b = o.filter(col("o_orderkey") % 2 =!= 0)
+      val keys = Seq("o_orderstatus")
+      val scalar = IncrementalAgg.mergeScalar(keys,
+        IncrementalAgg.scalarState(a, keys, "price_micros"),
+        IncrementalAgg.scalarState(b, keys, "price_micros"))
+      val dist = IncrementalAgg.mergeDistinct(keys,
+        IncrementalAgg.distinctState(a, keys, "o_custkey"),
+        IncrementalAgg.distinctState(b, keys, "o_custkey"))
+      IncrementalAgg.finalizeState(scalar, dist, keys, "approx_custkeys")
+        .select(col("o_orderstatus"), col("n"),
+          col("sum_v").as("sum_micros"), col("min_v").as("min_micros"),
+          col("max_v").as("max_micros"), col("approx_custkeys"))
+        .orderBy("o_orderstatus")
     },
 
     Q("q12_pivot_status",

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.IncrementalAgg
+
+/** The incremental-maintenance contract: merging per-batch partial
+  * states equals recomputing from all the data — for any split, and
+  * (for the distinct sketch) even with overlapping redelivery. */
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("g")
+
+  private def data(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(1000).toLong, s"u${rnd.nextInt(200)}"))
+      .toDF("g", "v", "u")
+  }
+
+  test("merge(state(A), state(B)) == state(A ∪ B) for random 3-way splits") {
+    val df = data(1, 2000).cache()
+    val parts = Seq(
+      df.filter(abs(hash($"u")) % 3 === 0),
+      df.filter(abs(hash($"u")) % 3 === 1),
+      df.filter(abs(hash($"u")) % 3 === 2))
+
+    val mergedScalar = IncrementalAgg.mergeScalar(keys,
+      parts.map(IncrementalAgg.scalarState(_, keys, "v")): _*)
+    val fullScalar = IncrementalAgg.scalarState(df, keys, "v")
+    assert(mergedScalar.orderBy("g").collect().toSeq ==
+      fullScalar.orderBy("g").collect().toSeq)
+
+    val mergedDist = IncrementalAgg.mergeDistinct(keys,
+      parts.map(IncrementalAgg.distinctState(_, keys, "u")): _*)
+    val fullDist = IncrementalAgg.distinctState(df, keys, "u")
+    assert(mergedDist.orderBy("g", "bucket").collect().toSeq ==
+      fullDist.orderBy("g", "bucket").collect().toSeq)
+  }
+
+  test("distinct state is redelivery-proof; finalize matches one-shot rollup") {
+    val df = data(2, 1500).cache()
+    val half = df.filter($"v" % 2 === 0)
+    // redelivered overlap: half the rows appear in both states
+    val overlapped = IncrementalAgg.mergeDistinct(keys,
+      IncrementalAgg.distinctState(df, keys, "u"),
+      IncrementalAgg.distinctState(half, keys, "u"))
+    assert(overlapped.orderBy("g", "bucket").collect().toSeq ==
+      IncrementalAgg.distinctState(df, keys, "u")
+        .orderBy("g", "bucket").collect().toSeq)
+
+    val fin = IncrementalAgg.finalizeState(
+      IncrementalAgg.scalarState(df, keys, "v"),
+      IncrementalAgg.distinctState(df, keys, "u"), keys, "d")
+    val oneShot = graft.functions.HyperLogLog.approxDistinct(df, keys, "u", "d")
+      .join(df.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v")), "g")
+    assert(fin.select("g", "n", "sum_v", "min_v", "max_v", "d").orderBy("g")
+      .collect().toSeq ==
+      oneShot.select("g", "n", "sum_v", "min_v", "max_v", "d").orderBy("g")
+        .collect().toSeq)
+  }
+}
