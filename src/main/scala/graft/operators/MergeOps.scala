@@ -98,6 +98,31 @@ object MergeOps {
     history.filter(col("valid_from") <= at &&
       (col("valid_to").isNull || col("valid_to") > at))
 
+  /** Incremental SCD2 maintenance: fold a batch of new change rows into
+    * an existing [[scd2History]] table. Only the batch's keys are
+    * rebuilt — their history rows (which carry the original change
+    * columns 1:1) are unioned with the batch and re-windowed; every
+    * other key's rows pass through untouched — so per-batch cost scales
+    * with the batch's key set, not the table. Late (out-of-order)
+    * changes insert mid-history and renumber/re-tile that key
+    * correctly, and exact redelivery of a change row is dropped by the
+    * (keys, tsCol, tieCols) identity guard — the same at-least-once
+    * idempotence the guarded upsert sink provides (postgres.ts:196-203).
+    * MergeOpsSpec proves convergence: any batch split in any delivery
+    * order, with redelivery, equals the one-shot history.
+    */
+  def scd2Merge(history: DataFrame, batch: DataFrame, keys: Seq[String],
+                tsCol: String, tieCols: Seq[String]): DataFrame = {
+    val derived = Seq("version", "valid_from", "valid_to", "is_current")
+    val affected = batch.select(keys.map(col): _*).distinct()
+    val untouched = history.join(affected, keys, "left_anti")
+    val replayed = history.drop(derived: _*)
+      .join(affected, keys, "left_semi")
+      .unionByName(batch)
+      .dropDuplicates(keys ++ (tsCol +: tieCols))
+    untouched.unionByName(scd2History(replayed, keys, tsCol, tieCols))
+  }
+
   /** Child-table normalization (reference A4/A5/A6): explode a nested
     * array column into child rows, tagging the parent key — the
     * subscription_items / checkout_session_line_items pattern

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 import graft.operators.MergeOps
 
 /** LWW merge invariants — the property the reference only spot-checks
@@ -88,5 +88,28 @@ class MergeOpsSpec extends SparkSpec {
         MergeOps.scd2History(changes, Seq("id"), "ts", Seq("seq")), lit(20L))
       .collect().map(r => r.getString(0) -> r.getString(3)).toMap
     assert(at20 == Map("a" -> "v3", "b" -> "w1"))
+  }
+
+  test("scd2Merge converges to one-shot history for any split + redelivery") {
+    val rnd = new scala.util.Random(11)
+    val changes = (0 until 120).map { i =>
+      (s"k${rnd.nextInt(8)}", rnd.nextInt(50).toLong, i.toLong, s"p$i")
+    }
+    val all = changes.toDF("id", "ts", "seq", "payload")
+    val oneShot = MergeOps.scd2History(all, Seq("id"), "ts", Seq("seq"))
+
+    // deliver as 3 out-of-order batches, with batch 1 redelivered
+    val batches = changes.grouped(40).toSeq
+    val order = Seq(batches(2), batches(0), batches(1), batches(0))
+    var hist = MergeOps.scd2History(
+      order.head.toDF("id", "ts", "seq", "payload"), Seq("id"), "ts", Seq("seq"))
+    order.tail.foreach { b =>
+      hist = MergeOps.scd2Merge(hist,
+        b.toDF("id", "ts", "seq", "payload"), Seq("id"), "ts", Seq("seq"))
+    }
+    val key = Seq("id", "version")
+    assert(hist.orderBy(key.map(col): _*).collect().toSeq ==
+      oneShot.select(hist.columns.map(col).toIndexedSeq: _*)
+        .orderBy(key.map(col): _*).collect().toSeq)
   }
 }
