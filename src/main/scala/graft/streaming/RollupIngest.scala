@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.IncrementalAgg
+
+/** Streaming rollup maintenance — [[graft.operators.IncrementalAgg]]
+  * wired into the micro-batch loop: an unbounded event stream keeps a
+  * tiny keyed state store (scalar aggregates + HLL registers) current,
+  * and dashboards read the store; raw history is never re-scanned.
+  *
+  * State commits are VERSIONED SNAPSHOT DIRECTORIES —
+  * `<stateDir>/v<batchId>/{scalar,regs}` — committed by a single
+  * directory rename, which makes the whole batch (both tables, plus
+  * the applied-batch watermark that IS the version number) one atomic
+  * unit: the poor-man's form of a transactional table format's commit
+  * log. Replay safety follows for free — count/sum are NOT idempotent,
+  * so at-least-once redelivery of a batch must be rejected, and it is:
+  * a batch whose id is ≤ the latest committed version is skipped
+  * (foreachBatch batchIds are monotonic per checkpoint). A crash
+  * before the rename leaves only a staging dir the replay overwrites;
+  * a crash after it leaves a committed state the replayed batch
+  * recognizes. RollupIngestSpec drives all three paths.
+  */
+object RollupIngest {
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Latest committed (batchId, path), if any. */
+  def latestVersion(spark: SparkSession, stateDir: String): Option[(Long, String)] = {
+    val fs = fsOf(spark, stateDir)
+    val root = new Path(stateDir)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(s => (s.getPath.getName.drop(1).toLong, s.getPath.toString))
+      .sortBy(_._1).lastOption
+  }
+
+  /** Fold one micro-batch into the store. Returns false when the batch
+    * was already applied (replay) and was skipped. foreachBatch-
+    * compatible: `(df, id) => processBatch(df, dir, keys, v, u, id)`. */
+  def processBatch(batch: DataFrame, stateDir: String, keys: Seq[String],
+                   valueCol: String, distinctCol: String,
+                   batchId: Long, keepVersions: Int = 2): Boolean = {
+    val spark = batch.sparkSession
+    val latest = latestVersion(spark, stateDir)
+    if (latest.exists(_._1 >= batchId)) return false // replayed batch
+
+    val batchScalar = IncrementalAgg.scalarState(batch, keys, valueCol)
+    val batchDist = IncrementalAgg.distinctState(batch, keys, distinctCol)
+    val (scalar, dist) = latest match {
+      case Some((_, p)) => (
+        IncrementalAgg.mergeScalar(keys,
+          spark.read.parquet(s"$p/scalar"), batchScalar),
+        IncrementalAgg.mergeDistinct(keys,
+          spark.read.parquet(s"$p/regs"), batchDist))
+      case None => (batchScalar, batchDist)
+    }
+
+    val fs = fsOf(spark, stateDir)
+    val staging = new Path(s"$stateDir/.staging_v$batchId")
+    if (fs.exists(staging)) fs.delete(staging, true) // prior crashed attempt
+    scalar.write.parquet(s"$staging/scalar")
+    dist.write.parquet(s"$staging/regs")
+    // the commit point: one rename publishes both tables + the watermark
+    fs.rename(staging, new Path(s"$stateDir/v$batchId"))
+
+    // retain a couple of snapshots for readers mid-flight, prune the rest
+    val versions = fs.listStatus(new Path(stateDir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .sortBy(_.getPath.getName.drop(1).toLong)
+    versions.dropRight(keepVersions).foreach(s => fs.delete(s.getPath, true))
+    true
+  }
+
+  /** The rollup a dashboard reads: finalize the latest snapshot. */
+  def currentRollup(spark: SparkSession, stateDir: String, keys: Seq[String],
+                    distinctAlias: String): Option[DataFrame] =
+    latestVersion(spark, stateDir).map { case (_, p) =>
+      IncrementalAgg.finalizeState(
+        spark.read.parquet(s"$p/scalar"),
+        spark.read.parquet(s"$p/regs"), keys, distinctAlias)
+    }
+
+  /** Structured Streaming driver over a file-drop source. */
+  def start(spark: SparkSession, inputDir: String,
+            schema: org.apache.spark.sql.types.StructType,
+            stateDir: String, checkpoint: String, keys: Seq[String],
+            valueCol: String, distinctCol: String) =
+    spark.readStream.schema(schema).json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        processBatch(df, stateDir, keys, valueCol, distinctCol, id); ()
+      }
+      .start()
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.IncrementalAgg
+import graft.streaming.RollupIngest
+
+/** The streaming rollup store: snapshot-rename commits, replay
+  * rejection (count/sum are not idempotent — the guard is the whole
+  * game), crash recovery from a leftover staging dir, and equality
+  * with a from-scratch rollup after every path. */
+class RollupIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("g")
+
+  private def batchDf(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(100).toLong, s"u${rnd.nextInt(40)}"))
+      .toDF("g", "v", "u")
+  }
+
+  test("three batches + replay + crashed staging == one-shot rollup") {
+    val dir = tmpDir("graft-rollup")
+    val b = Seq(batchDf(1, 300), batchDf(2, 300), batchDf(3, 300))
+
+    assert(RollupIngest.processBatch(b(0), dir, keys, "v", "u", 0L))
+    assert(RollupIngest.processBatch(b(1), dir, keys, "v", "u", 1L))
+    // at-least-once replay of an applied batch: rejected
+    assert(!RollupIngest.processBatch(b(1), dir, keys, "v", "u", 1L))
+    assert(!RollupIngest.processBatch(b(0), dir, keys, "v", "u", 0L))
+
+    // crash mid-attempt for batch 2: staging dir left behind, no commit
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.staging_v2/scalar"))
+    assert(RollupIngest.latestVersion(spark, dir).map(_._1).contains(1L))
+    // the replayed attempt overwrites the leftover and commits
+    assert(RollupIngest.processBatch(b(2), dir, keys, "v", "u", 2L))
+    assert(RollupIngest.latestVersion(spark, dir).map(_._1).contains(2L))
+
+    val all = b.reduce(_ union _)
+    val expected = IncrementalAgg.finalizeState(
+      IncrementalAgg.scalarState(all, keys, "v"),
+      IncrementalAgg.distinctState(all, keys, "u"), keys, "d")
+    val got = RollupIngest.currentRollup(spark, dir, keys, "d").get
+    assert(got.orderBy("g").collect().toSeq ==
+      expected.select(got.columns.map(col).toIndexedSeq: _*)
+        .orderBy("g").collect().toSeq)
+
+    // pruning kept only the last two snapshots
+    val vs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.matches("v\\d+")).map(_.getPath.getName)
+    assert(vs.sorted.toSeq == Seq("v1", "v2"))
+  }
+}
