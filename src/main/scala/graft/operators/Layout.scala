@@ -47,14 +47,17 @@ object Layout {
     terms.reduce(_ + _)
   }
 
-  /** Quantile-rank boundaries for `column`: the 2^bits - 1 interior cut
-    * points (driver-side, bounded; relativeError trades one extra scan
-    * pass for rank evenness). */
-  def rankBoundaries(df: DataFrame, column: String, bits: Int,
-                     relativeError: Double = 0.001): Array[Double] = {
+  /** Quantile-rank boundaries for each of `cols`: the 2^bits - 1
+    * interior cut points per column, ALL columns in one scan
+    * (approxQuantile's multi-column form — at 100 TB the boundary pass
+    * is a full-table read, so it must not repeat per column).
+    * Driver-side state is (2^bits - 1) doubles per column. */
+  def rankBoundaries(df: DataFrame, cols: Seq[String], bits: Int,
+                     relativeError: Double = 0.001): Seq[Array[Double]] = {
     val nb = 1 << bits
     val probs = (1 until nb).map(_.toDouble / nb).toArray
-    df.stat.approxQuantile(column, probs, relativeError).distinct.sorted
+    df.stat.approxQuantile(cols.toArray, probs, relativeError)
+      .map(_.distinct.sorted).toSeq
   }
 
   /** z-value over quantile RANKS of `cols` — the production form: each
@@ -62,9 +65,8 @@ object Layout {
     * (native binary-search [[QuantileRank]]), so skew in raw values
     * can't collapse the curve onto a few prefixes. */
   def zValueRanked(df: DataFrame, cols: Seq[String], bits: Int): Column =
-    zValue(cols.map { c =>
-      QuantileRank.quantile_rank(col(c).cast("double"),
-        rankBoundaries(df, c, bits)).cast("long")
+    zValue(cols.zip(rankBoundaries(df, cols, bits)).map { case (c, bounds) =>
+      QuantileRank.quantile_rank(col(c).cast("double"), bounds).cast("long")
     }, bits)
 
   /** Write `df` as `numFiles` parquet files clustered on the Z-order

@@ -50,7 +50,8 @@ class LayoutSpec extends SparkSpec {
     // as a column (codegen path), monotonic over a skewed distribution
     val df = (0 until 1000).map(i => math.pow(i.toDouble, 2)).toDF("v")
     val ranked = df.select($"v",
-      QuantileRank.quantile_rank($"v", Layout.rankBoundaries(df, "v", 4)).as("r"))
+      QuantileRank.quantile_rank($"v",
+        Layout.rankBoundaries(df, Seq("v"), 4).head).as("r"))
       .orderBy("v").collect().map(r => r.getInt(1))
     assert(ranked.head == 0 && ranked.last == 15)
     assert(ranked.sliding(2).forall(p => p(0) <= p(1)), "ranks must be monotonic")
