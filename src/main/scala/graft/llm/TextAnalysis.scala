@@ -141,6 +141,30 @@ object TextAnalysis {
         (acc, h) => (acc * lit(31L) + h) % lit(1000000007L)
       ).as("fingerprint"))
 
+  /** Bigram-LM quality score — the CCNet-shape perplexity filter
+    * (score a doc by how typical its token transitions are under a
+    * corpus-trained n-gram model), integerized so the estimate is
+    * cross-engine exact: per bigram occurrence (w1, w2), MLE
+    * p(w2|w1) ≈ c(w1 w2) / c(w1·) in ppm via integer DIV (c(w1·) =
+    * occurrences of w1 as a bigram prefix), doc score = integer mean
+    * over its occurrences. Boilerplate scores high, gibberish low —
+    * threshold downstream. Scale shape: one explode, two count
+    * aggregates, two equi-joins back to occurrences (count tables are
+    * Zipf-small vs the corpus; broadcast when they fit), one final
+    * keyed agg. Docs with fewer than 2 tokens produce no row. */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"),
+        explode(graft.functions.TokenNgrams.token_ngrams(col("text"), 2)).as("gram"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    val cb = bg.groupBy("gram").agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    bg.join(cb, "gram").join(cu, "w1")
+      .withColumn("term", expr("cb * 1000000 DIV cu"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(term) DIV count(*)").as("score_ppm"))
+  }
+
   /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
     * the MOSS algorithm): hash every positional k-token gram, slide a
     * window of `w` consecutive hashes, keep each window's minimum.

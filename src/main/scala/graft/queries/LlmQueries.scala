@@ -406,6 +406,28 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Bigram-LM quality score (CCNet's perplexity-filter shape,
+    // integerized): MLE transition probabilities in ppm via integer
+    // DIV, doc score = integer mean over bigram occurrences. The
+    // oracle retrains the same counts and replays the arithmetic.
+    Q("q94_bigram_lm_score",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | bg AS (SELECT doc_id, s.w1 AS w1, s.gram AS gram
+        |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |            i -> {'w1': l[i], 'gram': l[i] || ' ' || l[i+1]})) AS s
+        |          FROM t WHERE len(l) >= 2)),
+        | cb AS (SELECT gram, count(*) AS cb FROM bg GROUP BY 1),
+        | cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+        | terms AS (SELECT b.doc_id, (cb.cb * 1000000) // cu.cu AS term
+        |           FROM bg b JOIN cb USING (gram) JOIN cu USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | CAST(sum(term) // count(*) AS BIGINT) AS score_ppm
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.bigramLmScore(Tables(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
+
     // Semantic (embedding-space) dedup keep-list — SemDeDup's shape:
     // LSH-bucketed cosine near-dup pairs (q74) → connected components
     // (q55's loop) → keep the min-id representative per cluster,
