@@ -110,6 +110,44 @@ object Corpus {
       .agg(countDistinct("h").as("n_shared"))
   }
 
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much its hashed-n-gram distribution looks
+    * like a TARGET corpus (the rows matching `targetPred`) versus the
+    * raw pool. Feature = token bigram hashed into `buckets` buckets;
+    * per-bucket weight = floor(log2((c_target+1)/(c_raw+1))) computed
+    * exactly in integers as length(bin((c_tgt+1)·2^20 DIV (c_raw+1)))
+    * − 21 ∈ [−20, 0] (Laplace-smoothed, log-floor-quantized — monotone
+    * in DSIR's log importance ratio and cross-engine exact, where a
+    * float log2 would not hash-match). Doc score = Σ over its bigram
+    * occurrences of the bucket weight: near 0 ⇒ target-like, strongly
+    * negative ⇒ off-target; resample by thresholding or top-k on the
+    * score. Docs with < 2 tokens produce no row.
+    *
+    * Shape at 100 TB: one explode per pass; the weight table is ONE
+    * map-side-combined aggregate producing ≤ `buckets` rows (c_raw and
+    * c_tgt counted in the same pass) that then BROADCASTS back onto the
+    * occurrence stream; final agg is keyed by doc_id with partial
+    * aggregation. The corpus is never joined to itself and the only
+    * full shuffle is the doc_id agg. */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+                  buckets: Int = 1024): DataFrame = {
+    val feat = docs.select(col("doc_id"), targetPred.as("is_target"),
+        explode(graft.functions.TokenNgrams.token_ngrams(col("text"), 2)).as("gram"))
+      .withColumn("bucket", PolyHash.poly_hash(col("gram")) % lit(buckets.toLong))
+      .select("doc_id", "is_target", "bucket")
+    val w = feat.groupBy("bucket").agg(
+        count(lit(1)).as("c_raw"),
+        count(when(col("is_target"), 1)).as("c_tgt"))
+      .withColumn("w_bits",
+        expr("CAST(length(bin((c_tgt + 1) * 1048576 DIV (c_raw + 1))) AS BIGINT) - 21"))
+      .select("bucket", "w_bits")
+    feat.join(broadcast(w), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum("w_bits").cast("long").as("dsir_score"))
+  }
+
   /** TOKEN-BUDGET mixture sampling — build a training mix by taking,
     * per stratum (language/source/domain), documents in deterministic
     * pseudo-random order until the stratum's token budget is filled

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Clusters, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Clusters, Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators (builder mandate, beyond the
   * reference's own surface): dedup, similarity search, text analysis,
@@ -425,6 +425,36 @@ object LlmQueries {
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       TextAnalysis.bigramLmScore(Tables(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
+
+    // DSIR importance weights (hashed-bigram target/raw ratio, log2-floor
+    // quantized in integers): the oracle re-hashes every bigram with the
+    // poly_hash fold, rebuilds the 1024-bucket weight table in one
+    // FILTER aggregate, and replays the bin()-length log2.
+    Q("q95_dsir_weights",
+      """WITH t AS (SELECT doc_id, lang = 'en' AS is_target, string_split(text, ' ') AS l
+        |           FROM documents),
+        | bg AS (SELECT doc_id, is_target,
+        |          unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS gram
+        |        FROM t WHERE len(l) >= 2),
+        | hx AS (SELECT doc_id, is_target,
+        |          list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |            list_transform(range(1, length(gram) + 1),
+        |              i -> CAST(ascii(substr(gram, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |            (a, c) -> (a * 131 + c) % 4294967291) % 1024 AS bucket
+        |        FROM bg),
+        | w AS (SELECT bucket, count(*) AS c_raw, count(*) FILTER (is_target) AS c_tgt
+        |       FROM hx GROUP BY 1),
+        | ws AS (SELECT bucket,
+        |          CAST(length(bin((c_tgt + 1) * 1048576 // (c_raw + 1))) AS BIGINT) - 21 AS w_bits
+        |        FROM w)
+        |SELECT h.doc_id, count(*) AS n_grams, CAST(sum(w_bits) AS BIGINT) AS dsir_score
+        |FROM hx h JOIN ws USING (bucket)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      Corpus.dsirWeights(Tables(s, dir, "documents"),
+          targetPred = col("lang") === "en")
         .orderBy("doc_id")
     },
 

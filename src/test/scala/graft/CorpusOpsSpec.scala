@@ -292,4 +292,31 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(rows == Set((0L, 2L, 3L), (1L, 1L, 2L)))
   }
+
+  test("dsirWeights ranks target-like docs above off-target docs") {
+    // target docs share a vocabulary; off-target docs use disjoint grams.
+    // A held-out doc written in the target vocabulary must outscore one
+    // written in the off-target vocabulary (weights are ≤ 0; closer to 0
+    // = more target-like), and every weight stays within [-20, 0]·n.
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", "tgt"),
+      (2L, "beta gamma alpha beta gamma", "tgt"),
+      (3L, "zeta eta theta zeta eta", "raw"),
+      (4L, "eta theta zeta eta theta", "raw"),
+      (5L, "alpha beta gamma beta", "held"), // target-vocab holdout
+      (6L, "zeta eta theta eta", "held")     // off-target holdout
+    ).toDF("doc_id", "text", "pool")
+    val scores = Corpus.dsirWeights(docs, col("pool") === "tgt")
+      .select("doc_id", "n_grams", "dsir_score")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, s) => id -> (n, s) }.toMap
+    val (n5, s5) = scores(5L)
+    val (n6, s6) = scores(6L)
+    // compare per-gram means (holdouts have equal gram counts here)
+    assert(n5 == n6)
+    assert(s5 > s6, s"target-vocab holdout $s5 should outscore off-target $s6")
+    scores.values.foreach { case (n, s) =>
+      assert(s <= 0L && s >= -20L * n)
+    }
+  }
 }
