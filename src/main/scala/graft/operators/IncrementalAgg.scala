@@ -60,4 +60,50 @@ object IncrementalAgg {
   def finalizeState(scalar: DataFrame, distinct: DataFrame, keys: Seq[String],
                     distinctAlias: String): DataFrame =
     scalar.join(HyperLogLog.estimate(distinct, keys, distinctAlias), keys)
+
+  /** Quantile state of one batch: per (keys, bucket = v DIV width)
+    * count — a fixed-width histogram, the mergeable form of
+    * [[graft.llm.Corpus.histogramQuantiles]]. State size per key is
+    * bounded by the value range over the width, independent of row
+    * count, and the merge (sum per bucket) is exact and
+    * order-independent: merge(state(A), state(B)) == state(A ∪ B) for
+    * ANY batch split, so maintained percentile dashboards never re-read
+    * raw history. */
+  def histogramState(df: DataFrame, keys: Seq[String], valueCol: String,
+                     width: Long): DataFrame =
+    df.select(keys.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
+      .withColumn("bucket", expr(s"__v DIV $width"))
+      .groupBy("bucket", keys: _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Merge histogram states: counts add per (keys, bucket). */
+  def mergeHistogram(keys: Seq[String], states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy("bucket", keys: _*)
+      .agg(sum("n").as("n"))
+
+  /** Per-key quantile estimates read off a (merged) histogram state:
+    * for each requested permille q, the upper edge of the smallest
+    * bucket whose cumulative count reaches ceil(q·N/1000) — integer
+    * comparison `cum·1000 ≥ N·q`, no division, engine-portable. The
+    * state is already aggregated (tiny vs raw data), so the window +
+    * min-bucket aggregate cost is per-key-histogram, not per-row. */
+  def quantilesFromState(state: DataFrame, keys: Seq[String], width: Long,
+                         quantilesPermille: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
+    val wCum = Window.partitionBy(keyCols: _*).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(keyCols: _*)
+    state
+      .withColumn("cum", sum("n").over(wCum))
+      .withColumn("n_total", sum("n").over(wTot))
+      .withColumn("quantile_permille",
+        explode(array(quantilesPermille.map(q => lit(q.toLong)): _*)))
+      .filter(col("cum") * 1000 >= col("n_total") * col("quantile_permille"))
+      .groupBy("quantile_permille", keys: _*)
+      .agg(min(col("bucket")).as("bucket"))
+      .withColumn("est_upper", (col("bucket") + 1) * width - 1)
+      .drop("bucket")
+  }
 }

@@ -283,6 +283,42 @@ object AnalyticsQueries {
         .orderBy("o_orderstatus")
     },
 
+    // Incremental QUANTILE maintenance: per-batch histogram states
+    // (orders split by key parity) merge exactly — sum per (key,
+    // bucket) — and per-status percentiles are read off the MERGED
+    // state; the oracle buckets the full table in one pass. A hash
+    // match proves the maintained histogram equals the full rescan for
+    // any batch split, extending q93's count/sum/HLL states to
+    // percentile dashboards.
+    Q("q96_incremental_quantiles",
+      """WITH v AS (SELECT o_orderstatus,
+        |            CAST(round(o_totalprice*1000000.0) AS BIGINT) // 10000000000 AS bucket
+        |           FROM orders),
+        | h AS (SELECT o_orderstatus, bucket, count(*) AS n FROM v GROUP BY 1, 2),
+        | c AS (SELECT o_orderstatus, bucket,
+        |         CAST(sum(n) OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS BIGINT) AS cum,
+        |         CAST(sum(n) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n_total
+        |       FROM h),
+        | q AS (SELECT unnest([250, 500, 900]) AS q)
+        |SELECT o_orderstatus, CAST(q.q AS BIGINT) AS quantile_permille,
+        | CAST(min((bucket + 1) * 10000000000 - 1) AS BIGINT) AS est_upper
+        |FROM c CROSS JOIN q WHERE cum * 1000 >= n_total * q.q
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+        .withColumn("price_micros", micros(col("o_totalprice")))
+      val keys = Seq("o_orderstatus")
+      val merged = IncrementalAgg.mergeHistogram(keys,
+        IncrementalAgg.histogramState(
+          o.filter(col("o_orderkey") % 2 === 0), keys, "price_micros", 10000000000L),
+        IncrementalAgg.histogramState(
+          o.filter(col("o_orderkey") % 2 =!= 0), keys, "price_micros", 10000000000L))
+      IncrementalAgg.quantilesFromState(merged, keys, 10000000000L,
+          Seq(250, 500, 900))
+        .select(col("o_orderstatus"), col("quantile_permille"), col("est_upper"))
+        .orderBy("o_orderstatus", "quantile_permille")
+    },
+
     Q("q12_pivot_status",
       """SELECT o_orderpriority,
         | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",

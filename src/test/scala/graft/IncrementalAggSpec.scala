@@ -60,4 +60,36 @@ class IncrementalAggSpec extends SparkSpec {
       oneShot.select("g", "n", "sum_v", "min_v", "max_v", "d").orderBy("g")
         .collect().toSeq)
   }
+
+  test("histogram state merges exactly and quantiles match the one-shot path") {
+    val df = data(7, 3000).cache()
+    val parts = Seq(
+      df.filter(abs(hash($"u")) % 3 === 0),
+      df.filter(abs(hash($"u")) % 3 === 1),
+      df.filter(abs(hash($"u")) % 3 === 2))
+    val width = 50L
+
+    val merged = IncrementalAgg.mergeHistogram(keys,
+      parts.map(IncrementalAgg.histogramState(_, keys, "v", width)): _*)
+    val full = IncrementalAgg.histogramState(df, keys, "v", width)
+    assert(merged.orderBy("g", "bucket").collect().toSeq ==
+      full.orderBy("g", "bucket").collect().toSeq)
+
+    // quantiles off the merged state == quantiles off the full state,
+    // and each estimate's bucket really contains the exact percentile
+    val qs = Seq(250, 500, 900)
+    val est = IncrementalAgg.quantilesFromState(merged, keys, width, qs)
+    assert(est.orderBy("g", "quantile_permille").collect().toSeq ==
+      IncrementalAgg.quantilesFromState(full, keys, width, qs)
+        .orderBy("g", "quantile_permille").collect().toSeq)
+    val exact = df.groupBy("g").agg(
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY v)").as("p50"))
+      .as[(String, Double)].collect().toMap
+    est.filter($"quantile_permille" === 500)
+      .select("g", "est_upper").as[(String, Long)].collect()
+      .foreach { case (g, upper) =>
+        assert(exact(g) <= upper && exact(g) > upper - width,
+          s"$g: exact median ${exact(g)} outside bucket (${upper - width}, $upper]")
+      }
+  }
 }
