@@ -268,30 +268,43 @@ object Similarity {
     * production IVF build. Same query shape as [[ivfKnn]]: corpus
     * assigned to its nearest cell, queries probe their nProbe nearest
     * cells, candidates meet in an equi-join on cell id. */
+  /** Centroid table (list_id, cent array<double>, cent_norm) from
+    * [[KMeans.train]]'s driver-side result — the broadcastable form
+    * every IVF path assigns against. */
+  def centroidTable(spark: org.apache.spark.sql.SparkSession,
+                    cents: Seq[(Long, Array[Double])]): DataFrame =
+    spark.createDataFrame(cents.map { case (cid, c) => (cid, c) })
+      .toDF("list_id", "cent_d")
+      .select(col("list_id"),
+        col("cent_d").cast("array<double>").as("cent"))
+      .withColumn("cent_norm", sqrt(dot(col("cent"), col("cent"))))
+      .filter(col("cent_norm") > 0)
+
+  /** Assign vectors to their `keep` nearest cells of a (broadcast)
+    * centroid table: BNLJ against ≤ kCells rows, codegen'd dot product,
+    * per-vector rank window. Norms are computed once per vector;
+    * zero-norm vectors are dropped (no direction — see class doc). */
+  def assignToCells(df: DataFrame, centDf: DataFrame, idAs: String,
+                    keep: Int): DataFrame = {
+    val scored = df.select(col("vec_id").as(idAs), col("embedding"),
+        norm(col("embedding")).as("v_norm"))
+      .filter(col("v_norm") > 0)
+      .join(broadcast(centDf), expr("true"))
+      .withColumn("c_sim", dot(col("embedding"), col("cent")) /
+        (col("v_norm") * col("cent_norm")))
+    val w = Window.partitionBy(idAs).orderBy(col("c_sim").desc, col("list_id"))
+    scored.withColumn("c_rnk", row_number().over(w))
+      .filter(col("c_rnk") <= keep)
+      .select(col(idAs), col("embedding"), col("v_norm"), col("list_id"))
+  }
+
   def ivfKnnTrained(emb: DataFrame, queries: DataFrame, k: Int,
                     kCells: Int = 16, nProbe: Int = 4, iters: Int = 5,
                     dim: Int = 64): DataFrame = {
     val cents = KMeans.train(emb, kCells, iters, dim)
-    val centDf = broadcast(
-      emb.sparkSession.createDataFrame(
-          cents.map { case (cid, c) => (cid, c) }
-        ).toDF("list_id", "cent_d")
-        .select(col("list_id"),
-          col("cent_d").cast("array<double>").as("cent"))
-        .withColumn("cent_norm", sqrt(dot(col("cent"), col("cent"))))
-        .filter(col("cent_norm") > 0))
-    def assign(df: DataFrame, idAs: String, keep: Int) = {
-      val scored = df.select(col("vec_id").as(idAs), col("embedding"),
-          norm(col("embedding")).as("v_norm"))
-        .filter(col("v_norm") > 0)
-        .join(centDf, expr("true"))
-        .withColumn("c_sim", dot(col("embedding"), col("cent")) /
-          (col("v_norm") * col("cent_norm")))
-      val w = Window.partitionBy(idAs).orderBy(col("c_sim").desc, col("list_id"))
-      scored.withColumn("c_rnk", row_number().over(w))
-        .filter(col("c_rnk") <= keep)
-        .select(col(idAs), col("embedding"), col("v_norm"), col("list_id"))
-    }
+    val centDf = centroidTable(emb.sparkSession, cents)
+    def assign(df: DataFrame, idAs: String, keep: Int) =
+      assignToCells(df, centDf, idAs, keep)
     val corpus = assign(emb, "neighbor_id", 1)
     val qs = assign(queries, "query_id", nProbe)
       .select(col("query_id"), col("embedding").as("q_emb"),

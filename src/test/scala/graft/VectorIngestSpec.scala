@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Similarity
+import graft.streaming.VectorIngest
+
+/** The streaming ANN-index loop, driven batch-by-batch the way
+  * foreachBatch would: frozen centroids, replay-proof cell appends, and
+  * queries served entirely off the index. */
+class VectorIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic unit-ish vectors in 4-d: two well-separated clusters
+  private def vec(cluster: Int, i: Int): Array[Float] = {
+    val base = if (cluster == 0) Array(10f, 0f, 1f, 0f) else Array(0f, 10f, 0f, 1f)
+    base.zipWithIndex.map { case (v, d) => v + ((i * (d + 1)) % 5) * 0.1f }
+  }
+  private def rows(ids: Range, cluster: Int): Seq[(Long, Array[Float])] =
+    ids.map(i => (i.toLong, vec(cluster, i)))
+
+  test("incremental index equals one-shot assignment; replays are no-ops") {
+    val root = tmpDir("vindex")
+    val all = (rows(0 until 8, 0) ++ rows(100 until 108, 1))
+      .toDF("vec_id", "embedding")
+    VectorIngest.trainCentroids(all, root, kCells = 2, iters = 5, dim = 4)
+
+    val batch1 = (rows(0 until 8, 0) ++ rows(100 until 104, 1))
+      .toDF("vec_id", "embedding")
+    val batch2 = (rows(104 until 108, 1) ++ rows(0 until 2, 0)) // 0,1 replayed
+      .toDF("vec_id", "embedding")
+    assert(VectorIngest.processBatch(batch1, root) == 12L)
+    assert(VectorIngest.processBatch(batch2, root) == 4L)
+    // replaying a full batch is a no-op (idempotent restart)
+    assert(VectorIngest.processBatch(batch2, root) == 0L)
+
+    // incremental cells == one-shot assignment of the union against the
+    // same frozen centroids
+    val cells = spark.read.parquet(s"$root/cells")
+      .select("vec_id", "list_id").as[(Long, Long)].collect().toMap
+    val oneShot = Similarity.assignToCells(all,
+        spark.read.parquet(s"$root/centroids"), "vec_id", keep = 1)
+      .select("vec_id", "list_id").as[(Long, Long)].collect().toMap
+    assert(cells == oneShot)
+    // the two clusters landed in different cells
+    assert(cells(0L) != cells(100L))
+  }
+
+  test("ann probing all cells is exact; nProbe=1 stays within the cluster") {
+    val root = tmpDir("vindex2")
+    val all = (rows(0 until 8, 0) ++ rows(100 until 108, 1))
+      .toDF("vec_id", "embedding")
+    VectorIngest.trainCentroids(all, root, kCells = 2, iters = 5, dim = 4)
+    assert(VectorIngest.processBatch(all, root) == 16L)
+
+    val queries = (rows(0 until 2, 0) ++ rows(100 until 102, 1))
+      .toDF("vec_id", "embedding")
+    // probe every cell → exact brute-force equality
+    val exact = Similarity.bruteForceKnn(all, queries, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val probedAll = VectorIngest.ann(spark, root, queries, k = 3, nProbe = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probedAll == exact)
+
+    // nProbe=1: every neighbor comes from the query's own cluster
+    val one = VectorIngest.ann(spark, root, queries, k = 3, nProbe = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(one.nonEmpty)
+    one.foreach { case (q, n, _) =>
+      assert((q < 100) == (n < 100),
+        s"query $q got cross-cluster neighbor $n under nProbe=1")
+    }
+  }
+}
