@@ -93,6 +93,16 @@ object Bench {
     val best = new ConcurrentHashMap[String, Double]()
     val bestCancelled = new ConcurrentHashMap[String, Double]()
 
+    // Local-iteration knob: BENCH_ONLY=q55,q92 times just those queries
+    // (exact name or prefix). Unset (the driver's case) → full inventory.
+    val inventory = sys.env.get("BENCH_ONLY") match {
+      case Some(names) =>
+        val sel = names.split(",").map(_.trim).filter(_.nonEmpty)
+        SparkEntry.inventory.filter(q => sel.exists(n =>
+          q.name == n || q.name.startsWith(n)))
+      case None => SparkEntry.inventory
+    }
+
     // The harness keeps only the LAST 2000 bytes of stdout (BENCH_r01/r03:
     // a ~3.6 KB line with full query names was decapitated by its own
     // length plus trailing sbt noise — "parsed": null three rounds
@@ -106,7 +116,7 @@ object Bench {
       if (p.nonEmpty) p else name
     }
     def jsonLine(): String = {
-      val results = SparkEntry.inventory.flatMap { q =>
+      val results = inventory.flatMap { q =>
         if (best.containsKey(q.name)) Some((shortKey(q.name), best.get(q.name): Double, false))
         else if (bestCancelled.containsKey(q.name))
           Some((shortKey(q.name), bestCancelled.get(q.name): Double, true))
@@ -179,7 +189,7 @@ object Bench {
     // Sequential passes while budget remains: clean, uncontended mins.
     var passes = 0
     while (passes < maxPasses && elapsed < deadlineSec) {
-      SparkEntry.inventory.foreach { q =>
+      inventory.foreach { q =>
         if (elapsed < deadlineSec)
           timeOne(q, s"seq$passes", math.min(queryTimeoutSec, deadlineSec - elapsed))
       }
@@ -188,7 +198,7 @@ object Bench {
 
     // Concurrent sweep for anything the deadline starved — guarantees a
     // complete JSON even when the host ate the sequential budget.
-    val missing = SparkEntry.inventory.filterNot(q => best.containsKey(q.name))
+    val missing = inventory.filterNot(q => best.containsKey(q.name))
     if (missing.nonEmpty && conc > 0) {
       val pool = Executors.newFixedThreadPool(conc)
       missing.foreach(q => pool.submit(new Runnable {

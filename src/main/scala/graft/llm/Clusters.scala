@@ -42,6 +42,17 @@ object Clusters {
       .persist()
     var labels = Stage(adj.groupBy("src").agg(min("dst").as("nbr"))
       .select(col("src").as("id"), least(col("src"), col("nbr")).as("label")))
+    // Convergence via Σlabel: labels only ever DECREASE (min includes the
+    // own label) over a fixed id set, so the round changed something iff
+    // the label sum dropped. That turns the old per-round convergence
+    // probe (a labels⋈labels join + filter + count) into a single 1-row
+    // aggregate over the just-staged table — at sf0.1 the probe join was
+    // ~a third of each round's cost. DECIMAL(38,0) sum: 1e9 ids of 2^63
+    // magnitude still fit with 10^9 headroom.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -55,10 +66,10 @@ object Clusters {
       val next = Stage(labels.select("id", "label")
         .union(viaEdges).union(viaPtr)
         .groupBy("id").agg(min("label").as("label")))
-      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") < col("o.label")).limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       it += 1
     }
     val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
