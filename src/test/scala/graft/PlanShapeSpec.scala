@@ -119,4 +119,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [") && p.contains("l_shipdate"),
       s"q11 shipdate range not pushed to the scan")
   }
+
+  test("LM/DSIR scoring joins stay keyed; the DSIR weight table broadcasts") {
+    // q94/q95 join a corpus-scale occurrence stream to Zipf-small count
+    // tables — a lost equi-join key here would cross-join 100 TB
+    for (q <- Seq("q94_bigram_lm_score", "q95_dsir_weights")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q lost its keyed join shape")
+    }
+    // the ≤1024-row bucket-weight table must ride a broadcast, never
+    // shuffle the occurrence stream for a dimension-sized join
+    assert(planOf("q95_dsir_weights").contains("BroadcastHashJoin"),
+      "q95 weight join is not a broadcast hash join")
+  }
+
+  test("incremental quantile read path stays on the aggregated state") {
+    // q96's windows/joins run over the histogram STATE (≤ range/width
+    // rows per key), never re-shuffle raw orders beyond the state agg
+    val p = planOf("q96_incremental_quantiles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q96 lost its keyed shape")
+    // partial aggregation must cut in before the state shuffle
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"q96 histogram state lost map-side combine")
+  }
 }
