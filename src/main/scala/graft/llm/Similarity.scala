@@ -62,6 +62,60 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** MARGIN-BASED bitext/pair mining (Artetxe & Schwenk 2019; the
+    * CCMatrix construction): for each source vector the best target by
+    * RATIO MARGIN — sim(x,y) normalized by the mean of both sides'
+    * k-nearest similarities, margin(x,y) = 2·sim(x,y) /
+    * (avgK(x) + avgK(y)) — which suppresses hub vectors that are
+    * near-everything and is the standard mined-parallel-corpus filter.
+    *
+    * Takes ANY candidate sim table (src_id, tgt_id, sim): at 100 TB
+    * feed it ANN candidates ([[lshKnn]] buckets, [[ivfKnnTrained]]
+    * cells, or a [[graft.streaming.VectorIngest]] probe) so the margin
+    * is computed over each vector's retrieved neighborhood exactly as
+    * the production systems do; [[marginMine]] below wires the dense
+    * small-side-broadcast baseline. Determinism: the k-NN averages are
+    * sequential folds in rank order (collect_list sorted by rank), so
+    * every margin is bit-identical to the oracle's ordered
+    * list_reduce — margins are emitted as exact micros, not just
+    * ranks. */
+  def marginFromSims(sims: DataFrame, kAvg: Int = 4): DataFrame = {
+    val wf = Window.partitionBy("src_id").orderBy(col("sim").desc, col("tgt_id"))
+    val wb = Window.partitionBy("tgt_id").orderBy(col("sim").desc, col("src_id"))
+    val ranked = sims.withColumn("rf", row_number().over(wf))
+      .withColumn("rb", row_number().over(wb))
+    def sideAvg(idCol: String, rnkCol: String, as: String) =
+      ranked.filter(col(rnkCol) <= kAvg)
+        .groupBy(idCol)
+        .agg((aggregate(array_sort(collect_list(struct(col(rnkCol), col("sim")))),
+          lit(0.0), (acc, x) => acc + x.getField("sim")) / count(lit(1))).as(as))
+    val wbest = Window.partitionBy("src_id").orderBy(col("margin").desc, col("tgt_id"))
+    ranked.join(sideAvg("src_id", "rf", "avg_a"), "src_id")
+      .join(sideAvg("tgt_id", "rb", "avg_b"), "tgt_id")
+      .withColumn("margin", lit(2.0) * col("sim") / (col("avg_a") + col("avg_b")))
+      .withColumn("rnk", row_number().over(wbest))
+      .filter(col("rnk") === 1)
+      .select(col("src_id"), col("tgt_id"),
+        floor(col("margin") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("margin_micros"))
+  }
+
+  /** Dense-baseline margin mining: every src×tgt sim via a broadcast of
+    * the (smaller) source side — the [[bruteForceKnn]] shape — then
+    * [[marginFromSims]]. Caller bounds the source side; unbounded pairs
+    * go through ANN candidates instead. */
+  def marginMine(embA: DataFrame, embB: DataFrame, kAvg: Int = 4): DataFrame = {
+    val a = embA.select(col("vec_id").as("src_id"), col("embedding").as("a_emb"),
+      norm(col("embedding")).as("a_norm")).filter(col("a_norm") > 0)
+    val b = embB.select(col("vec_id").as("tgt_id"), col("embedding").as("b_emb"),
+      norm(col("embedding")).as("b_norm")).filter(col("b_norm") > 0)
+    val sims = broadcast(a).join(b, expr("true"))
+      .withColumn("sim", dot(col("a_emb"), col("b_emb")) /
+        (col("a_norm") * col("b_norm")))
+      .select("src_id", "tgt_id", "sim")
+    marginFromSims(sims, kAvg)
+  }
+
   /** Top near-duplicate pairs (i < j) by cosine, over a bounded id range
     * (caller bounds the quadratic candidate set; the scale path for
     * unbounded corpora is [[lshBuckets]] + within-bucket pairs). */

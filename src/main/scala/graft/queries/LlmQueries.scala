@@ -458,6 +458,48 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Margin-based pair mining (Artetxe & Schwenk ratio margin, the
+    // CCMatrix bitext filter) — margins are EXACT micros, not ranks:
+    // sims are the sequential-fold dot, and both sides' k-NN averages
+    // fold in rank order on both engines (ordered list_reduce), so the
+    // full margin arithmetic is bit-identical.
+    Q("q97_margin_mining",
+      s"""WITH a AS (SELECT vec_id AS src_id, embedding,
+        |            sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        |           FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 64),
+        | b AS (SELECT vec_id AS tgt_id, embedding,
+        |        sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        |       FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 64),
+        | sims AS (SELECT src_id, tgt_id,
+        |           ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+        |          FROM a CROSS JOIN b),
+        | rk AS (SELECT src_id, tgt_id, sim,
+        |         row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rf,
+        |         row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rb
+        |        FROM sims),
+        | ka AS (SELECT src_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list(sim ORDER BY rf)), (acc, x) -> acc + x) / count(*) AS avg_a
+        |        FROM rk WHERE rf <= 4 GROUP BY 1),
+        | kb AS (SELECT tgt_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list(sim ORDER BY rb)), (acc, x) -> acc + x) / count(*) AS avg_b
+        |        FROM rk WHERE rb <= 4 GROUP BY 1),
+        | m AS (SELECT r.src_id, r.tgt_id,
+        |        2.0 * r.sim / (ka.avg_a + kb.avg_b) AS margin
+        |       FROM rk r JOIN ka USING (src_id) JOIN kb USING (tgt_id)),
+        | best AS (SELECT src_id, tgt_id,
+        |           CAST(floor(margin * 1000000.0 + 0.5) AS BIGINT) AS margin_micros,
+        |           row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rnk
+        |          FROM m)
+        |SELECT src_id, tgt_id, margin_micros FROM best WHERE rnk = 1
+        |ORDER BY src_id""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.marginMine(
+          emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 64),
+          emb.filter(col("vec_id") % 2 =!= 0 && col("vec_id") < 64), kAvg = 4)
+        .orderBy("src_id")
+    },
+
     // Semantic (embedding-space) dedup keep-list — SemDeDup's shape:
     // LSH-bucketed cosine near-dup pairs (q74) → connected components
     // (q55's loop) → keep the min-id representative per cluster,

@@ -231,4 +231,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(frames(0).getAs[Long]("n") == 1L)   // 6 bytes → 1 frame
     assert(frames(1).getAs[Long]("n") == 4L)   // 200 bytes → ceil(200/64)=4
   }
+
+  test("marginMine suppresses the hub that raw cosine top-1 falls for") {
+    // targets: a HUB near every source (id 100) + one true partner per
+    // source (ids 101-103). Raw cosine argmax is the hub for every
+    // source; the ratio margin divides it away (the hub's own k-NN
+    // average is high) and recovers each source's true partner — the
+    // property margin mining exists for (Artetxe & Schwenk 2019).
+    val h = Array(0.5f, 0.5f, 0.5f, 0.5f)
+    def e(d: Int) = Array.tabulate(4)(i => if (i == d) 1f else 0f)
+    def src(d: Int) = e(d).zip(h).map { case (a, b) => a + 1.5f * b }
+    val srcs = (0 until 3).map(d => (d.toLong, src(d)))
+      .toDF("vec_id", "embedding")
+    val tgts = ((100L, h) +: (0 until 3).map(d => (101L + d, e(d))))
+      .toDF("vec_id", "embedding")
+
+    val raw = graft.llm.Similarity.bruteForceKnn(tgts, srcs, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert((0L until 3L).forall(raw(_) == 100L), s"hub is not the raw top-1: $raw")
+
+    val mined = graft.llm.Similarity.marginMine(srcs, tgts, kAvg = 3)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach { d =>
+      assert(mined(d) == 101L + d,
+        s"margin failed to suppress the hub for source $d: got ${mined(d)}")
+    }
+  }
 }
