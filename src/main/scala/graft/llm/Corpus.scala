@@ -148,6 +148,34 @@ object Corpus {
         sum("w_bits").cast("long").as("dsir_score"))
   }
 
+  /** LEAKAGE-SAFE train/eval split: assign every document to a split by
+    * its near-duplicate CLUSTER, not its own id — the guard against
+    * eval contamination (a near-copy of a training doc in the eval set
+    * inflates every metric; per-doc hash splits leak exactly those
+    * pairs across the boundary). Pair list in → connected components
+    * ([[Clusters.connectedComponents]]) → singleton docs are their own
+    * cluster → the CLUSTER id (not the doc id) hashes into the split,
+    * so a whole duplicate class lands on one side by construction.
+    * Hash is the engine-portable integer fold (mod-first so the
+    * multiply cannot overflow on 2^63-range ids).
+    *
+    * Shape at 100 TB: CC cost is bounded by the duplicate-pair list
+    * (never the corpus); the split itself is one left join (dup-cluster
+    * membership is corpus-scale-sparse, so the CC table broadcasts when
+    * it fits) plus a narrow per-row expression. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       trainPermille: Int = 800): DataFrame = {
+    val cc = Clusters.connectedComponents(pairs)
+      .select(col("doc_id"), col("cluster_id").as("__cc"))
+    docs.select("doc_id").join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("__cc"), col("doc_id")))
+      .withColumn("split",
+        when(((col("cluster_id") % 1000000007L) * lit(2654435761L))
+            % 1000000007L % 1000 < trainPermille, lit("train"))
+          .otherwise(lit("eval")))
+      .select("doc_id", "cluster_id", "split")
+  }
+
   /** TOKEN-BUDGET mixture sampling — build a training mix by taking,
     * per stratum (language/source/domain), documents in deterministic
     * pseudo-random order until the stratum's token budget is filled

@@ -57,6 +57,35 @@ object PipelineQueries {
       Clusters.connectedComponents(pairs).orderBy("doc_id")
     },
 
+    // Leakage-safe train/eval split: the SPLIT hash runs on the
+    // near-dup CLUSTER id, so whole duplicate classes land on one side
+    // — the eval-contamination guard per-doc hash splits don't give.
+    // Oracle replays the pair pipeline + recursive reachability (as
+    // q55) then the same mod-first integer fold.
+    Q("q98_leakage_safe_split",
+      s"""WITH RECURSIVE $pairCtes,
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |           UNION SELECT id_b, id_a FROM pairs),
+         | reach AS (SELECT src AS id, dst AS r FROM edges
+         |           UNION
+         |           SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+         | cc AS (SELECT id, min(least(id, r)) AS cluster_id FROM reach GROUP BY id),
+         | s AS (SELECT d.doc_id,
+         |        CAST(coalesce(cc.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+         |       FROM documents d LEFT JOIN cc ON cc.id = d.doc_id)
+         |SELECT doc_id, cluster_id,
+         | CASE WHEN ((cluster_id % 1000000007) * 2654435761) % 1000000007 % 1000 < 800
+         |      THEN 'train' ELSE 'eval' END AS split
+         |FROM s ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, 3, maxShingleDf = 64L)
+        .filter(col("jaccard_ppm") >= 300000L)
+        .select("id_a", "id_b")
+      Corpus.leakageSafeSplit(docs, pairs, trainPermille = 800)
+        .orderBy("doc_id")
+    },
+
     Q("q56_tfidf_topk",
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -293,6 +293,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows == Set((0L, 2L, 3L), (1L, 1L, 2L)))
   }
 
+  test("leakageSafeSplit keeps every near-dup cluster on one side") {
+    val docs = (1L to 400L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 99L))
+      .toDF("id_a", "id_b")
+    val out = Corpus.leakageSafeSplit(docs, pairs, trainPermille = 700)
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 400)
+    // each cluster entirely in one split — the leakage guard itself
+    out.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $c straddles splits: ${members.toSeq}")
+    }
+    // linked docs share clusters; singletons are their own
+    val byId = out.map(r => r._1 -> r._2).toMap
+    assert(byId(1L) == byId(2L) && byId(2L) == byId(3L))
+    assert(byId(10L) == byId(11L) && byId(50L) == byId(99L))
+    assert(byId(200L) == 200L)
+    // both splits are populated in roughly the requested proportion
+    val nTrain = out.count(_._3 == "train")
+    assert(nTrain > 400 * 5 / 10 && nTrain < 400 * 9 / 10,
+      s"train fraction implausible for 700 permille: $nTrain/400")
+  }
+
   test("dsirWeights ranks target-like docs above off-target docs") {
     // target docs share a vocabulary; off-target docs use disjoint grams.
     // A held-out doc written in the target vocabulary must outscore one
