@@ -49,9 +49,13 @@ object Clusters {
     // aggregate over the just-staged table — at sf0.1 the probe join was
     // ~a third of each round's cost. DECIMAL(38,0) sum: 1e9 ids of 2^63
     // magnitude still fit with 10^9 headroom.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // empty labels (no edges at all) sum to NULL — normalize to 0 so
+      // the first comparison converges instead of NPEing
+      val s = df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0

@@ -182,7 +182,7 @@ object Corpus {
     * (the document that crosses the budget is kept: every stratum
     * reaches ≥ budget tokens when it has them — the data-mixing rule
     * corpora like The Pile weight sources by). Order key is the exact
-    * integer fold (doc_id · 2654435761) mod 1000000007 — engine-
+    * integer fold ((doc_id mod 1000000007) · 2654435761) mod 1000000007 — engine-
     * portable, seed-free, uniform. Returns the sampled rows with
     * n_tokens and the running cum within the stratum.
     *
@@ -194,7 +194,10 @@ object Corpus {
                      budgetTokens: Long): DataFrame = {
     val t = docs.select(col("doc_id"), col(strataCol),
       size(words(col("text"))).cast("long").as("n_tokens"),
-      ((col("doc_id") * lit(2654435761L)) % lit(1000000007L)).as("__rnd"))
+      // mod-first so the multiply cannot overflow on 2^63-range ids
+      // (Spark would wrap silently; the DuckDB oracle would ERROR)
+      (((col("doc_id") % lit(1000000007L)) * lit(2654435761L))
+        % lit(1000000007L)).as("__rnd"))
     val w = Window.partitionBy(strataCol).orderBy(col("__rnd"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.withColumn("cum", sum("n_tokens").over(w))

@@ -287,6 +287,19 @@ object Dedup {
   def minHashBands(docs: DataFrame, k: Int = 3, numPerms: Int = 32, bands: Int = 8): DataFrame =
     bandsFromSignatures(minHashSignatures(docs, k, numPerms), numPerms, bands)
 
+  /** Distinct candidate pairs (id_a < id_b) sharing any (band,
+    * band_hash) bucket — THE band-candidate self-join every LSH path
+    * runs (pairs, estimates, keep-lists, bounded containment). One
+    * owner so a contract change (cap policy, tie-break) lands
+    * everywhere at once. `bh` is self-joined: pass a staged/stored
+    * table. */
+  def bandCandidates(bh: DataFrame): DataFrame =
+    bh.as("x").join(bh.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+
   /** Candidate pairs from LSH banding, verified with exact shingle
     * Jaccard (ppm). `minJaccardPpm` filters the verified pairs.
     * `maxBandDf` bounds any one band bucket's df (see [[capBucketDf]]):
@@ -298,11 +311,7 @@ object Dedup {
     // self-joined below — materialize the band table once.
     val bh = capBucketDf(minHashBands(docs, k, numPerms, bands),
       maxBandDf, Seq("band", "band_hash"))
-    val cand = bh.as("x").join(bh.as("y"),
-        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    val cand = bandCandidates(bh)
     val verified = ngramJaccardPairs(docs, k, maxShingleDf)
     cand.join(verified, Seq("id_a", "id_b"))
       .filter(col("jaccard_ppm") >= minJaccardPpm)
@@ -333,11 +342,7 @@ object Dedup {
   def minHashEstimatesFromSignatures(sig: DataFrame, numPerms: Int = 32,
                                      bands: Int = 8): DataFrame = {
     val bh = bandsFromSignatures(sig, numPerms, bands)
-    val cand = bh.as("x").join(bh.as("y"),
-        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    val cand = bandCandidates(bh)
     val a = sig.select(col("doc_id").as("id_a") +:
       (0 until numPerms).map(j => col(s"h$j").as(s"a$j")): _*)
     val b = sig.select(col("doc_id").as("id_b") +:

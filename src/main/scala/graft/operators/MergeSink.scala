@@ -45,6 +45,7 @@ object MergeSink {
     val deduped = MergeOps.lwwLatest(
       batch.filter(col(tdef.key).isNotNull), Seq(tdef.key), Seq(tsCol))
     val path = s"$dir/${tdef.table}"
+    healInterruptedSwap(spark, path)
     val merged =
       if (Files.exists(Paths.get(path))) {
         val target = spark.read.parquet(path)
@@ -58,25 +59,51 @@ object MergeSink {
   def deleteParquet(ids: DataFrame, dir: String, tdef: TableDef): Unit = {
     val spark = ids.sparkSession
     val path = s"$dir/${tdef.table}"
+    healInterruptedSwap(spark, path)
     if (Files.exists(Paths.get(path))) {
       val target = spark.read.parquet(path)
       writeAtomic(MergeOps.setDiffDelete(target, ids.select(col(ids.columns.head).as(tdef.key)), tdef.key), path)
     }
   }
 
-  /** Local-mode atomic table swap: write to a staging dir, then move into
-    * place. (A table format makes this a metadata commit; the staging
-    * write keeps the read-own-table merge loop safe.) */
+  /** Local-mode table swap: write to a staging dir, retire the old dir
+    * by RENAME (not delete — the data survives every crash window), move
+    * the staged dir into place, then drop the retired copy. A crash
+    * between the two renames leaves `path` missing but `path__old`
+    * intact; [[healInterruptedSwap]] restores it, and every reader of a
+    * swap-managed dir calls it first — without the heal step a
+    * dedup/signature store that "vanished" mid-swap would silently
+    * re-admit everything it ever deduped. (A transactional table format
+    * makes all of this one metadata commit; this is the plain-filesystem
+    * approximation with no silent-loss window.) */
   private[graft] def writeAtomic(df: DataFrame, path: String): Unit = {
     val tmp = path + "__stage"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val spark = df.sparkSession
-    // swap via rename: remove old, move staged
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new Path(path)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(new Path(tmp), dst)
+    val old = new Path(path + "__old")
+    if (fs.exists(old)) fs.delete(old, true) // prior completed swap's leftover
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new java.io.IOException(s"swap retire rename failed: $dst -> $old")
+    if (!fs.rename(new Path(tmp), dst))
+      throw new java.io.IOException(s"swap publish rename failed: $tmp -> $dst")
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** Crash recovery for [[writeAtomic]]-managed dirs: if the live dir is
+    * missing but a retired `__old` copy exists (a crash hit the window
+    * between the two swap renames), restore it. Call before reading any
+    * swap-managed store. No-op in every healthy state. */
+  private[graft] def healInterruptedSwap(spark: org.apache.spark.sql.SparkSession,
+                                         path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(path)
+    val old = new Path(path + "__old")
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+      throw new java.io.IOException(s"swap heal rename failed: $old -> $dst")
   }
 
   /** Guarded upsert into a live JDBC database, foreachBatch-compatible:

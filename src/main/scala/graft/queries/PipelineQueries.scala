@@ -664,7 +664,7 @@ object PipelineQueries {
     Q("q84_token_mix",
       """WITH t AS (SELECT doc_id, lang,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |             (doc_id * 2654435761) % 1000000007 AS rnd
+        |             ((doc_id % 1000000007) * 2654435761) % 1000000007 AS rnd
         |           FROM documents),
         | c AS (SELECT doc_id, lang, n_tokens,
         |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY rnd, doc_id
@@ -720,11 +720,7 @@ object PipelineQueries {
     ) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val bh = Stage(Dedup.minHashBands(docs, k = 3, numPerms = 32, bands = 8))
-      val cand = bh.as("x").join(bh.as("y"),
-          col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
+      val cand = Dedup.bandCandidates(bh)
       Dedup.containmentPairsFromCandidates(docs, cand, k = 3,
           minContainPpm = 800000L)
         .orderBy("id_a", "id_b")
@@ -761,7 +757,7 @@ object PipelineQueries {
         | reps AS (SELECT min(doc_id) AS doc_id FROM ok GROUP BY text),
         | surv AS (SELECT o.doc_id, o.lang,
         |            CAST(len(string_split(o.text, ' ')) AS BIGINT) AS n_tokens,
-        |            (o.doc_id * 2654435761) % 1000000007 AS rnd
+        |            ((o.doc_id % 1000000007) * 2654435761) % 1000000007 AS rnd
         |          FROM ok o JOIN reps r ON r.doc_id = o.doc_id),
         | c AS (SELECT doc_id, lang, n_tokens,
         |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY rnd, doc_id

@@ -32,11 +32,13 @@ object SinkQueries {
       val batches = sys.env.getOrElse("BENCH_SINK_BATCHES", "1").toInt
       val copies = sys.env.getOrElse("BENCH_SINK_COPIES", "10").toInt
       val fx: Seq[String] =
-        if (Files.exists(Paths.get(fixtureDir)))
-          Files.list(Paths.get(fixtureDir)).iterator().asScala
+        if (Files.exists(Paths.get(fixtureDir))) {
+          val stream = Files.list(Paths.get(fixtureDir))
+          try stream.iterator().asScala
             .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
             .map(p => new String(Files.readAllBytes(p)).replaceAll("\n", " "))
-        else Seq.empty
+          finally stream.close()
+        } else Seq.empty
       if (fx.isEmpty) Seq(("no_fixtures", 0L)).toDF("table", "n_rows")
       else {
         val dir = Files.createTempDirectory("graft_sinkbench").toString

@@ -40,6 +40,17 @@ object StripeEvents {
   def syncTimestamp(refetched: Boolean = false): Column =
     if (refetched) current_timestamp() else timestamp_seconds(col("created"))
 
+  /** Merge-barrier order: upserts before deleted-upserts before deltas
+    * before deletes, so a same-id create+delete in one micro-batch
+    * resolves to "deleted". THE single owner of this ordering contract —
+    * [[route]] sorts by it and the pipeline groups its barriers by it. */
+  def rank(a: Action): Int = a match {
+    case Upsert => 0
+    case DeletedUpsert => 1
+    case EntitlementDelta => 2
+    case Delete => 3
+  }
+
   sealed trait Action
   case object Upsert extends Action
   /** S10 hard delete by id (deleteProduct/-Price/-Plan/-TaxId). */
@@ -124,12 +135,6 @@ object StripeEvents {
     * per-type count aggregate instead of probing every group with its
     * own isEmpty job (~25 driver-visible jobs per micro-batch saved). */
   def route(envelope: DataFrame): Seq[(TableDef, Action, Seq[String], DataFrame)] = {
-    def rank(a: Action): Int = a match {
-      case Upsert => 0
-      case DeletedUpsert => 1
-      case EntitlementDelta => 2
-      case Delete => 3
-    }
     val byTarget = routes.toSeq.groupBy(_._2).view.mapValues(_.map(_._1))
     byTarget.toSeq
       .sortBy { case ((tdef, action), _) => (rank(action), tdef.table) }

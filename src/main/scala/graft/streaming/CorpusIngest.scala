@@ -66,6 +66,11 @@ object CorpusIngest {
                    benchmark: Option[DataFrame] = None,
                    decontamK: Int = 8, maxBenchShared: Long = 0L): Long = {
     val spark = batch.sparkSession
+    // a compact() crash mid-swap leaves the store retired as __old; heal
+    // before the exists probe or the dedup store would look empty and
+    // re-admit everything it ever rejected
+    graft.operators.MergeSink.healInterruptedSwap(spark, sigDir)
+    graft.operators.MergeSink.healInterruptedSwap(spark, corpusDir)
     val existingSigs =
       if (Files.exists(Paths.get(sigDir))) spark.read.parquet(sigDir)
       else Dedup.minHashSignatures(
@@ -115,6 +120,7 @@ object CorpusIngest {
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     import org.apache.hadoop.fs.Path
+    graft.operators.MergeSink.healInterruptedSwap(spark, dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(new Path(dir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))

@@ -64,8 +64,13 @@ object RollupIngest {
     if (fs.exists(staging)) fs.delete(staging, true) // prior crashed attempt
     scalar.write.parquet(s"$staging/scalar")
     dist.write.parquet(s"$staging/regs")
-    // the commit point: one rename publishes both tables + the watermark
-    fs.rename(staging, new Path(s"$stateDir/v$batchId"))
+    // the commit point: one rename publishes both tables + the watermark.
+    // rename reports failure as FALSE (dest exists, parent gone), not an
+    // exception — ignoring it would drop the batch's non-idempotent
+    // counts while the checkpoint advances, so surface it loudly
+    if (!fs.rename(staging, new Path(s"$stateDir/v$batchId")))
+      throw new java.io.IOException(
+        s"rollup commit rename failed: $staging -> $stateDir/v$batchId")
 
     // retain a couple of snapshots for readers mid-flight, prune the rest
     val versions = fs.listStatus(new Path(stateDir)).toSeq

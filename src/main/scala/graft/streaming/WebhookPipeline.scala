@@ -48,10 +48,6 @@ class WebhookPipeline(tablesDir: String,
       val typeCounts: Map[String, Long] = envelope.groupBy("event_type")
         .count().collect()
         .map(r => (r.getString(0), r.getLong(1))).toMap
-      def rank(a: StripeEvents.Action): Int = a match {
-        case Upsert => 0; case DeletedUpsert => 1
-        case EntitlementDelta => 2; case Delete => 3
-      }
       val live = StripeEvents.route(envelope).filter {
         case (_, _, types, _) => types.exists(t => typeCounts.getOrElse(t, 0L) > 0L)
       }
@@ -61,7 +57,7 @@ class WebhookPipeline(tablesDir: String,
       // different table, so their merges are independent Spark actions
       // and run concurrently — the reference's own Promise.all
       // parallelism (stripeSync.ts:1066-1069), bounded by a small pool.
-      live.groupBy { case (_, action, _, _) => rank(action) }
+      live.groupBy { case (_, action, _, _) => StripeEvents.rank(action) }
         .toSeq.sortBy(_._1)
         .foreach { case (_, groups) => runConcurrently(groups) }
     } finally envelope.unpersist()

@@ -8,6 +8,14 @@ import graft.llm.{Clusters, Corpus}
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("connectedComponents of an empty edge list is empty, not a crash") {
+    // regression: the label-sum convergence probe must normalize the
+    // NULL sum an empty labels table aggregates to (a clean corpus with
+    // zero near-dup pairs is a common, legal input)
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Clusters.connectedComponents(empty).count() == 0L)
+  }
+
   test("connectedComponents merges chains and keeps islands apart") {
     // components: {1,2,3,4} (chain), {10,11}, singleton edges only
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
