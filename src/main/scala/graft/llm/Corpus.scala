@@ -148,6 +148,31 @@ object Corpus {
         sum("w_bits").cast("long").as("dsir_score"))
   }
 
+  /** WEIGHTED sampling without replacement, deterministic and seed-free:
+    * each row draws the engine-portable uniform u = fold(key) ∈
+    * [0, 1000000007) and a PRIORITY u·1e6 DIV weight; the sample is the
+    * n smallest priorities. Monotone in weight (doubling a row's weight
+    * halves its priority — twice the selection pressure), reproducible
+    * across runs/engines, and the u/w-rank form of the exponential-
+    * clocks construction for weighted sampling without replacement
+    * (exact E-S priorities u^(1/w) need a float pow that would not
+    * hash-match; the rank approximation keeps every value BIGINT).
+    * Weight must be ≥ 1 (caller clamps).
+    *
+    * Shape at 100 TB: a narrow per-row expression + global top-n —
+    * Spark plans sort+limit as per-partition partial top-n
+    * (TakeOrderedAndProject), so no full-sort shuffle ever runs. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: Column,
+                     n: Int): DataFrame = {
+    val u = ((col(keyCol) % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
+    df.withColumn("weight", weightCol.cast("long"))
+      .withColumn("__u", u)
+      .withColumn("priority", expr("__u * 1000000 DIV weight"))
+      .orderBy(col("priority"), col(keyCol))
+      .limit(n)
+      .select(col(keyCol), col("weight"), col("priority"))
+  }
+
   /** LEAKAGE-SAFE train/eval split: assign every document to a split by
     * its near-duplicate CLUSTER, not its own id — the guard against
     * eval contamination (a near-copy of a training doc in the eval set

@@ -57,6 +57,21 @@ object PipelineQueries {
       Clusters.connectedComponents(pairs).orderBy("doc_id")
     },
 
+    // Deterministic weighted sampling without replacement: priority =
+    // portable-uniform(doc_id) · 1e6 DIV weight, smallest n win — longer
+    // docs proportionally likelier, fully reproducible, all-BIGINT.
+    Q("q99_weighted_sample",
+      """WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |            (((doc_id % 1000000007) * 2654435761) % 1000000007) * 1000000
+        |              // CAST(n_chars AS BIGINT) AS priority
+        |           FROM documents)
+        |SELECT doc_id, weight, priority FROM t
+        |ORDER BY priority, doc_id LIMIT 50""".stripMargin
+    ) { (s, dir) =>
+      Corpus.weightedSample(Tables(s, dir, "documents"), "doc_id",
+        col("n_chars"), n = 50)
+    },
+
     // Leakage-safe train/eval split: the SPLIT hash runs on the
     // near-dup CLUSTER id, so whole duplicate classes land on one side
     // — the eval-contamination guard per-doc hash splits don't give.

@@ -324,6 +324,21 @@ class CorpusOpsSpec extends SparkSpec {
       s"train fraction implausible for 700 permille: $nTrain/400")
   }
 
+  test("weightedSample overselects heavy rows, reproducibly") {
+    val df = (1L to 2000L).toDF("doc_id")
+      .withColumn("w", when($"doc_id" <= 1000, 10L).otherwise(1L))
+    val s1 = Corpus.weightedSample(df, "doc_id", $"w", 200)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(s1.length == 200)
+    // 10x weight → expected ~10/11 of the sample; assert well above parity
+    val heavy = s1.count(_._1 <= 1000L)
+    assert(heavy > 140, s"heavy rows underrepresented: $heavy/200")
+    // seed-free determinism: an identical second run returns identical rows
+    val s2 = Corpus.weightedSample(df, "doc_id", $"w", 200)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(s1 == s2)
+  }
+
   test("dsirWeights ranks target-like docs above off-target docs") {
     // target docs share a vocabulary; off-target docs use disjoint grams.
     // A held-out doc written in the target vocabulary must outscore one
