@@ -57,6 +57,56 @@ object PipelineQueries {
       Clusters.connectedComponents(pairs).orderBy("doc_id")
     },
 
+    // CAPSTONE — the artifact a trainer actually consumes: leakage-safe
+    // train split (q98) → per-language token-budget mix (q84) → sharded
+    // sequence packing (q72) → shard/batch MANIFEST (doc + token counts
+    // per training batch). Every stage is the library operator; the
+    // oracle replays the whole composition in one statement.
+    Q("q100_shard_manifest",
+      s"""WITH RECURSIVE $pairCtes,
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |           UNION SELECT id_b, id_a FROM pairs),
+         | reach AS (SELECT src AS id, dst AS r FROM edges
+         |           UNION
+         |           SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+         | cc AS (SELECT id, min(least(id, r)) AS cluster_id FROM reach GROUP BY id),
+         | sp AS (SELECT d.doc_id, d.lang, d.text,
+         |         CAST(coalesce(cc.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+         |        FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+         | train AS (SELECT doc_id, lang, text FROM sp
+         |           WHERE ((cluster_id % 1000000007) * 2654435761) % 1000000007 % 1000 < 800),
+         | t AS (SELECT doc_id, lang,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |        ((doc_id % 1000000007) * 2654435761) % 1000000007 AS rnd
+         |       FROM train),
+         | c AS (SELECT doc_id, lang, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY rnd, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |       FROM t),
+         | mix AS (SELECT doc_id, n_tokens FROM c WHERE cum - n_tokens < 3000),
+         | pk AS (SELECT doc_id, doc_id % 4 AS shard, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |        FROM mix)
+         |SELECT shard, (cum_tokens - n_tokens) // 4096 AS batch_in_shard,
+         | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, 3, maxShingleDf = 64L)
+        .filter(col("jaccard_ppm") >= 300000L)
+        .select("id_a", "id_b")
+      val train = docs.join(
+        Corpus.leakageSafeSplit(docs, pairs, trainPermille = 800)
+          .filter(col("split") === "train").select("doc_id"), "doc_id")
+      val mixed = Corpus.tokenBudgetMix(train, "lang", budgetTokens = 3000L)
+        .select("doc_id")
+      Corpus.seqPackingSharded(docs.join(mixed, "doc_id"), 4096, nShards = 4)
+        .groupBy("shard", "batch_in_shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("shard", "batch_in_shard")
+    },
+
     // Deterministic weighted sampling without replacement: priority =
     // portable-uniform(doc_id) · 1e6 DIV weight, smallest n win — longer
     // docs proportionally likelier, fully reproducible, all-BIGINT.
