@@ -157,7 +157,8 @@ object Corpus {
     * clocks construction for weighted sampling without replacement
     * (exact E-S priorities u^(1/w) need a float pow that would not
     * hash-match; the rank approximation keeps every value BIGINT).
-    * Weight must be ≥ 1 (caller clamps).
+    * Weights are clamped to ≥ 1 (a zero/negative weight would DIV-by-
+    * zero under ANSI or invert the ordering, both silently wrong).
     *
     * Shape at 100 TB: a narrow per-row expression + global top-n —
     * Spark plans sort+limit as per-partition partial top-n
@@ -165,7 +166,7 @@ object Corpus {
   def weightedSample(df: DataFrame, keyCol: String, weightCol: Column,
                      n: Int): DataFrame = {
     val u = ((col(keyCol) % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
-    df.withColumn("weight", weightCol.cast("long"))
+    df.withColumn("weight", greatest(weightCol.cast("long"), lit(1L)))
       .withColumn("__u", u)
       .withColumn("priority", expr("__u * 1000000 DIV weight"))
       .orderBy(col("priority"), col(keyCol))
