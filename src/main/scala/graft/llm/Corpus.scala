@@ -17,6 +17,14 @@ object Corpus {
 
   private def words(text: Column): Column = split(text, " ")
 
+  /** The engine-portable uniform fold ((x mod 1000000007) · 2654435761)
+    * mod 1000000007 ∈ [0, 1000000007) — mod-first so the multiply cannot
+    * overflow on 2^63-range ids (Spark would wrap silently; the DuckDB
+    * oracle would error). ONE owner: every sampling/split operator and
+    * its oracle must stay bit-identical to this expression. */
+  private def portableFold(c: Column): Column =
+    ((c % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
+
   /** Top-k terms per document by integer TF-IDF score
     * tf · 1e6 · N DIV df (a log-free idf: rarer term ⇒ larger score;
     * monotone in the classic tf·log(N/df), and exact in BIGINT).
@@ -165,7 +173,10 @@ object Corpus {
     * (TakeOrderedAndProject), so no full-sort shuffle ever runs. */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: Column,
                      n: Int): DataFrame = {
-    val u = ((col(keyCol) % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
+    // +1 lifts u into [1, 1000000007]: u = 0 would pin priority to 0 and
+    // select that key in EVERY sample regardless of weight (doc_id 0 is
+    // congruent to 0 — a real key, not a corner case)
+    val u = portableFold(col(keyCol)) + lit(1L)
     df.withColumn("weight", greatest(weightCol.cast("long"), lit(1L)))
       .withColumn("__u", u)
       .withColumn("priority", expr("__u * 1000000 DIV weight"))
@@ -196,8 +207,7 @@ object Corpus {
     docs.select("doc_id").join(cc, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("__cc"), col("doc_id")))
       .withColumn("split",
-        when(((col("cluster_id") % 1000000007L) * lit(2654435761L))
-            % 1000000007L % 1000 < trainPermille, lit("train"))
+        when(portableFold(col("cluster_id")) % 1000 < trainPermille, lit("train"))
           .otherwise(lit("eval")))
       .select("doc_id", "cluster_id", "split")
   }
@@ -220,10 +230,7 @@ object Corpus {
                      budgetTokens: Long): DataFrame = {
     val t = docs.select(col("doc_id"), col(strataCol),
       size(words(col("text"))).cast("long").as("n_tokens"),
-      // mod-first so the multiply cannot overflow on 2^63-range ids
-      // (Spark would wrap silently; the DuckDB oracle would ERROR)
-      (((col("doc_id") % lit(1000000007L)) * lit(2654435761L))
-        % lit(1000000007L)).as("__rnd"))
+      portableFold(col("doc_id")).as("__rnd"))
     val w = Window.partitionBy(strataCol).orderBy(col("__rnd"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.withColumn("cum", sum("n_tokens").over(w))

@@ -111,9 +111,10 @@ object PipelineQueries {
     // portable-uniform(doc_id) · 1e6 DIV weight, smallest n win — longer
     // docs proportionally likelier, fully reproducible, all-BIGINT.
     Q("q99_weighted_sample",
-      """WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
-        |            (((doc_id % 1000000007) * 2654435761) % 1000000007) * 1000000
-        |              // CAST(n_chars AS BIGINT) AS priority
+      """WITH t AS (SELECT doc_id,
+        |            greatest(CAST(n_chars AS BIGINT), 1) AS weight,
+        |            (((doc_id % 1000000007) * 2654435761) % 1000000007 + 1) * 1000000
+        |              // greatest(CAST(n_chars AS BIGINT), 1) AS priority
         |           FROM documents)
         |SELECT doc_id, weight, priority FROM t
         |ORDER BY priority, doc_id LIMIT 50""".stripMargin
