@@ -134,6 +134,17 @@ class PlanShapeSpec extends SparkSpec {
       "q95 weight join is not a broadcast hash join")
   }
 
+  test("margin mining's rank/average path never goes cartesian") {
+    // q97's sims come from the one deliberate broadcast cross (the
+    // bruteForceKnn shape); everything after — rank windows, rank-order
+    // folds, the avg joins back onto candidates — must stay keyed
+    val p = planOf("q97_margin_mining")
+    assert(!p.contains("CartesianProduct"), "q97 margin path went cartesian")
+    // exactly the baseline's broadcast cross feeds it, nothing shuffled
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "q97 lost its deliberate broadcast dense-sims baseline")
+  }
+
   test("incremental quantile read path stays on the aggregated state") {
     // q96's windows/joins run over the histogram STATE (≤ range/width
     // rows per key), never re-shuffle raw orders beyond the state agg

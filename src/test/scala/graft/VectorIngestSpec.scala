@@ -69,5 +69,13 @@ class VectorIngestSpec extends SparkSpec {
       assert((q < 100) == (n < 100),
         s"query $q got cross-cluster neighbor $n under nProbe=1")
     }
+
+    // the scan-fraction claim made concrete: the probed-cell IN list
+    // must reach the cells scan as a PartitionFilter (reading
+    // nProbe/kCells of the files), not read-everything-then-filter
+    val plan = VectorIngest.ann(spark, root, queries, k = 3, nProbe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"probed cells not partition-pruned at the scan: $plan")
   }
 }
