@@ -81,6 +81,52 @@ object Clusters {
     out
   }
 
+  /** INCREMENTAL component maintenance: fold a batch of NEW edges into
+    * an existing (doc_id, cluster_id) label table without touching the
+    * historical edge list — the streaming form of dedup-cluster upkeep
+    * (pairs arrive batch-by-batch from [[Dedup.dedupIncremental]]-style
+    * ingest; recomputing CC over all history per batch is the
+    * anti-pattern this kills).
+    *
+    * Correctness by contraction: every existing component is connected,
+    * so collapsing it to its representative preserves the connectivity
+    * of (old ∪ new) — run CC over the REP-MAPPED new edges only, then
+    * push the merged labels back onto the old table. Cost is bounded by
+    * the new-edge batch + the labels it touches (the CC loop sees only
+    * rep-mapped edges; the label update is one equi-join), never by
+    * history size. mergeComponents(cc(E1), E2) == cc(E1 ∪ E2) for any
+    * split — CorpusOpsSpec proves it on randomized graphs. */
+  def mergeComponents(labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val l = labels.select(col("doc_id").cast("long").as("id"),
+      col("cluster_id").cast("long").as("rep"))
+    // map each endpoint of each new edge to its existing rep (ids never
+    // seen before rep themselves); intra-cluster edges collapse to
+    // self-loops and drop
+    val e = newEdges.select(col("id_a").cast("long").as("a"),
+      col("id_b").cast("long").as("b"))
+    val mapped = e
+      .join(l.select(col("id").as("a"), col("rep").as("ra")), Seq("a"), "left")
+      .join(l.select(col("id").as("b"), col("rep").as("rb")), Seq("b"), "left")
+      .select(coalesce(col("ra"), col("a")).as("id_a"),
+        coalesce(col("rb"), col("b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    // CC over the contracted graph: nodes are old reps + brand-new ids.
+    // Every old member id ≥ its rep (rep = min member), so the min over
+    // merged reps IS the min over all merged members — labels stay the
+    // global min id of their component.
+    val repCc = connectedComponents(mapped)
+      .select(col("doc_id").as("rep"), col("cluster_id").as("new_rep"))
+    val updatedOld = l.join(repCc, Seq("rep"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("new_rep"), col("rep")).as("cluster_id"))
+    // ids first seen in this batch: in the contracted CC but not in the
+    // old label table (old reps are themselves labeled member ids)
+    val newIds = repCc.select(col("rep").as("doc_id"),
+        col("new_rep").as("cluster_id"))
+      .join(l.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+    updatedOld.unionByName(newIds)
+  }
+
   /** Per-cluster summary: representative (= cluster_id, the min id),
     * cluster size. */
   def clusterSummary(components: DataFrame): DataFrame =

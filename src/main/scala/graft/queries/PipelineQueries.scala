@@ -57,6 +57,31 @@ object PipelineQueries {
       Clusters.connectedComponents(pairs).orderBy("doc_id")
     },
 
+    // Incremental cluster maintenance: the near-dup pair list arrives in
+    // two batches; batch 2 folds into batch 1's LABELS via rep-contracted
+    // CC (Clusters.mergeComponents) — history edges never reread. The
+    // oracle recomputes components over ALL pairs: a hash match proves
+    // merge(cc(E1), E2) == cc(E1 ∪ E2) on real data.
+    Q("q101_incremental_clusters",
+      s"""WITH RECURSIVE $pairCtes,
+         | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |           UNION SELECT id_b, id_a FROM pairs),
+         | reach AS (SELECT src AS id, dst AS r FROM edges
+         |           UNION
+         |           SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+         |SELECT id AS doc_id, CAST(min(least(id, r)) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), 3,
+          maxShingleDf = 64L)
+        .filter(col("jaccard_ppm") >= 300000L)
+        .select("id_a", "id_b")
+      val e1 = pairs.filter((col("id_a") + col("id_b")) % 2 === 0)
+      val e2 = pairs.filter((col("id_a") + col("id_b")) % 2 =!= 0)
+      Clusters.mergeComponents(Clusters.connectedComponents(e1), e2)
+        .orderBy("doc_id")
+    },
+
     // CAPSTONE — the artifact a trainer actually consumes: leakage-safe
     // train split (q98) → per-language token-budget mix (q84) → sharded
     // sequence packing (q72) → shard/batch MANIFEST (doc + token counts

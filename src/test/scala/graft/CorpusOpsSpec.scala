@@ -301,6 +301,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows == Set((0L, 2L, 3L), (1L, 1L, 2L)))
   }
 
+  test("mergeComponents(cc(E1), E2) == cc(E1 ∪ E2) on seeded random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 4) {
+      val n = 40 + trial * 15
+      val all = (0 until (n * 2)).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (e1, e2) = all.splitAt(all.length / 2)
+      val full = Clusters.connectedComponents(
+          all.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val inc = Clusters.mergeComponents(
+          Clusters.connectedComponents(e1.toDF("id_a", "id_b")),
+          e2.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(inc == full, s"trial $trial: incremental != full recompute")
+    }
+    // merging a batch of exclusively intra-cluster edges is a no-op
+    val base = Clusters.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"))
+    val noop = Clusters.mergeComponents(base,
+        Seq((1L, 3L), (3L, 2L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(noop == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("leakageSafeSplit keeps every near-dup cluster on one side") {
     val docs = (1L to 400L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 99L))
