@@ -43,7 +43,8 @@ object RollupIngest {
     * compatible: `(df, id) => processBatch(df, dir, keys, v, u, id)`. */
   def processBatch(batch: DataFrame, stateDir: String, keys: Seq[String],
                    valueCol: String, distinctCol: String,
-                   batchId: Long, keepVersions: Int = 2): Boolean = {
+                   batchId: Long, keepVersions: Int = 2,
+                   histWidth: Long = 0L): Boolean = {
     val spark = batch.sparkSession
     val latest = latestVersion(spark, stateDir)
     if (latest.exists(_._1 >= batchId)) return false // replayed batch
@@ -58,12 +59,24 @@ object RollupIngest {
           spark.read.parquet(s"$p/regs"), batchDist))
       case None => (batchScalar, batchDist)
     }
+    // optional third state table: the mergeable histogram behind
+    // percentile dashboards (histWidth = 0 disables; set it from the
+    // FIRST batch — a store started without it has no history to merge)
+    val hist = if (histWidth <= 0L) None else Some {
+      val bh = IncrementalAgg.histogramState(batch, keys, valueCol, histWidth)
+      latest match {
+        case Some((_, p)) if fsOf(spark, stateDir).exists(new Path(s"$p/hist")) =>
+          IncrementalAgg.mergeHistogram(keys, spark.read.parquet(s"$p/hist"), bh)
+        case _ => bh
+      }
+    }
 
     val fs = fsOf(spark, stateDir)
     val staging = new Path(s"$stateDir/.staging_v$batchId")
     if (fs.exists(staging)) fs.delete(staging, true) // prior crashed attempt
     scalar.write.parquet(s"$staging/scalar")
     dist.write.parquet(s"$staging/regs")
+    hist.foreach(_.write.parquet(s"$staging/hist"))
     // the commit point: one rename publishes both tables + the watermark.
     // rename reports failure as FALSE (dest exists, parent gone), not an
     // exception — ignoring it would drop the batch's non-idempotent
@@ -87,6 +100,19 @@ object RollupIngest {
       IncrementalAgg.finalizeState(
         spark.read.parquet(s"$p/scalar"),
         spark.read.parquet(s"$p/regs"), keys, distinctAlias)
+    }
+
+  /** Per-key percentile estimates off the latest snapshot's histogram
+    * state — the streaming form of q96: dashboards read quantiles the
+    * store maintained, raw history never re-scanned. None until a batch
+    * has committed with `histWidth` enabled. */
+  def currentQuantiles(spark: SparkSession, stateDir: String,
+                       keys: Seq[String], histWidth: Long,
+                       quantilesPermille: Seq[Int]): Option[DataFrame] =
+    latestVersion(spark, stateDir).flatMap { case (_, p) =>
+      if (!fsOf(spark, stateDir).exists(new Path(s"$p/hist"))) None
+      else Some(IncrementalAgg.quantilesFromState(
+        spark.read.parquet(s"$p/hist"), keys, histWidth, quantilesPermille))
     }
 
   /** Structured Streaming driver over a file-drop source. */

@@ -53,4 +53,29 @@ class RollupIngestSpec extends SparkSpec {
       .filter(_.getPath.getName.matches("v\\d+")).map(_.getPath.getName)
     assert(vs.sorted.toSeq == Seq("v1", "v2"))
   }
+
+  test("histogram state rides the snapshot: streaming quantiles == one-shot") {
+    val dir = tmpDir("graft-rollup-q")
+    val b = Seq(batchDf(5, 400), batchDf(6, 400))
+    val width = 10L
+    assert(RollupIngest.processBatch(b(0), dir, keys, "v", "u", 0L, histWidth = width))
+    assert(RollupIngest.processBatch(b(1), dir, keys, "v", "u", 1L, histWidth = width))
+    // replay still rejected with the third table present
+    assert(!RollupIngest.processBatch(b(1), dir, keys, "v", "u", 1L, histWidth = width))
+
+    val qs = Seq(500, 900)
+    val got = RollupIngest.currentQuantiles(spark, dir, keys, width, qs).get
+    val oneShot = IncrementalAgg.quantilesFromState(
+      IncrementalAgg.histogramState(b.reduce(_ union _), keys, "v", width),
+      keys, width, qs)
+    assert(got.orderBy("g", "quantile_permille").collect().toSeq ==
+      oneShot.select(got.columns.map(col).toIndexedSeq: _*)
+        .orderBy("g", "quantile_permille").collect().toSeq)
+
+    // a store committed WITHOUT histWidth serves no quantiles (no
+    // silent half-history estimates)
+    val dir2 = tmpDir("graft-rollup-nq")
+    assert(RollupIngest.processBatch(b(0), dir2, keys, "v", "u", 0L))
+    assert(RollupIngest.currentQuantiles(spark, dir2, keys, width, qs).isEmpty)
+  }
 }
