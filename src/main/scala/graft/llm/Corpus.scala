@@ -17,13 +17,17 @@ object Corpus {
 
   private def words(text: Column): Column = split(text, " ")
 
-  /** The engine-portable uniform fold ((x mod 1000000007) · 2654435761)
-    * mod 1000000007 ∈ [0, 1000000007) — mod-first so the multiply cannot
-    * overflow on 2^63-range ids (Spark would wrap silently; the DuckDB
-    * oracle would error). ONE owner: every sampling/split operator and
-    * its oracle must stay bit-identical to this expression. */
+  /** The engine-portable uniform fold ((x pmod 1000000007) · 2654435761)
+    * mod 1000000007 ∈ [0, 1000000007) — pmod-first so the multiply
+    * cannot overflow on 2^63-range ids (Spark would wrap silently; the
+    * DuckDB oracle would error) AND the result is non-negative for
+    * NEGATIVE keys too (`%` keeps the dividend's sign; a negative fold
+    * would pin weighted-sample priorities the same way u = 0 did). ONE
+    * owner: every sampling/split operator and its oracle must stay
+    * bit-identical to this expression — the oracles write plain `%`,
+    * identical to pmod for the non-negative ids the fixtures hold. */
   private def portableFold(c: Column): Column =
-    ((c % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
+    (pmod(c, lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
 
   /** Top-k terms per document by integer TF-IDF score
     * tf · 1e6 · N DIV df (a log-free idf: rarer term ⇒ larger score;

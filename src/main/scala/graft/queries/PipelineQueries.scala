@@ -72,10 +72,12 @@ object PipelineQueries {
          |SELECT id AS doc_id, CAST(min(least(id, r)) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
-      val pairs = Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), 3,
+      // Stage: e1 and e2 both read the pair list — without it the
+      // dominant shingle-join pipeline would run twice
+      val pairs = Stage(Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), 3,
           maxShingleDf = 64L)
         .filter(col("jaccard_ppm") >= 300000L)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b"))
       val e1 = pairs.filter((col("id_a") + col("id_b")) % 2 === 0)
       val e2 = pairs.filter((col("id_a") + col("id_b")) % 2 =!= 0)
       Clusters.mergeComponents(Clusters.connectedComponents(e1), e2)

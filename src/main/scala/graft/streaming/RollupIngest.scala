@@ -60,23 +60,48 @@ object RollupIngest {
       case None => (batchScalar, batchDist)
     }
     // optional third state table: the mergeable histogram behind
-    // percentile dashboards (histWidth = 0 disables; set it from the
-    // FIRST batch — a store started without it has no history to merge)
-    val hist = if (histWidth <= 0L) None else Some {
-      val bh = IncrementalAgg.histogramState(batch, keys, valueCol, histWidth)
-      latest match {
-        case Some((_, p)) if fsOf(spark, stateDir).exists(new Path(s"$p/hist")) =>
-          IncrementalAgg.mergeHistogram(keys, spark.read.parquet(s"$p/hist"), bh)
-        case _ => bh
-      }
+    // percentile dashboards. Its WIDTH is part of the state (encoded in
+    // the dir name, committed by the same rename): buckets computed at
+    // different widths must never sum, and a caller that forgets the
+    // knob must not silently destroy or fork the accumulated state.
+    //   - enabled + prior hist: widths must match (else error) — merge.
+    //   - enabled + prior snapshot WITHOUT hist: ERROR — a histogram
+    //     started mid-stream would cover a fraction of the history and
+    //     serve silently wrong percentiles; enable from the first batch
+    //     or rebuild the store.
+    //   - disabled + prior hist: CARRY the prior state forward unchanged
+    //     (new batch's values are absent from it — the caller opted out
+    //     for this batch — but pruning must not erase history).
+    val priorHist: Option[(Long, String)] = latest.flatMap { case (_, p) =>
+      fsOf(spark, stateDir).listStatus(new Path(p)).toSeq
+        .map(_.getPath.getName).collectFirst {
+          case n if n.startsWith("hist_w") => (n.drop(6).toLong, s"$p/$n")
+        }
     }
+    val hist: Option[(Long, DataFrame)] =
+      if (histWidth > 0L) {
+        val bh = IncrementalAgg.histogramState(batch, keys, valueCol, histWidth)
+        (latest, priorHist) match {
+          case (_, Some((w, p))) =>
+            require(w == histWidth,
+              s"histogram state at $p has width $w, batch uses $histWidth — " +
+                "incompatible buckets must not merge")
+            Some((histWidth,
+              IncrementalAgg.mergeHistogram(keys, spark.read.parquet(p), bh)))
+          case (Some(_), None) => throw new IllegalStateException(
+            s"store $stateDir has committed history without histogram state; " +
+              "a mid-stream histogram would cover partial history and serve " +
+              "wrong percentiles — enable histWidth from the first batch")
+          case (None, _) => Some((histWidth, bh))
+        }
+      } else priorHist.map { case (w, p) => (w, spark.read.parquet(p)) }
 
     val fs = fsOf(spark, stateDir)
     val staging = new Path(s"$stateDir/.staging_v$batchId")
     if (fs.exists(staging)) fs.delete(staging, true) // prior crashed attempt
     scalar.write.parquet(s"$staging/scalar")
     dist.write.parquet(s"$staging/regs")
-    hist.foreach(_.write.parquet(s"$staging/hist"))
+    hist.foreach { case (w, df) => df.write.parquet(s"$staging/hist_w$w") }
     // the commit point: one rename publishes both tables + the watermark.
     // rename reports failure as FALSE (dest exists, parent gone), not an
     // exception — ignoring it would drop the batch's non-idempotent
@@ -104,27 +129,34 @@ object RollupIngest {
 
   /** Per-key percentile estimates off the latest snapshot's histogram
     * state — the streaming form of q96: dashboards read quantiles the
-    * store maintained, raw history never re-scanned. None until a batch
-    * has committed with `histWidth` enabled. */
+    * store maintained, raw history never re-scanned. The bucket width
+    * is read from the state itself (it was committed with it), so a
+    * caller cannot misinterpret the buckets at a different scale. None
+    * until a batch has committed with `histWidth` enabled. */
   def currentQuantiles(spark: SparkSession, stateDir: String,
-                       keys: Seq[String], histWidth: Long,
+                       keys: Seq[String],
                        quantilesPermille: Seq[Int]): Option[DataFrame] =
     latestVersion(spark, stateDir).flatMap { case (_, p) =>
-      if (!fsOf(spark, stateDir).exists(new Path(s"$p/hist"))) None
-      else Some(IncrementalAgg.quantilesFromState(
-        spark.read.parquet(s"$p/hist"), keys, histWidth, quantilesPermille))
+      fsOf(spark, stateDir).listStatus(new Path(p)).toSeq
+        .map(_.getPath.getName).collectFirst {
+          case n if n.startsWith("hist_w") =>
+            IncrementalAgg.quantilesFromState(
+              spark.read.parquet(s"$p/$n"), keys, n.drop(6).toLong,
+              quantilesPermille)
+        }
     }
 
   /** Structured Streaming driver over a file-drop source. */
   def start(spark: SparkSession, inputDir: String,
             schema: org.apache.spark.sql.types.StructType,
             stateDir: String, checkpoint: String, keys: Seq[String],
-            valueCol: String, distinctCol: String) =
+            valueCol: String, distinctCol: String, histWidth: Long = 0L) =
     spark.readStream.schema(schema).json(inputDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
-        processBatch(df, stateDir, keys, valueCol, distinctCol, id); ()
+        processBatch(df, stateDir, keys, valueCol, distinctCol, id,
+          histWidth = histWidth); ()
       }
       .start()
 }

@@ -64,7 +64,7 @@ class RollupIngestSpec extends SparkSpec {
     assert(!RollupIngest.processBatch(b(1), dir, keys, "v", "u", 1L, histWidth = width))
 
     val qs = Seq(500, 900)
-    val got = RollupIngest.currentQuantiles(spark, dir, keys, width, qs).get
+    val got = RollupIngest.currentQuantiles(spark, dir, keys, qs).get
     val oneShot = IncrementalAgg.quantilesFromState(
       IncrementalAgg.histogramState(b.reduce(_ union _), keys, "v", width),
       keys, width, qs)
@@ -72,10 +72,25 @@ class RollupIngestSpec extends SparkSpec {
       oneShot.select(got.columns.map(col).toIndexedSeq: _*)
         .orderBy("g", "quantile_permille").collect().toSeq)
 
-    // a store committed WITHOUT histWidth serves no quantiles (no
-    // silent half-history estimates)
+    // a batch applied with the knob FORGOTTEN (histWidth default) must
+    // carry the histogram state forward, not destroy it through pruning
+    assert(RollupIngest.processBatch(batchDf(7, 100), dir, keys, "v", "u", 2L))
+    assert(RollupIngest.processBatch(batchDf(8, 100), dir, keys, "v", "u", 3L))
+    assert(RollupIngest.currentQuantiles(spark, dir, keys, qs).nonEmpty)
+
+    // width mismatch between batches must error, never sum mixed buckets
+    intercept[IllegalArgumentException] {
+      RollupIngest.processBatch(batchDf(9, 50), dir, keys, "v", "u", 4L,
+        histWidth = width * 10)
+    }
+
+    // a store committed WITHOUT histWidth serves no quantiles, and
+    // enabling mid-stream errors (partial-history percentiles)
     val dir2 = tmpDir("graft-rollup-nq")
     assert(RollupIngest.processBatch(b(0), dir2, keys, "v", "u", 0L))
-    assert(RollupIngest.currentQuantiles(spark, dir2, keys, width, qs).isEmpty)
+    assert(RollupIngest.currentQuantiles(spark, dir2, keys, qs).isEmpty)
+    intercept[IllegalStateException] {
+      RollupIngest.processBatch(b(1), dir2, keys, "v", "u", 1L, histWidth = width)
+    }
   }
 }

@@ -75,7 +75,9 @@ class VectorIngestSpec extends SparkSpec {
     // nProbe/kCells of the files), not read-everything-then-filter
     val plan = VectorIngest.ann(spark, root, queries, k = 3, nProbe = 1)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+    // the filter must be INSIDE the PartitionFilters list — an empty
+    // "PartitionFilters: []" plus list_id elsewhere must not pass
+    assert("PartitionFilters: \\[[^\\]]*list_id".r.findFirstIn(plan).isDefined,
       s"probed cells not partition-pruned at the scan: $plan")
   }
 }
