@@ -160,6 +160,38 @@ object Corpus {
         sum("w_bits").cast("long").as("dsir_score"))
   }
 
+  /** CONTRASTIVE triplet mining — training data for embedding models
+    * (SimCSE/SBERT-style): (anchor, positive) = a near-duplicate pair
+    * from the dedup pipeline, negative = a deterministic "random" other
+    * document. Negative choice is seed-free and scale-safe: documents
+    * hash into `buckets` buckets by the portable fold; the negative for
+    * an anchor is the min-fold document of the NEXT bucket — one tiny
+    * (≤ buckets rows) aggregate that BROADCASTS, no global sort, no
+    * per-row randomness. Degenerate negatives (== anchor/positive) and
+    * false negatives (the pair list knows anchor≈negative) are dropped
+    * by filter + anti-join — the standard contrastive-mining hygiene.
+    *
+    * Shape at 100 TB: pair list (already corpus-sparse) + one broadcast
+    * join + two anti-joins on the pair list itself. */
+  def contrastiveTriplets(docs: DataFrame, pairs: DataFrame,
+                          buckets: Int = 64): DataFrame = {
+    val b = docs.select(col("doc_id"), portableFold(col("doc_id")).as("f"))
+      .withColumn("bucket", col("f") % buckets)
+    val negs = b.groupBy("bucket")
+      .agg(min(struct(col("f"), col("doc_id"))).as("m"))
+      .select(col("bucket").as("nbucket"), col("m.doc_id").as("neg_id"))
+    pairs.select(col("id_a").as("anchor_id"), col("id_b").as("pos_id"))
+      .join(b.select(col("doc_id").as("anchor_id"), col("bucket")), "anchor_id")
+      .withColumn("nbucket", (col("bucket") + 1) % buckets)
+      .join(broadcast(negs), "nbucket")
+      .filter(col("neg_id") =!= col("anchor_id") && col("neg_id") =!= col("pos_id"))
+      .join(pairs.select(col("id_a").as("anchor_id"), col("id_b").as("neg_id")),
+        Seq("anchor_id", "neg_id"), "left_anti")
+      .join(pairs.select(col("id_b").as("anchor_id"), col("id_a").as("neg_id")),
+        Seq("anchor_id", "neg_id"), "left_anti")
+      .select("anchor_id", "pos_id", "neg_id")
+  }
+
   /** WEIGHTED sampling without replacement, deterministic and seed-free:
     * each row draws the engine-portable uniform u = fold(key) ∈
     * [0, 1000000007) and a PRIORITY u·1e6 DIV weight; the sample is the

@@ -141,6 +141,21 @@ object TextAnalysis {
         (acc, h) => (acc * lit(31L) + h) % lit(1000000007L)
       ).as("fingerprint"))
 
+  /** Lexical diversity — the vocabulary-richness quality signals next
+    * to the surface stats (q25) and LM score (q94): type-token ratio
+    * (distinct/total, low = repetitive boilerplate) and hapax rate
+    * (once-occurring / distinct, low = template text), both integer
+    * ppm. Two-level aggregate — (doc, token) counts then per-doc rollup
+    * — map-side combined on both levels; scan-speed at corpus scale. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        count(when(col("c") === 1, 1)).as("n_hapax"))
+      .withColumn("ttr_ppm", expr("n_distinct * 1000000 DIV n_tokens"))
+      .withColumn("hapax_ppm", expr("n_hapax * 1000000 DIV n_distinct"))
+
   /** Bigram-LM quality score — the CCNet-shape perplexity filter
     * (score a doc by how typical its token transitions are under a
     * corpus-trained n-gram model), integerized so the estimate is

@@ -428,6 +428,25 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Lexical diversity: type-token ratio + hapax rate in ppm — the
+    // vocabulary-richness quality filters (low TTR = boilerplate).
+    Q("q102_lexical_diversity",
+      """WITH tc AS (SELECT doc_id, tok, count(*) AS c
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |                  FROM documents) GROUP BY 1, 2),
+        | d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        count(*) AS n_distinct,
+        |        count(*) FILTER (c = 1) AS n_hapax
+        |       FROM tc GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct, n_hapax,
+        | n_distinct * 1000000 // n_tokens AS ttr_ppm,
+        | n_hapax * 1000000 // n_distinct AS hapax_ppm
+        |FROM d ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.lexicalDiversity(Tables(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
+
     // DSIR importance weights (hashed-bigram target/raw ratio, log2-floor
     // quantized in integers): the oracle re-hashes every bigram with the
     // poly_hash fold, rebuilds the 1024-bucket weight table in one

@@ -57,6 +57,38 @@ object PipelineQueries {
       Clusters.connectedComponents(pairs).orderBy("doc_id")
     },
 
+    // Contrastive triplets: (anchor, positive) = near-dup pair,
+    // negative = min-fold doc of the anchor's NEXT hash bucket —
+    // deterministic, broadcastable, no global sort; degenerate and
+    // false negatives dropped. The oracle replays buckets + hygiene.
+    Q("q103_contrastive_triplets",
+      s"""WITH RECURSIVE $pairCtes,
+         | b AS (SELECT doc_id,
+         |        ((doc_id % 1000000007) * 2654435761) % 1000000007 AS f
+         |       FROM documents),
+         | bb AS (SELECT doc_id, f, f % 64 AS bucket FROM b),
+         | negs AS (SELECT bucket, doc_id AS neg_id FROM (
+         |           SELECT bucket, doc_id,
+         |            row_number() OVER (PARTITION BY bucket ORDER BY f, doc_id) AS rn
+         |           FROM bb) WHERE rn = 1),
+         | t AS (SELECT p.id_a AS anchor_id, p.id_b AS pos_id, n.neg_id
+         |       FROM pairs p JOIN bb a ON a.doc_id = p.id_a
+         |       JOIN negs n ON n.bucket = (a.bucket + 1) % 64
+         |       WHERE n.neg_id <> p.id_a AND n.neg_id <> p.id_b)
+         |SELECT anchor_id, pos_id, neg_id FROM t
+         |WHERE NOT EXISTS (SELECT 1 FROM pairs q
+         |  WHERE (q.id_a = anchor_id AND q.id_b = neg_id)
+         |     OR (q.id_b = anchor_id AND q.id_a = neg_id))
+         |ORDER BY anchor_id, pos_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = Stage(Dedup.ngramJaccardPairs(docs, 3, maxShingleDf = 64L)
+        .filter(col("jaccard_ppm") >= 300000L)
+        .select("id_a", "id_b"))
+      Corpus.contrastiveTriplets(docs, pairs, buckets = 64)
+        .orderBy("anchor_id", "pos_id")
+    },
+
     // Incremental cluster maintenance: the near-dup pair list arrives in
     // two batches; batch 2 folds into batch 1's LABELS via rep-contracted
     // CC (Clusters.mergeComponents) — history edges never reread. The
