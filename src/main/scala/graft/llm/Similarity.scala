@@ -191,6 +191,24 @@ object Similarity {
     emb.withColumn("bucket", bucket)
   }
 
+  /** Index-quality evaluation: per-LSH-bucket LABEL PURITY — how well
+    * the bucketing respects a labeled structure (majority-label share
+    * per bucket, in ppm). The eval every ANN/clustering deployment runs
+    * against a labeled sample before trusting the index; here it is a
+    * first-class operator over the same deterministic buckets the ANN
+    * path uses. Two map-side-combined aggregates over (bucket, label) —
+    * label cardinality is tiny, so this is scan-bound at any scale.
+    * Ties break toward the larger label id (max-struct both engines). */
+  def bucketPurity(emb: DataFrame, planes: Int, dim: Int): DataFrame =
+    lshBuckets(emb, planes, dim).select(col("bucket"), col("label"))
+      .groupBy("bucket", "label").agg(count(lit(1)).as("c"))
+      .groupBy("bucket").agg(
+        sum("c").as("n_vectors"),
+        max(struct(col("c"), col("label"))).as("m"))
+      .select(col("bucket"), col("n_vectors"),
+        col("m.label").cast("long").as("majority_label"),
+        expr("m.c * 1000000 DIV n_vectors").as("purity_ppm"))
+
   /** Per-table LSH buckets for `tables` INDEPENDENT hash tables — table
     * t uses plane indices t·planes … t·planes+planes−1 of the same
     * deterministic construction, so tables share nothing. Output one

@@ -477,6 +477,31 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Index-quality eval: per-LSH-bucket label purity — majority-label
+    // share per bucket over the same deterministic hyperplanes the ANN
+    // path hashes with; ties toward the larger label id on both sides.
+    Q("q104_bucket_purity",
+      s"""WITH planes AS (SELECT p, list_transform(range(0, 64),
+        |    d -> CASE WHEN ((CAST(p*1021 + d*2039 + 1 AS BIGINT) * 2654435761) >> 13) & 1 = 1
+        |         THEN 1.0 ELSE -1.0 END) AS w
+        |  FROM range(0, 6) t(p)),
+        | b AS (SELECT e.vec_id, e.label,
+        |        CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.w")} > 0
+        |                      THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM embeddings e CROSS JOIN planes p GROUP BY ALL),
+        | bl AS (SELECT bucket, label, count(*) AS c FROM b GROUP BY 1, 2),
+        | r AS (SELECT bucket, label, c,
+        |        CAST(sum(c) OVER (PARTITION BY bucket) AS BIGINT) AS n_vectors,
+        |        row_number() OVER (PARTITION BY bucket ORDER BY c DESC, label DESC) AS rn
+        |       FROM bl)
+        |SELECT bucket, n_vectors, CAST(label AS BIGINT) AS majority_label,
+        | c * 1000000 // n_vectors AS purity_ppm
+        |FROM r WHERE rn = 1 ORDER BY bucket""".stripMargin
+    ) { (s, dir) =>
+      Similarity.bucketPurity(Tables(s, dir, "embeddings"), planes = 6, dim = 64)
+        .orderBy("bucket")
+    },
+
     // Margin-based pair mining (Artetxe & Schwenk ratio margin, the
     // CCMatrix bitext filter) — margins are EXACT micros, not ranks:
     // sims are the sequential-fold dot, and both sides' k-NN averages
