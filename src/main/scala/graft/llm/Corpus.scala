@@ -168,11 +168,16 @@ object Corpus {
     * an anchor is the min-fold document of the NEXT bucket — one tiny
     * (≤ buckets rows) aggregate that BROADCASTS, no global sort, no
     * per-row randomness. Degenerate negatives (== anchor/positive) and
-    * false negatives (the pair list knows anchor≈negative) are dropped
-    * by filter + anti-join — the standard contrastive-mining hygiene.
+    * false negatives (the pair list knows negative ≈ anchor OR
+    * ≈ positive) are dropped by filter + anti-joins — the standard
+    * contrastive-mining hygiene. A pair whose candidate negative is
+    * dropped (or whose next bucket is empty — possible when the corpus
+    * has fewer docs than `buckets`) yields NO triplet rather than a
+    * dirty one; compare output count to the pair count if completeness
+    * matters and lower `buckets` accordingly.
     *
     * Shape at 100 TB: pair list (already corpus-sparse) + one broadcast
-    * join + two anti-joins on the pair list itself. */
+    * join + four anti-joins on the pair list itself. */
   def contrastiveTriplets(docs: DataFrame, pairs: DataFrame,
                           buckets: Int = 64): DataFrame = {
     val b = docs.select(col("doc_id"), portableFold(col("doc_id")).as("f"))
@@ -189,6 +194,13 @@ object Corpus {
         Seq("anchor_id", "neg_id"), "left_anti")
       .join(pairs.select(col("id_b").as("anchor_id"), col("id_a").as("neg_id")),
         Seq("anchor_id", "neg_id"), "left_anti")
+      // ...and negatives the pair list knows are near-dups of the
+      // POSITIVE (Jaccard is not transitive: (A,B),(B,C) without (A,C)
+      // would otherwise push apart two flagged near-duplicates)
+      .join(pairs.select(col("id_a").as("pos_id"), col("id_b").as("neg_id")),
+        Seq("pos_id", "neg_id"), "left_anti")
+      .join(pairs.select(col("id_b").as("pos_id"), col("id_a").as("neg_id")),
+        Seq("pos_id", "neg_id"), "left_anti")
       .select("anchor_id", "pos_id", "neg_id")
   }
 

@@ -148,7 +148,7 @@ object TextAnalysis {
     * ppm. Two-level aggregate — (doc, token) counts then per-doc rollup
     * — map-side combined on both levels; scan-speed at corpus scale. */
   def lexicalDiversity(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),

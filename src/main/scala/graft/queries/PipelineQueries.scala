@@ -78,7 +78,9 @@ object PipelineQueries {
          |SELECT anchor_id, pos_id, neg_id FROM t
          |WHERE NOT EXISTS (SELECT 1 FROM pairs q
          |  WHERE (q.id_a = anchor_id AND q.id_b = neg_id)
-         |     OR (q.id_b = anchor_id AND q.id_a = neg_id))
+         |     OR (q.id_b = anchor_id AND q.id_a = neg_id)
+         |     OR (q.id_a = pos_id AND q.id_b = neg_id)
+         |     OR (q.id_b = pos_id AND q.id_a = neg_id))
          |ORDER BY anchor_id, pos_id""".stripMargin
     ) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
