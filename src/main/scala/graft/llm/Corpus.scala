@@ -160,6 +160,41 @@ object Corpus {
         sum("w_bits").cast("long").as("dsir_score"))
   }
 
+  /** QUALITY-STRATIFIED sampling: bucket documents into score strata at
+    * the requested permille cut points, then take a deterministic
+    * per-stratum sample — the anti-mode-collapse mix rule (sampling
+    * only top-quality docs narrows the distribution; strata keep every
+    * quality band represented at a controlled rate).
+    *
+    * SCALE-SAFE stratification: cut points come from the mergeable
+    * histogram ([[graft.operators.IncrementalAgg.quantilesFromState]]
+    * — one aggregate, never a global rank window, which in Spark is a
+    * single-partition sort); the ≤ |quantiles| thresholds collect to
+    * the driver (k-row collect, the KMeans pattern) and stratum
+    * assignment is a narrow per-row expression. Per-stratum pick is a
+    * fold-ordered rank window keyed by stratum. All integer: oracle-
+    * exact. */
+  def scoreStratifiedSample(scored: DataFrame, scoreCol: String,
+                            histWidth: Long, cutsPermille: Seq[Int],
+                            perStratum: Int): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val keyed = scored.withColumn("__k", lit(1))
+    val thresholds = IncrementalAgg.quantilesFromState(
+        IncrementalAgg.histogramState(keyed, Seq("__k"), scoreCol, histWidth),
+        Seq("__k"), histWidth, cutsPermille)
+      .orderBy("quantile_permille")
+      .collect().map(_.getAs[Long]("est_upper")).toSeq
+    val stratum = thresholds.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(col(scoreCol) > t, 1L).otherwise(0L)
+    }
+    val w = Window.partitionBy("stratum").orderBy(col("__rnd"), col("doc_id"))
+    scored.withColumn("stratum", stratum)
+      .withColumn("__rnd", portableFold(col("doc_id")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= perStratum)
+      .select(col("doc_id"), col(scoreCol), col("stratum"), col("rnk"))
+  }
+
   /** CONTRASTIVE triplet mining — training data for embedding models
     * (SimCSE/SBERT-style): (anchor, positive) = a near-duplicate pair
     * from the dedup pipeline, negative = a deterministic "random" other

@@ -428,6 +428,48 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Quality-stratified sampling: q94's LM scores bucketed at
+    // histogram-derived quintile cut points (the scale-safe q96
+    // machinery — no global rank window), then a fold-ordered
+    // per-stratum pick. The anti-mode-collapse mixing rule.
+    Q("q105_quality_strata",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | bg AS (SELECT doc_id, s.w1 AS w1, s.gram AS gram
+        |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |            i -> {'w1': l[i], 'gram': l[i] || ' ' || l[i+1]})) AS s
+        |          FROM t WHERE len(l) >= 2)),
+        | cb AS (SELECT gram, count(*) AS cb FROM bg GROUP BY 1),
+        | cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+        | terms AS (SELECT b.doc_id, (cb.cb * 1000000) // cu.cu AS term
+        |           FROM bg b JOIN cb USING (gram) JOIN cu USING (w1)),
+        | scores AS (SELECT doc_id, CAST(sum(term) // count(*) AS BIGINT) AS score_ppm
+        |            FROM terms GROUP BY doc_id),
+        | h AS (SELECT score_ppm // 10000 AS bucket, count(*) AS n FROM scores GROUP BY 1),
+        | c AS (SELECT bucket, CAST(sum(n) OVER (ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |       FROM h),
+        | tot AS (SELECT count(*) AS nt FROM scores),
+        | thr AS (SELECT q.q, (SELECT min((bucket + 1) * 10000 - 1) FROM c, tot
+        |                      WHERE cum * 1000 >= nt * q.q) AS u
+        |         FROM (SELECT unnest([200, 400, 600, 800]) AS q) q),
+        | st AS (SELECT s.doc_id, s.score_ppm,
+        |         (SELECT count(*) FROM thr WHERE s.score_ppm > thr.u) AS stratum,
+        |         ((s.doc_id % 1000000007) * 2654435761) % 1000000007 AS rnd
+        |        FROM scores s),
+        | r AS (SELECT doc_id, score_ppm, CAST(stratum AS BIGINT) AS stratum,
+        |        CAST(row_number() OVER (PARTITION BY stratum ORDER BY rnd, doc_id) AS BIGINT) AS rnk
+        |       FROM st)
+        |SELECT doc_id, score_ppm, stratum, rnk FROM r WHERE rnk <= 20
+        |ORDER BY stratum, rnk""".stripMargin
+    ) { (s, dir) =>
+      Corpus.scoreStratifiedSample(
+          TextAnalysis.bigramLmScore(Tables(s, dir, "documents"))
+            .select("doc_id", "score_ppm"),
+          "score_ppm", histWidth = 10000L,
+          cutsPermille = Seq(200, 400, 600, 800), perStratum = 20)
+        .orderBy("stratum", "rnk")
+    },
+
     // Lexical diversity: type-token ratio + hapax rate in ppm — the
     // vocabulary-richness quality filters (low TTR = boilerplate).
     Q("q102_lexical_diversity",
