@@ -134,6 +134,18 @@ class PlanShapeSpec extends SparkSpec {
       "q95 weight join is not a broadcast hash join")
   }
 
+  test("rank-window top-k queries get the WindowGroupLimit pushdown") {
+    // Catalyst inserts a partial per-partition top-k BEFORE the window
+    // shuffle for rank().<=k filters (the two-phase top-k that keeps
+    // group sort cost bounded at 100 TB) — prove the optimization
+    // actually engages on our top-k plans instead of assuming it
+    for (q <- Seq("q56_tfidf_topk", "q34_cosine_knn")) {
+      val p = planOf(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost the WindowGroupLimit partial top-k: $p")
+    }
+  }
+
   test("margin mining's rank/average path never goes cartesian") {
     // q97's sims come from the one deliberate broadcast cross (the
     // bruteForceKnn shape); everything after — rank windows, rank-order
