@@ -178,7 +178,10 @@ object Corpus {
                             histWidth: Long, cutsPermille: Seq[Int],
                             perStratum: Int): DataFrame = {
     import graft.operators.IncrementalAgg
-    val keyed = scored.withColumn("__k", lit(1))
+    // the scored input is typically a whole scoring pipeline; it is read
+    // twice (threshold collect + sample pass) — materialize once
+    val scoredM = Stage(scored)
+    val keyed = scoredM.withColumn("__k", lit(1))
     val thresholds = IncrementalAgg.quantilesFromState(
         IncrementalAgg.histogramState(keyed, Seq("__k"), scoreCol, histWidth),
         Seq("__k"), histWidth, cutsPermille)
@@ -188,7 +191,7 @@ object Corpus {
       acc + when(col(scoreCol) > t, 1L).otherwise(0L)
     }
     val w = Window.partitionBy("stratum").orderBy(col("__rnd"), col("doc_id"))
-    scored.withColumn("stratum", stratum)
+    scoredM.withColumn("stratum", stratum)
       .withColumn("__rnd", portableFold(col("doc_id")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= perStratum)

@@ -58,12 +58,16 @@ object Inference {
   def embedDocuments(docs: DataFrame, dim: Int = 64,
                      batchSize: Int = 32): DataFrame = {
     implicit val enc = RowEncoder.encoderFor(embeddingSchema(dim))
-    docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
-      // a real implementation loads the model HERE, once per partition
-      rows.grouped(batchSize).flatMap { batch =>
-        val vecs = FakeEmbedder.embedBatch(batch.map(_.getString(1)), dim)
-        batch.zip(vecs).map { case (r, v) => Row(r.getLong(0), v) }
+    // coerce at the boundary: an IntegerType doc_id or a NULL text must
+    // not crash a task deep inside the partition loop
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        coalesce(col("text"), lit("")).as("text"))
+      .mapPartitions { rows =>
+        // a real implementation loads the model HERE, once per partition
+        rows.grouped(batchSize).flatMap { batch =>
+          val vecs = FakeEmbedder.embedBatch(batch.map(_.getString(1)), dim)
+          batch.zip(vecs).map { case (r, v) => Row(r.getLong(0), v) }
+        }
       }
-    }
   }
 }

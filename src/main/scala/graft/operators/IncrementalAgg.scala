@@ -72,7 +72,12 @@ object IncrementalAgg {
   def histogramState(df: DataFrame, keys: Seq[String], valueCol: String,
                      width: Long): DataFrame =
     df.select(keys.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
-      .withColumn("bucket", expr(s"__v DIV $width"))
+      // FLOOR division, not Spark's toward-zero DIV: for negative values
+      // DIV would send -5 to bucket 0 while DuckDB's // floors to -1 —
+      // bucket edges must mean [b·w, (b+1)·w) for every sign or the
+      // oracle hash-match (and est_upper) silently breaks on negatives
+      .withColumn("bucket",
+        expr(s"__v DIV $width - (CASE WHEN __v % $width < 0 THEN 1 ELSE 0 END)"))
       .groupBy("bucket", keys: _*)
       .agg(count(lit(1)).as("n"))
 

@@ -61,6 +61,16 @@ class IncrementalAggSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("histogram buckets FLOOR negative values (DuckDB // semantics)") {
+    // Spark's DIV truncates toward zero: -5 DIV 10 = 0 would collide
+    // with bucket 0 while the oracle floors to -1
+    val df = Seq(("g", -5L), ("g", -10L), ("g", 5L)).toDF("g", "v")
+    val buckets = IncrementalAgg.histogramState(df, keys, "v", 10L)
+      .select("bucket", "n").as[(Long, Long)].collect().toMap
+    assert(buckets == Map(-1L -> 2L, 0L -> 1L),
+      s"expected floor buckets {-1: 2 (-5,-10), 0: 1 (5)}, got $buckets")
+  }
+
   test("histogram state merges exactly and quantiles match the one-shot path") {
     val df = data(7, 3000).cache()
     val parts = Seq(

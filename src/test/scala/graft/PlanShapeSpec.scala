@@ -139,7 +139,7 @@ class PlanShapeSpec extends SparkSpec {
     // shuffle for rank().<=k filters (the two-phase top-k that keeps
     // group sort cost bounded at 100 TB) — prove the optimization
     // actually engages on our top-k plans instead of assuming it
-    for (q <- Seq("q56_tfidf_topk", "q34_cosine_knn")) {
+    for (q <- Seq("q56_tfidf_topk", "q34_cosine_knn", "q105_quality_strata")) {
       val p = planOf(q)
       assert(p.contains("WindowGroupLimit"),
         s"$q lost the WindowGroupLimit partial top-k: $p")
