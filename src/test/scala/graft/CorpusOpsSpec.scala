@@ -365,6 +365,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("dsirWeights scores exactly 0 when every doc is in the target") {
+    // with target == raw, every bucket has c_tgt == c_raw so each
+    // weight is floor(log2(2^20)) - 20 = 0 — the identity the
+    // log-ratio construction must satisfy
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta iota"),
+      (3L, "kappa lambda mu nu xi omicron"))
+      .toDF("doc_id", "text")
+    Corpus.dsirWeights(docs, lit(true))
+      .select("dsir_score").as[Long].collect()
+      .foreach(s => assert(s == 0L, s"pure-target corpus must score 0, got $s"))
+  }
+
+  test("marginFromSims agrees with a direct scala recompute on random sims") {
+    val rnd = new scala.util.Random(23)
+    // full-precision doubles: value ties would make the rank-order sum
+    // ambiguous between this recompute and the window's tgt_id tiebreak
+    val sims = for (a <- 0L until 6L; b <- 100L until 107L)
+      yield (a, b, rnd.nextDouble())
+    val got = graft.llm.Similarity.marginFromSims(
+        sims.toDF("src_id", "tgt_id", "sim"), kAvg = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // brute recompute of the ratio margin with rank-order top-k means
+    def topK(xs: Seq[Double], k: Int) = xs.sorted(Ordering[Double].reverse).take(k)
+    val bySrc = sims.groupBy(_._1)
+    val byTgt = sims.groupBy(_._2)
+    val avgA = bySrc.map { case (a, xs) =>
+      val t = topK(xs.map(_._3).toSeq, 3); a -> t.sum / t.size }
+    val avgB = byTgt.map { case (b, xs) =>
+      val t = topK(xs.map(_._3).toSeq, 3); b -> t.sum / t.size }
+    for (a <- 0L until 6L) {
+      val best = bySrc(a).map { case (_, b, s) =>
+        (b, 2.0 * s / (avgA(a) + avgB(b))) }
+        .sortBy { case (b, m) => (-m, b) }.head
+      assert(got(a)._1 == best._1, s"src $a: margin argmax mismatch")
+      assert(got(a)._2 == math.floor(best._2 * 1e6 + 0.5).toLong,
+        s"src $a: margin value mismatch")
+    }
+  }
+
   test("dsirWeights ranks target-like docs above off-target docs") {
     // target docs share a vocabulary; off-target docs use disjoint grams.
     // A held-out doc written in the target vocabulary must outscore one
