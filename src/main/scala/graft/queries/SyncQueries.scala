@@ -236,6 +236,28 @@ object SyncQueries {
         .orderBy("win_start", "event_type")
     },
 
+    // Hourly anomaly metric: count vs trailing-24-observed-hour mean in
+    // exact ppm (rational mean: n·1e6·cnt DIV sum — no float). Spark
+    // buckets ts_ns, the oracle buckets epoch_us; nested floor-division
+    // makes the hour indices identical despite the nanos/micros gap.
+    Q("q106_trailing_deviation",
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |            count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        | t AS (SELECT event_type, hour, n,
+        |        CAST(sum(n) OVER w AS BIGINT) AS t_sum,
+        |        CAST(count(*) OVER w AS BIGINT) AS t_cnt
+        |       FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, CAST(hour AS BIGINT) AS hour, n,
+        | n * 1000000 * t_cnt // t_sum AS dev_ppm
+        |FROM t WHERE t_cnt > 0 ORDER BY event_type, hour""".stripMargin
+    ) { (s, dir) =>
+      graft.streaming.EventStreamAnalytics
+        .trailingDeviation(Tables.events(s, dir), trailingRows = 24)
+        .orderBy("event_type", "hour")
+    },
+
     // S2: payload signature check (HMAC in the engine; content-hash form
     // here so DuckDB can oracle it — sha2/sha256 hex on both sides).
     Q("q24_signature",

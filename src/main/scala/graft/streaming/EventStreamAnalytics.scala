@@ -27,6 +27,31 @@ object EventStreamAnalytics {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("value_cents"))
 
+  /** Hourly ANOMALY metric: each (event_type, hour)'s count relative to
+    * its own trailing-24-row mean, as exact integer ppm — dev_ppm far
+    * from 1e6 flags spikes/collapses, the alerting primitive over an
+    * event stream. Exactness trick: avg = sum/cnt stays RATIONAL —
+    * dev_ppm = n·1e6·cnt DIV sum, no float mean. Rows before any
+    * trailing history (cnt = 0) are dropped, and gap hours simply don't
+    * produce rows (the trailing frame is the last 24 OBSERVED hours).
+    * One aggregate + one partition-keyed window — event_type keys the
+    * shuffle, so the hourly table (tiny vs raw events) is the only
+    * windowed data at any scale. */
+  def trailingDeviation(events: DataFrame, trailingRows: Int = 24): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), expr("ts_ns DIV 3600000000000").as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-trailingRows, -1)
+    hourly
+      .withColumn("t_sum", sum("n").over(w))
+      .withColumn("t_cnt", count(lit(1)).over(w))
+      .filter(col("t_cnt") > 0)
+      .withColumn("dev_ppm", expr("n * 1000000 * t_cnt DIV t_sum"))
+      .select("event_type", "hour", "n", "dev_ppm")
+  }
+
   /** At-least-once delivery → at-most-once processing per event id:
     * drop replayed webhook deliveries within the watermark horizon.
     * SURVEY §2.6 notes the reference does NOT dedup event ids (its
