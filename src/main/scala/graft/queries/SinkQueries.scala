@@ -3,6 +3,7 @@ package graft.queries
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.functions._
 import graft.streaming.WebhookPipeline
 
 /** Sink-path benchmark query — the reference's actual hot path
@@ -27,6 +28,39 @@ object SinkQueries {
     "/root/reference/packages/fastify-app/src/test/stripe"
 
   val all: Seq[Q] = Seq(
+    // The streaming ANN-index lifecycle under the bench clock: freeze
+    // centroids on a bootstrap sample, fold the embeddings in as TWO
+    // incremental batches (replay-guard and assignment both timed),
+    // then serve a probed top-k off the cell store. Deterministic
+    // output (per-query neighbor count at nProbe=4); state is a temp
+    // dir torn down after counting → rows-only check, like qs1.
+    Q.noOracle("qs2_ann_index") { (s, dir) =>
+      import s.implicits._
+      val emb = graft.Tables(s, dir, "embeddings")
+      val root = Files.createTempDirectory("graft_annbench").toString
+      try {
+        graft.streaming.VectorIngest.trainCentroids(
+          emb.filter(col("vec_id") < 2048), root, kCells = 16, iters = 3)
+        val b1 = graft.streaming.VectorIngest.processBatch(
+          emb.filter(col("vec_id") % 2 === 0), root)
+        val b2 = graft.streaming.VectorIngest.processBatch(emb, root) // half replayed
+        val served = graft.streaming.VectorIngest.ann(
+            s, root, emb.filter(col("vec_id") < 32), k = 10, nProbe = 4)
+          .groupBy("query_id").agg(count(lit(1)).as("n"))
+          .orderBy("query_id")
+          .as[(Long, Long)].collect().toSeq
+        (("indexed_b1", b1) +: ("indexed_b2", b2) +:
+          served.map { case (q, n) => (s"q$q", n) })
+          .toDF("key", "n").orderBy("key")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(root))
+      }
+    },
+
     Q.noOracle("qs1_webhook_sink") { (s, _) =>
       import s.implicits._
       val batches = sys.env.getOrElse("BENCH_SINK_BATCHES", "1").toInt
