@@ -76,9 +76,11 @@ object MergeSink {
     * re-admit everything it ever deduped. (A transactional table format
     * makes all of this one metadata commit; this is the plain-filesystem
     * approximation with no silent-loss window.) */
-  private[graft] def writeAtomic(df: DataFrame, path: String): Unit = {
+  private[graft] def writeAtomic(df: DataFrame, path: String,
+                                 partitionBy: Seq[String] = Nil): Unit = {
     val tmp = path + "__stage"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
     val spark = df.sparkSession
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -122,6 +122,13 @@ object CorpusIngest {
     import org.apache.hadoop.fs.Path
     graft.operators.MergeSink.healInterruptedSwap(spark, dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // guard: this rewrite flattens — running it on a PARTITIONED store
+    // (subdirectories = partition values, e.g. VectorIngest's cell
+    // store) would silently destroy partition pruning; those stores
+    // have their own partition-aware compaction
+    require(!fs.listStatus(new Path(dir)).exists(_.isDirectory),
+      s"$dir is a partitioned store — use its partition-aware compaction " +
+        "(e.g. VectorIngest.compactCells), not the flat rewrite")
     val files = fs.listStatus(new Path(dir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val totalBytes = files.map(_.getLen).sum

@@ -72,6 +72,33 @@ object VectorIngest {
     n
   }
 
+  /** SMALL-FILE COMPACTION for the cell store — every micro-batch
+    * appends a file per touched cell, so a long-running ingest leaves
+    * the same append swamp [[CorpusIngest.compact]] fixes for flat
+    * stores. The cell store is PARTITIONED (list_id is the pruning
+    * key), so the generic flat rewrite would flatten it and silently
+    * destroy partition pruning; this variant rewrites per cell —
+    * repartitioned by list_id so each cell lands in few files — and
+    * swaps with the same heal-safe staging renames. Returns
+    * (filesBefore, filesAfter). */
+  def compactCells(spark: SparkSession, root: String): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val path = cellsPath(root)
+    graft.operators.MergeSink.healInterruptedSwap(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles: Int = {
+      val it = fs.listFiles(new Path(path), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = countFiles
+    val df = spark.read.parquet(path)
+    graft.operators.MergeSink.writeAtomic(
+      df.repartition(col("list_id")), path, partitionBy = Seq("list_id"))
+    (before, countFiles)
+  }
+
   /** Top-k cosine neighbors for each query vector, served entirely off
     * the index: queries assign to their `nProbe` nearest frozen
     * centroids, the probed cell ids (≤ kCells values) prune the cells

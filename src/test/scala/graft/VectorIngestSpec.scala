@@ -50,7 +50,11 @@ class VectorIngestSpec extends SparkSpec {
     val all = (rows(0 until 8, 0) ++ rows(100 until 108, 1))
       .toDF("vec_id", "embedding")
     VectorIngest.trainCentroids(all, root, kCells = 2, iters = 5, dim = 4)
-    assert(VectorIngest.processBatch(all, root) == 16L)
+    // four appends: a real small-file swamp for the compaction below
+    (0 until 4).foreach { i =>
+      assert(VectorIngest.processBatch(
+        all.filter(pmod($"vec_id", lit(4)) === i), root) == 4L)
+    }
 
     val queries = (rows(0 until 2, 0) ++ rows(100 until 102, 1))
       .toDF("vec_id", "embedding")
@@ -69,6 +73,13 @@ class VectorIngestSpec extends SparkSpec {
       assert((q < 100) == (n < 100),
         s"query $q got cross-cluster neighbor $n under nProbe=1")
     }
+
+    // compaction: fewer files, identical results, pruning preserved
+    val (nb, na) = VectorIngest.compactCells(spark, root)
+    assert(na < nb, s"compaction did not shrink the store: $nb -> $na")
+    val afterCompact = VectorIngest.ann(spark, root, queries, k = 3, nProbe = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(afterCompact == exact, "compaction changed ann results")
 
     // the scan-fraction claim made concrete: the probed-cell IN list
     // must reach the cells scan as a PartitionFilter (reading
