@@ -74,6 +74,12 @@ class VectorIngestSpec extends SparkSpec {
         s"query $q got cross-cluster neighbor $n under nProbe=1")
     }
 
+    // the flat compactor must refuse the partitioned cell store (its
+    // rewrite would flatten list_id and destroy partition pruning)
+    intercept[IllegalArgumentException] {
+      graft.streaming.CorpusIngest.compact(spark, s"$root/cells")
+    }
+
     // compaction: fewer files, identical results, pruning preserved
     val (nb, na) = VectorIngest.compactCells(spark, root)
     assert(na < nb, s"compaction did not shrink the store: $nb -> $na")
