@@ -422,7 +422,7 @@ object Dedup {
     val cand = candOld.union(candNew).distinct()
     // signature-agreement verify — the "other" side may be an existing or
     // a new doc, so probe the union of both signature tables
-    val allSigs = existingSigs.select(newSigs.columns.map(col): _*)
+    val allSigs = existingSigs.select(newSigs.columns.toIndexedSeq.map(col): _*)
       .unionByName(newSigs)
     val a = newSigs.select(col("doc_id").as("new_id") +:
       (0 until numPerms).map(j => col(s"h$j").as(s"a$j")): _*)

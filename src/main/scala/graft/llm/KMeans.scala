@@ -47,7 +47,7 @@ object KMeans {
   /** Literal path: k structs of (score, cell) in the expression tree. */
   private[graft] def assignLiteral(cents: Seq[(Long, Array[Double])])(emb: DataFrame): DataFrame = {
     val scored = cents.map { case (cid, c) =>
-      val cArr = array(c.map(lit): _*)
+      val cArr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit)): _*)
       val cc = c.map(x => x * x).sum
       struct((lit(cc) - lit(2.0) * dot_product(col("embedding"), cArr)).as("score"),
         lit(cid).as("cell"))

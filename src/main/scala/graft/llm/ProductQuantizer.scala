@@ -65,7 +65,7 @@ object ProductQuantizer {
     val codeCols = (0 until cb.m).map { s =>
       val sub = slice(col("embedding"), s * cb.subDim + 1, cb.subDim)
       val scored = cb.cents(s).map { case (cid, c) =>
-        val cArr = array(c.map(lit): _*)
+        val cArr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit)): _*)
         val cc = c.map(x => x * x).sum
         struct((lit(cc) - lit(2.0) * dot_product(sub, cArr)).as("score"),
           lit(cid).as("cell"))
@@ -100,7 +100,7 @@ object ProductQuantizer {
       (df, s) =>
         val qSub = slice(col("q_emb"), s * cb.subDim + 1, cb.subDim)
         val table = array(cb.cents(s).map { case (_, c) =>
-          val cArr = array(c.map(lit): _*)
+          val cArr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit)): _*)
           lit(c.map(x => x * x).sum) - lit(2.0) * dot_product(qSub, cArr)
         }: _*)
         df.withColumn(s"t$s", table)
@@ -145,7 +145,7 @@ object ProductQuantizer {
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
     // queries: nProbe nearest cells by exact L2 (|q|² drops from argmin)
     val cellScores = cells.map { case (cid, c) =>
-      val cArr = array(c.map(lit): _*)
+      val cArr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit)): _*)
       struct((lit(c.map(x => x * x).sum)
         - lit(2.0) * dot_product(col("q_emb"), cArr)).as("score"),
         lit(cid).as("cell"))
@@ -158,7 +158,7 @@ object ProductQuantizer {
     val withTables = (0 until cb.m).foldLeft(qCells) { (df, s) =>
       val qSub = slice(col("q_emb"), s * cb.subDim + 1, cb.subDim)
       val table = array(cb.cents(s).map { case (_, c) =>
-        val cArr = array(c.map(lit): _*)
+        val cArr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit)): _*)
         lit(c.map(x => x * x).sum) - lit(2.0) * dot_product(qSub, cArr)
       }: _*)
       df.withColumn(s"t$s", table)

@@ -39,8 +39,8 @@ object MergeOps {
     * source rows silently no-op, exactly like the reference.
     */
   def mergeGuarded(target: DataFrame, source: DataFrame, key: String, tsCol: String): DataFrame = {
-    val t = target.select(target.columns.map(c => col(c).as("t_" + c)): _*)
-    val s = source.select(source.columns.map(c => col(c).as("s_" + c)): _*)
+    val t = target.select(target.columns.toIndexedSeq.map(c => col(c).as("t_" + c)): _*)
+    val s = source.select(source.columns.toIndexedSeq.map(c => col(c).as("s_" + c)): _*)
     val joined = t.join(s, col("t_" + key) === col("s_" + key), "full_outer")
     val takeSource = col("t_" + key).isNull ||
       (col("s_" + key).isNotNull && col("s_" + tsCol) > col("t_" + tsCol))

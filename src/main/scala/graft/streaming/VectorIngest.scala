@@ -118,7 +118,7 @@ object VectorIngest {
     val probed = qs.select("list_id").distinct()
       .collect().map(_.getLong(0)).sorted
     val cells = spark.read.parquet(cellsPath(root))
-      .filter(col("list_id").isin(probed.map(_.asInstanceOf[Any]): _*))
+      .filter(col("list_id").isin(probed.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         col("v_norm").as("c_norm"), col("list_id"))
     val scored = qs.join(cells, Seq("list_id"))

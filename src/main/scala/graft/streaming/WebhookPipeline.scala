@@ -190,7 +190,7 @@ class WebhookPipeline(tablesDir: String,
       if (!vanished.isEmpty) {
         val flagged = vanished.withColumn("deleted", lit(true))
           .withColumn("last_synced_at", current_timestamp())
-        MergeSink.upsertParquet(flagged.select(existing.columns.map(col): _*),
+        MergeSink.upsertParquet(flagged.select(existing.columns.toIndexedSeq.map(col): _*),
           tablesDir, tdef)
       }
     }
