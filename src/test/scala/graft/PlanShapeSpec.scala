@@ -23,7 +23,11 @@ class PlanShapeSpec extends SparkSpec {
     for (q <- Seq("q31_jaccard_pairs", "q32_minhash_bands", "q71_simhash_pairs",
         "q73_dedup_incremental", "q74_bucketed_neardup", "q80_containment_pairs",
         "q68_dedup_keeplist", "q70_dedup_keep_best", "q83_decontam",
-        "q85_dup_spans", "q87_containment_lsh")) {
+        "q85_dup_spans", "q87_containment_lsh",
+        // round-5 pair consumers: split/manifest/cluster-fold/triplets
+        "q92_semantic_keeplist", "q98_leakage_safe_split",
+        "q100_shard_manifest", "q101_incremental_clusters",
+        "q103_contrastive_triplets")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
