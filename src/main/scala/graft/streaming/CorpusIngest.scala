@@ -122,14 +122,18 @@ object CorpusIngest {
     import org.apache.hadoop.fs.Path
     graft.operators.MergeSink.healInterruptedSwap(spark, dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = fs.listStatus(new Path(dir))
     // guard: this rewrite flattens — running it on a PARTITIONED store
     // (subdirectories = partition values, e.g. VectorIngest's cell
     // store) would silently destroy partition pruning; those stores
-    // have their own partition-aware compaction
-    require(!fs.listStatus(new Path(dir)).exists(_.isDirectory),
+    // have their own partition-aware compaction. Hidden dirs (a crashed
+    // append's _temporary, Spark's own convention for non-data paths)
+    // are not partitions and must not block compaction.
+    require(!statuses.exists(s => s.isDirectory &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")),
       s"$dir is a partitioned store — use its partition-aware compaction " +
         "(e.g. VectorIngest.compactCells), not the flat rewrite")
-    val files = fs.listStatus(new Path(dir))
+    val files = statuses
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val totalBytes = files.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)

@@ -58,6 +58,10 @@ object VectorIngest {
   def processBatch(batch: DataFrame, root: String): Long = {
     val spark = batch.sparkSession
     val path = cellsPath(root)
+    // a compactCells crash mid-swap leaves the store retired as __old;
+    // heal BEFORE the exists probe — an unhealed miss would skip the
+    // replay guard AND create a fresh dir that blocks healing forever
+    graft.operators.MergeSink.healInterruptedSwap(spark, path)
     val fresh0 = batch.select("vec_id", "embedding").dropDuplicates("vec_id")
     val fresh =
       if (Files.exists(Paths.get(path)))
@@ -86,6 +90,9 @@ object VectorIngest {
     val path = cellsPath(root)
     graft.operators.MergeSink.healInterruptedSwap(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // nothing indexed yet (maintenance schedule fired before the first
+    // append): a no-op, not a FileNotFoundException
+    if (!fs.exists(new Path(path))) return (0, 0)
     def countFiles: Int = {
       val it = fs.listFiles(new Path(path), true)
       var n = 0
@@ -109,6 +116,7 @@ object VectorIngest {
     * equality with [[Similarity.bruteForceKnn]]). */
   def ann(spark: SparkSession, root: String, queries: DataFrame, k: Int,
           nProbe: Int = 4): DataFrame = {
+    graft.operators.MergeSink.healInterruptedSwap(spark, cellsPath(root))
     val qs = Similarity.assignToCells(
         queries, centroids(spark, root), "query_id", keep = nProbe)
       .select(col("query_id"), col("embedding").as("q_emb"),

@@ -45,6 +45,26 @@ class VectorIngestSpec extends SparkSpec {
     assert(cells(0L) != cells(100L))
   }
 
+  test("a compaction crash mid-swap heals; compacting an empty store is a no-op") {
+    val root = tmpDir("vindex3")
+    val all = (rows(0 until 4, 0) ++ rows(100 until 104, 1))
+      .toDF("vec_id", "embedding")
+    VectorIngest.trainCentroids(all, root, kCells = 2, iters = 3, dim = 4)
+    // empty store: no-op, not FileNotFoundException
+    assert(VectorIngest.compactCells(spark, root) == ((0, 0)))
+    assert(VectorIngest.processBatch(all, root) == 8L)
+    // simulate the crash window: cells retired to __old, nothing published
+    import org.apache.hadoop.fs.Path
+    val cells = s"$root/cells"
+    val fs = new Path(cells).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(cells), new Path(cells + "__old")))
+    // an unhealed replay would re-admit everything AND create a fresh
+    // dir that blocks healing forever — processBatch must heal first
+    assert(VectorIngest.processBatch(all, root) == 0L)
+    assert(VectorIngest.ann(spark, root, all.filter($"vec_id" === 0L),
+      k = 2, nProbe = 2).count() == 2L)
+  }
+
   test("ann probing all cells is exact; nProbe=1 stays within the cluster") {
     val root = tmpDir("vindex2")
     val all = (rows(0 until 8, 0) ++ rows(100 until 108, 1))
