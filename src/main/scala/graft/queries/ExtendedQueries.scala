@@ -108,6 +108,48 @@ object ExtendedQueries {
         .orderBy("user_id", "version")
     },
 
+    // Point-in-time FACT ENRICHMENT against SCD2 history — the
+    // warehouse-canon temporal dimension join: each purchase picks up
+    // the user's dimension version (built from their NON-purchase
+    // events) valid AT purchase time. Keyed join on user_id + interval
+    // predicates (never cartesian); facts before any version keep -1.
+    Q("q107_scd2_asof_enrich",
+      """WITH d AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type <> 'purchase'),
+        | v AS (SELECT user_id, event_id, ts_us,
+        |        CAST(row_number() OVER w AS BIGINT) AS version,
+        |        lead(ts_us) OVER w AS valid_to
+        |       FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        | f AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_ts
+        |       FROM events WHERE event_type = 'purchase')
+        |SELECT f.purchase_id, f.user_id,
+        | CAST(coalesce(v.version, -1) AS BIGINT) AS version,
+        | CAST(coalesce(v.event_id, -1) AS BIGINT) AS dim_event_id
+        |FROM f LEFT JOIN v ON v.user_id = f.user_id AND v.ts_us <= f.p_ts
+        |  AND (v.valid_to IS NULL OR f.p_ts < v.valid_to)
+        |ORDER BY f.purchase_id""".stripMargin
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns DIV 1000").as("ts_us"))
+      val hist = MergeOps.scd2History(
+          ev.filter(col("event_type") =!= "purchase"),
+          Seq("user_id"), "ts_us", Seq("event_id"))
+        .select(col("user_id"), col("event_id").as("dim_event_id0"),
+          col("version").as("version0"), col("valid_from"), col("valid_to"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("p_ts"))
+      facts.join(hist,
+          facts("user_id") === hist("user_id") &&
+            col("valid_from") <= col("p_ts") &&
+            (col("valid_to").isNull || col("p_ts") < col("valid_to")), "left")
+        .select(col("purchase_id"), facts("user_id"),
+          coalesce(col("version0"), lit(-1L)).as("version"),
+          coalesce(col("dim_event_id0"), lit(-1L)).as("dim_event_id"))
+        .orderBy("purchase_id")
+    },
+
     // Interval join (RangeJoin.intervalJoin): same-user clicks in the
     // hour before each purchase. The reference has no range joins (§2.3)
     // — this is part of the "relational surface beyond the mirror".
