@@ -162,8 +162,14 @@ object TextAnalysis {
     * cross-engine exact: per bigram occurrence (w1, w2), MLE
     * p(w2|w1) ≈ c(w1 w2) / c(w1·) in ppm via integer DIV (c(w1·) =
     * occurrences of w1 as a bigram prefix), doc score = integer mean
-    * over its occurrences. Boilerplate scores high, gibberish low —
-    * threshold downstream. Scale shape: one explode, two count
+    * over its occurrences. Boilerplate scores high; text that continues
+    * COMMON prefixes in rare ways scores low. Caveat of unsmoothed MLE:
+    * a never-seen prefix has p = 1 (its one observed continuation is
+    * its whole distribution), so pure-gibberish docs of globally-unique
+    * tokens score HIGH, not low — pair with [[lexicalDiversity]] /
+    * langId when gibberish is the target (CCNet's trained+smoothed LM
+    * does not have this artifact; an exact-integer oracle cannot carry
+    * smoothing over an open vocabulary). Threshold downstream. Scale shape: one explode, two count
     * aggregates, two equi-joins back to occurrences (count tables are
     * Zipf-small vs the corpus; broadcast when they fit), one final
     * keyed agg. Docs with fewer than 2 tokens produce no row. */

@@ -57,4 +57,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(perDoc.values.forall(n => n >= 1))
     assert(perDoc(3L) <= 6) // 9 tokens → 6 grams → ≤ 2 full windows... ≤ grams
   }
+
+  test("bigramLmScore penalizes rare continuations of common prefixes") {
+    // the corpus repeats one phrasing; a doc reusing its PREFIXES with
+    // novel successors gets low MLE transition probabilities — the axis
+    // the filter discriminates. (A doc of globally-unique tokens scores
+    // 1e6: unsmoothed MLE rates never-seen prefixes as perfectly
+    // predictable — see the operator scaladoc.)
+    val docs = ((1L to 6L).map(i => (i, "the model trains on clean web text")) ++
+      Seq((7L, "the qv model wm trains kt"))).toDF("doc_id", "text")
+    val scores = graft.llm.TextAnalysis.bigramLmScore(docs)
+      .select("doc_id", "score_ppm").as[(Long, Long)].collect().toMap
+    assert(scores(1L) > 800000L, s"repeated phrasing should score high: ${scores(1L)}")
+    assert(scores(7L) < scores(1L) * 2 / 3,
+      s"rare continuations should score well below: ${scores(7L)} vs ${scores(1L)}")
+  }
 }
