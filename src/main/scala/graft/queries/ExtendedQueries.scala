@@ -132,19 +132,22 @@ object ExtendedQueries {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
           expr("ts_ns DIV 1000").as("ts_us"))
+      // rename the dimension side's key (q81's pattern): both frames
+      // share ev's lineage, and a same-exprId equality would lean on
+      // analyzer self-join disambiguation — fragile across refactors
       val hist = MergeOps.scd2History(
           ev.filter(col("event_type") =!= "purchase"),
           Seq("user_id"), "ts_us", Seq("event_id"))
-        .select(col("user_id"), col("event_id").as("dim_event_id0"),
+        .select(col("user_id").as("h_user"), col("event_id").as("dim_event_id0"),
           col("version").as("version0"), col("valid_from"), col("valid_to"))
       val facts = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("ts_us").as("p_ts"))
       facts.join(hist,
-          facts("user_id") === hist("user_id") &&
+          col("user_id") === col("h_user") &&
             col("valid_from") <= col("p_ts") &&
             (col("valid_to").isNull || col("p_ts") < col("valid_to")), "left")
-        .select(col("purchase_id"), facts("user_id"),
+        .select(col("purchase_id"), col("user_id"),
           coalesce(col("version0"), lit(-1L)).as("version"),
           coalesce(col("dim_event_id0"), lit(-1L)).as("dim_event_id"))
         .orderBy("purchase_id")
