@@ -126,7 +126,17 @@ object Backfill {
                 t.table -> syncEntity(spark, tablesDir, t, fetcher, createdGte)
             }
           }.asJava
-        pool.invokeAll(tasks).asScala.map(_.get()).toMap
+        // unwrap so both paths fail with the fetcher's ORIGINAL exception
+        // class — Future.get wraps in ExecutionException, and a caller
+        // matching on exception type (transient-retry handling upstream)
+        // must not see different types depending on the parallelism knob
+        pool.invokeAll(tasks).asScala.map { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }.toMap
       } finally pool.shutdown()
     }
 

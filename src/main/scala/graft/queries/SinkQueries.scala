@@ -84,17 +84,19 @@ object SinkQueries {
       if (fx.isEmpty) Seq(("no_fixtures", 0L)).toDF("table", "n_rows")
       else {
         val dir = Files.createTempDirectory("graft_sinkbench").toString
-        val pipeline = new WebhookPipeline(dir)
-        val df = Seq.fill(copies)(fx).flatten.toDF("value")
-        (0 until batches).foreach(i => pipeline.processBatch(df, i.toLong))
-        // counts are collected EAGERLY: the temp sink state is deleted
-        // below, so the returned frame must not re-read it lazily
-        val tables = new java.io.File(dir).listFiles()
-          .filter(_.isDirectory).map(_.getName).sorted.toSeq
-        // ~21 independent metadata-only count jobs: run them on a thread
-        // pool so wall time is one job launch, not 21 sequential ones
-        // (job-launch overhead dominates counts at fixture scale)
-        val counts = {
+        // try/finally like qs2: a failure mid-pipeline must not leak the
+        // temp sink dir for the life of the bench host
+        val counts = try {
+          val pipeline = new WebhookPipeline(dir)
+          val df = Seq.fill(copies)(fx).flatten.toDF("value")
+          (0 until batches).foreach(i => pipeline.processBatch(df, i.toLong))
+          // counts are collected EAGERLY: the temp sink state is deleted
+          // below, so the returned frame must not re-read it lazily
+          val tables = new java.io.File(dir).listFiles()
+            .filter(_.isDirectory).map(_.getName).sorted.toSeq
+          // ~21 independent metadata-only count jobs: run them on a thread
+          // pool so wall time is one job launch, not 21 sequential ones
+          // (job-launch overhead dominates counts at fixture scale)
           val pool = java.util.concurrent.Executors.newFixedThreadPool(
             math.min(8, math.max(1, tables.size)))
           try {
@@ -106,8 +108,7 @@ object SinkQueries {
             }
             futs.map(_.get())
           } finally pool.shutdown()
-        }
-        rm(new java.io.File(dir))
+        } finally rm(new java.io.File(dir))
         counts.toDF("table", "n_rows").orderBy("table")
       }
     }

@@ -122,6 +122,9 @@ object CorpusIngest {
     import org.apache.hadoop.fs.Path
     graft.operators.MergeSink.healInterruptedSwap(spark, dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // nothing ingested yet (maintenance schedule fired before the first
+    // batch): a no-op, not a FileNotFoundException — mirrors compactCells
+    if (!fs.exists(new Path(dir))) return (0, 0)
     val statuses = fs.listStatus(new Path(dir))
     // guard: this rewrite flattens — running it on a PARTITIONED store
     // (subdirectories = partition values, e.g. VectorIngest's cell

@@ -71,7 +71,12 @@ object RollupIngest {
     //     or rebuild the store.
     //   - disabled + prior hist: CARRY the prior state forward unchanged
     //     (new batch's values are absent from it — the caller opted out
-    //     for this batch — but pruning must not erase history).
+    //     for this batch — but pruning must not erase history). The
+    //     opted-out batch id is RECORDED in the snapshot (committed by
+    //     the same rename): the carried histogram now permanently
+    //     under-covers history, and a reader who couldn't see that
+    //     would trust silently-wrong percentiles — staleQuantileBatches
+    //     exposes the gap.
     val priorHist: Option[(Long, String)] = latest.flatMap { case (_, p) =>
       fsOf(spark, stateDir).listStatus(new Path(p)).toSeq
         .map(_.getPath.getName).collectFirst {
@@ -95,6 +100,14 @@ object RollupIngest {
           case (None, _) => Some((histWidth, bh))
         }
       } else priorHist.map { case (w, p) => (w, spark.read.parquet(p)) }
+    // staleness ledger: ids of batches whose values the histogram is
+    // missing (knob forgotten while hist state existed). Once stale,
+    // forever stale — the list carries through every later snapshot.
+    val priorSkipped = latest.map(l => staleQuantileBatches(spark, stateDir))
+      .getOrElse(Seq.empty)
+    val skipped =
+      if (histWidth == 0L && priorHist.nonEmpty) priorSkipped :+ batchId
+      else priorSkipped
 
     val fs = fsOf(spark, stateDir)
     val staging = new Path(s"$stateDir/.staging_v$batchId")
@@ -102,6 +115,10 @@ object RollupIngest {
     scalar.write.parquet(s"$staging/scalar")
     dist.write.parquet(s"$staging/regs")
     hist.foreach { case (w, df) => df.write.parquet(s"$staging/hist_w$w") }
+    if (skipped.nonEmpty) {
+      val out = fs.create(new Path(s"$staging/$SkippedFile"), true)
+      try out.write(skipped.mkString("\n").getBytes("UTF-8")) finally out.close()
+    }
     // the commit point: one rename publishes both tables + the watermark.
     // rename reports failure as FALSE (dest exists, parent gone), not an
     // exception — ignoring it would drop the batch's non-idempotent
@@ -127,12 +144,35 @@ object RollupIngest {
         spark.read.parquet(s"$p/regs"), keys, distinctAlias)
     }
 
+  private val SkippedFile = "hist_skipped_batches"
+
+  /** Ids of batches whose values are MISSING from the served histogram
+    * (committed with histWidth forgotten while histogram state existed).
+    * Non-empty means [[currentQuantiles]] under-covers history — the
+    * dashboard-side staleness check for the carry-forward branch of
+    * [[processBatch]]. */
+  def staleQuantileBatches(spark: SparkSession, stateDir: String): Seq[Long] =
+    latestVersion(spark, stateDir).toSeq.flatMap { case (_, p) =>
+      val fs = fsOf(spark, stateDir)
+      val f = new Path(s"$p/$SkippedFile")
+      if (!fs.exists(f)) Seq.empty
+      else {
+        val in = fs.open(f)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map(_.toLong).toList
+        finally in.close()
+      }
+    }
+
   /** Per-key percentile estimates off the latest snapshot's histogram
     * state — the streaming form of q96: dashboards read quantiles the
     * store maintained, raw history never re-scanned. The bucket width
     * is read from the state itself (it was committed with it), so a
     * caller cannot misinterpret the buckets at a different scale. None
-    * until a batch has committed with `histWidth` enabled. */
+    * until a batch has committed with `histWidth` enabled. Pair with
+    * [[staleQuantileBatches]]: a non-empty list means batches were
+    * folded in with the knob forgotten and these estimates under-cover
+    * history. */
   def currentQuantiles(spark: SparkSession, stateDir: String,
                        keys: Seq[String],
                        quantilesPermille: Seq[Int]): Option[DataFrame] =

@@ -74,13 +74,21 @@ class RollupIngestSpec extends SparkSpec {
 
     // a batch applied with the knob FORGOTTEN (histWidth default) must
     // carry the histogram state forward, not destroy it through pruning
+    // — and the gap must be DETECTABLE: the carried histogram is missing
+    // those batches' values forever, so their ids ride the snapshot
+    assert(RollupIngest.staleQuantileBatches(spark, dir).isEmpty)
     assert(RollupIngest.processBatch(batchDf(7, 100), dir, keys, "v", "u", 2L))
     assert(RollupIngest.processBatch(batchDf(8, 100), dir, keys, "v", "u", 3L))
     assert(RollupIngest.currentQuantiles(spark, dir, keys, qs).nonEmpty)
+    assert(RollupIngest.staleQuantileBatches(spark, dir) == Seq(2L, 3L))
+    // re-enabling the knob keeps the ledger: staleness never un-happens
+    assert(RollupIngest.processBatch(batchDf(10, 50), dir, keys, "v", "u", 4L,
+      histWidth = width))
+    assert(RollupIngest.staleQuantileBatches(spark, dir) == Seq(2L, 3L))
 
     // width mismatch between batches must error, never sum mixed buckets
     intercept[IllegalArgumentException] {
-      RollupIngest.processBatch(batchDf(9, 50), dir, keys, "v", "u", 4L,
+      RollupIngest.processBatch(batchDf(9, 50), dir, keys, "v", "u", 5L,
         histWidth = width * 10)
     }
 
