@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Column-level access to Spark's internal bloom-filter expressions
@@ -22,6 +22,18 @@ object BloomFns {
   def bloom_filter_agg(hashes: Column, estItems: Long): Column =
     GraftFunctions.toColumn(
       new BloomFilterAggregate(GraftFunctions.toExpression(hashes), estItems)
+        .toAggregateExpression())
+
+  /** Aggregate with EXPLICIT bit size: two filters built with the same
+    * (estItems, numBits) have identical bit arrays and hash counts, so
+    * they are merge-compatible BY CONSTRUCTION — the contract
+    * [[graft.streaming.ReplayGuard]] relies on to fold a per-batch
+    * filter into its persisted one across sessions (the two-arg form
+    * derives numBits from session conf, which may drift). */
+  def bloom_filter_agg(hashes: Column, estItems: Long, numBits: Long): Column =
+    GraftFunctions.toColumn(
+      new BloomFilterAggregate(GraftFunctions.toExpression(hashes),
+        Literal(estItems), Literal(numBits))
         .toAggregateExpression())
 
   /** Membership probe against a built filter (false positives possible,

@@ -12,23 +12,28 @@ import graft.llm.Dedup
   * is folded into a training corpus while near-duplicates are dropped
   * at the door.
   *
-  * The persistent artifact is the MinHash SIGNATURE STORE (a parquet
-  * dir of doc_id, h0..h{numPerms-1}): per micro-batch,
-  *   1. replayed doc_ids are anti-joined away against the store
-  *      (at-least-once delivery → at-most-once admission per id);
+  * The persistent artifacts are the MinHash SIGNATURE STORE (a parquet
+  * dir of doc_id, h0..h{numPerms-1}) and the [[ReplayGuard]] admission
+  * ledger beside it: per micro-batch,
+  *   1. replayed doc_ids are dropped by the guard (at-least-once
+  *      delivery → at-most-once admission per id) — bloom-prefiltered
+  *      and id-bucketed, so the replay check costs O(batch), never
+  *      O(everything ever admitted) (the earlier form anti-joined each
+  *      batch against the full store's doc_ids);
   *   2. [[Dedup.dedupIncremental]] drops batch docs near-duplicating
   *      the store or an earlier batchmate — cost scales with the batch
   *      plus the signature store, corpus TEXT is never re-read;
-  *   3. survivors' signatures append to the store, then the documents
-  *      to the corpus dir.
-  * The two appends are not one transaction on plain parquet; the store
-  * is written FIRST (fail-closed): a crash between them leaves a doc
-  * ledgered but absent from the corpus, so the replay guard drops it
-  * forever — the corpus never holds a duplicate row. (The opposite
-  * order would re-admit on replay: at-least-once duplicates downstream
-  * would have to absorb.) On a transactional table format both appends
-  * join one commit and the pipeline is exactly-once with no drop
-  * window.
+  *   3. the guard records the admitted ids, survivors' signatures
+  *      append to the store, then the documents to the corpus dir.
+  * The appends are not one transaction on plain parquet; ledger and
+  * store are written FIRST (fail-closed): a crash between them leaves a
+  * doc ledgered but absent from the corpus, so the replay guard drops
+  * it — the corpus never holds a duplicate row. (The opposite order
+  * would re-admit on replay: at-least-once duplicates downstream would
+  * have to absorb.) [[reconcile]] detects those orphans and can evict
+  * them so a corrected re-send is admitted. On a transactional table
+  * format all appends join one commit and the pipeline is exactly-once
+  * with no drop window.
   */
 object CorpusIngest {
 
@@ -38,14 +43,17 @@ object CorpusIngest {
   /** One micro-batch: returns the number of admitted documents.
     * foreachBatch-compatible.
     *
-    * The signature store doubles as the ADMISSION LEDGER: every admitted
-    * doc_id gets a row, including documents too short to shingle (their
-    * h-columns are NULL — null band hashes never equi-join, so they
-    * contribute no candidates, but the replay guard sees them; without
-    * the ledger row a short doc would be re-admitted on every
-    * at-least-once replay). Duplicate ids within one batch are collapsed
-    * first (replayed lines are byte-identical, so which row survives is
-    * immaterial).
+    * The [[ReplayGuard]] at `<sigDir>_guard` is the ADMISSION LEDGER:
+    * every admitted doc_id is recorded, including documents too short
+    * to shingle — without the ledger row a short doc would be
+    * re-admitted on every at-least-once replay. (Their signature rows
+    * still land in the store with NULL h-columns: null band hashes
+    * never equi-join, so they contribute no dedup candidates, and the
+    * store stays a complete signature archive of the corpus.) A store
+    * created before the guard existed is migrated on first touch — a
+    * one-time O(store) seed. Duplicate ids within one batch are
+    * collapsed first (replayed lines are byte-identical, so which row
+    * survives is immaterial).
     *
     * Production knobs:
     *   - `maxBandDf` caps any one (band, band_hash) bucket across
@@ -71,14 +79,21 @@ object CorpusIngest {
     // re-admit everything it ever rejected
     graft.operators.MergeSink.healInterruptedSwap(spark, sigDir)
     graft.operators.MergeSink.healInterruptedSwap(spark, corpusDir)
+    val guardDir = guardPath(sigDir)
+    if (!ReplayGuard.exists(spark, guardDir)) {
+      ReplayGuard.bootstrap(spark, guardDir)
+      if (Files.exists(Paths.get(sigDir))) // migrate a pre-guard store
+        ReplayGuard.record(
+          spark.read.parquet(sigDir).select("doc_id"), "doc_id", guardDir)
+    }
     val existingSigs =
       if (Files.exists(Paths.get(sigDir))) spark.read.parquet(sigDir)
       else Dedup.minHashSignatures(
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           docSchema), k, numPerms)
-    val dedupedIds = batch.select("doc_id", "text")
-      .dropDuplicates("doc_id")
-      .join(existingSigs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val dedupedIds = ReplayGuard.filterFresh(
+      batch.select("doc_id", "text").dropDuplicates("doc_id"),
+      "doc_id", guardDir)
     val fresh = benchmark match {
       case Some(b) =>
         val contaminated = graft.llm.Corpus.decontaminate(dedupedIds, b, decontamK)
@@ -92,19 +107,56 @@ object CorpusIngest {
     val freshSigs = graft.llm.Stage(Dedup.minHashSignatures(fresh, k, numPerms))
     val kept = Dedup.dedupIncrementalSigs(fresh, freshSigs, existingSigs,
       numPerms, bands, minEstPpm, maxBandDf)
-    // Admission must be decided before the two appends (kept is read
-    // twice): one small batch-sized materialization.
+    // Admission must be decided before the appends (kept is read
+    // several times): one small batch-sized materialization.
     val admitted = graft.llm.Stage(kept)
-    val n = admitted.count()
+    // ledger FIRST (fail-closed — see class doc); the admitted count
+    // rides the guard's count+bloom aggregate
+    val n = ReplayGuard.record(admitted.select("doc_id"), "doc_id", guardDir)
     if (n > 0) {
-      // ledger FIRST (fail-closed — see class doc); rows for ALL
-      // admitted ids, short docs carrying NULL h-columns
+      // signature rows for ALL admitted ids, short docs carrying NULL
+      // h-columns — the store stays the corpus's signature archive
       admitted.select("doc_id")
         .join(freshSigs, Seq("doc_id"), "left_outer")
         .write.mode(SaveMode.Append).parquet(sigDir)
       admitted.write.mode(SaveMode.Append).parquet(corpusDir)
     }
     n
+  }
+
+  private def guardPath(sigDir: String): String = s"${sigDir}_guard"
+
+  /** Ledgered-but-unstored doc_ids — admitted to the guard (and possibly
+    * the signature store) but absent from the corpus: the fail-closed
+    * crash window, during which a re-send of those ids is silently
+    * dropped. `evict = true` clears them from the guard ledger AND the
+    * signature store (both must go: a surviving signature row would
+    * reject the re-send as a near-duplicate of itself), so a corrected
+    * re-send is admitted. Run from maintenance, like [[compact]]. */
+  def reconcile(spark: SparkSession, corpusDir: String, sigDir: String,
+                evict: Boolean = false): Seq[Long] = {
+    val guardDir = guardPath(sigDir)
+    val corpusIds =
+      if (Files.exists(Paths.get(corpusDir)))
+        spark.read.parquet(corpusDir).select("doc_id")
+      else {
+        import spark.implicits._
+        spark.emptyDataset[Long].toDF("doc_id")
+      }
+    val orphans = graft.llm.Stage(
+      ReplayGuard.orphans(spark, guardDir, corpusIds, "doc_id"))
+    if (evict) {
+      // signature store first: once the guard row is gone the id is
+      // re-admittable, so every earlier state must already be clean
+      // (a crash between the two evictions leaves the guard row, which
+      // keeps the id rejected until the next reconcile finishes the job)
+      if (Files.exists(Paths.get(sigDir)))
+        graft.operators.MergeSink.writeAtomic(
+          spark.read.parquet(sigDir)
+            .join(orphans, Seq("doc_id"), "left_anti"), sigDir)
+      ReplayGuard.evict(spark, guardDir, orphans, "doc_id")
+    }
+    orphans.collect().map(_.getLong(0)).sorted.toSeq
   }
 
   /** SMALL-FILE COMPACTION for the append-based stores (corpus dir,

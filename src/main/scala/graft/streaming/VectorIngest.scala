@@ -24,14 +24,16 @@ import graft.llm.{KMeans, Similarity}
   *     is the scan-fraction knob (PlanShapeSpec proves the predicate
   *     reaches the scan as a PartitionFilter).
   *
-  * Per micro-batch: replayed vec_ids are anti-joined away against the
-  * cells store (vec_id column only — column pruning keeps the guard
-  * scan narrow), fresh vectors are assigned to their nearest frozen
-  * centroid (broadcast BNLJ over ≤ kCells rows), and ONE append lands
-  * them in their cell partitions. A Spark file write commits atomically
-  * at job level, so a crash mid-batch leaves no partial visible state
-  * and the replay guard makes redelivery a no-op: at-least-once in,
-  * at-most-once indexed.
+  * Per micro-batch: replayed vec_ids are dropped by the [[ReplayGuard]]
+  * under `root/guard` — bloom-prefiltered, id-bucketed, so the guard's
+  * cost is bounded by the batch, never by the total index (the earlier
+  * form anti-joined each batch against the whole cell store: O(index)
+  * per micro-batch, a scale killer at 10¹¹ vectors). Fresh vectors are
+  * assigned to their nearest frozen centroid (broadcast BNLJ over
+  * ≤ kCells rows), the guard records their ids (fail-closed — see
+  * [[ReplayGuard]]'s crash-ordering contract; [[reconcile]] clears the
+  * rare ledgered-but-unindexed orphans), and ONE append lands them in
+  * their cell partitions: at-least-once in, at-most-once indexed.
   */
 object VectorIngest {
 
@@ -43,6 +45,81 @@ object VectorIngest {
     Similarity.centroidTable(sample.sparkSession, cents)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/centroids")
+  }
+
+  // ── offline retrain + atomic index swap ────────────────────────────
+  // Frozen centroids drift away from the data distribution as the
+  // stream evolves; production fixes this by retraining OFFLINE and
+  // swapping the whole index, never mutating centroids under live
+  // appends. The swap must replace centroids/ AND cells/ as ONE unit
+  // (new centroids over old cell assignments would probe the wrong
+  // partitions), so it uses a commit-marker protocol rather than two
+  // independent writeAtomic swaps:
+  //   1. build complete centroids__new + cells__new trees (old index
+  //      stays live and correct throughout);
+  //   2. create root/__retrain_commit — the single atomic commit point;
+  //   3. retire each live dir to __old, publish __new, drop __old and
+  //      the marker.
+  // Readers heal FORWARD only (marker present → finish step 3) and
+  // ignore __new dirs otherwise — a concurrent probe never aborts an
+  // in-progress retrain, and before the marker exists every probe
+  // serves the OLD index. Stale __new trees from a crashed attempt are
+  // cleared at the start of the next retrainAndSwap. Like
+  // [[compactCells]], retrain assumes ingest is quiesced: a batch
+  // appended to the old cells after the rebuild's read would not be in
+  // the new tree.
+
+  private def markerPath(root: String) = new org.apache.hadoop.fs.Path(
+    s"$root/__retrain_commit")
+
+  /** Finish (roll forward) a retrain swap that crashed after its commit
+    * marker was created; no-op in every other state. Call before
+    * reading either index dir. */
+  def healRetrainSwap(spark: SparkSession, root: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(markerPath(root))) return
+    Seq(s"$root/centroids", cellsPath(root)).foreach { dir =>
+      val cur = new Path(dir); val nw = new Path(dir + "__new")
+      val old = new Path(dir + "__old")
+      if (fs.exists(nw)) {
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(cur) && !fs.rename(cur, old))
+          throw new java.io.IOException(s"retrain retire failed: $cur")
+        if (!fs.rename(nw, cur))
+          throw new java.io.IOException(s"retrain publish failed: $nw")
+      }
+      if (fs.exists(old)) fs.delete(old, true)
+    }
+    fs.delete(markerPath(root), false)
+  }
+
+  /** Retrain centroids on `sample`, reassign every indexed vector to
+    * the new cells, and atomically swap the (centroids, cells) pair —
+    * probes see the old index until the commit instant, the new one
+    * after. The replay-guard ledger is untouched: the vector SET is
+    * unchanged, only its cell layout moves. Returns the number of
+    * vectors in the new tree. */
+  def retrainAndSwap(spark: SparkSession, root: String, sample: DataFrame,
+                     kCells: Int = 16, iters: Int = 5, dim: Int = 64): Long = {
+    import org.apache.hadoop.fs.Path
+    healRetrainSwap(spark, root)
+    graft.operators.MergeSink.healInterruptedSwap(spark, cellsPath(root))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val centNew = s"$root/centroids__new"; val cellsNew = cellsPath(root) + "__new"
+    // stale staging from a crashed pre-commit attempt: rebuild from scratch
+    Seq(centNew, cellsNew).foreach(d => fs.delete(new Path(d), true))
+    val cents = KMeans.train(sample, kCells, iters, dim)
+    Similarity.centroidTable(spark, cents)
+      .coalesce(1).write.parquet(centNew)
+    val reassigned = Similarity.assignToCells(
+      spark.read.parquet(cellsPath(root)).select("vec_id", "embedding"),
+      spark.read.parquet(centNew), "vec_id", keep = 1)
+    reassigned.write.partitionBy("list_id").parquet(cellsNew)
+    val n = spark.read.parquet(cellsNew).count()
+    fs.create(markerPath(root), false).close() // the commit point
+    healRetrainSwap(spark, root)               // roll our own swap forward
+    n
   }
 
   private def centroids(spark: SparkSession, root: String): DataFrame =
@@ -58,22 +135,54 @@ object VectorIngest {
   def processBatch(batch: DataFrame, root: String): Long = {
     val spark = batch.sparkSession
     val path = cellsPath(root)
-    // a compactCells crash mid-swap leaves the store retired as __old;
-    // heal BEFORE the exists probe — an unhealed miss would skip the
-    // replay guard AND create a fresh dir that blocks healing forever
+    // a compactCells crash mid-swap leaves the store retired as __old,
+    // a retrain crash post-commit leaves it half-swapped; heal BEFORE
+    // the exists probe — an unhealed miss would skip the replay guard
+    // AND create a fresh dir that blocks healing forever
+    healRetrainSwap(spark, root)
     graft.operators.MergeSink.healInterruptedSwap(spark, path)
-    val fresh0 = batch.select("vec_id", "embedding").dropDuplicates("vec_id")
-    val fresh =
+    val guardDir = guardPath(root)
+    if (!ReplayGuard.exists(spark, guardDir)) {
+      ReplayGuard.bootstrap(spark, guardDir)
+      // migrate a pre-guard store: one-time O(index) seed of the ledger
       if (Files.exists(Paths.get(path)))
-        fresh0.join(spark.read.parquet(path).select("vec_id"),
-          Seq("vec_id"), "left_anti")
-      else fresh0
+        ReplayGuard.record(
+          spark.read.parquet(path).select("vec_id"), "vec_id", guardDir)
+    }
+    val fresh0 = batch.select("vec_id", "embedding").dropDuplicates("vec_id")
+    val fresh = ReplayGuard.filterFresh(fresh0, "vec_id", guardDir)
     val assigned = graft.llm.Stage(
       Similarity.assignToCells(fresh, centroids(spark, root), "vec_id", keep = 1))
-    val n = assigned.count()
+    // guard BEFORE the cell append (fail-closed): a crash between the
+    // two leaves a ledgered-but-unindexed orphan reconcile() can clear,
+    // never a duplicate vector. The count rides the guard's aggregate.
+    val n = ReplayGuard.record(assigned.select("vec_id"), "vec_id", guardDir)
     if (n > 0)
       assigned.write.mode(SaveMode.Append).partitionBy("list_id").parquet(path)
     n
+  }
+
+  private def guardPath(root: String): String = s"$root/guard"
+
+  /** Ledgered-but-unindexed vec_ids (guard committed, cell append never
+    * ran — the fail-closed crash window, during which redelivery of
+    * those ids is silently dropped). `evict = true` clears them from
+    * the ledger so a re-send is admitted. Run from maintenance, like
+    * [[compactCells]]. */
+  def reconcile(spark: SparkSession, root: String,
+                evict: Boolean = false): Seq[Long] = {
+    healRetrainSwap(spark, root)
+    val store =
+      if (Files.exists(Paths.get(cellsPath(root))))
+        spark.read.parquet(cellsPath(root)).select("vec_id")
+      else {
+        import spark.implicits._
+        spark.emptyDataset[Long].toDF("vec_id")
+      }
+    val orphans = graft.llm.Stage(
+      ReplayGuard.orphans(spark, guardPath(root), store, "vec_id"))
+    if (evict) ReplayGuard.evict(spark, guardPath(root), orphans, "vec_id")
+    orphans.collect().map(_.getLong(0)).sorted.toSeq
   }
 
   /** SMALL-FILE COMPACTION for the cell store — every micro-batch
@@ -88,6 +197,7 @@ object VectorIngest {
   def compactCells(spark: SparkSession, root: String): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val path = cellsPath(root)
+    healRetrainSwap(spark, root)
     graft.operators.MergeSink.healInterruptedSwap(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // nothing indexed yet (maintenance schedule fired before the first
@@ -116,6 +226,7 @@ object VectorIngest {
     * equality with [[Similarity.bruteForceKnn]]). */
   def ann(spark: SparkSession, root: String, queries: DataFrame, k: Int,
           nProbe: Int = 4): DataFrame = {
+    healRetrainSwap(spark, root)
     graft.operators.MergeSink.healInterruptedSwap(spark, cellsPath(root))
     val qs = Similarity.assignToCells(
         queries, centroids(spark, root), "query_id", keep = nProbe)

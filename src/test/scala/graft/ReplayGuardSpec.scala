@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{CorpusIngest, ReplayGuard, VectorIngest}
+
+/** The scale-safe replay guard: correctness of the bloom + bucketed
+  * exact layers, and the PLAN contract that makes it O(batch) — a batch
+  * with no probable hits never scans the ledger, and a batch with
+  * replays scans only the buckets they hash into. */
+class ReplayGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(xs: Seq[Long]) = xs.toDF("doc_id")
+
+  // plan STRING, not collect(): AQE wraps the tree in an adaptive node
+  // whose children are not traversable, but toString prints all scans
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("replays drop, new ids pass, and the ledger scan is bloom-gated/pruned") {
+    val g = tmpDir("graft-guard")
+    ReplayGuard.bootstrap(spark, g, nBuckets = 16)
+    assert(ReplayGuard.exists(spark, g))
+
+    // first batch: empty guard admits everything
+    val b1 = ids(0L until 50L)
+    assert(ReplayGuard.filterFresh(b1, "doc_id", g).count() == 50)
+    assert(ReplayGuard.record(b1, "doc_id", g) == 50)
+
+    // all-new batch: bloom rejects every row, so the plan must contain
+    // NO scan of the ledger at all — the guard's cost is pure O(batch)
+    val allNew = ReplayGuard.filterFresh(ids(1000L until 1050L), "doc_id", g)
+    assert(!planOf(allNew).contains(s"$g/ids"),
+      "an all-new batch must never touch the ledger")
+    assert(allNew.count() == 50)
+
+    // half-replayed batch: replays are dropped via the exact layer, and
+    // the ledger scan carries a partition filter on the bucket column
+    // (reads touched buckets, not the whole ledger)
+    val mixed = ReplayGuard.filterFresh(ids(25L until 75L), "doc_id", g)
+    assert(mixed.as[Long].collect().sorted.toSeq == (50L until 75L))
+    val p = planOf(mixed)
+    assert(p.contains(s"$g/ids"), s"expected a ledger scan in: $p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters: [") && l.contains("bucket")
+        && !l.contains("PartitionFilters: []")),
+      s"the replay check must partition-prune the ledger scan: $p")
+
+    // full replay → nothing fresh; recording nothing is a no-op
+    assert(ReplayGuard.filterFresh(b1, "doc_id", g).count() == 0)
+    assert(ReplayGuard.record(ids(Seq.empty), "doc_id", g) == 0)
+  }
+
+  test("bloom outgrows capacity and rebuilds; lost bloom self-heals from ledger") {
+    val g = tmpDir("graft-guard-grow")
+    // tiny capacity forces the grow path within a few batches
+    ReplayGuard.bootstrap(spark, g, nBuckets = 8, estItems = 64)
+    (0 until 4).foreach { i =>
+      assert(ReplayGuard.record(ids(i * 100L until i * 100L + 100L), "doc_id", g) == 100)
+    }
+    // everything ever recorded is still rejected after the rebuilds
+    assert(ReplayGuard.filterFresh(
+      ids(0L until 400L), "doc_id", g).count() == 0)
+    assert(ReplayGuard.filterFresh(
+      ids(350L until 450L), "doc_id", g).as[Long].collect().sorted.toSeq
+      == (400L until 450L))
+
+    // the bloom is derivable state: deleting the file must not change
+    // answers (rebuilt from the ledger on next touch)
+    val fs = new org.apache.hadoop.fs.Path(g)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$g/bloom.bin"), false)
+    assert(ReplayGuard.filterFresh(ids(0L until 400L), "doc_id", g).count() == 0)
+    assert(ReplayGuard.filterFresh(ids(500L until 510L), "doc_id", g).count() == 10)
+    assert(ReplayGuard.record(ids(500L until 510L), "doc_id", g) == 10)
+    assert(ReplayGuard.filterFresh(ids(500L until 510L), "doc_id", g).count() == 0)
+  }
+
+  test("orphan detection and eviction re-admit a dropped id (both ingests)") {
+    // CorpusIngest: crash window = ledger + sigs written, corpus append
+    // never ran. Simulate by recording straight into the guard + store.
+    val root = tmpDir("graft-guard-rec")
+    val corpusDir = s"$root/corpus"; val sigDir = s"$root/sigs"
+    val docs = (0L until 20L).map(i =>
+      (i, s"document number $i with some distinct words ${i * 31}")).toDF("doc_id", "text")
+    assert(CorpusIngest.processBatch(docs, corpusDir, sigDir) == 20)
+    // orphan 777: ledgered + signed, absent from the corpus
+    val orphanDoc = Seq((777L, "a crashed admission that never landed")).toDF("doc_id", "text")
+    ReplayGuard.record(orphanDoc.select("doc_id"), "doc_id", s"${sigDir}_guard")
+    graft.llm.Dedup.minHashSignatures(orphanDoc, 3, 32)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigDir)
+    // its re-send is silently dropped — exactly the hazard reconcile closes
+    assert(CorpusIngest.processBatch(orphanDoc, corpusDir, sigDir) == 0)
+    assert(CorpusIngest.reconcile(spark, corpusDir, sigDir) == Seq(777L))
+    assert(CorpusIngest.reconcile(spark, corpusDir, sigDir, evict = true) == Seq(777L))
+    assert(CorpusIngest.processBatch(orphanDoc, corpusDir, sigDir) == 1)
+    assert(CorpusIngest.reconcile(spark, corpusDir, sigDir).isEmpty)
+    assert(spark.read.parquet(corpusDir).filter(col("doc_id") === 777L).count() == 1)
+
+    // VectorIngest: same window, vec_id ledgered but never indexed
+    val vroot = tmpDir("graft-guard-vec")
+    val emb = (0L until 32L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 2.0 + d).toFloat))).toDF("vec_id", "embedding")
+    VectorIngest.trainCentroids(emb, vroot, kCells = 4, iters = 2, dim = 8)
+    assert(VectorIngest.processBatch(emb, vroot) == 32)
+    val lost = Seq((99L, Array.tabulate(8)(d => math.cos(d * 1.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    ReplayGuard.record(lost.select("vec_id"), "vec_id", s"$vroot/guard")
+    assert(VectorIngest.processBatch(lost, vroot) == 0) // dropped
+    assert(VectorIngest.reconcile(spark, vroot) == Seq(99L))
+    assert(VectorIngest.reconcile(spark, vroot, evict = true) == Seq(99L))
+    assert(VectorIngest.processBatch(lost, vroot) == 1) // re-admitted
+    assert(VectorIngest.reconcile(spark, vroot).isEmpty)
+  }
+
+  test("a pre-guard store is migrated on first touch, replays still rejected") {
+    // a cells store written by the old code path (no guard dir)
+    val root = tmpDir("graft-guard-mig")
+    val emb = (0L until 48L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat))).toDF("vec_id", "embedding")
+    VectorIngest.trainCentroids(emb, root, kCells = 4, iters = 2, dim = 8)
+    assert(VectorIngest.processBatch(emb.filter(col("vec_id") < 24), root) == 24)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/guard"), true)
+    // next batch bootstraps the guard FROM the store: the 24 already-
+    // indexed ids must still be rejected, the 24 new ones admitted
+    assert(VectorIngest.processBatch(emb, root) == 24)
+    assert(spark.read.parquet(s"$root/cells").select("vec_id").distinct().count() == 48)
+  }
+}

@@ -65,6 +65,72 @@ class VectorIngestSpec extends SparkSpec {
       k = 2, nProbe = 2).count() == 2L)
   }
 
+  test("retrainAndSwap: old index until commit, new after; crash windows heal") {
+    val root = tmpDir("vindex4")
+    val all = (rows(0 until 8, 0) ++ rows(100 until 108, 1))
+      .toDF("vec_id", "embedding")
+    // deliberately BAD bootstrap: 1 cell trained on one cluster, so
+    // nProbe=1 probes the single cell holding everything
+    VectorIngest.trainCentroids(all.filter($"vec_id" < 8), root,
+      kCells = 1, iters = 3, dim = 4)
+    assert(VectorIngest.processBatch(all, root) == 16L)
+    val queries = (rows(0 until 2, 0) ++ rows(100 until 102, 1))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceKnn(all, queries, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val before = VectorIngest.ann(spark, root, queries, k = 3, nProbe = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(before == exact) // 1 cell = brute force, trivially
+
+    // ── crash BEFORE the commit marker: staged __new trees exist but
+    // probes must still serve the OLD index untouched (and not delete
+    // the staging of what could be an in-flight retrain)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$root/centroids__new"))
+    fs.mkdirs(new Path(s"$root/cells__new"))
+    assert(VectorIngest.ann(spark, root, queries, k = 3, nProbe = 1)
+      .as[(Long, Long, Long)].collect().toSet == exact)
+    assert(fs.exists(new Path(s"$root/centroids__new")),
+      "a reader must not roll back an uncommitted retrain")
+
+    // ── the real retrain: 2 cells over both clusters, swap commits
+    val n = VectorIngest.retrainAndSwap(spark, root, all, kCells = 2,
+      iters = 5, dim = 4)
+    assert(n == 16L)
+    assert(!fs.exists(new Path(s"$root/centroids__new")))
+    assert(!fs.exists(new Path(s"$root/cells__new")))
+    // post-swap, probing all cells is exact brute force again
+    assert(VectorIngest.ann(spark, root, queries, k = 3, nProbe = 2)
+      .as[(Long, Long, Long)].collect().toSet == exact)
+    // and the retrain actually changed the layout: 2 cells now, the
+    // clusters separated, nProbe=1 stays within the query's cluster
+    assert(spark.read.parquet(s"$root/cells")
+      .select("list_id").distinct().count() == 2L)
+    VectorIngest.ann(spark, root, queries, k = 3, nProbe = 1)
+      .as[(Long, Long, Long)].collect()
+      .foreach { case (q, nb, _) => assert((q < 100) == (nb < 100)) }
+    // replay guard survived the swap: the vector set is unchanged
+    assert(VectorIngest.processBatch(all, root) == 0L)
+
+    // ── crash AFTER the marker, before any rename: readers roll the
+    // swap forward. Simulate by staging a 1-cell retrain by hand.
+    val cents1 = graft.llm.KMeans.train(all, 1, 3, 4)
+    Similarity.centroidTable(spark, cents1)
+      .coalesce(1).write.parquet(s"$root/centroids__new")
+    Similarity.assignToCells(
+        spark.read.parquet(s"$root/cells").select("vec_id", "embedding"),
+        spark.read.parquet(s"$root/centroids__new"), "vec_id", keep = 1)
+      .write.partitionBy("list_id").parquet(s"$root/cells__new")
+    fs.create(new Path(s"$root/__retrain_commit"), false).close()
+    // first read heals forward to the committed 1-cell index
+    assert(VectorIngest.ann(spark, root, queries, k = 3, nProbe = 1)
+      .as[(Long, Long, Long)].collect().toSet == exact)
+    assert(!fs.exists(new Path(s"$root/__retrain_commit")))
+    assert(spark.read.parquet(s"$root/cells")
+      .select("list_id").distinct().count() == 1L)
+  }
+
   test("ann probing all cells is exact; nProbe=1 stays within the cluster") {
     val root = tmpDir("vindex2")
     val all = (rows(0 until 8, 0) ++ rows(100 until 108, 1))
