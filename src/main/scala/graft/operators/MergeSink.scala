@@ -54,6 +54,32 @@ object MergeSink {
     writeAtomic(merged, path)
   }
 
+  /** Guarded upsert of `batch` plus a hard prune in the SAME commit:
+    * `stale`, evaluated against the POST-merge table, names the rows to
+    * drop before the single atomic swap. This is the one-pass form of
+    * upsert-then-delete — the reference's entitlement delta
+    * (stripeSync.ts:1650-1660 upsert + :1683-1712 delete) runs it as two
+    * statements inside one transaction; on parquet each pass is a full
+    * table read + rewrite, so fusing them halves the sink's job count
+    * (and the webhook pipeline's micro-batch latency is job-launch
+    * bound at small batch sizes). */
+  def upsertPruneParquet(batch: DataFrame, dir: String, tdef: TableDef,
+                         stale: DataFrame => DataFrame,
+                         tsCol: String = "last_synced_at"): Unit = {
+    val spark = batch.sparkSession
+    val deduped = MergeOps.lwwLatest(
+      batch.filter(col(tdef.key).isNotNull), Seq(tdef.key), Seq(tsCol))
+    val path = s"$dir/${tdef.table}"
+    healInterruptedSwap(spark, path)
+    val merged =
+      if (Files.exists(Paths.get(path))) {
+        val target = spark.read.parquet(path)
+        MergeOps.mergeGuarded(target, deduped, tdef.key, tsCol)
+      } else deduped
+    val victims = stale(merged).select(col(tdef.key))
+    writeAtomic(merged.join(victims, Seq(tdef.key), "left_anti"), path)
+  }
+
   /** Hard delete by key (S10: `DELETE … WHERE id = :id`,
     * postgres.ts:17-25). */
   def deleteParquet(ids: DataFrame, dir: String, tdef: TableDef): Unit = {

@@ -98,7 +98,7 @@ object SinkQueries {
           // pool so wall time is one job launch, not 21 sequential ones
           // (job-launch overhead dominates counts at fixture scale)
           val pool = java.util.concurrent.Executors.newFixedThreadPool(
-            math.min(8, math.max(1, tables.size)))
+            math.min(16, math.max(1, tables.size)))
           try {
             val futs = tables.map { t =>
               pool.submit(new java.util.concurrent.Callable[(String, Long)] {

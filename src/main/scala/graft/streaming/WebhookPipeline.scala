@@ -75,7 +75,7 @@ class WebhookPipeline(tablesDir: String,
     if (groups.sizeIs <= 1) groups.foreach(run)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, groups.size))
+        math.min(16, groups.size))
       try {
         import scala.jdk.CollectionConverters._
         val tasks: java.util.List[java.util.concurrent.Callable[Unit]] =
@@ -174,26 +174,32 @@ class WebhookPipeline(tablesDir: String,
       .withColumn("updated_at", current_timestamp())
       .withColumn("last_synced_at", timestamp_seconds(col("__event_created")))
       .drop("__sub_id", "__event_created")
-    MergeSink.upsertParquet(projected, tablesDir, tdef)
-    // J3: items in the table for these subscriptions but absent from the
-    // incoming sets → deleted = true (markDeletedSubscriptionItems).
+    // J3 (markDeletedSubscriptionItems): items in the table for these
+    // subscriptions but absent from the incoming sets → deleted = true.
+    // The vanished set is computed against the PRE-merge table and
+    // UNIONED into the upsert batch, so upsert + deletion-flagging
+    // commit as ONE merge pass instead of two full read+rewrite passes
+    // (micro-batch latency is job-launch bound at webhook batch sizes).
+    // Pre- vs post-merge vanished sets are identical: the merge only
+    // adds/updates ids that are in the incoming set, and those are
+    // excluded from the set-difference by definition.
     val path = s"$tablesDir/${tdef.table}"
     val spark = events.sparkSession
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
-      val existing = spark.read.parquet(path)
-      val incomingSubs = projected.select("subscription").distinct()
-      val incomingIds = projected.select("id")
-      val vanished = MergeOps.setDiffDelete(
-        existing.join(incomingSubs, Seq("subscription"), "left_semi")
-          .filter(not(coalesce(col("deleted"), lit(false)))),
-        incomingIds, "id")
-      if (!vanished.isEmpty) {
+    val batch =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        val existing = spark.read.parquet(path)
+        val incomingSubs = projected.select("subscription").distinct()
+        val incomingIds = projected.select("id")
+        val vanished = MergeOps.setDiffDelete(
+          existing.join(incomingSubs, Seq("subscription"), "left_semi")
+            .filter(not(coalesce(col("deleted"), lit(false)))),
+          incomingIds, "id")
         val flagged = vanished.withColumn("deleted", lit(true))
           .withColumn("last_synced_at", current_timestamp())
-        MergeSink.upsertParquet(flagged.select(existing.columns.toIndexedSeq.map(col): _*),
-          tablesDir, tdef)
-      }
-    }
+          .select(projected.columns.toIndexedSeq.map(col): _*)
+        projected.unionByName(flagged)
+      } else projected
+    MergeSink.upsertParquet(batch, tablesDir, tdef)
   }
 
   /** J4 (stripeSync.ts:1650-1660 + :1683-1712): upsert the summary's
@@ -217,18 +223,16 @@ class WebhookPipeline(tablesDir: String,
       .withColumn("updated_at", current_timestamp())
       .withColumn("last_synced_at", timestamp_seconds(col("__event_created")))
       .drop("__cust_id", "__event_created")
-    MergeSink.upsertParquet(projected, tablesDir, tdef)
-    val path = s"$tablesDir/${tdef.table}"
-    val spark = events.sparkSession
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
-      val existing = spark.read.parquet(path)
-      val affected = projected.select("customer").distinct()
-      val stale = MergeOps.setDiffDelete(
-        existing.join(affected, Seq("customer"), "left_semi"),
-        projected.select("id"), "id")
-      if (!stale.isEmpty)
-        MergeSink.deleteParquet(stale.select("id"), tablesDir, tdef)
-    }
+    // upsert the current set and hard-delete the customer's rows not in
+    // it as ONE merge commit (the reference runs two statements in one
+    // transaction; two full parquet rewrites here would double the job
+    // count): the stale set is evaluated on the post-merge table inside
+    // upsertPruneParquet's single read+write pass.
+    MergeSink.upsertPruneParquet(projected, tablesDir, tdef, merged =>
+      MergeOps.setDiffDelete(
+        merged.join(projected.select("customer").distinct(),
+          Seq("customer"), "left_semi"),
+        projected.select("id"), "id"))
   }
 
   /** Structured Streaming driver: file-drop source of event JSON (one
