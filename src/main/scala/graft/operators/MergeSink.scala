@@ -80,6 +80,39 @@ object MergeSink {
     writeAtomic(merged.join(victims, Seq(tdef.key), "left_anti"), path)
   }
 
+  /** SCD2 history sink — the `mode=history` companion to the LWW
+    * mirror. The reference keeps ONLY latest state (every upsert
+    * overwrites, postgres.ts:181-204); this folds each batch into
+    * `dir/<table>__history` via [[MergeOps.scd2Merge]] so every distinct
+    * (key, event-time, payload) version becomes one `[valid_from,
+    * valid_to)` interval row. Exact redelivery is dropped by the
+    * identity guard and late events insert mid-history, renumbering only
+    * their own key — the same at-least-once idempotence as the guarded
+    * upsert, with per-batch cost scaling in the batch's key set, not the
+    * history size. `updated_at` (wall-clock bookkeeping) is dropped
+    * before the fold: it differs per delivery, so keeping it would make
+    * redelivered rows look like distinct versions. The remaining payload
+    * columns double as the deterministic tiebreak for equal event
+    * timestamps, so history content is independent of batch boundaries
+    * and delivery order (proven in WebhookPipelineSpec). */
+  def historyParquet(batch: DataFrame, dir: String, tdef: TableDef,
+                     tsCol: String = "last_synced_at"): Unit = {
+    val spark = batch.sparkSession
+    val clean = batch.filter(col(tdef.key).isNotNull).drop("updated_at")
+    val tieCols = clean.columns.filterNot(c => c == tdef.key || c == tsCol).toSeq
+    val path = s"$dir/${tdef.table}__history"
+    healInterruptedSwap(spark, path)
+    val merged =
+      if (Files.exists(Paths.get(path)))
+        MergeOps.scd2Merge(spark.read.parquet(path), clean,
+          Seq(tdef.key), tsCol, tieCols)
+      else
+        MergeOps.scd2History(
+          clean.dropDuplicates(tdef.key +: tsCol +: tieCols),
+          Seq(tdef.key), tsCol, tieCols)
+    writeAtomic(merged, path)
+  }
+
   /** Hard delete by key (S10: `DELETE … WHERE id = :id`,
     * postgres.ts:17-25). */
   def deleteParquet(ids: DataFrame, dir: String, tdef: TableDef): Unit = {

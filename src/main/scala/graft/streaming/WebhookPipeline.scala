@@ -12,7 +12,15 @@ import graft.sources.StripeEvents._
   * revalidateObjectsViaStripeApi (P8), `autoExpandLists` = A7. */
 final case class SyncConfig(
     revalidateTables: Set[String] = Set.empty,
-    autoExpandLists: Boolean = false)
+    autoExpandLists: Boolean = false,
+    /** Tables that ALSO maintain an SCD2 `<table>__history` store
+      * alongside the latest-state mirror ([[graft.operators.MergeSink
+      * .historyParquet]]) — the warehouse-grade extension the
+      * reference's latest-only model lacks. Soft-delete events
+      * (deleted-split upserts) append a tombstone version; hard
+      * deletes (S10) leave history intact by design — a history table
+      * exists precisely to outlive the row. */
+    historyTables: Set[String] = Set.empty)
 
 /** The webhook hot path (SURVEY §3.1), Spark-first:
   *
@@ -110,6 +118,8 @@ class WebhookPipeline(tablesDir: String,
         }
       }
     MergeSink.upsertParquet(rows, tablesDir, tdef)
+    if (config.historyTables(tdef.table))
+      MergeSink.historyParquet(rows, tablesDir, tdef)
     if (tdef.table == "subscriptions") normalizeSubscriptionItems(events)
     if (tdef.table == "checkout_sessions")
       fetcher.foreach { f =>
@@ -132,6 +142,8 @@ class WebhookPipeline(tablesDir: String,
           lit(true).as("deleted")))),
       "payload", syncTimestamp())
     MergeSink.upsertParquet(rows, tablesDir, tdef)
+    if (config.historyTables(tdef.table))
+      MergeSink.historyParquet(rows, tablesDir, tdef)
   }
 
   /** S10 hard delete. */
