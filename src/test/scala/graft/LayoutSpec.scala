@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import graft.functions.QuantileRank
 import graft.operators.Layout
@@ -87,5 +89,55 @@ class LayoutSpec extends SparkSpec {
     assert(linY >= 14, s"linear layout should touch ~all files, got $linY")
     assert(zY <= 8, s"z-order should prune most files on y, got $zY")
     assert(zY * 2 <= linY, s"z-order ($zY files) must at least halve linear ($linY)")
+  }
+
+  test("incremental maintenance: only the dirty partition is re-clustered, skipping restored, clean partition byte-identical") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 4096).map(i => (i, i % 2, rnd.nextInt(256), rnd.nextInt(256)))
+    val df = rows.toDF("id", "p", "x", "y")
+    val root = tmpDir("graft-zmaint")
+    Layout.writeZOrderedPartitioned(df, root, "p", Seq("x", "y"),
+      bits = 8, numFiles = 32)
+
+    def filesTouched(path: String, pred: String): Long =
+      spark.read.parquet(path).filter(pred)
+        .select(input_file_name()).distinct().count()
+    def md5s(dir: String): Map[String, String] = {
+      val d = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          p.getFileName.toString ->
+            md.digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString
+        }.toMap
+    }
+
+    // fresh layout: both partitions skip on the second clustered column
+    assert(filesTouched(s"$root/p=0", "y < 64") <= 8)
+    assert(filesTouched(s"$root/p=1", "y < 64") <= 8)
+
+    // raw appends land ONLY in p=1: 8 unclustered files spanning the full
+    // y range → skipping decays there and only there
+    val extra = (0 until 1024).map(i => (10000 + i, 1, rnd.nextInt(256), rnd.nextInt(256)))
+    Layout.appendRaw(extra.toDF("id", "p", "x", "y").repartition(8), root, "p")
+    assert(filesTouched(s"$root/p=1", "y < 64") > 8,
+      "raw appends should degrade skipping in the appended partition")
+
+    val p0Before = md5s(s"$root/p=0")
+    val (re1, sk1) = Layout.maintain(spark, root, Seq("x", "y"),
+      bits = 8, filesPerPartition = 16)
+    assert(re1 == 1 && sk1 == 1, s"expected (1 reclustered, 1 skipped), got ($re1, $sk1)")
+    // file-skipping bound restored in the dirty partition
+    assert(filesTouched(s"$root/p=1", "y < 64") <= 8)
+    // the clean partition was never rewritten: same files, byte-identical
+    assert(md5s(s"$root/p=0") == p0Before, "clean partition must be untouched")
+    // no rows lost; partition column still served by directory discovery
+    assert(spark.read.parquet(root).count() == 4096 + 1024)
+    assert(spark.read.parquet(root).filter("p = 1").count() == 2048 + 1024)
+    // nothing dirty anymore → second tick is a full no-op
+    val (re2, sk2) = Layout.maintain(spark, root, Seq("x", "y"))
+    assert(re2 == 0 && sk2 == 2)
+    assert(md5s(s"$root/p=0") == p0Before)
   }
 }
