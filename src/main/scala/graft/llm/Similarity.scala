@@ -276,7 +276,19 @@ object Similarity {
     * equi-join on (tbl, bucket). */
   def lshKnnComposite(emb: DataFrame, queries: DataFrame, k: Int,
                       planes: Int, dim: Int, tables: Int = 4,
-                      probeHamming: Int = 1): DataFrame = {
+                      probeHamming: Int = 1): DataFrame =
+    rankCandidates(
+      lshCompositeCandidates(emb, queries, planes, dim, tables, probeHamming),
+      emb, queries, k)
+
+  /** The candidate stage of [[lshKnnComposite]] alone: (query_id,
+    * neighbor_id) pairs that share a bucket within `probeHamming` in ANY
+    * of the L tables. Exposed so other consumers ([[marginMineAnn]]) can
+    * run a different scorer over the same retrieved neighborhoods; the
+    * join stays query-side-broadcast, corpus scanned once. */
+  def lshCompositeCandidates(emb: DataFrame, queries: DataFrame,
+                             planes: Int, dim: Int, tables: Int = 4,
+                             probeHamming: Int = 1): DataFrame = {
     val c = lshTableBuckets(emb, planes, dim, tables)
       .select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
     val masks: Seq[Long] = (0 until (1 << planes))
@@ -286,10 +298,38 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("tbl"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
           .as("bucket")))
-    val cand = q.join(c, Seq("tbl", "bucket"))
+    q.join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    rankCandidates(cand, emb, queries, k)
+  }
+
+  /** Margin mining over ANN-retrieved neighborhoods — [[marginMine]]'s
+    * 100 TB form. Candidates come from [[lshCompositeCandidates]]
+    * (composite multi-table × multi-probe LSH, corpus scanned once, no
+    * cross join anywhere); sims are computed only for candidate pairs
+    * via two equi-joins; the ratio margin is then [[marginFromSims]]
+    * over exactly those retrieved neighborhoods — which is how the
+    * production bitext miners compute it (the k-NN averages in Artetxe
+    * & Schwenk are over the RETRIEVED k, not the exact k). Recall vs
+    * exact [[marginMine]] is floor-asserted in LlmOpsSpec and rises
+    * with `tables`/`probeHamming` like any composite-LSH consumer. */
+  def marginMineAnn(embA: DataFrame, embB: DataFrame, kAvg: Int = 4,
+                    planes: Int = 6, dim: Int = 64, tables: Int = 4,
+                    probeHamming: Int = 1): DataFrame = {
+    val cand = lshCompositeCandidates(embB, embA, planes, dim, tables,
+        probeHamming)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"))
+    val a = broadcast(embA.select(col("vec_id").as("src_id"),
+        col("embedding").as("a_emb"), norm(col("embedding")).as("a_norm"))
+      .filter(col("a_norm") > 0))
+    val b = embB.select(col("vec_id").as("tgt_id"),
+        col("embedding").as("b_emb"), norm(col("embedding")).as("b_norm"))
+      .filter(col("b_norm") > 0)
+    val sims = cand.join(a, Seq("src_id")).join(b, Seq("tgt_id"))
+      .withColumn("sim", dot(col("a_emb"), col("b_emb")) /
+        (col("a_norm") * col("b_norm")))
+      .select("src_id", "tgt_id", "sim")
+    marginFromSims(sims, kAvg)
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into nLists Voronoi

@@ -98,4 +98,29 @@ class AnnRecallSpec extends SparkSpec {
     info(f"ivfKnnTrained recall@10 = $r%.3f")
     assert(r >= 0.6, f"ivfKnnTrained recall@10 $r%.3f below floor 0.6")
   }
+
+  test("marginMineAnn top-1 agreement with exact marginMine clears the floor") {
+    // q97's split, widened: 64 even-id sources mined against the odd-id
+    // targets. Exact = dense marginMine; ANN = the same ratio margin
+    // over composite-LSH retrieved neighborhoods. The score is top-1
+    // AGREEMENT (did ANN pick the same best target?), the metric that
+    // matters for mined-pair quality; it must rise with probe width
+    // like any composite-LSH consumer and clear an absolute floor at
+    // the production setting (L=4, h=2).
+    val srcs = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 128)
+    val tgts = emb.filter(col("vec_id") % 2 =!= 0)
+    val exactBest = Similarity.marginMine(srcs, tgts, kAvg = 4)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toMap
+    def agree(h: Int): Double = {
+      val got = Similarity.marginMineAnn(srcs, tgts, kAvg = 4,
+          planes = 6, dim = 64, tables = 4, probeHamming = h)
+        .select("src_id", "tgt_id").as[(Long, Long)].collect().toMap
+      exactBest.count { case (s, t) => got.get(s).contains(t) }.toDouble /
+        exactBest.size
+    }
+    val a1 = agree(1); val a2 = agree(2)
+    info(f"marginMineAnn top-1 agreement: h=1 $a1%.3f, h=2 $a2%.3f")
+    assert(a2 >= a1, f"agreement fell with probe width: h=1 $a1%.3f > h=2 $a2%.3f")
+    assert(a2 >= 0.25, f"marginMineAnn h=2 agreement $a2%.3f below floor 0.25")
+  }
 }
