@@ -19,19 +19,30 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as a raw
-    * long (`spark.sql.legacy.parquet.nanosAsLong`) and expose:
+  /** `events.parquet` has shipped in two physical layouts across driver
+    * generations, so the loader adapts on the footer schema and exposes a
+    * STABLE logical schema either way:
     *   - `ts_ns`: exact epoch nanoseconds (matches DuckDB `epoch_ns(ts)`) —
     *     use this for ordering/joins so no precision is lost;
-    *   - `ts`:    microsecond-truncated TimestampType for date/window logic.
-    * `DIV` keeps the ns→µs conversion in exact integer arithmetic.
+    *   - `ts`:    microsecond TimestampType for date/window logic.
+    * Layouts: (a) INT64 TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright (PARQUET_TYPE_ILLEGAL) — read nanos as a raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong`), `DIV 1000` in exact integer
+    * arithmetic for µs; (b) native TIMESTAMP(MICROS) (read as NTZ) — cast
+    * to TimestampType (exact under the session's UTC zone) and derive
+    * `ts_ns` as `unix_micros × 1000`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 
   /** Register every table as a temp view (the "Postgres mirror" analog —

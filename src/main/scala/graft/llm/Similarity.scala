@@ -285,10 +285,19 @@ object Similarity {
     * neighbor_id) pairs that share a bucket within `probeHamming` in ANY
     * of the L tables. Exposed so other consumers ([[marginMineAnn]]) can
     * run a different scorer over the same retrieved neighborhoods; the
-    * join stays query-side-broadcast, corpus scanned once. */
+    * join stays query-side-broadcast, corpus scanned once.
+    *
+    * `dropSelfPairs` controls the `query_id =!= neighbor_id` filter: it
+    * belongs to SELF-join consumers ([[lshKnnComposite]], where query and
+    * corpus are the same table and (i,i) is the degenerate self-match).
+    * Cross-corpus consumers ([[marginMineAnn]]) MUST pass false: the two
+    * sides have independent id namespaces, and an id-equal pair is a real
+    * candidate — in bitext mining with line-numbered corpora, (i,i) is
+    * often the true translation pair. */
   def lshCompositeCandidates(emb: DataFrame, queries: DataFrame,
                              planes: Int, dim: Int, tables: Int = 4,
-                             probeHamming: Int = 1): DataFrame = {
+                             probeHamming: Int = 1,
+                             dropSelfPairs: Boolean = true): DataFrame = {
     val c = lshTableBuckets(emb, planes, dim, tables)
       .select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
     val masks: Seq[Long] = (0 until (1 << planes))
@@ -298,9 +307,11 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("tbl"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
           .as("bucket")))
-    q.join(c, Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").distinct()
+    val joined = q.join(c, Seq("tbl", "bucket"))
+    val filtered =
+      if (dropSelfPairs) joined.filter(col("query_id") =!= col("neighbor_id"))
+      else joined
+    filtered.select("query_id", "neighbor_id").distinct()
   }
 
   /** Margin mining over ANN-retrieved neighborhoods — [[marginMine]]'s
@@ -310,14 +321,16 @@ object Similarity {
     * via two equi-joins; the ratio margin is then [[marginFromSims]]
     * over exactly those retrieved neighborhoods — which is how the
     * production bitext miners compute it (the k-NN averages in Artetxe
-    * & Schwenk are over the RETRIEVED k, not the exact k). Recall vs
-    * exact [[marginMine]] is floor-asserted in LlmOpsSpec and rises
-    * with `tables`/`probeHamming` like any composite-LSH consumer. */
+    * & Schwenk are over the RETRIEVED k, not the exact k). Agreement vs
+    * exact [[marginMine]] is floor-asserted in AnnRecallSpec and rises
+    * with `tables`/`probeHamming` like any composite-LSH consumer.
+    * Candidates keep id-equal cross-corpus pairs (`dropSelfPairs =
+    * false`): src and tgt ids are independent namespaces here. */
   def marginMineAnn(embA: DataFrame, embB: DataFrame, kAvg: Int = 4,
                     planes: Int = 6, dim: Int = 64, tables: Int = 4,
                     probeHamming: Int = 1): DataFrame = {
     val cand = lshCompositeCandidates(embB, embA, planes, dim, tables,
-        probeHamming)
+        probeHamming, dropSelfPairs = false)
       .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"))
     val a = broadcast(embA.select(col("vec_id").as("src_id"),
         col("embedding").as("a_emb"), norm(col("embedding")).as("a_norm"))

@@ -120,7 +120,12 @@ class AnnRecallSpec extends SparkSpec {
     }
     val a1 = agree(1); val a2 = agree(2)
     info(f"marginMineAnn top-1 agreement: h=1 $a1%.3f, h=2 $a2%.3f")
-    assert(a2 >= a1, f"agreement fell with probe width: h=1 $a1%.3f > h=2 $a2%.3f")
+    // Unlike recall under exact-cosine verify, margin AGREEMENT is not
+    // strictly monotone in the candidate set: extra candidates change the
+    // avgK denominators and can flip the best pick. Tolerance, not strict
+    // monotonicity (round-6 ADVICE) — the absolute floor is the real gate.
+    assert(a2 >= a1 - 0.1,
+      f"agreement fell sharply with probe width: h=1 $a1%.3f vs h=2 $a2%.3f")
     assert(a2 >= 0.25, f"marginMineAnn h=2 agreement $a2%.3f below floor 0.25")
   }
 }
