@@ -92,6 +92,13 @@ object Bench {
     // queries are listed under "cancelled" in the JSON.
     val best = new ConcurrentHashMap[String, Double]()
     val bestCancelled = new ConcurrentHashMap[String, Double]()
+    // completed-run counts + sequential passes finished: emitted in the
+    // JSON so a reader can tell a clean min-of-3 from a thrashed single
+    // cold pass (BENCH_r06 read 5x slower than r05 with zero code
+    // changes — one cold pass on a page-reclaiming host; without these
+    // fields that artifact is indistinguishable from regression).
+    val runs = new ConcurrentHashMap[String, Int]()
+    val passesDone = new java.util.concurrent.atomic.AtomicInteger(0)
 
     // Local-iteration knob: BENCH_ONLY=q55,q92 times just those queries
     // (exact name or prefix). Unset (the driver's case) → full inventory.
@@ -148,7 +155,11 @@ object Bench {
       // ADVICE). Cancelled queries still appear in "queries" (as their
       // elapsed lower bound) and are named in "cancelled".
       val total = results.collect { case (_, v, false) => v }.sum
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$cancelledField,"sf":"$sfDir"}"""
+      // singles = queries whose min is over ONE completed run (no
+      // cold-pass absorption): high singles => treat timings as upper
+      // bounds, not plan costs. ~30 extra bytes, inside the 2000 budget.
+      val singles = inventory.count(q => runs.getOrDefault(q.name, 0) == 1)
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":${passesDone.get},"singles":$singles,"queries":$qs$cancelledField,"sf":"$sfDir"}"""
     }
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def emitJson(): Unit = {
@@ -193,7 +204,10 @@ object Bench {
       val mark = if (cancelled) " CANCELLED" else ""
       Console.err.println(f"[bench] $tag ${q.name}%-24s $t%8.2fs elapsed=$elapsed%7.1fs$mark")
       if (cancelled) bestCancelled.merge(q.name, t, (a, b) => math.min(a, b))
-      else best.merge(q.name, t, (a, b) => math.min(a, b))
+      else {
+        best.merge(q.name, t, (a, b) => math.min(a, b))
+        runs.merge(q.name, 1, (a, b) => a + b)
+      }
     }
 
     // Sequential passes while budget remains: clean, uncontended mins.
@@ -204,6 +218,7 @@ object Bench {
           timeOne(q, s"seq$passes", math.min(queryTimeoutSec, deadlineSec - elapsed))
       }
       passes += 1
+      if (elapsed < deadlineSec) passesDone.incrementAndGet()
     }
 
     // Concurrent sweep for anything the deadline starved — guarantees a

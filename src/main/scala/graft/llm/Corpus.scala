@@ -58,6 +58,54 @@ object Corpus {
       .select(col("doc_id"), col("term"), col("score").cast("long").as("score"), col("rnk"))
   }
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones; k1 = 1.2, b = 0.75)
+    * — the lexical ranker next to [[tfIdfTopK]]'s per-doc term scoring:
+    * score(q, D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl)),
+    * idf(t) = (N−df+½)/(df+½) (log-free Robertson idf: monotone in the
+    * classic form, exact in integers).
+    *
+    * Every term score is ONE integer division of exact products —
+    * clearing denominators with T = total corpus tokens (avgdl = T/N):
+    *   denom·10T = 10T·tf + 3T + 9·dl·N,   numer·10T = 22T·tf
+    *   idf as a rational: (2(N−df)+1) / (2df+1)
+    *   score_ppm = (2(N−df)+1)·22·T·tf·1e6 DIV ((2df+1)·(10T·tf+3T+9·dl·N))
+    * in DECIMAL(38,0) (the oracle mirrors with HUGEINT), so per-term
+    * scores are cross-engine exact BIGINTs and the per-query sum is an
+    * order-free integer sum.
+    *
+    * Shape: tokens semi-join the (tiny, broadcast) query-term set BEFORE
+    * the tf aggregate, so the shuffle carries only matching terms; df
+    * comes from the same restricted tf table (df = docs containing t —
+    * restriction keeps it exact); doc lengths and the 1-row (N, T)
+    * globals join back broadcast. Final top-k is a per-query rank
+    * window. At 100 TB: one corpus scan, aggregates keyed by term /
+    * (doc, term), no all-pairs anything. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val qterms = broadcast(queries.select("term").distinct())
+    val tf = toks.join(qterms, "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(words(col("text"))).cast("long").as("dl"))
+    val globals = docs.select(count(lit(1)).as("n_docs"),
+      sum(size(words(col("text"))).cast("long")).as("t_tokens"))
+    val termScore = tf.join(broadcast(df_), "term")
+      .join(dl, "doc_id").crossJoin(broadcast(globals))
+      .withColumn("score", expr(
+        """CAST((2*(n_docs - df) + 1) AS DECIMAL(38,0)) * 22 * t_tokens * tf * 1000000
+          | DIV (CAST((2*df + 1) AS DECIMAL(38,0))
+          |      * (10*t_tokens*tf + 3*t_tokens + 9*dl*n_docs))"""
+          .stripMargin.replace("\n", "")))
+    val perQuery = broadcast(queries).join(termScore, "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("score")).cast("long").as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    perQuery.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "doc_id", "score", "rnk")
+  }
+
   /** Global top-n bigrams by document frequency then raw count —
     * vocabulary building. One explode + one aggregate; the final top-n
     * is a single-partition sort of an already-aggregated (small)

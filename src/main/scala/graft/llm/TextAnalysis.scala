@@ -106,6 +106,60 @@ object TextAnalysis {
         (col("top_tok_ppm") >= maxRepPpmFlag).cast("int"))
   }
 
+  /** Composite rule-based quality filter — the Gopher-rules family
+    * (Rae et al. 2021 §A1.1; also C4's heuristics): a document passes
+    * only if EVERY structural rule holds. Rules, all integer-exact:
+    *   r1 word count within [minTokens, maxTokens];
+    *   r2 mean word length within [3, 10] chars (ppm bounds) — under
+    *      the corpus single-space convention the token characters are
+    *      n_chars − (n_tokens − 1);
+    *   r3 symbol-to-word ratio below 10% — '#' characters plus '...'
+    *      runs, counted by length-difference after replace (substring
+    *      counting that every engine reproduces exactly);
+    *   r4 at least 80% of tokens contain an alphabetic character;
+    *   r5 at least `minStopKinds` DISTINCT stopwords appear (the
+    *      "real prose contains function words" test).
+    * Output keeps each rule as a 0/1 column plus a packed bitmask
+    * (r1·1 + r2·2 + r3·4 + r4·8 + r5·16) and the conjunction `pass` —
+    * downstream filters read one BIGINT, audits read the mask.
+    * Narrow per-row expressions, no shuffle: scan speed at 100 TB. */
+  def gopherRules(docs: DataFrame, minTokens: Long = 30L,
+                  maxTokens: Long = 100000L,
+                  minStopKinds: Int = 2): DataFrame = {
+    val w = words(col("text"))
+    val stopKinds = stopwords.map(s =>
+      when(array_contains(w, s), 1L).otherwise(0L)).reduce(_ + _)
+    val hashCnt = length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))
+    val ellipsisCnt = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3L)
+    val alphaCnt = size(filter(w, t => t.rlike("[A-Za-z]")))
+    docs.select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        (hashCnt + ellipsisCnt).cast("long").as("sym_cnt"),
+        alphaCnt.cast("long").as("alpha_cnt"),
+        stopKinds.as("stop_kinds"))
+      .withColumn("mwl_ppm",
+        expr("(n_chars - n_tokens + 1) * 1000000 DIV n_tokens"))
+      .withColumn("sym_ppm", expr("sym_cnt * 1000000 DIV n_tokens"))
+      .withColumn("alpha_ppm", expr("alpha_cnt * 1000000 DIV n_tokens"))
+      .withColumn("r1",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).cast("long"))
+      .withColumn("r2",
+        (col("mwl_ppm") >= 3000000L && col("mwl_ppm") <= 10000000L).cast("long"))
+      .withColumn("r3", (col("sym_ppm") < 100000L).cast("long"))
+      .withColumn("r4", (col("alpha_ppm") >= 800000L).cast("long"))
+      .withColumn("r5", (col("stop_kinds") >= minStopKinds).cast("long"))
+      .withColumn("rule_mask",
+        col("r1") + col("r2") * 2 + col("r3") * 4 + col("r4") * 8 + col("r5") * 16)
+      .withColumn("pass",
+        (col("r1") + col("r2") + col("r3") + col("r4") + col("r5") === 5L).cast("long"))
+      .select("doc_id", "n_tokens", "mwl_ppm", "sym_ppm", "alpha_ppm",
+        "stop_kinds", "rule_mask", "pass")
+  }
+
   /** PII detection / redaction: flag and mask email-shaped and long-
     * digit-run (phone/card-shaped) tokens. Patterns are deliberately in
     * the common regex subset Java (Spark) and RE2 (other engines) parse

@@ -648,6 +648,43 @@ object LlmQueries {
     ) { (s, dir) =>
       Multimodal.sampleFrames(Tables(s, dir, "documents"), stride = 64)
         .orderBy("doc_id", "frame_no")
+    },
+
+    // Gopher-rules composite quality filter (Rae et al. §A1.1): five
+    // structural rules as 0/1 columns + packed bitmask + conjunction.
+    // The oracle replays every rule in the same integer arithmetic.
+    Q("q109_gopher_rules",
+      """WITH b AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(replace(text, '#', ''))
+        |   + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS sym_cnt,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_cnt,
+        |  CAST((CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN list_contains(string_split(text, ' '), 'a') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN list_contains(string_split(text, ' '), 'of') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN list_contains(string_split(text, ' '), 'and') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN list_contains(string_split(text, ' '), 'to') THEN 1 ELSE 0 END) AS BIGINT) AS stop_kinds
+        | FROM documents),
+        | m AS (SELECT doc_id, n_tokens,
+        |   (n_chars - n_tokens + 1) * 1000000 // n_tokens AS mwl_ppm,
+        |   sym_cnt * 1000000 // n_tokens AS sym_ppm,
+        |   alpha_cnt * 1000000 // n_tokens AS alpha_ppm,
+        |   stop_kinds FROM b),
+        | r AS (SELECT *,
+        |   CASE WHEN n_tokens >= 30 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS r1,
+        |   CASE WHEN mwl_ppm BETWEEN 3000000 AND 10000000 THEN 1 ELSE 0 END AS r2,
+        |   CASE WHEN sym_ppm < 100000 THEN 1 ELSE 0 END AS r3,
+        |   CASE WHEN alpha_ppm >= 800000 THEN 1 ELSE 0 END AS r4,
+        |   CASE WHEN stop_kinds >= 2 THEN 1 ELSE 0 END AS r5
+        |  FROM m)
+        |SELECT doc_id, n_tokens, mwl_ppm, sym_ppm, alpha_ppm, stop_kinds,
+        | CAST(r1 + r2*2 + r3*4 + r4*8 + r5*16 AS BIGINT) AS rule_mask,
+        | CAST(CASE WHEN r1 + r2 + r3 + r4 + r5 = 5 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM r ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.gopherRules(Tables(s, dir, "documents")).orderBy("doc_id")
     }
   )
 }

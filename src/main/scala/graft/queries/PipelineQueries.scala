@@ -230,6 +230,41 @@ object PipelineQueries {
       Corpus.tfIdfTopK(Tables(s, dir, "documents"), 3).orderBy("doc_id", "rnk")
     },
 
+    // BM25 ranked retrieval (k1=1.2, b=0.75) over a 2-query term set —
+    // every term score one exact integer division after clearing
+    // denominators (see Corpus.bm25TopK); the oracle replays the same
+    // HUGEINT arithmetic, so scores hash-match bit for bit.
+    Q("q108_bm25_topk",
+      """WITH qt(query_id, term) AS (VALUES (1, 'join'), (1, 'hash'),
+        |   (2, 'vector'), (2, 'stream'), (2, 'window')),
+        | toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |        JOIN (SELECT DISTINCT term FROM qt) USING (term) GROUP BY 1, 2),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        | g AS (SELECT count(*) AS n_docs,
+        |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_tokens FROM documents),
+        | s AS (SELECT doc_id, term,
+        |        (CAST((2*(n_docs - df) + 1) AS HUGEINT) * 22 * t_tokens * tf * 1000000)
+        |          // (CAST((2*df + 1) AS HUGEINT)
+        |              * (10*t_tokens*tf + 3*t_tokens + 9*dl*n_docs)) AS score
+        |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
+        | p AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |        CAST(sum(score) AS BIGINT) AS score
+        |       FROM qt JOIN s USING (term) GROUP BY 1, 2),
+        | r AS (SELECT query_id, doc_id, score,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        |       FROM p)
+        |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val qt = Seq((1L, "join"), (1L, "hash"),
+        (2L, "vector"), (2L, "stream"), (2L, "window")).toDF("query_id", "term")
+      Corpus.bm25TopK(Tables(s, dir, "documents"), qt, k = 10)
+        .orderBy("query_id", "rnk")
+    },
+
     Q("q57_hash_sample",
       """SELECT doc_id, lang FROM documents
         |WHERE list_reduce(list_prepend(CAST(7 AS BIGINT),

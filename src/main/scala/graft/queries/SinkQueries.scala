@@ -69,6 +69,41 @@ object SinkQueries {
       } finally rm(new java.io.File(root))
     },
 
+    // qs2's value-checked companion (round-5 verdict stretch #8): at
+    // nProbe = kCells every cell is probed, so the served result is
+    // EXACT brute-force cosine top-k over the indexed vectors — cell-
+    // boundary drift from k-means partition-order summation (the reason
+    // qs2 is rows-only) cannot change the answer. The check runs INSIDE
+    // the query: served vs [[Similarity.bruteForceKnn]] by exceptAll in
+    // both directions, emitted as deterministic counts — only_exact and
+    // only_served are 0 on every correct run, so the driver's rows-only
+    // compare doubles as a real pass/fail gate. Named qs3 (not
+    // qs2_exact) because the bench JSON keys queries by their
+    // first-underscore prefix and a second qs2_* would collide.
+    Q.noOracle("qs3_exact_ann") { (s, dir) =>
+      import s.implicits._
+      val emb = graft.Tables(s, dir, "embeddings")
+      val root = Files.createTempDirectory("graft_annexact").toString
+      try {
+        val kCells = 8
+        graft.streaming.VectorIngest.trainCentroids(
+          emb.filter(col("vec_id") < 1024), root, kCells = kCells, iters = 2)
+        graft.streaming.VectorIngest.processBatch(emb, root)
+        val queries = emb.filter(col("vec_id") < 32)
+        val served = graft.streaming.VectorIngest.ann(
+          s, root, queries, k = 10, nProbe = kCells)
+        val exact = graft.llm.Similarity.bruteForceKnn(emb, queries, k = 10)
+        // collected EAGERLY: the index dir is deleted in the finally, so
+        // the returned frame must not re-read it lazily
+        val onlyServed = served.exceptAll(exact).count()
+        val onlyExact = exact.exceptAll(served).count()
+        val total = served.count()
+        Seq(("agree_rows", total - onlyServed),
+            ("only_exact", onlyExact), ("only_served", onlyServed))
+          .toDF("key", "n").orderBy("key")
+      } finally rm(new java.io.File(root))
+    },
+
     Q.noOracle("qs1_webhook_sink") { (s, _) =>
       import s.implicits._
       val batches = sys.env.getOrElse("BENCH_SINK_BATCHES", "1").toInt

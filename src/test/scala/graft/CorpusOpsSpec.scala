@@ -8,6 +8,34 @@ import graft.llm.{Clusters, Corpus}
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bm25TopK: hand-computed scores, ranking, and absent-doc exclusion") {
+    // N=3 docs, T=15 tokens, df(join)=2 -> idf = 3/5 exactly.
+    // d1 (tf=3): score = 3*(22*15*3)*1e6 DIV (5*(10*15*3+3*15+9*5*3))
+    //          = 2_970_000_000 DIV 3150 = 942857
+    // d2 (tf=1): tf-part is exactly 1 -> score = 3*1e6 DIV 5 = 600000
+    // d3 has no query term -> no row at all (not a zero-scored row).
+    val docs = Seq(
+      (1L, "join join join filler filler"),
+      (2L, "join filler filler filler filler"),
+      (3L, "filler filler filler filler filler")).toDF("doc_id", "text")
+    val qt = Seq((7L, "join")).toDF("query_id", "term")
+    val r = Corpus.bm25TopK(docs, qt, k = 10)
+      .select("query_id", "doc_id", "score", "rnk")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    assert(r.toSeq == Seq((7L, 1L, 942857L, 1L), (7L, 2L, 600000L, 2L)))
+  }
+
+  test("bm25TopK: length normalization prefers the shorter doc at equal tf") {
+    val docs = Seq(
+      (1L, "term alpha"),
+      (2L, "term " + Seq.fill(20)("pad").mkString(" ")),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val qt = Seq((1L, "term")).toDF("query_id", "term")
+    val r = Corpus.bm25TopK(docs, qt, k = 1)
+      .select("doc_id").as[Long].collect()
+    assert(r.toSeq == Seq(1L)) // same tf=1, dl 2 vs 21: short doc wins
+  }
+
   test("connectedComponents of an empty edge list is empty, not a crash") {
     // regression: the label-sum convergence probe must normalize the
     // NULL sum an empty labels table aggregates to (a clean corpus with

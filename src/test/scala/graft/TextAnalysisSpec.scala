@@ -22,6 +22,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1) == ((6L, 6L, 1L, 1L * 1000000 / 6, 0)))
   }
 
+  test("gopherRules: each rule trips on its planted violation") {
+    val good = "the a of and to " + Seq.fill(25)("word").mkString(" ")
+    val docs = Seq(
+      (0L, good),                                   // all five rules pass
+      (1L, "just five tiny words here"),            // r1 (count), r5 (stops)
+      (2L, Seq.fill(30)("##").mkString(" ")),       // r2 (mwl), r3 (sym), r4, r5
+      (3L, "the a " + Seq.fill(28)("12345").mkString(" "))) // r4 (alpha)
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs).orderBy("doc_id")
+      .select("n_tokens", "rule_mask", "pass")
+      .as[(Long, Long, Long)].collect()
+    assert(r(0) == ((30L, 31L, 1L)))
+    // doc1: r2+r3+r4 pass -> mask 2+4+8
+    assert(r(1) == ((5L, 14L, 0L)))
+    // doc2: only r1 passes (30 tokens): mwl 2e6 < 3e6, sym 2e6 >= 1e5,
+    // alpha 0, stops 0 -> mask 1
+    assert(r(2) == ((30L, 1L, 0L)))
+    // doc3: 30 tokens, mwl = (3+1+28*5)/30 = 4.8e6 ok, sym 0 ok,
+    // alpha 2/30 < 80%, stops the+a = 2 ok -> mask 1+2+4+16 = 23
+    assert(r(3) == ((30L, 23L, 0L)))
+  }
+
   test("piiScrub redacts emails and digit runs, keeps clean text intact") {
     val docs = Seq(
       (0L, "contact alice.smith+dev@example.co.uk or call 123456789 now"),
