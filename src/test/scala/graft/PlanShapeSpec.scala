@@ -61,6 +61,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!comp.contains("CartesianProduct"), "composite ANN went cartesian")
   }
 
+  test("bm25 keeps the query-term set broadcast and never goes cartesian") {
+    val p = planOf("q108_bm25_topk")
+    assert(!p.contains("CartesianProduct"), "bm25 plans a cartesian product")
+    // the term semi-join and the per-query scoring join must both ride
+    // broadcasts: the corpus-sized side is shuffled only for its own
+    // (doc, term) aggregate, never against the query table
+    assert(p.contains("BroadcastHashJoin"), "bm25 lost its broadcast joins")
+  }
+
   test("ANN candidate joins are hash joins, not nested loops") {
     for (q <- Seq("q36_ann_lsh", "q42_ann_ivf", "q74_bucketed_neardup")) {
       val p = planOf(q)
