@@ -62,7 +62,7 @@ object HyperLogLog {
   val Mult2 = 1597334677L
   val Mask31 = 0x7FFFFFFFL
 
-  private def scramble(h0: Column): Column = {
+  private[functions] def scramble(h0: Column): Column = {
     // Fold the top bit down before the & Mask31 reductions: without this,
     // inputs differing only in bit 31 of poly_hash collide (31-bit
     // effective width). xor(h0, h0>>16) moves bit 31 into bit 15, which

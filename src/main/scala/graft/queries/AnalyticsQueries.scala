@@ -283,6 +283,42 @@ object AnalyticsQueries {
         .orderBy("o_orderstatus")
     },
 
+    // Count-Min frequency sketch (the frequency sketch next to q40's
+    // HLL): the Spark side builds TWO per-batch register states (docs
+    // split by id parity) and merges them (sum per cell); the oracle
+    // builds ONE sketch over the full token stream. A hash match proves
+    // merge(state(A), state(B)) == state(A ⊎ B) exactly, and the
+    // emitted overcount column (est − true) is the sketch's one-sided
+    // error made visible — always ≥ 0.
+    Q("q110_count_min", {
+      val est = graft.functions.CountMin.sketchSql(
+        "unnest(string_split(text, ' '))", "documents",
+        "(VALUES ('join'), ('hash'), ('scan'), ('the'), ('vector'), ('spark')) t(v)",
+        "est")
+      s"""WITH truth AS (SELECT term, count(*) AS true_cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         |  GROUP BY 1)
+         |SELECT e.v AS term, e.est, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+         | CAST(e.est - t.true_cnt AS BIGINT) AS overcount
+         |FROM $est e JOIN truth t ON t.term = e.v
+         |ORDER BY term""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val regs = graft.functions.CountMin.mergeRegisters(
+        graft.functions.CountMin.registers(
+          toks.filter(col("doc_id") % 2 === 0), "term"),
+        graft.functions.CountMin.registers(
+          toks.filter(col("doc_id") % 2 =!= 0), "term"))
+      val qt = Seq("join", "hash", "scan", "the", "vector", "spark").toDF("term")
+      val est = graft.functions.CountMin.estimate(regs, qt, "term")
+      val truth = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+      est.join(truth, "term")
+        .withColumn("overcount", (col("est") - col("true_cnt")).cast("long"))
+        .orderBy("term")
+    },
+
     // Incremental QUANTILE maintenance: per-batch histogram states
     // (orders split by key parity) merge exactly — sum per (key,
     // bucket) — and per-status percentiles are read off the MERGED

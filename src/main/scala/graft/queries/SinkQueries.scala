@@ -48,6 +48,13 @@ object SinkQueries {
     // order, so cell boundaries (and per-query candidate counts below
     // k) may drift run to run — never promote this to a value check.
     // State is a temp dir torn down after counting, like qs1.
+    // Cost attribution at fixture scale: the O(batch) ReplayGuard
+    // (bloom read/merge/write + bucketed ledger append) adds ~4 tiny
+    // jobs per batch on top of assign+append — launch overhead, like
+    // qs1's merge fan-out, which is why this entry runs ~2x its
+    // pre-guard (round-5) time. At real batch sizes the guard is a rounding
+    // error; the thing it replaced (anti-joining each batch against
+    // the WHOLE index) was the actual scale killer.
     Q.noOracle("qs2_ann_index") { (s, dir) =>
       import s.implicits._
       val emb = graft.Tables(s, dir, "embeddings")

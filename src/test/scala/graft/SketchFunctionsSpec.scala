@@ -26,6 +26,27 @@ class SketchFunctionsSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("count-min: one-sided error, exact on a sparse sketch, merge == full build") {
+    import graft.functions.CountMin
+    val toks = (0 until 5000).map(i => (i.toLong, s"tok${i % 97}")).toDF("id", "term")
+    val full = CountMin.registers(toks, "term")
+    // merge of any batch split equals the one-shot sketch exactly
+    val merged = CountMin.mergeRegisters(
+      CountMin.registers(toks.filter(col("id") % 2 === 0), "term"),
+      CountMin.registers(toks.filter(col("id") % 2 =!= 0), "term"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    // 97 distinct terms in 4x2048 cells: collisions are possible but the
+    // estimate can only OVERcount; with uniform true counts (5000/97) the
+    // min-over-4-rows is exact unless a term collides in every row
+    val truth = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+    val est = CountMin.estimate(full, toks.select("term").distinct(), "term")
+    val joined = est.join(truth, "term")
+      .select(col("est"), col("true_cnt")).as[(Long, Long)].collect()
+    assert(joined.forall { case (e, t) => e >= t }, "count-min undercounted")
+    assert(joined.count { case (e, t) => e == t } >= 90,
+      "far more all-row collisions than 4 independent rows should give")
+  }
+
   test("HyperLogLog estimate lands within 5% of the exact count") {
     // 20k distinct keys over 2 groups: n/m ≈ 20 — squarely in the raw-HLL
     // regime the estimator targets (stderr ≈ 1.04/sqrt(1024) ≈ 3.3%).
