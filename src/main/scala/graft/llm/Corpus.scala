@@ -106,6 +106,108 @@ object Corpus {
       .select("query_id", "doc_id", "score", "rnk")
   }
 
+  /** Adjacent-pair column over a segmentation array, keyed
+    * "lhs rhs" (single space — the one character no segment can
+    * contain, so the key splits back losslessly). Guarded against
+    * Spark's descending `sequence(1, 0)` surprise on short docs. */
+  private def adjacentPairs(seg: Column): Column =
+    when(size(seg) >= 2,
+      expr("transform(sequence(1, size(seg)-1), " +
+        "j -> concat(element_at(seg, j), ' ', element_at(seg, j+1)))"))
+      .otherwise(array().cast("array<string>"))
+
+  /** One BPE merge applied left-to-right greedy (the standard
+    * non-overlapping rule: "a a a" under merge(a,a) → ["a~a", "a"]):
+    * a linear array fold, narrow and codegen'd — corpus application
+    * is scan-speed per merge rank. */
+  private def applyMerge(seg: Column, lhs: String, rhs: String,
+                         sep: String): Column =
+    aggregate(seg, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+             element_at(acc, -1) === lit(lhs) && x === lit(rhs),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(lit(lhs + sep + rhs))))
+        .otherwise(concat(acc, array(x))))
+
+  /** BPE-style merge learning (Sennrich et al. 2016) over ANY initial
+    * segmentation: nMerges rounds of [count adjacent pairs → take the
+    * global argmax (ties on pair string ascending) → fuse that pair
+    * everywhere, left-to-right greedy]. Word-level segments learn
+    * phrase merges; character-level segments give classic BPE
+    * (CorpusOpsSpec runs the canonical char-level example).
+    *
+    * Returns the merge table (rank, lhs, rhs, pair_cnt) — the trained
+    * tokenizer artifact; [[mergeApply]] replays it over a corpus.
+    *
+    * Scale shape: each round is one explode + one map-side-combined
+    * count aggregate + a 1-ROW collect (the argmax — the KMeans
+    * driver-side pattern, k rows total over the whole run) + one
+    * narrow fold, with the segmentation re-staged per round so round
+    * i's plan does not re-run rounds 0..i−1. Vocabulary training at
+    * 100 TB runs on a sample (as every production tokenizer does);
+    * full-corpus APPLICATION is [[mergeApply]]'s nMerges narrow folds
+    * at scan speed. */
+  def mergeTrain(segs: DataFrame, nMerges: Int,
+                 sep: String = "~"): DataFrame = {
+    val spark = segs.sparkSession
+    import spark.implicits._
+    var cur = segs
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val top = cur.select(explode(adjacentPairs(col("seg"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).as[(String, Long)].collect()
+      top.headOption match {
+        case None => exhausted = true // every doc is a single segment
+        case Some((pair, cnt)) =>
+          val Array(lhs, rhs) = pair.split(" ", 2)
+          out += ((i.toLong, lhs, rhs, cnt))
+          cur = Stage(cur.withColumn("seg",
+            applyMerge(col("seg"), lhs, rhs, sep)))
+          i += 1
+      }
+    }
+    out.toSeq.toDF("rank", "lhs", "rhs", "pair_cnt")
+  }
+
+  /** Apply a trained merge table in rank order: one narrow fold per
+    * rank, no shuffle — the full-corpus tokenization pass. */
+  def mergeApply(segs: DataFrame, merges: Seq[(String, String)],
+                 sep: String = "~"): DataFrame =
+    merges.foldLeft(segs) { case (df, (lhs, rhs)) =>
+      df.withColumn("seg", applyMerge(col("seg"), lhs, rhs, sep))
+    }
+
+  /** The whole [[mergeTrain]] loop as DuckDB SQL for oracle queries —
+    * nMerges statically unrolled CTE rounds over `segExpr` drawn from
+    * `from`; each round's fold mirrors [[applyMerge]]'s greedy rule
+    * and each argmax mirrors the (cnt DESC, pair ASC) tie-break. */
+  def mergeTrainSql(segExpr: String, from: String, nMerges: Int,
+                    sep: String = "~"): String = {
+    val rounds = (0 until nMerges).map { i =>
+      s""" p$i AS (SELECT unnest(list_transform(range(1, len(seg)),
+         |   j -> seg[j] || ' ' || seg[j+1])) AS pair FROM seg$i),
+         | b$i AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p$i
+         |         GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+         | seg${i + 1} AS (SELECT doc_id, list_reduce(list_transform(seg, t -> [t]),
+         |   (acc, x) -> CASE WHEN len(acc) > 0 AND (acc[-1] || ' ' || x[1]) = b.pair
+         |               THEN acc[1:len(acc)-1] || [acc[-1] || '$sep' || x[1]]
+         |               ELSE acc || x END) AS seg
+         |   FROM seg$i CROSS JOIN b$i b)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (0 until nMerges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, split_part(pair, ' ', 1) AS lhs,
+         | split_part(pair, ' ', 2) AS rhs, cnt AS pair_cnt FROM b$i""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""(WITH seg0 AS (SELECT doc_id, $segExpr AS seg FROM $from),
+       |$rounds
+       |SELECT * FROM ($unioned))""".stripMargin
+  }
+
   /** Global top-n bigrams by document frequency then raw count —
     * vocabulary building. One explode + one aggregate; the final top-n
     * is a single-partition sort of an already-aggregated (small)

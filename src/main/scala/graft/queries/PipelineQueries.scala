@@ -265,6 +265,21 @@ object PipelineQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // BPE-style merge learning (tokenizer training): 5 rounds of
+    // global-argmax pair fusion over word-level segments. The oracle
+    // statically unrolls the same loop — per-round pair counts,
+    // (cnt DESC, pair ASC) argmax, and the greedy left-to-right fold —
+    // so the learned merge table matches rank for rank.
+    Q("q111_bpe_merges",
+      Corpus.mergeTrainSql("string_split(text, ' ')", "documents",
+        nMerges = 5) + " ORDER BY rank"
+    ) { (s, dir) =>
+      Corpus.mergeTrain(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("seg")),
+        nMerges = 5).orderBy("rank")
+    },
+
     Q("q57_hash_sample",
       """SELECT doc_id, lang FROM documents
         |WHERE list_reduce(list_prepend(CAST(7 AS BIGINT),

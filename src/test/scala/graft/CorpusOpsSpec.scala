@@ -36,6 +36,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq(1L)) // same tf=1, dl 2 vs 21: short doc wins
   }
 
+  test("mergeTrain: classic char-level BPE on a planted corpus") {
+    // corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3 (the
+    // Sennrich et al. running example, one word per doc). Pair counts
+    // round 0: (e,s) 9, (s,t) 9, ... -> argmax tie (e,s)/(s,t) breaks
+    // on pair string: "e s" < "s t" -> merge (e, s) first.
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val segs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w.map(_.toString)) }
+      .toDF("doc_id", "seg")
+    val m = graft.llm.Corpus.mergeTrain(segs, nMerges = 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(m(0) == ((0L, "e", "s", 9L)))
+    // round 1: ("e~s", t) appears 9 times -> fused next
+    assert(m(1) == ((1L, "e~s", "t", 9L)))
+    // round 2: newest=6 of (w, "e~s~t"); widest=3 of (d, "e~s~t");
+    // (l,o)=7 from low+lower wins
+    assert(m(2) == ((2L, "l", "o", 7L)))
+    // application replays the learned merges left-to-right greedily
+    val applied = graft.llm.Corpus.mergeApply(segs,
+        m.map(x => (x._2, x._3)))
+      .filter(col("doc_id") === 7L) // a "newest" doc
+      .select("seg").as[Seq[String]].head()
+    assert(applied == Seq("n", "e", "w", "e~s~t"))
+  }
+
+  test("mergeTrain stops early when no adjacent pairs remain") {
+    val segs = Seq((1L, Seq("a")), (2L, Seq("b"))).toDF("doc_id", "seg")
+    assert(graft.llm.Corpus.mergeTrain(segs, nMerges = 4).count() == 0L)
+  }
+
   test("connectedComponents of an empty edge list is empty, not a crash") {
     // regression: the label-sum convergence probe must normalize the
     // NULL sum an empty labels table aggregates to (a clean corpus with
