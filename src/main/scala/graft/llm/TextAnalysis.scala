@@ -240,6 +240,29 @@ object TextAnalysis {
         expr("sum(term) DIV count(*)").as("score_ppm"))
   }
 
+  /** Per-doc n-gram NOVELTY — the memorization/near-dup risk signal
+    * that complements [[lexicalDiversity]] (within-doc) with a
+    * cross-corpus axis: of a doc's distinct token n-grams, what
+    * fraction appears in NO other document (corpus doc-frequency 1)?
+    * Boilerplate and near-copies score low; original text scores high.
+    * Integer ppm so the oracle hash-matches.
+    *
+    * Scale shape: explode → per-doc-distinct grams → gram df aggregate
+    * (map-side combined) → one keyed join back. The df table is
+    * gram-vocabulary-sized (Zipf-long but keyed — the same shape as
+    * [[bigramLmScore]]'s count tables); nothing is ever all-pairs.
+    * Docs with fewer than n tokens have no grams and emit no row. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val g = docs.select(col("doc_id"),
+        explode(graft.functions.TokenNgrams.token_ngrams(col("text"), n)).as("gram"))
+      .distinct()
+    val df_ = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    g.join(df_, "gram").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") === 1, 1)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 DIV n_grams"))
+  }
+
   /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
     * the MOSS algorithm): hash every positional k-token gram, slide a
     * window of `w` consecutive hashes, keep each window's minimum.

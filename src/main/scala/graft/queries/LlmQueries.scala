@@ -685,6 +685,28 @@ object LlmQueries {
         |FROM r ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       TextAnalysis.gopherRules(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Trigram novelty: fraction of a doc's distinct trigrams appearing
+    // in no other doc — the cross-corpus originality signal next to
+    // q102's within-doc diversity. Low = boilerplate / near-copy.
+    Q("q112_trigram_novelty",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | g AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(l) - 1),
+        |           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
+        |       FROM t WHERE len(l) >= 3),
+        | df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+        | s AS (SELECT doc_id, count(*) AS n_grams,
+        |        count(*) FILTER (df = 1) AS n_novel
+        |       FROM g JOIN df USING (gram) GROUP BY 1)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        | CAST(n_novel AS BIGINT) AS n_novel,
+        | CAST(n_novel * 1000000 // n_grams AS BIGINT) AS novelty_ppm
+        |FROM s ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.ngramNovelty(Tables(s, dir, "documents"), 3)
+        .orderBy("doc_id")
     }
   )
 }

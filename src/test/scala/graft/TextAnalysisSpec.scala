@@ -44,6 +44,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3) == ((30L, 23L, 0L)))
   }
 
+  test("ngramNovelty: copies score 0, originals score high, short docs emit no row") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),  // shares all grams with doc 1
+      (1L, "alpha beta gamma delta epsilon"),  // exact copy
+      (2L, "one two three four five"),         // fully original
+      (3L, "too short")                        // < 3 tokens -> no row
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramNovelty(docs, 3).orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_novel", "novelty_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq(
+      (0L, 3L, 0L, 0L), (1L, 3L, 0L, 0L), (2L, 3L, 3L, 1000000L)))
+  }
+
   test("piiScrub redacts emails and digit runs, keeps clean text intact") {
     val docs = Seq(
       (0L, "contact alice.smith+dev@example.co.uk or call 123456789 now"),
