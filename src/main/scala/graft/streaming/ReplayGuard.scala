@@ -246,6 +246,13 @@ object ReplayGuard {
     }
     ids.select(col(idCol).as("id"),
         pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).as("bucket"))
+      // repartition BY BUCKET before the partitioned write: without it
+      // every task writes a file into every bucket it happens to hold —
+      // ~tasks x buckets tiny files PER BATCH (measured ~4k at bench
+      // scale); with it each bucket lives in exactly one task, so a
+      // batch appends at most one file per touched bucket. The shuffle
+      // is batch-sized — the cheap side of the trade at any scale.
+      .repartition(col("bucket"))
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(idsPath(guardDir))
     n
   }

@@ -115,7 +115,8 @@ object VectorIngest {
     val reassigned = Similarity.assignToCells(
       spark.read.parquet(cellsPath(root)).select("vec_id", "embedding"),
       spark.read.parquet(centNew), "vec_id", keep = 1)
-    reassigned.write.partitionBy("list_id").parquet(cellsNew)
+    reassigned.repartition(col("list_id"))
+      .write.partitionBy("list_id").parquet(cellsNew)
     val n = spark.read.parquet(cellsNew).count()
     fs.create(markerPath(root), false).close() // the commit point
     healRetrainSwap(spark, root)               // roll our own swap forward
@@ -158,7 +159,13 @@ object VectorIngest {
     // never a duplicate vector. The count rides the guard's aggregate.
     val n = ReplayGuard.record(assigned.select("vec_id"), "vec_id", guardDir)
     if (n > 0)
-      assigned.write.mode(SaveMode.Append).partitionBy("list_id").parquet(path)
+      // repartition by cell before the partitioned write (same reason as
+      // ReplayGuard.record): otherwise every task appends a file into
+      // every cell it holds — tasks x cells tiny files per batch; with
+      // it, at most one file per touched cell. compactCells still owns
+      // long-horizon consolidation.
+      assigned.repartition(col("list_id"))
+        .write.mode(SaveMode.Append).partitionBy("list_id").parquet(path)
     n
   }
 
