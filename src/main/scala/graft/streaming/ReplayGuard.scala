@@ -257,6 +257,32 @@ object ReplayGuard {
     n
   }
 
+  /** LEDGER COMPACTION — the maintenance job the append-per-batch
+    * layout needs over a long horizon (one file per touched bucket per
+    * batch; [[VectorIngest.compactCells]]'s problem, same cure):
+    * rewrite `ids/` to one file per bucket via the heal-safe atomic
+    * swap, preserving the bucket partitioning the pruned anti-join
+    * depends on. Quiesce record() while it runs (same contract as
+    * every compactor here); filterFresh readers heal forward.
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, guardDir: String): (Int, Int) = {
+    val path = idsPath(guardDir)
+    graft.operators.MergeSink.healInterruptedSwap(spark, path)
+    val fs = fsOf(spark, guardDir)
+    if (!fs.exists(new Path(path))) return (0, 0)
+    def countFiles: Int = {
+      val it = fs.listFiles(new Path(path), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = countFiles
+    val df = spark.read.parquet(path)
+    graft.operators.MergeSink.writeAtomic(
+      df.repartition(col("bucket")), path, partitionBy = Seq("bucket"))
+    (before, countFiles)
+  }
+
   /** Every recorded id (the exact ledger), for reconciliation. */
   def knownIds(spark: SparkSession, guardDir: String, as: String): DataFrame = {
     graft.operators.MergeSink.healInterruptedSwap(spark, idsPath(guardDir))

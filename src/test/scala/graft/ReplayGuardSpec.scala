@@ -51,6 +51,26 @@ class ReplayGuardSpec extends SparkSpec {
     assert(ReplayGuard.record(ids(Seq.empty), "doc_id", g) == 0)
   }
 
+  test("ledger compaction: one file per bucket, ids preserved, replays still drop") {
+    val g = tmpDir("graft-guard-compact")
+    ReplayGuard.bootstrap(spark, g, nBuckets = 8)
+    (0 until 5).foreach { i =>
+      assert(ReplayGuard.record(ids(i * 10L until i * 10L + 10L), "doc_id", g) == 10)
+    }
+    val before = ReplayGuard.knownIds(spark, g, "id").as[Long].collect().sorted.toSeq
+    val (nBefore, nAfter) = ReplayGuard.compact(spark, g)
+    // 5 appends over 8 buckets -> well over 8 files before; exactly one
+    // per non-empty bucket after
+    assert(nBefore > 8, s"expected a pre-compaction file swamp, got $nBefore")
+    assert(nAfter <= 8, s"compaction must leave <= one file per bucket, got $nAfter")
+    assert(ReplayGuard.knownIds(spark, g, "id").as[Long].collect().sorted.toSeq == before)
+    // the guard still rejects replays and admits fresh ids afterwards
+    assert(ReplayGuard.filterFresh(ids(0L until 60L), "doc_id", g)
+      .as[Long].collect().sorted.toSeq == (50L until 60L))
+    // idempotent: a second compaction is a no-op in file count
+    assert(ReplayGuard.compact(spark, g)._2 == nAfter)
+  }
+
   test("bloom outgrows capacity and rebuilds; lost bloom self-heals from ledger") {
     val g = tmpDir("graft-guard-grow")
     // tiny capacity forces the grow path within a few batches
