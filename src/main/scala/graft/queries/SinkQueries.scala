@@ -111,6 +111,37 @@ object SinkQueries {
       } finally rm(new java.io.File(root))
     },
 
+    // The streaming CORPUS-ingest lifecycle under the bench clock —
+    // completes the timed sink suite (qs1 webhook merge, qs2/qs3
+    // vector index, qs4 corpus store): two micro-batches of documents
+    // through the ledger-first guard + incremental MinHash dedup
+    // (batch 2 half-replayed, exercising the bloom + pruned exact
+    // layer), then ledger compaction, then a snapshot read. Counts are
+    // deterministic (the guard admits each doc_id once; near-dup
+    // rejection is pure integer band arithmetic), but the result is
+    // SINK STATE, so rows-only like its siblings; CorpusIngestSpec
+    // golden-checks the same path.
+    Q.noOracle("qs4_corpus_ingest") { (s, dir) =>
+      import s.implicits._
+      val docs = graft.Tables(s, dir, "documents")
+      val root = Files.createTempDirectory("graft_corpusbench").toString
+      val corpusDir = s"$root/corpus"; val sigDir = s"$root/sigs"
+      try {
+        val b1 = graft.streaming.CorpusIngest.processBatch(
+          docs.filter(col("doc_id") % 2 === 0), corpusDir, sigDir)
+        val b2 = graft.streaming.CorpusIngest.processBatch(
+          docs, corpusDir, sigDir) // odd half fresh, even half replayed
+        val (filesBefore, filesAfter) =
+          graft.streaming.ReplayGuard.compact(s, s"${sigDir}_guard")
+        val stored = s.read.parquet(corpusDir).count()
+        Seq(("admitted_b1", b1), ("admitted_b2", b2),
+            ("guard_files_before", filesBefore.toLong),
+            ("guard_files_after", filesAfter.toLong),
+            ("stored_docs", stored))
+          .toDF("key", "n").orderBy("key")
+      } finally rm(new java.io.File(root))
+    },
+
     Q.noOracle("qs1_webhook_sink") { (s, _) =>
       import s.implicits._
       val batches = sys.env.getOrElse("BENCH_SINK_BATCHES", "1").toInt
