@@ -179,6 +179,26 @@ object Similarity {
     if (((k * 2654435761L) >> 13 & 1L) == 1L) 1.0 else -1.0
   }
 
+  /** Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003's
+    * database-friendly construction): outDim dense dot products against
+    * the SAME deterministic hyperplanes the LSH family hashes with —
+    * [[lshBuckets]]' bucket bits are exactly the sign bits of this
+    * projection (spec-asserted), so the reduced vectors and the hash
+    * buckets live in one consistent geometry. Use it to shrink
+    * embeddings before IVF/PQ training or brute-force rerank at scale:
+    * distances are preserved to within JL distortion while the scan
+    * narrows by dim/outDim. One narrow codegen'd projection per row —
+    * no shuffle, scan speed at 100 TB. (Unscaled: the 1/√outDim JL
+    * factor is a global constant that cancels in every cosine/ranking
+    * use; apply it when absolute distances matter.) */
+  def randomProject(emb: DataFrame, outDim: Int, dim: Int): DataFrame = {
+    val projArr = array((0 until outDim).map { p =>
+      val w = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
+      dot(col("embedding"), w)
+    }: _*)
+    emb.select(col("vec_id"), projArr.as("proj"))
+  }
+
   /** Random-hyperplane LSH: bucket = sign bits of `planes` dot products.
     * With P planes, 2^P buckets; neighbors by cosine tend to share
     * buckets (Charikar 2002 SimHash-for-angles). One narrow projection,

@@ -707,6 +707,26 @@ object LlmQueries {
     ) { (s, dir) =>
       TextAnalysis.ngramNovelty(Tables(s, dir, "documents"), 3)
         .orderBy("doc_id")
+    },
+
+    // JL ±1 random projection to 8 dims over the SAME deterministic
+    // hyperplanes the LSH family uses. Projections are sequential-fold
+    // dots (bit-identical on both engines); floor(x·1e6) integerizes.
+    Q("q113_random_projection",
+      s"""WITH planes AS (SELECT p, list_transform(range(0, 64),
+        |    d -> CASE WHEN ((CAST(p*1021 + d*2039 + 1 AS BIGINT) * 2654435761) >> 13) & 1 = 1
+        |         THEN 1.0 ELSE -1.0 END) AS w
+        |  FROM range(0, 8) t(p))
+        |SELECT e.vec_id, CAST(pl.p AS BIGINT) AS dim,
+        | CAST(floor(${dotSql("e.embedding", "pl.w")} * 1000000.0) AS BIGINT) AS proj_micros
+        |FROM embeddings e CROSS JOIN planes pl
+        |ORDER BY vec_id, dim""".stripMargin
+    ) { (s, dir) =>
+      Similarity.randomProject(Tables(s, dir, "embeddings"), outDim = 8, dim = 64)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "p")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          expr("CAST(floor(p * 1000000.0) AS BIGINT)").as("proj_micros"))
+        .orderBy("vec_id", "dim")
     }
   )
 }

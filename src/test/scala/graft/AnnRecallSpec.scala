@@ -15,6 +15,34 @@ import graft.llm.Similarity
   * only enough to absorb testdata regeneration, while a real regression
   * (broken bucket hash, wrong probe join) lands far below. */
 class AnnRecallSpec extends SparkSpec {
+
+  test("randomProject: hand-computed projection; LSH buckets are its sign bits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // dim=2 hand case: w(p,d) = planeWeight — recompute independently
+    def w(p: Int, d: Int): Double = {
+      val k = (p * 1021 + d * 2039 + 1).toLong
+      if (((k * 2654435761L) >> 13 & 1L) == 1L) 1.0 else -1.0
+    }
+    val emb = Seq((1L, Seq(3.0f, 1.0f)), (2L, Seq(-2.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val proj = graft.llm.Similarity.randomProject(emb, outDim = 2, dim = 2)
+      .orderBy("vec_id").select("proj").as[Seq[Double]].collect()
+    assert(proj(0) == Seq(3.0 * w(0, 0) + 1.0 * w(0, 1), 3.0 * w(1, 0) + 1.0 * w(1, 1)))
+    assert(proj(1) == Seq(-2.0 * w(0, 0) + 5.0 * w(0, 1), -2.0 * w(1, 0) + 5.0 * w(1, 1)))
+    // invariant on real data: lshBuckets' bucket == sign bits of proj —
+    // the reduced vectors and the hash buckets share one geometry
+    val real = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val both = graft.llm.Similarity.randomProject(real, outDim = 6, dim = 64)
+      .join(graft.llm.Similarity.lshBuckets(real, planes = 6, dim = 64)
+        .select("vec_id", "bucket"), "vec_id")
+    val mismatches = both.withColumn("sign_bucket",
+        (0 until 6).map(p =>
+          when(element_at(col("proj"), p + 1) > 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .filter(col("sign_bucket") =!= col("bucket")).count()
+    assert(mismatches == 0L, s"$mismatches vectors disagree with their LSH bucket")
+  }
   import spark.implicits._
 
   private val sfDir = "/root/testdata/sf0.01"
