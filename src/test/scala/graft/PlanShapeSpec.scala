@@ -27,7 +27,9 @@ class PlanShapeSpec extends SparkSpec {
         // round-5 pair consumers: split/manifest/cluster-fold/triplets
         "q92_semantic_keeplist", "q98_leakage_safe_split",
         "q100_shard_manifest", "q101_incremental_clusters",
-        "q103_contrastive_triplets")) {
+        "q103_contrastive_triplets",
+        // round-7 consumers: sketch lookup joins + novelty df join
+        "q110_count_min", "q112_trigram_novelty")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
