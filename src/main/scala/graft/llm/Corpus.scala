@@ -348,6 +348,41 @@ object Corpus {
       .select(col("doc_id"), col(scoreCol), col("stratum"), col("rnk"))
   }
 
+  /** CCNet-style perplexity BUCKETING (Wenzek et al. 2020 §4.3): split
+    * each language's documents into head / middle / tail thirds by LM
+    * quality score — the standard "keep head+middle, drop tail" corpus
+    * gate, with cut points calibrated PER LANGUAGE so low-resource
+    * languages aren't judged on the dominant language's score scale.
+    * `bucket` counts how many of the language's cut points the score
+    * exceeds (0 = head = best/lowest score … |cuts| = tail), mirroring
+    * [[scoreStratifiedSample]]'s stratum rule but grouped by key.
+    *
+    * Scale shape: cut points come off the mergeable histogram state
+    * ([[graft.operators.IncrementalAgg.histogramState]] — one map-side-
+    * combined aggregate, state bounded by langs × score range / width,
+    * never a per-language rank window). The per-language threshold
+    * table (langs × |cuts| rows) collapses to one sorted-array row per
+    * language and BROADCASTS back; bucket assignment is then a narrow
+    * array expression — the corpus shuffles once (the scoring join),
+    * never for the bucketing itself. All integer: oracle-exact. */
+  def ccnetBuckets(scored: DataFrame, keyCol: String, scoreCol: String,
+                   histWidth: Long,
+                   cutsPermille: Seq[Int] = Seq(333, 667)): DataFrame = {
+    import graft.operators.IncrementalAgg
+    // scoring pipelines are expensive — materialize once, read twice
+    // (histogram pass + bucket-assignment pass)
+    val scoredM = Stage(scored)
+    val cuts = IncrementalAgg.quantilesFromState(
+        IncrementalAgg.histogramState(scoredM, Seq(keyCol), scoreCol, histWidth),
+        Seq(keyCol), histWidth, cutsPermille)
+      .groupBy(keyCol)
+      .agg(sort_array(collect_list(col("est_upper"))).as("__cuts"))
+    scoredM.join(broadcast(cuts), Seq(keyCol))
+      .withColumn("bucket",
+        size(filter(col("__cuts"), u => col(scoreCol) > u)).cast("long"))
+      .drop("__cuts")
+  }
+
   /** CONTRASTIVE triplet mining — training data for embedding models
     * (SimCSE/SBERT-style): (anchor, positive) = a near-duplicate pair
     * from the dedup pipeline, negative = a deterministic "random" other

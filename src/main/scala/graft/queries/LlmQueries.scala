@@ -727,6 +727,50 @@ object LlmQueries {
         .select(col("vec_id"), col("dim").cast("long").as("dim"),
           expr("CAST(floor(p * 1000000.0) AS BIGINT)").as("proj_micros"))
         .orderBy("vec_id", "dim")
+    },
+
+    // CCNet head/middle/tail buckets (Wenzek et al. 2020): per-LANGUAGE
+    // tercile cut points over the bigram-LM score (low = head = keep),
+    // read off the mergeable histogram state — the standard trained-LM
+    // corpus gate with per-language calibration. The oracle replays the
+    // scoring chain (q94), the per-lang cumulative histogram, and the
+    // count-of-exceeded-cuts bucket rule.
+    Q("q114_ccnet_buckets",
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+        | bg AS (SELECT doc_id, s.w1 AS w1, s.gram AS gram
+        |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |            i -> {'w1': l[i], 'gram': l[i] || ' ' || l[i+1]})) AS s
+        |          FROM t WHERE len(l) >= 2)),
+        | cb AS (SELECT gram, count(*) AS cb FROM bg GROUP BY 1),
+        | cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+        | terms AS (SELECT b.doc_id, (cb.cb * 1000000) // cu.cu AS term
+        |           FROM bg b JOIN cb USING (gram) JOIN cu USING (w1)),
+        | scores AS (SELECT doc_id, CAST(sum(term) // count(*) AS BIGINT) AS score_ppm
+        |            FROM terms GROUP BY doc_id),
+        | sc AS (SELECT s.doc_id, d.lang, s.score_ppm
+        |        FROM scores s JOIN documents d USING (doc_id)),
+        | h AS (SELECT lang, score_ppm // 10000 AS bucket, count(*) AS n
+        |       FROM sc GROUP BY 1, 2),
+        | c AS (SELECT lang, bucket,
+        |        CAST(sum(n) OVER (PARTITION BY lang ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS nt
+        |       FROM h),
+        | thr AS (SELECT lang, q.q, min((bucket + 1) * 10000 - 1) AS u
+        |         FROM c, (SELECT unnest([333, 667]) AS q) q
+        |         WHERE cum * 1000 >= nt * q.q GROUP BY 1, 2)
+        |SELECT s.doc_id, s.lang, s.score_ppm,
+        | CAST((SELECT count(*) FROM thr
+        |       WHERE thr.lang = s.lang AND s.score_ppm > thr.u) AS BIGINT) AS bucket
+        |FROM sc s ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val scored = TextAnalysis.bigramLmScore(docs)
+        .select("doc_id", "score_ppm")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      Corpus.ccnetBuckets(scored, "lang", "score_ppm", histWidth = 10000L)
+        .select("doc_id", "lang", "score_ppm", "bucket")
+        .orderBy("doc_id")
     }
   )
 }

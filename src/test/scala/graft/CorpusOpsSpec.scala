@@ -491,4 +491,34 @@ class CorpusOpsSpec extends SparkSpec {
       assert(s <= 0L && s >= -20L * n)
     }
   }
+
+  test("ccnetBuckets calibrates tercile cuts per language") {
+    // lang A scores 1..90, lang B scores 1001..1090: identical shapes on
+    // disjoint scales. Per-language calibration must bucket each third
+    // of EACH language 0/1/2 — a global cut would call all of A head
+    // and all of B tail. Width 10 → cut at bucket upper edges.
+    val scored = ((1L to 90L).map(i => (i, "A", i)) ++
+      (1L to 90L).map(i => (i + 1000L, "B", i + 1000L)))
+      .toDF("doc_id", "lang", "score_ppm")
+    val got = Corpus.ccnetBuckets(scored, "lang", "score_ppm", histWidth = 10L)
+      .select("lang", "score_ppm", "bucket")
+      .as[(String, Long, Long)].collect()
+    for (l <- Seq("A", "B")) {
+      val byBucket = got.filter(_._1 == l).groupBy(_._3).view.mapValues(_.length).toMap
+      assert(byBucket.keySet == Set(0L, 1L, 2L), s"lang $l buckets: $byBucket")
+      // width-10 histogram brackets p333/p667 at bucket upper edges:
+      // ceil(.333*90)=30 → cum 39 at bucket 3 → cut 39; ceil(.667*90)=61
+      // → cum 69 at bucket 6 → cut 69. So thirds land 39/30/21 — within
+      // one bucket of exact terciles, the histogramQuantiles contract.
+      assert(byBucket == Map(0L -> 39, 1L -> 30, 2L -> 21), s"lang $l: $byBucket")
+      // buckets are monotone in score within a language
+      val sorted = got.filter(_._1 == l).sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+    // cross-language: B's lowest score (head of B) exceeds A's highest
+    // (tail of A) — per-language calibration, not a global scale
+    val bHead = got.filter(t => t._1 == "B" && t._3 == 0L).map(_._2).min
+    val aTail = got.filter(t => t._1 == "A" && t._3 == 2L).map(_._2).max
+    assert(bHead > aTail)
+  }
 }
