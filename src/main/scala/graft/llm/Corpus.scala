@@ -637,6 +637,49 @@ object Corpus {
     * stats (sum/min/max) — wide-array outputs don't survive value-level
     * cross-engine compares, summaries do. Narrow per-row expression:
     * scan-speed at scale. */
+  /** Per-DIMENSION int8 calibration + quantization — the
+    * post-training-quantization (PTQ) shape real vector stores use:
+    * one calibration pass finds each dimension's |max| over the corpus,
+    * then every vector quantizes against its dimension's own scale.
+    * Against [[int8Quantize]]'s per-vector scale this preserves
+    * cross-vector comparability per dimension (dot products of codes
+    * are meaningful) and stops one hot dimension from crushing the
+    * resolution of quiet ones.
+    *
+    * Scale shape: calibration is ONE aggregate of `dim` max-expressions
+    * (map-side combined, zero shuffle beyond the 1-row reduce) whose
+    * result collects driver-side — state bounded by the embedding
+    * dimension, not the row count (the KMeans-pattern collect).
+    * Quantization is then a narrow per-row `transform` against the
+    * literal scale vector: scan speed, no join, no broadcast. All-zero
+    * dimensions quantize to 0 (the scale-0 guard both engines state
+    * identically). Codes derive from identical IEEE double ops on both
+    * engines, so outputs are hash-exact. First 4 codes + integer
+    * summaries survive the value-level compare; the first 4 calibration
+    * scales ride along in micros so the calibration itself is checked. */
+  def int8QuantizePerDim(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val maxes = emb.agg(array((0 until dim).map(i =>
+        max(abs(element_at(col("embedding"), i + 1).cast("double")))): _*).as("m"))
+      .collect()(0).getSeq[Double](0)
+    val scales = array(maxes.map(lit): _*)
+    val codes = transform(col("embedding"), (e, i) =>
+      when(element_at(scales, i + 1) === 0.0, lit(0L))
+        .otherwise(floor(e.cast("double") * lit(127.0) / element_at(scales, i + 1)
+          + lit(0.5)).cast("long")))
+    def sMicros(i: Int) =
+      lit(math.floor(maxes(i) * 1000000.0 + 0.5).toLong).as(s"s${i}_micros")
+    emb.select(col("vec_id"), codes.as("codes"))
+      .select(col("vec_id"),
+        sMicros(0), sMicros(1), sMicros(2), sMicros(3),
+        element_at(col("codes"), 1).as("c0"),
+        element_at(col("codes"), 2).as("c1"),
+        element_at(col("codes"), 3).as("c2"),
+        element_at(col("codes"), 4).as("c3"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("sum_codes"),
+        array_min(col("codes")).as("min_code"),
+        array_max(col("codes")).as("max_code"))
+  }
+
   def int8Quantize(emb: DataFrame): DataFrame = {
     val absMax = array_max(transform(col("embedding"), e => abs(e.cast("double"))))
     val codes = transform(col("embedding"),

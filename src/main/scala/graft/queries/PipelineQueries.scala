@@ -449,6 +449,37 @@ object PipelineQueries {
       Corpus.int8Quantize(Tables(s, dir, "embeddings")).orderBy("vec_id")
     },
 
+    // Per-dimension int8 calibration (the PTQ shape): a corpus-wide
+    // calibration pass finds each dimension's |max|, then every vector
+    // quantizes against its dimension's own scale — codes stay
+    // comparable across vectors per dimension, unlike q63's per-vector
+    // scale. The oracle rebuilds the per-dim calibration from a lockstep
+    // unnest and replays the identical double arithmetic.
+    Q("q115_int8_perdim",
+      """WITH pd AS (SELECT unnest(embedding) AS e, unnest(range(1, 65)) AS i
+        |            FROM embeddings),
+        | sc AS (SELECT i, max(abs(CAST(e AS DOUBLE))) AS m FROM pd GROUP BY i),
+        | sl AS (SELECT list(m ORDER BY i) AS scales FROM sc),
+        | q AS (SELECT vec_id, sl.scales AS scales,
+        |   list_transform(range(1, 65), i -> CASE WHEN sl.scales[i] = 0
+        |     THEN CAST(0 AS BIGINT)
+        |     ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0 / sl.scales[i]
+        |       + 0.5) AS BIGINT) END) AS codes
+        |  FROM embeddings, sl)
+        |SELECT vec_id,
+        | CAST(floor(scales[1] * 1000000.0 + 0.5) AS BIGINT) AS s0_micros,
+        | CAST(floor(scales[2] * 1000000.0 + 0.5) AS BIGINT) AS s1_micros,
+        | CAST(floor(scales[3] * 1000000.0 + 0.5) AS BIGINT) AS s2_micros,
+        | CAST(floor(scales[4] * 1000000.0 + 0.5) AS BIGINT) AS s3_micros,
+        | codes[1] AS c0, codes[2] AS c1, codes[3] AS c2, codes[4] AS c3,
+        | CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+        | CAST(list_min(codes) AS BIGINT) AS min_code,
+        | CAST(list_max(codes) AS BIGINT) AS max_code
+        |FROM q ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      Corpus.int8QuantizePerDim(Tables(s, dir, "embeddings")).orderBy("vec_id")
+    },
+
     // Sketch-based similarity estimation: MinHash signature agreement
     // for LSH candidate pairs — the cheap verify (touches only the
     // signature table) next to q31's exact shingle verify. The oracle

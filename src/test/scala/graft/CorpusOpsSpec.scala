@@ -287,6 +287,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r._6 == -127L && r._7 == 64L)
   }
 
+  test("int8QuantizePerDim: each dim calibrates on its own corpus |max|") {
+    // dim 1 spans ±10, dim 2 spans ±0.1, dim 3 is all zeros. Per-vector
+    // scaling would crush dim 2 to ±1; per-dim scaling must map EACH
+    // dimension's extreme to ±127 and zero dims to 0.
+    val emb = Seq(
+      (0L, Array(10.0f, 0.1f, 0.0f, 1.0f)),
+      (1L, Array(-5.0f, -0.1f, 0.0f, 2.0f)),
+      (2L, Array(2.5f, 0.05f, 0.0f, -4.0f))).toDF("vec_id", "embedding")
+    val r = Corpus.int8QuantizePerDim(emb, dim = 4)
+      .select("vec_id", "s0_micros", "s1_micros", "c0", "c1", "c2", "c3")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(0L)._2 == 10000000L && r(0L)._3 == 100000L) // scales 10, 0.1
+    assert(r(0L)._4 == 127L)  // dim-1 max → +127
+    assert(r(0L)._5 == 127L)  // dim-2 max → +127 despite |0.1| tiny
+    assert(r(1L)._4 == -63L)  // floor(-63.5 + .5) = floor(-63) — half-up
+    assert(r(1L)._5 == -127L) // dim-2 min → -127
+    assert(r.values.forall(_._6 == 0L)) // all-zero dim → code 0, no NaN
+    assert(r(2L)._7 == -127L) // dim-4 extreme is vec 2's -4
+  }
+
   test("minHashEstimates approximates planted near-dup similarity") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
