@@ -553,6 +553,33 @@ object Corpus {
       .withColumn("batch_in_shard", expr(s"(cum_tokens - n_tokens) DIV $capacity"))
   }
 
+  /** Multi-epoch training-order manifest — the deterministic global
+    * shuffle a DataLoader needs: for each epoch, every document gets a
+    * (shard, pos) slot from a seed-free hash permutation, so epoch e's
+    * read order is reproducible on any worker count, yet epochs see the
+    * corpus in DIFFERENT orders (the fold input shifts by epoch ·
+    * 7919). Consumers stream shard files sequentially; restart resumes
+    * from (epoch, shard, pos) with no saved RNG state.
+    *
+    * Scale shape: one narrow fold expression, shard = fold mod
+    * `nShards`, then a row_number window PARTITIONED by (epoch, shard)
+    * — shards order in parallel, never a global single-reducer sort
+    * (the same reasoning as [[seqPackingSharded]]). Manifest rows are
+    * epochs × docs; at 100 TB emit one epoch at a time (the per-epoch
+    * plan is identical), unioned here so the gate checks cross-epoch
+    * decorrelation too. */
+  def epochShuffle(docs: DataFrame, nShards: Int = 8,
+                   epochs: Int = 2): DataFrame = {
+    val w = Window.partitionBy("epoch", "shard")
+      .orderBy(col("__rnd"), col("doc_id"))
+    docs.select(col("doc_id"),
+        explode(array((0 until epochs).map(i => lit(i.toLong)): _*)).as("epoch"))
+      .withColumn("__rnd", portableFold(col("doc_id") + col("epoch") * lit(7919L)))
+      .withColumn("shard", col("__rnd") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+  }
+
   /** Sliding-window document chunking — the preprocessing step that
     * turns long documents into training/embedding chunks of
     * `chunkTokens` tokens overlapping by `overlap`: chunk i covers

@@ -808,6 +808,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Multi-epoch training-order manifest: seed-free hash permutation
+    // per epoch (fold input shifted by epoch·7919) → (shard, pos) slots,
+    // ordered by per-(epoch, shard) windows — the DataLoader shuffle as
+    // a deterministic table, different order every epoch.
+    Q("q116_epoch_shuffle",
+      """WITH e AS (SELECT unnest(range(0, 2)) AS epoch),
+        | f AS (SELECT d.doc_id, e.epoch,
+        |        (((d.doc_id + e.epoch * 7919) % 1000000007) * 2654435761)
+        |          % 1000000007 AS rnd
+        |       FROM documents d, e),
+        | s AS (SELECT epoch, doc_id, rnd, rnd % 8 AS shard FROM f)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+        | CAST(row_number() OVER (PARTITION BY epoch, shard
+        |      ORDER BY rnd, doc_id) AS BIGINT) AS pos,
+        | doc_id
+        |FROM s ORDER BY epoch, shard, pos""".stripMargin
+    ) { (s, dir) =>
+      Corpus.epochShuffle(Tables(s, dir, "documents"), nShards = 8, epochs = 2)
+        .orderBy("epoch", "shard", "pos")
+    },
+
     // Corpus snapshot diff: old = ids not divisible by 7, new = ids not
     // divisible by 11 with every %5 doc's text amended — added/removed/
     // changed detected by fingerprint compare over a FULL OUTER join.

@@ -308,6 +308,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(2L)._7 == -127L) // dim-4 extreme is vec 2's -4
   }
 
+  test("epochShuffle: one slot per doc per epoch, epochs decorrelated") {
+    val docs = (1L to 200L).map(i => (i, "t")).toDF("doc_id", "text")
+    val got = Corpus.epochShuffle(docs, nShards = 4, epochs = 2)
+      .select("epoch", "shard", "pos", "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // every doc exactly once per epoch
+    for (e <- Seq(0L, 1L))
+      assert(got.filter(_._1 == e).map(_._4).sorted.toSeq == (1L to 200L))
+    // positions are contiguous 1..n within each (epoch, shard)
+    for ((_, rows) <- got.groupBy(t => (t._1, t._2)))
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length))
+    // epochs produce genuinely different orders: the (shard, pos) slot
+    // of most docs changes between epochs
+    val slot0 = got.filter(_._1 == 0L).map(t => t._4 -> (t._2, t._3)).toMap
+    val slot1 = got.filter(_._1 == 1L).map(t => t._4 -> (t._2, t._3)).toMap
+    val moved = (1L to 200L).count(d => slot0(d) != slot1(d))
+    assert(moved > 150, s"only $moved/200 docs changed slot between epochs")
+    // deterministic: a second run is identical
+    val again = Corpus.epochShuffle(docs, nShards = 4, epochs = 2)
+      .select("epoch", "shard", "pos", "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("minHashEstimates approximates planted near-dup similarity") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
