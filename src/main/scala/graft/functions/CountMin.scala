@@ -68,6 +68,48 @@ object CountMin {
       .groupBy(valueCol).agg(min("n").as("est"))
   }
 
+  /** HEAVY HITTERS with a sketch prefilter and exact verification — the
+    * end-to-end use the sketch exists for: find every value whose count
+    * is ≥ `thresholdPpm` of the stream WITHOUT an unfiltered global
+    * count of the whole vocabulary.
+    *
+    * Pass 1 builds the registers (shuffle bounded by the sketch); the
+    * Depth×Width table and the total row count (Σn / Depth — every row
+    * feeds Depth cells) collect driver-side, both bounded by the SKETCH
+    * SIZE, never the data. Pass 2 filters each row by its estimate — a
+    * NARROW expression (Depth literal-array lookups + least), no join —
+    * and only surviving rows enter the exact groupBy count. Because the
+    * estimate is one-sided (est ≥ true count, nothing deflates), the
+    * candidate set provably contains every true heavy hitter; the exact
+    * count then drops collision-inflated false candidates, so the
+    * result EQUALS the exact answer while the count shuffle carries
+    * only heavy-hitter mass + collision noise instead of the full
+    * vocabulary. Both filters state `x·1e6 ≥ total·ppm` in exact
+    * integers (prefilter uses the floor threshold — weaker, still a
+    * superset). `est`/`overcount` ride along so the sketch's one-sided
+    * error stays visible. */
+  def heavyHitters(df: DataFrame, valueCol: String,
+                   thresholdPpm: Long): DataFrame = {
+    val regRows = registers(df, valueCol).collect()
+    val table = Array.fill(Depth)(new Array[Long](Width))
+    regRows.foreach { r =>
+      table(r.getAs[Int]("row_"))(r.getAs[Long]("col_").toInt) = r.getAs[Long]("n")
+    }
+    val total = regRows.map(_.getAs[Long]("n")).sum / Depth
+    val floorThr = total * thresholdPpm / 1000000L
+    val est = least((0 until Depth).map { i =>
+      element_at(typedlit(table(i).toSeq),
+        (cell(i, col(valueCol)) + 1).cast("int"))
+    }: _*)
+    df.withColumn("est", est)
+      .filter(col("est") >= floorThr)
+      .groupBy(valueCol)
+      .agg(count(lit(1)).as("cnt"), min("est").as("est"))
+      .filter(col("cnt") * lit(1000000L) >= lit(total * thresholdPpm))
+      .select(col(valueCol), col("cnt"), col("est"),
+        (col("est") - col("cnt")).as("overcount"))
+  }
+
   /** The whole sketch + point-estimate pipeline as SQL text for oracle
     * queries: estimates of `valuesSql` (a one-column relation `t(v)`)
     * over `valueExpr` drawn from `from`. Mirrors [[cell]] bit-for-bit:
@@ -75,10 +117,17 @@ object CountMin {
     * [[HyperLogLog]] scramble chain, then mod Width. */
   def sketchSql(valueExpr: String, from: String, valuesSql: String,
                 alias: String): String = {
+    // The fold's lambda variable MUST NOT be named `i`: $e embeds the
+    // sketch ROW INDEX column `i` (the 'i:' prefix that decorrelates the
+    // Depth rows), and a lambda parameter `i` would SHADOW it — every
+    // row would hash the same position-prefixed string, collapsing the
+    // min-over-rows guarantee to one hash function (q117 caught this:
+    // estimates inflated 2-3x on a 916-value vocabulary; q110's 31-token
+    // vocab had no collisions, so the collapse was invisible there).
     def polyFold(e: String) =
       s"""list_reduce(list_prepend(CAST(${PolyHash.DefaultSeed} AS BIGINT),
          |  list_transform(range(1, length($e) + 1),
-         |    i -> CAST(ascii(substr($e, CAST(i AS INTEGER), 1)) AS BIGINT))),
+         |    cpos -> CAST(ascii(substr($e, CAST(cpos AS INTEGER), 1)) AS BIGINT))),
          |  (a, c) -> (a * ${PolyHash.DefaultMult} + c) % ${PolyHash.Mod32})""".stripMargin
     import HyperLogLog.{Mask31, Mult1, Mult2}
     val mod = PolyHash.Mod32

@@ -319,6 +319,35 @@ object AnalyticsQueries {
         .orderBy("term")
     },
 
+    // Heavy hitters end-to-end (q110's sketch put to work): bigrams at
+    // ≥ 1200 ppm of the stream, found by a Count-Min prefilter (narrow
+    // literal-table lookup, no join) + exact verification — the result
+    // EQUALS the exact answer (one-sided estimates can't miss a true
+    // heavy hitter; the exact count drops collision false positives),
+    // but the count shuffle carries only candidate mass. The oracle
+    // computes exact heavies directly and replays the sketch registers
+    // for the est/overcount columns.
+    Q("q117_heavy_hitters", {
+      val bgExpr = "unnest(list_transform(range(1, len(string_split(text, ' '))), " +
+        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))"
+      val est = graft.functions.CountMin.sketchSql(
+        bgExpr, "documents", "(SELECT v FROM hh)", "est")
+      s"""WITH tok AS (SELECT $bgExpr AS v FROM documents),
+         | tot AS (SELECT count(*) AS n FROM tok),
+         | cnt AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+         | hh AS (SELECT c.v, c.cnt FROM cnt c, tot
+         |        WHERE c.cnt * 1000000 >= tot.n * 1200)
+         |SELECT hh.v AS gram, hh.cnt, e.est,
+         | CAST(e.est - hh.cnt AS BIGINT) AS overcount
+         |FROM hh JOIN $est e ON e.v = hh.v
+         |ORDER BY gram""".stripMargin
+    }) { (s, dir) =>
+      val grams = Tables(s, dir, "documents").select(
+        explode(graft.functions.TokenNgrams.token_ngrams(col("text"), 2)).as("gram"))
+      graft.functions.CountMin.heavyHitters(grams, "gram", thresholdPpm = 1200L)
+        .orderBy("gram")
+    },
+
     // Incremental QUANTILE maintenance: per-batch histogram states
     // (orders split by key parity) merge exactly — sum per (key,
     // bucket) — and per-status percentiles are read off the MERGED

@@ -66,4 +66,34 @@ class SketchFunctionsSpec extends SparkSpec {
       .as[(Int, Long)].collect().head._2
     assert(whole == repart)
   }
+
+  test("heavyHitters equals the exact answer on a planted skewed stream") {
+    import graft.functions.CountMin
+    // 50×hot1 + 40×hot2 + 100 singletons = 190 rows; 10% threshold →
+    // exact heavies are precisely {hot1, hot2}
+    val vals = (Seq.fill(50)("hot1") ++ Seq.fill(40)("hot2") ++
+      (0 until 100).map(i => s"rare$i")).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = CountMin.heavyHitters(vals, "v", thresholdPpm = 100000L)
+      .select("v", "cnt", "est", "overcount")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(t => t._1 -> t._2).toSeq == Seq("hot1" -> 50L, "hot2" -> 40L))
+    got.foreach { t => assert(t._3 >= t._2 && t._4 >= 0L) } // one-sided
+  }
+
+  test("heavyHitters matches brute force across thresholds (zipf-ish stream)") {
+    import graft.functions.CountMin
+    val vals = (0 until 3000).map { i =>
+      (i.toLong, s"w${(i * i + i / 3) % 211 % (1 + i % 47)}")
+    }.toDF("id", "v")
+    val exact = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val n = vals.count()
+    for (ppm <- Seq(5000L, 20000L, 100000L)) {
+      val want = exact.filter(col("cnt") * 1000000L >= lit(n * ppm))
+        .select("v", "cnt").as[(String, Long)].collect().sortBy(_._1).toSeq
+      val gotT = CountMin.heavyHitters(vals, "v", ppm)
+        .select("v", "cnt").as[(String, Long)].collect().sortBy(_._1).toSeq
+      assert(gotT == want, s"ppm=$ppm")
+    }
+  }
 }
