@@ -29,10 +29,27 @@ class PlanShapeSpec extends SparkSpec {
         "q100_shard_manifest", "q101_incremental_clusters",
         "q103_contrastive_triplets",
         // round-7 consumers: sketch lookup joins + novelty df join
-        "q110_count_min", "q112_trigram_novelty")) {
+        "q110_count_min", "q112_trigram_novelty",
+        // round-7 additions: per-lang bucket join, epoch manifest
+        "q114_ccnet_buckets", "q116_epoch_shuffle")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
+  }
+
+  test("ccnet bucket assignment broadcasts the per-language cut table") {
+    val p = planOf("q114_ccnet_buckets")
+    assert(p.contains("BroadcastHashJoin"), "cut-table join should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("heavy-hitter candidate filter is join-free (literal sketch lookup)") {
+    // the whole point of the sketch prefilter: the per-row estimate is a
+    // narrow expression against driver-collected literals — the ONLY
+    // joins in the plan would come from the final count, which has none
+    val p = planOf("q117_heavy_hitters")
+    assert(!p.contains("Join"), s"q117 should be join-free, got:\n$p")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("round-5 guard/candidate operators keep equi-join shapes") {
