@@ -6,8 +6,10 @@ import graft.operators.IncrementalAgg
 
 /** Streaming rollup maintenance — [[graft.operators.IncrementalAgg]]
   * wired into the micro-batch loop: an unbounded event stream keeps a
-  * tiny keyed state store (scalar aggregates + HLL registers) current,
-  * and dashboards read the store; raw history is never re-scanned.
+  * tiny keyed state store current (scalar aggregates + HLL-distinct
+  * registers, optionally histogram-percentile buckets and Count-Min
+  * frequency registers), and dashboards read the store; raw history is
+  * never re-scanned.
   *
   * State commits are VERSIONED SNAPSHOT DIRECTORIES —
   * `<stateDir>/v<batchId>/{scalar,regs}` — committed by a single
@@ -44,7 +46,7 @@ object RollupIngest {
   def processBatch(batch: DataFrame, stateDir: String, keys: Seq[String],
                    valueCol: String, distinctCol: String,
                    batchId: Long, keepVersions: Int = 2,
-                   histWidth: Long = 0L): Boolean = {
+                   histWidth: Long = 0L, freqCol: String = ""): Boolean = {
     val spark = batch.sparkSession
     val latest = latestVersion(spark, stateDir)
     if (latest.exists(_._1 >= batchId)) return false // replayed batch
@@ -100,6 +102,42 @@ object RollupIngest {
           case (None, _) => Some((histWidth, bh))
         }
       } else priorHist.map { case (w, p) => (w, spark.read.parquet(p)) }
+    // optional fourth state table: Count-Min registers — streaming
+    // FREQUENCY maintenance (the sketch trilogy next to HLL-distinct
+    // and histogram-percentiles). Same guard semantics as the
+    // histogram, for the same reasons: the sketch merge is count
+    // addition (not idempotent — the replay guard above protects it),
+    // a sketch started mid-stream would under-cover history and serve
+    // silently-low estimates (error), and an opted-out batch carries
+    // the prior state forward but is RECORDED as stale. The sketch
+    // geometry (Depth×Width) is encoded in the dir name and committed
+    // by the same rename — registers from different geometries must
+    // never sum.
+    val freqDims = s"d${graft.functions.CountMin.Depth}w${graft.functions.CountMin.Width}"
+    val priorFreq: Option[(String, String)] = latest.flatMap { case (_, p) =>
+      fsOf(spark, stateDir).listStatus(new Path(p)).toSeq
+        .map(_.getPath.getName).collectFirst {
+          case n if n.startsWith("freq_d") => (n.drop(5), s"$p/$n")
+        }
+    }
+    val freq: Option[(String, DataFrame)] =
+      if (freqCol.nonEmpty) {
+        val bf = graft.functions.CountMin.registers(batch, freqCol)
+        (latest, priorFreq) match {
+          case (_, Some((d, p))) =>
+            require(d == freqDims,
+              s"frequency state at $p has geometry $d, batch uses $freqDims — " +
+                "incompatible registers must not merge")
+            Some((freqDims,
+              graft.functions.CountMin.mergeRegisters(spark.read.parquet(p), bf)))
+          case (Some(_), None) => throw new IllegalStateException(
+            s"store $stateDir has committed history without frequency state; " +
+              "a mid-stream sketch would cover partial history and serve " +
+              "silently-low estimates — enable freqCol from the first batch")
+          case (None, _) => Some((freqDims, bf))
+        }
+      } else priorFreq.map { case (d, p) => (d, spark.read.parquet(p)) }
+
     // staleness ledger: ids of batches whose values the histogram is
     // missing (knob forgotten while hist state existed). Once stale,
     // forever stale — the list carries through every later snapshot.
@@ -108,6 +146,11 @@ object RollupIngest {
     val skipped =
       if (histWidth == 0L && priorHist.nonEmpty) priorSkipped :+ batchId
       else priorSkipped
+    val priorFreqSkipped = latest.map(l => staleFrequencyBatches(spark, stateDir))
+      .getOrElse(Seq.empty)
+    val freqSkipped =
+      if (freqCol.isEmpty && priorFreq.nonEmpty) priorFreqSkipped :+ batchId
+      else priorFreqSkipped
 
     val fs = fsOf(spark, stateDir)
     val staging = new Path(s"$stateDir/.staging_v$batchId")
@@ -115,10 +158,13 @@ object RollupIngest {
     scalar.write.parquet(s"$staging/scalar")
     dist.write.parquet(s"$staging/regs")
     hist.foreach { case (w, df) => df.write.parquet(s"$staging/hist_w$w") }
-    if (skipped.nonEmpty) {
-      val out = fs.create(new Path(s"$staging/$SkippedFile"), true)
-      try out.write(skipped.mkString("\n").getBytes("UTF-8")) finally out.close()
+    freq.foreach { case (d, df) => df.write.parquet(s"$staging/freq_$d") }
+    def writeLedger(file: String, ids: Seq[Long]): Unit = if (ids.nonEmpty) {
+      val out = fs.create(new Path(s"$staging/$file"), true)
+      try out.write(ids.mkString("\n").getBytes("UTF-8")) finally out.close()
     }
+    writeLedger(SkippedFile, skipped)
+    writeLedger(FreqSkippedFile, freqSkipped)
     // the commit point: one rename publishes both tables + the watermark.
     // rename reports failure as FALSE (dest exists, parent gone), not an
     // exception — ignoring it would drop the batch's non-idempotent
@@ -145,16 +191,13 @@ object RollupIngest {
     }
 
   private val SkippedFile = "hist_skipped_batches"
+  private val FreqSkippedFile = "freq_skipped_batches"
 
-  /** Ids of batches whose values are MISSING from the served histogram
-    * (committed with histWidth forgotten while histogram state existed).
-    * Non-empty means [[currentQuantiles]] under-covers history — the
-    * dashboard-side staleness check for the carry-forward branch of
-    * [[processBatch]]. */
-  def staleQuantileBatches(spark: SparkSession, stateDir: String): Seq[Long] =
+  private def readLedger(spark: SparkSession, stateDir: String,
+                         file: String): Seq[Long] =
     latestVersion(spark, stateDir).toSeq.flatMap { case (_, p) =>
       val fs = fsOf(spark, stateDir)
-      val f = new Path(s"$p/$SkippedFile")
+      val f = new Path(s"$p/$file")
       if (!fs.exists(f)) Seq.empty
       else {
         val in = fs.open(f)
@@ -162,6 +205,37 @@ object RollupIngest {
           .filter(_.nonEmpty).map(_.toLong).toList
         finally in.close()
       }
+    }
+
+  /** Ids of batches whose values are MISSING from the served histogram
+    * (committed with histWidth forgotten while histogram state existed).
+    * Non-empty means [[currentQuantiles]] under-covers history — the
+    * dashboard-side staleness check for the carry-forward branch of
+    * [[processBatch]]. */
+  def staleQuantileBatches(spark: SparkSession, stateDir: String): Seq[Long] =
+    readLedger(spark, stateDir, SkippedFile)
+
+  /** Ids of batches missing from the served frequency sketch — the
+    * [[currentFrequencies]] analog of [[staleQuantileBatches]]. */
+  def staleFrequencyBatches(spark: SparkSession, stateDir: String): Seq[Long] =
+    readLedger(spark, stateDir, FreqSkippedFile)
+
+  /** Frequency estimates for `values` off the latest snapshot's
+    * Count-Min state — the streaming form of q110/q117's sketch reads:
+    * dashboards ask "how often has X occurred so far" and the store
+    * answers from maintained registers, raw history never re-scanned.
+    * Estimates are one-sided (≥ truth, [[graft.functions.CountMin]]).
+    * None until a batch has committed with `freqCol` enabled. Pair with
+    * [[staleFrequencyBatches]]. */
+  def currentFrequencies(spark: SparkSession, stateDir: String,
+                         values: DataFrame, valueCol: String): Option[DataFrame] =
+    latestVersion(spark, stateDir).flatMap { case (_, p) =>
+      fsOf(spark, stateDir).listStatus(new Path(p)).toSeq
+        .map(_.getPath.getName).collectFirst {
+          case n if n.startsWith("freq_d") =>
+            graft.functions.CountMin.estimate(
+              spark.read.parquet(s"$p/$n"), values, valueCol)
+        }
     }
 
   /** Per-key percentile estimates off the latest snapshot's histogram
@@ -190,13 +264,14 @@ object RollupIngest {
   def start(spark: SparkSession, inputDir: String,
             schema: org.apache.spark.sql.types.StructType,
             stateDir: String, checkpoint: String, keys: Seq[String],
-            valueCol: String, distinctCol: String, histWidth: Long = 0L) =
+            valueCol: String, distinctCol: String, histWidth: Long = 0L,
+            freqCol: String = "") =
     spark.readStream.schema(schema).json(inputDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
         processBatch(df, stateDir, keys, valueCol, distinctCol, id,
-          histWidth = histWidth); ()
+          histWidth = histWidth, freqCol = freqCol); ()
       }
       .start()
 }

@@ -101,4 +101,47 @@ class RollupIngestSpec extends SparkSpec {
       RollupIngest.processBatch(b(1), dir2, keys, "v", "u", 1L, histWidth = width)
     }
   }
+
+  test("frequency sketch rides the snapshot: streaming estimates == one-shot") {
+    import graft.functions.CountMin
+    val dir = tmpDir("graft-rollup-f")
+    val b = Seq(batchDf(11, 300), batchDf(12, 300))
+    assert(RollupIngest.processBatch(b(0), dir, keys, "v", "u", 0L, freqCol = "u"))
+    assert(RollupIngest.processBatch(b(1), dir, keys, "v", "u", 1L, freqCol = "u"))
+    assert(!RollupIngest.processBatch(b(1), dir, keys, "v", "u", 1L, freqCol = "u"))
+
+    // maintained registers == one-shot sketch of the union, exactly
+    val all = b.reduce(_ union _)
+    val vals = all.select("u").distinct()
+    val want = CountMin.estimate(CountMin.registers(all, "u"), vals, "u")
+      .orderBy("u").as[(String, Long)].collect().toSeq
+    val got = RollupIngest.currentFrequencies(spark, dir, vals, "u").get
+      .orderBy("u").as[(String, Long)].collect().toSeq
+    assert(got == want)
+    // one-sided: estimate never undercounts the true frequency
+    val truth = all.groupBy("u").agg(count(lit(1)).as("cnt"))
+    val joined = RollupIngest.currentFrequencies(spark, dir, vals, "u").get
+      .join(truth, "u").select("est", "cnt").as[(Long, Long)].collect()
+    assert(joined.forall { case (est, cnt) => est >= cnt })
+
+    // forgotten knob: state carried forward, the gap recorded forever
+    assert(RollupIngest.staleFrequencyBatches(spark, dir).isEmpty)
+    assert(RollupIngest.processBatch(batchDf(13, 100), dir, keys, "v", "u", 2L))
+    assert(RollupIngest.staleFrequencyBatches(spark, dir) == Seq(2L))
+    val carried = RollupIngest.currentFrequencies(spark, dir, vals, "u").get
+      .orderBy("u").as[(String, Long)].collect().toSeq
+    assert(carried == want) // opted-out batch didn't destroy or fork state
+    assert(RollupIngest.processBatch(batchDf(14, 50), dir, keys, "v", "u", 3L,
+      freqCol = "u"))
+    assert(RollupIngest.staleFrequencyBatches(spark, dir) == Seq(2L))
+
+    // a store with committed history but no sketch: enabling mid-stream
+    // errors (partial-history estimates would be silently low)
+    val dir2 = tmpDir("graft-rollup-nf")
+    assert(RollupIngest.processBatch(b(0), dir2, keys, "v", "u", 0L))
+    assert(RollupIngest.currentFrequencies(spark, dir2, vals, "u").isEmpty)
+    intercept[IllegalStateException] {
+      RollupIngest.processBatch(b(1), dir2, keys, "v", "u", 1L, freqCol = "u")
+    }
+  }
 }
