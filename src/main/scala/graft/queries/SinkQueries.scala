@@ -142,6 +142,49 @@ object SinkQueries {
       } finally rm(new java.io.File(root))
     },
 
+    // The streaming ROLLUP-store lifecycle under the bench clock — the
+    // one streaming sink the qs suite didn't time: two event micro-
+    // batches (with the histogram-percentile AND Count-Min frequency
+    // states enabled from the first batch) fold into versioned
+    // snapshots, a replayed batch is rejected, then dashboards read
+    // rollup + quantiles + frequency estimates off the maintained
+    // state. All emitted numbers are deterministic (counts, exact
+    // integer states, one-sided estimate checks), but the result is
+    // SINK STATE → rows-only like its siblings; RollupIngestSpec
+    // value-checks the same paths.
+    Q.noOracle("qs5_rollup_ingest") { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.RollupIngest
+      val ev = graft.Tables(s, dir, "events")
+        .withColumn("v_micros", expr("CAST(round(value * 1000000.0) AS BIGINT)"))
+      val root = Files.createTempDirectory("graft_rollupbench").toString
+      val keys = Seq("event_type")
+      try {
+        val b1 = ev.filter(col("event_id") % 2 === 0)
+        val b2 = ev.filter(col("event_id") % 2 =!= 0)
+        def apply(b: org.apache.spark.sql.DataFrame, id: Long) =
+          RollupIngest.processBatch(b, root, keys, "v_micros", "user_id",
+            id, histWidth = 1000000L, freqCol = "user_id")
+        val applied = Seq(apply(b1, 0L), apply(b2, 1L), apply(b2, 1L))
+        val rollup = RollupIngest.currentRollup(s, root, keys, "approx_users").get
+        val nTotal = rollup.agg(sum("n")).as[Long].head()
+        val qRows = RollupIngest.currentQuantiles(s, root, keys, Seq(500, 900))
+          .get.count()
+        val probe = ev.select("user_id").distinct().limit(16)
+        val freqs = RollupIngest.currentFrequencies(s, root, probe, "user_id").get
+        val truth = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        val oneSided = freqs.join(truth, "user_id")
+          .filter(col("est") >= col("cnt")).count()
+        Seq(("applied", applied.count(identity).toLong),
+            ("replay_rejected", applied.count(!_).toLong),
+            ("rollup_rows", rollup.count()),
+            ("events_total", nTotal),
+            ("quantile_rows", qRows),
+            ("freq_one_sided", oneSided))
+          .toDF("key", "n").orderBy("key")
+      } finally rm(new java.io.File(root))
+    },
+
     Q.noOracle("qs1_webhook_sink") { (s, _) =>
       import s.implicits._
       val batches = sys.env.getOrElse("BENCH_SINK_BATCHES", "1").toInt
