@@ -348,6 +348,41 @@ object Corpus {
       .select(col("doc_id"), col(scoreCol), col("stratum"), col("rnk"))
   }
 
+  /** TEMPERATURE-based multilingual sampling (the p^α mixing rule of
+    * mBERT/XLM-R, Conneau et al. 2020 §3): sample quotas proportional
+    * to n_stratum^α instead of n_stratum, flattening the language
+    * distribution so high-resource languages stop drowning out
+    * low-resource ones. α is fixed at 0.5 — sqrt is the one power both
+    * engines compute as the SAME correctly-rounded IEEE double, so
+    * quotas stay hash-exact (general α via pow() is the same shape but
+    * not cross-engine-reproducible). Quotas are floor shares of
+    * `totalSample` (the ≤|strata| remainder is deliberately left
+    * unassigned rather than distributed by an arbitrary rule); a quota
+    * exceeding its stratum keeps the whole stratum.
+    *
+    * Scale shape: stratum counts + weights + quotas are one map-side-
+    * combined aggregate collapsing to a strata-sized table that
+    * BROADCASTS back (the 1-row total rides a broadcast cross join,
+    * the [[histogramQuantiles]] pattern); the pick is the fold-ordered
+    * per-stratum rank window of [[balancedSample]] — parallel across
+    * strata, never a global sort. */
+  def temperatureSample(docs: DataFrame, strataCol: String,
+                        totalSample: Long): DataFrame = {
+    val n = docs.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val w = n.withColumn("__w",
+      floor(sqrt(col("__n").cast("double")) * lit(1000000.0)).cast("long"))
+    val tw = w.agg(sum("__w").as("__tw"))
+    val quota = w.crossJoin(broadcast(tw))
+      .withColumn("quota", expr(s"$totalSample * __w DIV __tw"))
+      .select(col(strataCol), col("quota"))
+    val wdw = Window.partitionBy(strataCol).orderBy(col("__rnd"), col("doc_id"))
+    docs.join(broadcast(quota), Seq(strataCol))
+      .withColumn("__rnd", portableFold(col("doc_id")))
+      .withColumn("rnk", row_number().over(wdw).cast("long"))
+      .filter(col("rnk") <= col("quota"))
+      .select(col("doc_id"), col(strataCol), col("rnk"), col("quota"))
+  }
+
   /** CCNet-style perplexity BUCKETING (Wenzek et al. 2020 §4.3): split
     * each language's documents into head / middle / tail thirds by LM
     * quality score — the standard "keep head+middle, drop tail" corpus

@@ -771,6 +771,29 @@ object LlmQueries {
       Corpus.ccnetBuckets(scored, "lang", "score_ppm", histWidth = 10000L)
         .select("doc_id", "lang", "score_ppm", "bucket")
         .orderBy("doc_id")
+    },
+
+    // Temperature-based multilingual sampling (p^0.5 mixing rule):
+    // quotas proportional to sqrt(stratum size) flatten the language
+    // distribution; sqrt is correctly-rounded IEEE on both engines, so
+    // even the weights are hash-exact. Fold-ordered per-language picks.
+    Q("q118_temperature_mix",
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        | w AS (SELECT lang, CAST(floor(sqrt(n) * 1000000.0) AS BIGINT) AS w FROM n),
+        | tw AS (SELECT sum(w) AS tw FROM w),
+        | q AS (SELECT lang, CAST((150 * w) // tw AS BIGINT) AS quota FROM w, tw),
+        | r AS (SELECT doc_id, lang,
+        |        ((doc_id % 1000000007) * 2654435761) % 1000000007 AS rnd
+        |       FROM documents),
+        | rk AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY rnd, doc_id) AS BIGINT) AS rnk FROM r)
+        |SELECT rk.doc_id, rk.lang, rk.rnk, q.quota
+        |FROM rk JOIN q USING (lang) WHERE rk.rnk <= q.quota
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Corpus.temperatureSample(Tables(s, dir, "documents"), "lang",
+          totalSample = 150L)
+        .orderBy("doc_id")
     }
   )
 }

@@ -537,6 +537,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample flattens quotas to sqrt shares") {
+    // strata 100/25/4 docs → weights 10/5/2 (×1e6) → Σ=17; total=17 →
+    // quotas exactly 10/5/2. Proportional sampling would give ~13/3/0 —
+    // the temperature keeps the small stratum represented.
+    val docs = ((1L to 100L).map(i => (i, "big")) ++
+      (201L to 225L).map(i => (i, "mid")) ++
+      (301L to 304L).map(i => (i, "tiny"))).toDF("doc_id", "lang")
+    val got = Corpus.temperatureSample(docs, "lang", totalSample = 17L)
+      .select("doc_id", "lang", "rnk", "quota")
+      .as[(Long, String, Long, Long)].collect()
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang == Map("big" -> 10, "mid" -> 5, "tiny" -> 2))
+    assert(got.forall(t => t._3 <= t._4))
+    // picks come from their own stratum and are deterministic
+    assert(got.filter(_._2 == "tiny").forall(t => t._1 >= 301L && t._1 <= 304L))
+    val again = Corpus.temperatureSample(docs, "lang", totalSample = 17L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == got.map(_._1).sorted.toSeq)
+    // a quota larger than its stratum keeps the stratum whole, no crash
+    val big = Corpus.temperatureSample(docs, "lang", totalSample = 1000L)
+      .select("lang").as[String].collect()
+    assert(big.count(_ == "tiny") == 4)
+  }
+
   test("ccnetBuckets calibrates tercile cuts per language") {
     // lang A scores 1..90, lang B scores 1001..1090: identical shapes on
     // disjoint scales. Per-language calibration must bucket each third
