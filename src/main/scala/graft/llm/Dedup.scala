@@ -170,6 +170,44 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
   }
 
+  /** REMOVE cross-document duplicate spans — the surgery step on top of
+    * [[duplicateSpans]]'s flags (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": cut the repeated
+    * substring, keep the rest of the document). A token is removed iff
+    * it is covered by any k-gram occurrence whose gram appears in
+    * ≥ `minDf` DISTINCT documents (the cross-document boilerplate
+    * signal; a span repeated only within one document is kept — that is
+    * [[graft.llm.TextAnalysis.repetitionStats]]' axis). Docs shorter
+    * than k have no grams and pass through whole.
+    *
+    * Shape: one positional-gram scan staged once (feeds the df
+    * aggregate AND the semi-join probe), a gram-keyed df aggregate over
+    * per-doc-distinct grams (map-side combined), a semi-join back, one
+    * doc-keyed collect of flagged start positions (bounded by doc
+    * length), and a narrow array rebuild — coverage is an
+    * exists-over-starts lambda, no per-token join. Two keyed shuffles
+    * total, the [[duplicateSpans]] budget. */
+  def removeDuplicateSpans(docs: DataFrame, k: Int = 8,
+                           minDf: Long = 2L): DataFrame = {
+    val grams = Stage(docs.select(col("doc_id"),
+      posexplode(graft.functions.TokenNgrams.token_ngrams(col("text"), k))
+        .as(Seq("pos", "gram"))))
+    val dup = grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("gram")
+    val starts = grams.join(dup, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .withColumn("l", split(col("text"), " "))
+      .withColumn("s", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("l"),
+        (_, i) => !exists(col("s"), st => st <= i && i < st + k)))
+      .select(col("doc_id"),
+        size(col("l")).cast("long").as("n_tokens"),
+        (size(col("l")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("text_clean"))
+  }
+
   /** Shared inverted-index pair core: (id_a, id_b, n_a, n_b, common)
     * for every pair with ≥1 shared (surviving) shingle. The shingle
     * hashing is the codegen'd [[graft.functions.ShingleHashes]] — one

@@ -975,6 +975,39 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Duplicate-span REMOVAL (Lee et al. 2022): cut every token covered
+    // by a cross-document k-gram occurrence (df ≥ 2 over distinct
+    // docs), keep the rest — the surgery q85 only flags. The oracle
+    // rebuilds positional grams, flagged starts, and the coverage
+    // lambda; note the inner lambda variable must not shadow the outer
+    // position (the q117 lesson).
+    Q("q119_span_removal",
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+        | g AS (SELECT doc_id, s.p AS p, s.gram AS gram
+        |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(l) - 6),
+        |           i -> {'p': i, 'gram': l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+        |                 l[i+3] || ' ' || l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' ||
+        |                 l[i+7]})) AS s
+        |         FROM w WHERE len(l) >= 8)),
+        | dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        |         GROUP BY gram HAVING count(*) >= 2),
+        | st AS (SELECT doc_id, list_sort(list(p)) AS starts
+        |        FROM g JOIN dup USING (gram) GROUP BY doc_id),
+        | res AS (SELECT w.doc_id, len(w.l) AS n_tokens,
+        |          list_filter(list_transform(range(1, len(w.l) + 1),
+        |            i -> CASE WHEN len(list_filter(COALESCE(st.starts, []),
+        |                   stt -> stt <= i AND i < stt + 8)) > 0
+        |                 THEN NULL ELSE w.l[i] END), x -> x IS NOT NULL) AS kept
+        |         FROM w LEFT JOIN st USING (doc_id))
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+        | COALESCE(list_aggregate(kept, 'string_agg', ' '), '') AS text_clean
+        |FROM res ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Dedup.removeDuplicateSpans(Tables(s, dir, "documents"), k = 8, minDf = 2L)
+        .orderBy("doc_id")
+    },
+
     // END-TO-END corpus build — the three-stage composition a training
     // pipeline actually ships: quality gate (≥20 tokens, q26's is_short
     // rule) → exact dedup to min-id representatives (q30) → per-language

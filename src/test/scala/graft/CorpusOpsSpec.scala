@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Clusters, Corpus}
+import graft.llm.{Clusters, Corpus, Dedup}
 
 /** Round-3 corpus-construction operators: connected components, TF-IDF,
   * vocabulary, sampling, histogram, packing, quantization. */
@@ -381,6 +381,28 @@ class CorpusOpsSpec extends SparkSpec {
     val flagged = Corpus.decontaminate(corpus, bench, k = 8)
       .as[(Long, Long)].collect().toMap
     assert(flagged == Map(3L -> 1L))
+  }
+
+  test("removeDuplicateSpans cuts cross-doc spans, keeps within-doc repeats") {
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ") // one 8-gram
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),      // shared span mid-doc
+      (2L, s"$shared omega one two three"),          // shared span at start
+      (3L, "clean text with no repeats at all here"),// untouched
+      (4L, ("x1 x2 x3 x4 x5 x6 x7 x8 " * 2).trim),   // within-ONE-doc repeat
+      (5L, "short doc")                              // < k tokens
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, k = 8, minDf = 2L)
+      .select("doc_id", "n_tokens", "n_removed", "text_clean")
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    // docs 1/2 lose exactly the 8 shared tokens, surroundings survive
+    assert(got(1L)._3 == 8L && got(1L)._4 == "alpha beta gamma delta")
+    assert(got(2L)._3 == 8L && got(2L)._4 == "omega one two three")
+    // clean + short docs untouched
+    assert(got(3L)._3 == 0L && got(3L)._4 == "clean text with no repeats at all here")
+    assert(got(5L)._3 == 0L && got(5L)._4 == "short doc")
+    // within-one-doc repetition: df counts DISTINCT docs, so df=1 — kept
+    assert(got(4L)._3 == 0L)
   }
 
   test("duplicateSpans is empty on a span-unique corpus") {
