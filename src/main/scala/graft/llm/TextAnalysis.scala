@@ -160,6 +160,37 @@ object TextAnalysis {
         "stop_kinds", "rule_mask", "pass")
   }
 
+  /** Per-document QUALITY FEATURE MATRIX — the feature-extraction step
+    * that trains/serves a document-quality classifier (the fastText-
+    * style filters of the GPT-3/LLaMA data pipelines): every scan-bound
+    * quality signal this library already proves individually —
+    * [[tokenStats]] surface stats, [[lexicalDiversity]] vocabulary
+    * richness, [[gopherRules]] structural mask, [[ngramNovelty]]
+    * cross-corpus originality, [[bigramLmScore]] LM fluency — joined
+    * into one doc-keyed table. Signals undefined for short docs
+    * (novelty needs ≥ n tokens, the LM score ≥ 2) surface as −1
+    * sentinels rather than dropped rows, so the matrix always covers
+    * the whole corpus.
+    *
+    * Shape at 100 TB: each component is one scan + Zipf-small count
+    * tables (their own docs); the composition adds only doc-keyed
+    * equi-joins of doc-sized aggregates — same-key joins that co-
+    * partition after the first shuffle. */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val ts = tokenStats(docs).select("doc_id", "n_tokens", "n_chars",
+      "avg_tok_len_ppm")
+    val ld = lexicalDiversity(docs).select("doc_id", "ttr_ppm", "hapax_ppm")
+    val gr = gopherRules(docs).select(col("doc_id"),
+      col("rule_mask").as("gopher_mask"), col("pass").as("gopher_pass"))
+    val nv = ngramNovelty(docs, 3).select("doc_id", "novelty_ppm")
+    val lm = bigramLmScore(docs).select(col("doc_id"),
+      col("score_ppm").as("lm_score_ppm"))
+    ts.join(ld, "doc_id").join(gr, "doc_id")
+      .join(nv, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .na.fill(-1L, Seq("novelty_ppm", "lm_score_ppm"))
+  }
+
   /** PII detection / redaction: flag and mask email-shaped and long-
     * digit-run (phone/card-shaped) tokens. Patterns are deliberately in
     * the common regex subset Java (Spark) and RE2 (other engines) parse

@@ -794,6 +794,77 @@ object LlmQueries {
       Corpus.temperatureSample(Tables(s, dir, "documents"), "lang",
           totalSample = 150L)
         .orderBy("doc_id")
+    },
+
+    // Quality feature matrix: every proven per-doc quality signal
+    // (surface stats, lexical diversity, Gopher mask, trigram novelty,
+    // bigram-LM fluency) joined into the classifier-training feature
+    // table; short-doc-undefined signals surface as -1 sentinels. The
+    // oracle stitches the component oracles (q25/q102/q109/q112/q94).
+    Q("q120_quality_features",
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+        | ts AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         (CAST(length(text) AS BIGINT) * 1000000)
+        |           // CAST(len(l) AS BIGINT) AS avg_tok_len_ppm
+        |        FROM t),
+        | tc AS (SELECT doc_id, tok, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(l) AS tok FROM t) GROUP BY 1, 2),
+        | ld AS (SELECT doc_id,
+        |         CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm,
+        |         CAST(count(*) FILTER (c = 1) * 1000000 // count(*) AS BIGINT) AS hapax_ppm
+        |        FROM tc GROUP BY 1),
+        | gb AS (SELECT doc_id,
+        |   CAST(len(l) AS BIGINT) AS n_tokens,
+        |   CAST(length(text) AS BIGINT) AS n_chars,
+        |   CAST(length(text) - length(replace(text, '#', ''))
+        |    + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS sym_cnt,
+        |   CAST(len(list_filter(l, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_cnt,
+        |   CAST((CASE WHEN list_contains(l, 'the') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(l, 'a') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(l, 'of') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(l, 'and') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(l, 'to') THEN 1 ELSE 0 END) AS BIGINT) AS stop_kinds
+        |  FROM t),
+        | gm AS (SELECT doc_id,
+        |   CASE WHEN n_tokens >= 30 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS r1,
+        |   CASE WHEN (n_chars - n_tokens + 1) * 1000000 // n_tokens
+        |     BETWEEN 3000000 AND 10000000 THEN 1 ELSE 0 END AS r2,
+        |   CASE WHEN sym_cnt * 1000000 // n_tokens < 100000 THEN 1 ELSE 0 END AS r3,
+        |   CASE WHEN alpha_cnt * 1000000 // n_tokens >= 800000 THEN 1 ELSE 0 END AS r4,
+        |   CASE WHEN stop_kinds >= 2 THEN 1 ELSE 0 END AS r5
+        |  FROM gb),
+        | g AS (SELECT doc_id,
+        |   CAST(r1 + r2*2 + r3*4 + r4*8 + r5*16 AS BIGINT) AS gopher_mask,
+        |   CAST(CASE WHEN r1 + r2 + r3 + r4 + r5 = 5 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+        |  FROM gm),
+        | ng AS (SELECT DISTINCT doc_id,
+        |          unnest(list_transform(range(1, len(l) - 1),
+        |            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
+        |        FROM t WHERE len(l) >= 3),
+        | ndf AS (SELECT gram, count(*) AS df FROM ng GROUP BY 1),
+        | nv AS (SELECT doc_id,
+        |         CAST(count(*) FILTER (df = 1) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+        |        FROM ng JOIN ndf USING (gram) GROUP BY 1),
+        | bg AS (SELECT doc_id, s.w1 AS w1, s.gram AS gram
+        |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |            i -> {'w1': l[i], 'gram': l[i] || ' ' || l[i+1]})) AS s
+        |          FROM t WHERE len(l) >= 2)),
+        | cb AS (SELECT gram, count(*) AS cb FROM bg GROUP BY 1),
+        | cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+        | lm AS (SELECT b.doc_id,
+        |         CAST(sum((cb.cb * 1000000) // cu.cu) // count(*) AS BIGINT) AS lm_score_ppm
+        |        FROM bg b JOIN cb USING (gram) JOIN cu USING (w1) GROUP BY 1)
+        |SELECT ts.doc_id, ts.n_tokens, ts.n_chars, ts.avg_tok_len_ppm,
+        | ld.ttr_ppm, ld.hapax_ppm, g.gopher_mask, g.gopher_pass,
+        | CAST(COALESCE(nv.novelty_ppm, -1) AS BIGINT) AS novelty_ppm,
+        | CAST(COALESCE(lm.lm_score_ppm, -1) AS BIGINT) AS lm_score_ppm
+        |FROM ts JOIN ld USING (doc_id) JOIN g USING (doc_id)
+        |LEFT JOIN nv USING (doc_id) LEFT JOIN lm USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.qualityFeatures(Tables(s, dir, "documents"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -108,4 +108,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores(7L) < scores(1L) * 2 / 3,
       s"rare continuations should score well below: ${scores(7L)} vs ${scores(1L)}")
   }
+
+  test("qualityFeatures covers every doc; short docs get -1 sentinels") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog sat too while a bird flew over " +
+        "the quiet garden of this small house to rest"),
+      (2L, "solo"),          // 1 token: no novelty, no LM score
+      (3L, "two words")      // 2 tokens: LM score yes, trigram novelty no
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityFeatures(docs)
+      .select("doc_id", "n_tokens", "novelty_ppm", "lm_score_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(got.size == 3) // whole corpus covered, nothing dropped
+    assert(got(2L)._3 == -1L && got(2L)._4 == -1L)
+    assert(got(3L)._3 == -1L && got(3L)._4 >= 0L)
+    assert(got(1L)._3 >= 0L && got(1L)._4 >= 0L)
+    // features agree with their source operators
+    val nov = TextAnalysis.ngramNovelty(docs, 3)
+      .select("doc_id", "novelty_ppm").as[(Long, Long)].collect().toMap
+    assert(got(1L)._3 == nov(1L))
+  }
 }
