@@ -170,6 +170,24 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
   }
 
+  /** LSH parameter selection off the S-curve (Leskovec/Rajaraman/Ullman,
+    * MMDS §3.4.3): for a signature of `numPerms` rows, pick the
+    * (bands, rowsPerBand) factorization whose candidate-probability
+    * threshold (1/b)^(1/r) — the Jaccard similarity at which a pair
+    * becomes ~50% likely to collide in some band — lands closest to
+    * `targetJaccard`. More bands ⇒ lower threshold (more candidates,
+    * fewer false negatives); fewer bands ⇒ the reverse. Driver-side
+    * arithmetic over the ≤ d(numPerms) divisors: pick parameters BEFORE
+    * the banding job, no data touched. */
+  def lshTuning(numPerms: Int, targetJaccard: Double): (Int, Int) = {
+    require(numPerms > 0 && targetJaccard > 0.0 && targetJaccard < 1.0)
+    (1 to numPerms).filter(numPerms % _ == 0)
+      .map(b => (b, numPerms / b))
+      .minBy { case (b, r) =>
+        math.abs(math.pow(1.0 / b, 1.0 / r) - targetJaccard)
+      }
+  }
+
   /** REMOVE cross-document duplicate spans — the surgery step on top of
     * [[duplicateSpans]]'s flags (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better": cut the repeated

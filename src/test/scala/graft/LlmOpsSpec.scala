@@ -257,4 +257,21 @@ class LlmOpsSpec extends SparkSpec {
         s"margin failed to suppress the hub for source $d: got ${mined(d)}")
     }
   }
+
+  test("lshTuning picks the S-curve factorization nearest the target") {
+    import graft.llm.Dedup
+    // 32 perms: thresholds (1/b)^(1/r) are b=4→.841, b=8→.595, b=16→.25
+    assert(Dedup.lshTuning(32, 0.5) == ((8, 4)))
+    assert(Dedup.lshTuning(32, 0.8) == ((4, 8)))
+    assert(Dedup.lshTuning(32, 0.2) == ((16, 2)))
+    // monotone: a lower target never selects fewer bands
+    val targets = Seq(0.9, 0.7, 0.5, 0.3, 0.1)
+    val bandsAt = targets.map(t => Dedup.lshTuning(32, t)._1)
+    assert(bandsAt.zip(bandsAt.tail).forall { case (a, b) => a <= b })
+    // the factorization always spends the whole signature
+    for (t <- targets; p <- Seq(16, 32, 64)) {
+      val (b, r) = Dedup.lshTuning(p, t)
+      assert(b * r == p)
+    }
+  }
 }
