@@ -30,8 +30,10 @@ class PlanShapeSpec extends SparkSpec {
         "q103_contrastive_triplets",
         // round-7 consumers: sketch lookup joins + novelty df join
         "q110_count_min", "q112_trigram_novelty",
-        // round-7 additions: per-lang bucket join, epoch manifest
-        "q114_ccnet_buckets", "q116_epoch_shuffle")) {
+        // round-7 additions: per-lang bucket join, epoch manifest,
+        // quota sampling, span removal, feature matrix
+        "q114_ccnet_buckets", "q116_epoch_shuffle", "q118_temperature_mix",
+        "q119_span_removal", "q120_quality_features")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
