@@ -405,6 +405,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(4L)._3 == 0L)
   }
 
+  test("removeDuplicateSpans matches a scala recompute on seeded random corpora") {
+    val k = 4
+    for (seed <- Seq(11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      // small vocab forces genuine cross-doc gram collisions
+      val corpus = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(4 + rnd.nextInt(12))(s"w${rnd.nextInt(6)}").mkString(" "))
+      }
+      // brute force: df per gram over distinct docs, coverage per token
+      val gramsOf = corpus.map { case (id, t) =>
+        val l = t.split(" ")
+        id -> (l, l.sliding(k).zipWithIndex.map { case (g, p) => (g.mkString(" "), p) }.toSeq)
+      }.toMap
+      val df = gramsOf.values.flatMap(_._2.map(_._1).distinct)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val want = corpus.map { case (id, _) =>
+        val (l, gs) = gramsOf(id)
+        val covered = gs.filter(g => df(g._1) >= 2)
+          .flatMap { case (_, p) => p until p + k }.toSet
+        val kept = l.indices.filterNot(covered).map(l)
+        (id, l.length.toLong, (l.length - kept.length).toLong, kept.mkString(" "))
+      }.toSet
+      val got = Dedup.removeDuplicateSpans(corpus.toDF("doc_id", "text"), k, 2L)
+        .select("doc_id", "n_tokens", "n_removed", "text_clean")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("duplicateSpans is empty on a span-unique corpus") {
     val docs = Seq(
       (1L, "a b c d e f g h i"),
