@@ -1008,6 +1008,99 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ROUND-7 CAPSTONE — the multilingual corpus release: CCNet gate
+    // (q114, keep head+middle per language) → cross-doc span removal
+    // over the survivors (q119) → temperature-based sampling (q118) →
+    // multi-epoch training-order manifest (q116). Every stage is the
+    // library operator at its scalable shape; the oracle replays the
+    // entire composition in one statement.
+    Q("q121_corpus_release",
+      """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS l FROM documents),
+        | bg AS (SELECT doc_id, s.w1 AS w1, s.gram AS gram
+        |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |            i -> {'w1': l[i], 'gram': l[i] || ' ' || l[i+1]})) AS s
+        |          FROM t WHERE len(l) >= 2)),
+        | cb AS (SELECT gram, count(*) AS cb FROM bg GROUP BY 1),
+        | cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+        | scores AS (SELECT b.doc_id,
+        |             CAST(sum((cb.cb * 1000000) // cu.cu) // count(*) AS BIGINT) AS score_ppm
+        |            FROM bg b JOIN cb USING (gram) JOIN cu USING (w1) GROUP BY 1),
+        | sc AS (SELECT s.doc_id, d.lang, s.score_ppm
+        |        FROM scores s JOIN documents d USING (doc_id)),
+        | h AS (SELECT lang, score_ppm // 10000 AS bucket, count(*) AS n
+        |       FROM sc GROUP BY 1, 2),
+        | c AS (SELECT lang, bucket,
+        |        CAST(sum(n) OVER (PARTITION BY lang ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS nt
+        |       FROM h),
+        | thr AS (SELECT lang, qq.q, min((bucket + 1) * 10000 - 1) AS u
+        |         FROM c, (SELECT unnest([333, 667]) AS q) qq
+        |         WHERE cum * 1000 >= nt * qq.q GROUP BY 1, 2),
+        | keep AS (SELECT s.doc_id, s.lang FROM sc s
+        |          WHERE (SELECT count(*) FROM thr
+        |                 WHERE thr.lang = s.lang AND s.score_ppm > thr.u) <= 1),
+        | kd AS (SELECT t.doc_id, t.l FROM t JOIN keep USING (doc_id)),
+        | g2 AS (SELECT doc_id, s.p AS p, s.gram AS gram
+        |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(l) - 6),
+        |            i -> {'p': i, 'gram': l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+        |                  l[i+3] || ' ' || l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' ||
+        |                  l[i+7]})) AS s
+        |          FROM kd WHERE len(l) >= 8)),
+        | dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g2)
+        |         GROUP BY gram HAVING count(*) >= 2),
+        | st AS (SELECT doc_id, list_sort(list(p)) AS starts
+        |        FROM g2 JOIN dup USING (gram) GROUP BY doc_id),
+        | clean AS (SELECT kd.doc_id,
+        |            CAST(len(kd.l) - len(list_filter(list_transform(range(1, len(kd.l) + 1),
+        |              i -> CASE WHEN len(list_filter(COALESCE(st.starts, []),
+        |                     stt -> stt <= i AND i < stt + 8)) > 0
+        |                   THEN NULL ELSE kd.l[i] END), x -> x IS NOT NULL)) AS BIGINT) AS n_removed
+        |           FROM kd LEFT JOIN st USING (doc_id)),
+        | n AS (SELECT lang, count(*) AS n FROM keep GROUP BY 1),
+        | w AS (SELECT lang, CAST(floor(sqrt(n) * 1000000.0) AS BIGINT) AS w FROM n),
+        | tw AS (SELECT sum(w) AS tw FROM w),
+        | qta AS (SELECT lang, CAST((100 * w) // tw AS BIGINT) AS quota FROM w, tw),
+        | r AS (SELECT doc_id, lang,
+        |        ((doc_id % 1000000007) * 2654435761) % 1000000007 AS rnd FROM keep),
+        | rk AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY rnd, doc_id) AS BIGINT) AS rnk FROM r),
+        | samp AS (SELECT rk.doc_id, rk.lang FROM rk JOIN qta USING (lang)
+        |          WHERE rk.rnk <= qta.quota),
+        | e AS (SELECT unnest(range(0, 2)) AS epoch),
+        | f AS (SELECT s.doc_id, e.epoch,
+        |        (((s.doc_id + e.epoch * 7919) % 1000000007) * 2654435761)
+        |          % 1000000007 AS rnd
+        |       FROM samp s, e),
+        | sh AS (SELECT epoch, doc_id, rnd, rnd % 4 AS shard FROM f),
+        | m AS (SELECT epoch, shard,
+        |        row_number() OVER (PARTITION BY epoch, shard ORDER BY rnd, doc_id) AS pos,
+        |        doc_id
+        |       FROM sh)
+        |SELECT CAST(m.epoch AS BIGINT) AS epoch, CAST(m.shard AS BIGINT) AS shard,
+        | CAST(m.pos AS BIGINT) AS pos, m.doc_id, s.lang, c.n_removed
+        |FROM m JOIN samp s USING (doc_id) JOIN clean c USING (doc_id)
+        |ORDER BY epoch, shard, pos""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val scored = TextAnalysis.bigramLmScore(docs)
+        .select("doc_id", "score_ppm")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val keepIds = Corpus.ccnetBuckets(scored, "lang", "score_ppm", 10000L)
+        .filter(col("bucket") <= 1).select("doc_id", "lang")
+      val kept = docs.join(keepIds.select("doc_id"), "doc_id")
+      val cleaned = Dedup.removeDuplicateSpans(kept, k = 8, minDf = 2L)
+        .select("doc_id", "n_removed")
+      val sample = Corpus.temperatureSample(keepIds, "lang", totalSample = 100L)
+        .select("doc_id", "lang")
+      Corpus.epochShuffle(sample.select("doc_id"), nShards = 4, epochs = 2)
+        .join(sample, "doc_id")
+        .join(cleaned, "doc_id")
+        .select(col("epoch"), col("shard"), col("pos"), col("doc_id"),
+          col("lang"), col("n_removed"))
+        .orderBy("epoch", "shard", "pos")
+    },
+
     // END-TO-END corpus build — the three-stage composition a training
     // pipeline actually ships: quality gate (≥20 tokens, q26's is_short
     // rule) → exact dedup to min-id representatives (q30) → per-language

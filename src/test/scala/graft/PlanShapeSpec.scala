@@ -33,7 +33,7 @@ class PlanShapeSpec extends SparkSpec {
         // round-7 additions: per-lang bucket join, epoch manifest,
         // quota sampling, span removal, feature matrix
         "q114_ccnet_buckets", "q116_epoch_shuffle", "q118_temperature_mix",
-        "q119_span_removal", "q120_quality_features")) {
+        "q119_span_removal", "q120_quality_features", "q121_corpus_release")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
