@@ -121,6 +121,13 @@ object SinkQueries {
     // rejection is pure integer band arithmetic), but the result is
     // SINK STATE, so rows-only like its siblings; CorpusIngestSpec
     // golden-checks the same path.
+    // Cost profile at sf0.1 (Profile SPARK_GRAFT_JOBS=1): 55 jobs,
+    // ~18s job time, of which THREE jobs (~10.5s) are the per-batch
+    // dedup materializations (signatures + band join vs the store +
+    // exact verify + checkpoint) — real compute, not launch overhead;
+    // the ~50 remaining guard/append/compact jobs total ~4s. The
+    // sequential job chain is the fail-closed ordering (ledger before
+    // appends), which is the point of the design.
     Q.noOracle("qs4_corpus_ingest") { (s, dir) =>
       import s.implicits._
       val docs = graft.Tables(s, dir, "documents")
