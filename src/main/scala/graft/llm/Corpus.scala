@@ -383,6 +383,44 @@ object Corpus {
       .select(col("doc_id"), col(strataCol), col("rnk"), col("quota"))
   }
 
+  /** TARGET-SHARE corpus mixing with upsampling epochs — the data
+    * recipe table of the LLaMA/GPT reports made executable: each
+    * stratum gets a quota of `totalDocs · share‰`, filled by
+    * `quota DIV n` FULL passes over the stratum (the "epochs > 1 on
+    * small high-value domains" rule) plus a deterministic fold-ordered
+    * pick of the `quota MOD n` remainder docs. Output is one row per
+    * selected doc with its copy count: Σ n_copies over a stratum equals
+    * its quota EXACTLY, so the materialized mix hits the recipe to the
+    * document. Strata missing from the recipe are dropped; a recipe
+    * entry with no docs contributes nothing.
+    *
+    * Scale shape: the recipe and stratum counts meet in a strata-sized
+    * table that BROADCASTS back; copy counts are a narrow expression
+    * over the per-stratum rank window ([[balancedSample]]'s shape) —
+    * parallel across strata, never a global sort, and the corpus is
+    * never physically replicated (downstream reads `n_copies`). */
+  def targetShareMix(docs: DataFrame, strataCol: String,
+                     sharesPermille: Seq[(String, Int)],
+                     totalDocs: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shares = sharesPermille.toDF(strataCol, "__share")
+    val n = docs.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val recipe = shares.join(n, strataCol)
+      .withColumn("quota", expr(s"CAST($totalDocs * __share DIV 1000 AS BIGINT)"))
+      .withColumn("__epochs", expr("quota DIV __n"))
+      .withColumn("__rem", expr("quota % __n"))
+      .select(col(strataCol), col("quota"), col("__epochs"), col("__rem"))
+    val w = Window.partitionBy(strataCol).orderBy(col("__rnd"), col("doc_id"))
+    docs.join(broadcast(recipe), Seq(strataCol))
+      .withColumn("__rnd", portableFold(col("doc_id")))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_copies", (col("__epochs") +
+        when(col("rnk") <= col("__rem"), 1L).otherwise(0L)).cast("long"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col(strataCol), col("n_copies"), col("quota"))
+  }
+
   /** CCNet-style perplexity BUCKETING (Wenzek et al. 2020 §4.3): split
     * each language's documents into head / middle / tail thirds by LM
     * quality score — the standard "keep head+middle, drop tail" corpus

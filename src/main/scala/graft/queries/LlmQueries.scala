@@ -796,6 +796,38 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Target-share mixing with upsampling epochs (the LLaMA recipe
+    // table): per-language quotas of 900 docs at fixed permille shares,
+    // filled by whole passes over small languages plus deterministic
+    // remainder picks — sum of n_copies per language equals its quota
+    // exactly.
+    Q("q122_target_share_mix",
+      """WITH shares(lang, share) AS (VALUES ('en', 400), ('de', 200),
+        |   ('es', 150), ('fr', 150), ('zh', 100)),
+        | n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        | e AS (SELECT s.lang, CAST((900 * s.share) // 1000 AS BIGINT) AS quota,
+        |        CAST((900 * s.share) // 1000 // n.n AS BIGINT) AS full_epochs,
+        |        CAST((900 * s.share) // 1000 % n.n AS BIGINT) AS rem
+        |       FROM shares s JOIN n USING (lang)),
+        | r AS (SELECT doc_id, lang,
+        |        ((doc_id % 1000000007) * 2654435761) % 1000000007 AS rnd
+        |       FROM documents),
+        | rk AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |          ORDER BY rnd, doc_id) AS rnk FROM r)
+        |SELECT rk.doc_id, rk.lang,
+        | CAST(e.full_epochs + CASE WHEN rk.rnk <= e.rem THEN 1 ELSE 0 END
+        |   AS BIGINT) AS n_copies,
+        | e.quota
+        |FROM rk JOIN e USING (lang)
+        |WHERE e.full_epochs + CASE WHEN rk.rnk <= e.rem THEN 1 ELSE 0 END > 0
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Corpus.targetShareMix(Tables(s, dir, "documents"), "lang",
+          Seq("en" -> 400, "de" -> 200, "es" -> 150, "fr" -> 150, "zh" -> 100),
+          totalDocs = 900L)
+        .orderBy("doc_id")
+    },
+
     // Quality feature matrix: every proven per-doc quality signal
     // (surface stats, lexical diversity, Gopher mask, trigram novelty,
     // bigram-LM fluency) joined into the classifier-training feature

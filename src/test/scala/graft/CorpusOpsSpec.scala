@@ -612,6 +612,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(big.count(_ == "tiny") == 4)
   }
 
+  test("targetShareMix fills quotas exactly, upsampling small strata") {
+    // big: 50 docs, small: 5 docs; shares 60%/40% of 100 → quotas 60/40.
+    // big: 60 = 1 full epoch + 10 remainder picks; small: 40 = 8 epochs.
+    val docs = ((1L to 50L).map(i => (i, "big")) ++
+      (101L to 105L).map(i => (i, "small"))).toDF("doc_id", "lang")
+    val got = Corpus.targetShareMix(docs, "lang",
+        Seq("big" -> 600, "small" -> 400), totalDocs = 100L)
+      .select("doc_id", "lang", "n_copies", "quota")
+      .as[(Long, String, Long, Long)].collect()
+    val bySt = got.groupBy(_._2)
+    // sum of copies per stratum == quota exactly
+    assert(bySt("big").map(_._3).sum == 60L && bySt("big").head._4 == 60L)
+    assert(bySt("small").map(_._3).sum == 40L)
+    // big: every doc appears once, 10 of them twice
+    assert(bySt("big").length == 50)
+    assert(bySt("big").count(_._3 == 2L) == 10)
+    // small: all 5 docs at exactly 8 full epochs, no remainder
+    assert(bySt("small").map(_._3).toSeq.sorted == Seq.fill(5)(8L))
+    // a stratum not in the recipe is dropped entirely
+    val extra = Corpus.targetShareMix(
+      docs.union(Seq((999L, "other")).toDF("doc_id", "lang")), "lang",
+      Seq("big" -> 600, "small" -> 400), totalDocs = 100L)
+    assert(!extra.select("lang").as[String].collect().contains("other"))
+  }
+
   test("ccnetBuckets calibrates tercile cuts per language") {
     // lang A scores 1..90, lang B scores 1001..1090: identical shapes on
     // disjoint scales. Per-language calibration must bucket each third
