@@ -434,6 +434,46 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("removeDuplicateSpans on a fully-duplicated corpus empties every doc") {
+    // 60 identical docs: every gram has df=60, every token is covered —
+    // the hot-corpus extreme. Output must be 60 empty docs, not a blowup
+    // (grams stay doc-keyed; starts arrays are bounded by doc length).
+    val text = (1 to 20).map(i => s"t$i").mkString(" ")
+    val docs = (1L to 60L).map(i => (i, text)).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, k = 8, minDf = 2L)
+      .select("doc_id", "n_tokens", "n_removed", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.length == 60)
+    assert(got.forall(t => t._2 == 20L && t._3 == 20L && t._4 == ""))
+  }
+
+  test("targetShareMix conserves quotas on random recipes") {
+    val rnd = new scala.util.Random(3)
+    for (trial <- 1 to 3) {
+      val strata = (0 until 4).map(i => s"s$i")
+      val docs = strata.zipWithIndex.flatMap { case (st, i) =>
+        (0 until 3 + rnd.nextInt(40)).map(j => ((i * 1000 + j).toLong, st))
+      }.toDF("doc_id", "lang")
+      // random shares summing ≤ 1000
+      val raw = strata.map(_ => 1 + rnd.nextInt(300))
+      val shares = strata.zip(raw).toSeq
+      val total = 50L + rnd.nextInt(500)
+      val got = Corpus.targetShareMix(docs, "lang", shares, total)
+        .select("lang", "n_copies", "quota")
+        .as[(String, Long, Long)].collect()
+      for ((st, share) <- shares) {
+        val q = total * share / 1000
+        val rows = got.filter(_._1 == st)
+        assert(rows.map(_._2).sum == q, s"trial $trial stratum $st")
+        if (rows.nonEmpty) assert(rows.head._3 == q)
+        // copy counts differ by at most 1 within a stratum (epochs vs
+        // epochs+1) — the balanced-fill invariant
+        if (rows.nonEmpty)
+          assert(rows.map(_._2).max - rows.map(_._2).min <= 1L)
+      }
+    }
+  }
+
   test("duplicateSpans is empty on a span-unique corpus") {
     val docs = Seq(
       (1L, "a b c d e f g h i"),
