@@ -407,7 +407,11 @@ object Corpus {
     val shares = sharesPermille.toDF(strataCol, "__share")
     val n = docs.groupBy(strataCol).agg(count(lit(1)).as("__n"))
     val recipe = shares.join(n, strataCol)
-      .withColumn("quota", expr(s"CAST($totalDocs * __share DIV 1000 AS BIGINT)"))
+      // CAST the total BEFORE multiplying: an IntegerType literal times
+      // the IntegerType share overflows Int at totalDocs ~ 5M·share —
+      // ANSI mode throws, legacy mode silently drops whole strata
+      .withColumn("quota",
+        expr(s"CAST($totalDocs AS BIGINT) * __share DIV 1000"))
       .withColumn("__epochs", expr("quota DIV __n"))
       .withColumn("__rem", expr("quota % __n"))
       .select(col(strataCol), col("quota"), col("__epochs"), col("__rem"))
@@ -758,9 +762,13 @@ object Corpus {
     * summaries survive the value-level compare; the first 4 calibration
     * scales ride along in micros so the calibration itself is checked. */
   def int8QuantizePerDim(emb: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim >= 4, s"output schema carries s0..s3/c0..c3, so dim must be >= 4 (got $dim)")
+    // an empty corpus aggregates null maxes — treat as scale 0 so the
+    // (empty) select still builds instead of NPE-ing on the driver
     val maxes = emb.agg(array((0 until dim).map(i =>
         max(abs(element_at(col("embedding"), i + 1).cast("double")))): _*).as("m"))
-      .collect()(0).getSeq[Double](0)
+      .collect()(0).getSeq[Any](0)
+      .map(v => if (v == null) 0.0 else v.asInstanceOf[Double])
     val scales = array(maxes.map(lit): _*)
     val codes = transform(col("embedding"), (e, i) =>
       when(element_at(scales, i + 1) === 0.0, lit(0L))

@@ -233,6 +233,17 @@ object RollupIngest {
       fsOf(spark, stateDir).listStatus(new Path(p)).toSeq
         .map(_.getPath.getName).collectFirst {
           case n if n.startsWith("freq_d") =>
+            // the read path must enforce the geometry the dir name
+            // encodes, exactly like the write path: estimating stored
+            // d4w2048 registers with different compile-time constants
+            // would address cells the store never wrote, read coalesced
+            // zeros, and silently break the one-sided est ≥ truth
+            // contract
+            val dims = s"d${graft.functions.CountMin.Depth}w${graft.functions.CountMin.Width}"
+            if (n.drop(5) != dims) throw new IllegalStateException(
+              s"frequency state $p/$n has geometry ${n.drop(5)}, this build " +
+                s"estimates with $dims — mismatched registers would serve " +
+                "silently-low estimates")
             graft.functions.CountMin.estimate(
               spark.read.parquet(s"$p/$n"), values, valueCol)
         }

@@ -16,8 +16,13 @@ object Profile {
     val jobStats = sys.env.get("SPARK_GRAFT_JOBS").contains("1")
     val spark = graft.GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
-    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    // epoch-keyed attribution: the listener bus is async, so a job-end
+    // event arriving after the next query started must not be credited
+    // to it — each job carries the epoch it STARTED in, and the report
+    // filters to the current epoch instead of trusting clear() timing
+    val epoch = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String, Int)]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
     if (jobStats) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -25,17 +30,17 @@ object Profile {
           starts.put(js.jobId, (System.nanoTime(),
             Option(js.properties.getProperty("callSite.short"))
               .orElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
-              .getOrElse("?")))
+              .getOrElse("?"), epoch.get))
         override def onJobEnd(
             je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
-            jobs.add((je.jobId, System.nanoTime() - t0, site))
+          Option(starts.remove(je.jobId)).foreach { case (t0, site, ep) =>
+            jobs.add((je.jobId, System.nanoTime() - t0, site, ep))
           }
         }
       })
     val names = if (args.isEmpty) SparkEntry.inventory.map(_.name) else args.toSeq
     names.foreach { n =>
-      jobs.clear()
+      val ep = epoch.incrementAndGet()
       val df = SparkEntry.queries(n)(spark, sfDir)
       if (explain) { println(s"=== $n plan ==="); df.explain("formatted") }
       val t0 = System.nanoTime()
@@ -44,11 +49,12 @@ object Profile {
       println(f"[profile] $n%-22s $dt%8.2fs  rows=$cnt")
       if (jobStats) {
         Thread.sleep(200) // let trailing job-end events drain
-        val all = jobs.toArray(Array.empty[(Int, Long, String)]).toSeq
+        val all = jobs.toArray(Array.empty[(Int, Long, String, Int)]).toSeq
+          .filter(_._4 == ep)
         val total = all.map(_._2).sum / 1e9
         println(f"[profile]   jobs=${all.size} jobTime=$total%.2fs " +
           f"(query build may run jobs before count)")
-        all.sortBy(-_._2).take(12).foreach { case (id, ns, site) =>
+        all.sortBy(-_._2).take(12).foreach { case (id, ns, site, _) =>
           println(f"[profile]   job#$id%-4d ${ns / 1e9}%6.2fs  $site")
         }
       }

@@ -677,6 +677,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!extra.select("lang").as[String].collect().contains("other"))
   }
 
+  test("targetShareMix survives corpus-scale totals without Int overflow") {
+    // 5M-doc total at 500 permille: the quota product is 2.5e9 > Int.Max
+    // — regression for the Int-literal arithmetic ANSI mode threw on
+    val docs = (1L to 10L).map(i => (i, "s")).toDF("doc_id", "lang")
+    val got = Corpus.targetShareMix(docs, "lang", Seq("s" -> 500), 5000000L)
+      .select("n_copies", "quota").as[(Long, Long)].collect()
+    assert(got.head._2 == 2500000L)
+    assert(got.map(_._1).sum == 2500000L)
+  }
+
+  test("int8QuantizePerDim guards degenerate inputs") {
+    val emb = Seq((0L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Corpus.int8QuantizePerDim(emb, dim = 2)
+    }
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Corpus.int8QuantizePerDim(empty, dim = 4).count() == 0L)
+  }
+
   test("ccnetBuckets calibrates tercile cuts per language") {
     // lang A scores 1..90, lang B scores 1001..1090: identical shapes on
     // disjoint scales. Per-language calibration must bucket each third

@@ -143,5 +143,19 @@ class RollupIngestSpec extends SparkSpec {
     intercept[IllegalStateException] {
       RollupIngest.processBatch(b(1), dir2, keys, "v", "u", 1L, freqCol = "u")
     }
+
+    // the READ path enforces the geometry the dir name encodes, like
+    // the write path: registers from a different Depth×Width addressed
+    // with this build's constants would serve silently-low estimates
+    val (_, vpath) = RollupIngest.latestVersion(spark, dir).get
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = fs.listStatus(new org.apache.hadoop.fs.Path(vpath))
+      .map(_.getPath.getName).find(_.startsWith("freq_d")).get
+    fs.rename(new org.apache.hadoop.fs.Path(s"$vpath/$cur"),
+      new org.apache.hadoop.fs.Path(s"$vpath/freq_d4w999"))
+    intercept[IllegalStateException] {
+      RollupIngest.currentFrequencies(spark, dir, vals, "u")
+    }
   }
 }
