@@ -56,6 +56,7 @@ class WebhookPipeline(tablesDir: String,
       val typeCounts: Map[String, Long] = envelope.groupBy("event_type")
         .count().collect()
         .map(r => (r.getString(0), r.getLong(1))).toMap
+      quarantineUnprocessable(envelope, typeCounts, batchId)
       val live = StripeEvents.route(envelope).filter {
         case (_, _, types, _) => types.exists(t => typeCounts.getOrElse(t, 0L) > 0L)
       }
@@ -69,6 +70,33 @@ class WebhookPipeline(tablesDir: String,
         .toSeq.sortBy(_._1)
         .foreach { case (_, groups) => runConcurrently(groups) }
     } finally envelope.unpersist()
+  }
+
+  /** Dead-letter AUDIT sink — the ops extension the reference's
+    * ignore-with-200 leaves open (`routes/webhooks.ts` acknowledges
+    * every delivery; unhandled types just vanish): any batch containing
+    * events the router cannot place appends them to `_quarantine`
+    * (id, type, created, reason, raw payload, batch id) so silent drops
+    * are auditable and replayable after a route is added. The decision
+    * rides the SAME typeCounts aggregate the router already pays for —
+    * a clean batch (every type routed, none null) adds ZERO extra jobs,
+    * and the directory exists only once something was quarantined.
+    * Reasons: `malformed_envelope` (no parseable type/id/payload) vs
+    * `unrouted_type` (well-formed, just not a routed event type). */
+  private def quarantineUnprocessable(envelope: DataFrame,
+      typeCounts: Map[String, Long], batchId: Long): Unit = {
+    val handled = StripeEvents.routes.keySet
+    val suspect = typeCounts.keys.exists(t => t == null || !handled.contains(t))
+    if (!suspect) return
+    envelope.filter(col("event_type").isNull ||
+        !col("event_type").isin(handled.toSeq: _*))
+      .select(col("event_id"), col("event_type"), col("created"),
+        when(col("event_type").isNull || col("event_id").isNull ||
+          col("payload").isNull, "malformed_envelope")
+          .otherwise("unrouted_type").as("reason"),
+        col("payload"), lit(batchId).as("batch_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$tablesDir/_quarantine")
   }
 
   private def runConcurrently(

@@ -295,4 +295,32 @@ class WebhookPipelineSpec extends SparkSpec {
     assert(readTable(dir, "active_entitlements").select("id").as[String]
       .collect().sorted.toSeq == Seq("ent_2", "ent_3"))
   }
+
+  test("unroutable events land in the quarantine audit sink; clean batches skip it") {
+    val dir = tmpDir("graft_wh_q")
+    val pipeline = new WebhookPipeline(dir)
+    val good =
+      """{"id":"evt_ok","type":"product.created","created":100,
+        |"data":{"object":{"id":"prod_q1","name":"n","updated":1}}}""".stripMargin
+        .replaceAll("\n", " ")
+    // a clean batch must not create the quarantine dir (zero extra jobs)
+    pipeline.processBatch(Seq(good).toDF("value"), 0L)
+    assert(!Files.exists(Paths.get(s"$dir/_quarantine")))
+    // unknown type + typeless garbage: processed tables stay correct,
+    // the drops become auditable rows with the right reasons
+    val unknown =
+      """{"id":"evt_u","type":"price.migrated","created":101,
+        |"data":{"object":{"id":"price_x"}}}""".stripMargin.replaceAll("\n", " ")
+    val garbage = """{"hello":"world"}"""
+    pipeline.processBatch(Seq(good, unknown, garbage).toDF("value"), 1L)
+    assert(readTable(dir, "products").select("id").as[String].collect()
+      .toSeq == Seq("prod_q1"))
+    val q = readTable(dir, "_quarantine")
+      .select("event_id", "event_type", "reason", "batch_id")
+      .as[(String, String, String, Long)].collect().sortBy(_._3)
+    assert(q.length == 2)
+    assert(q.exists(r => r._2 == "price.migrated" && r._3 == "unrouted_type"
+      && r._4 == 1L))
+    assert(q.exists(r => r._2 == null && r._3 == "malformed_envelope"))
+  }
 }
