@@ -91,9 +91,22 @@ object CorpusIngest {
       else Dedup.minHashSignatures(
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           docSchema), k, numPerms)
+    // INPUT VALIDATION with an audit trail (the VectorIngest pattern):
+    // a null doc_id would vanish silently inside the guard's bloom
+    // probe, and a null text would flow a junk row into the corpus
+    // store with NULL signatures. Quarantine both (sigDir-side, with
+    // reason) and ingest only well-formed rows — invalid rows are NOT
+    // ledgered, so a corrected re-send is admitted, never a "replay".
+    val rows0 = batch.select("doc_id", "text").dropDuplicates("doc_id")
+    val wellFormed = col("doc_id").isNotNull && col("text").isNotNull
+    val invalid = rows0.filter(!coalesce(wellFormed, lit(false)))
+    if (invalid.limit(1).count() > 0)
+      invalid.select(col("doc_id"),
+          when(col("doc_id").isNull, "doc_id_null")
+            .otherwise("text_null").as("reason"))
+        .write.mode(SaveMode.Append).parquet(s"${sigDir}_quarantine")
     val dedupedIds = ReplayGuard.filterFresh(
-      batch.select("doc_id", "text").dropDuplicates("doc_id"),
-      "doc_id", guardDir)
+      rows0.filter(wellFormed), "doc_id", guardDir)
     val fresh = benchmark match {
       case Some(b) =>
         val contaminated = graft.llm.Corpus.decontaminate(dedupedIds, b, decontamK)

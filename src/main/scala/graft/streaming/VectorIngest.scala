@@ -151,9 +151,29 @@ object VectorIngest {
           spark.read.parquet(path).select("vec_id"), "vec_id", guardDir)
     }
     val fresh0 = batch.select("vec_id", "embedding").dropDuplicates("vec_id")
-    val fresh = ReplayGuard.filterFresh(fresh0, "vec_id", guardDir)
+    // INPUT VALIDATION with an audit trail: a null-id row would vanish
+    // silently inside the guard's bloom probe, and a null/wrong-dim
+    // embedding would be dropped by assignToCells' norm filter — both
+    // invisible data bugs at stream scale. Quarantine them instead
+    // (root/_quarantine, with reason), and index only well-formed rows.
+    // Crucially the invalid rows are NOT ledgered, so a corrected
+    // re-send of the same id is admitted, never treated as a replay.
+    val cents = centroids(spark, root)
+    val dim = cents.select(size(col("cent"))).head().getInt(0)
+    val wellFormed = col("vec_id").isNotNull && col("embedding").isNotNull &&
+      size(col("embedding")) === dim
+    val invalid = fresh0.filter(!coalesce(wellFormed, lit(false)))
+    if (invalid.limit(1).count() > 0)
+      invalid.select(col("vec_id"),
+          when(col("vec_id").isNull, "vec_id_null")
+            .when(col("embedding").isNull, "embedding_null")
+            .otherwise("wrong_dim").as("reason"),
+          coalesce(size(col("embedding")), lit(-1)).as("n_dims"))
+        .write.mode(SaveMode.Append).parquet(s"$root/_quarantine")
+    val fresh = ReplayGuard.filterFresh(
+      fresh0.filter(wellFormed), "vec_id", guardDir)
     val assigned = graft.llm.Stage(
-      Similarity.assignToCells(fresh, centroids(spark, root), "vec_id", keep = 1))
+      Similarity.assignToCells(fresh, cents, "vec_id", keep = 1))
     // guard BEFORE the cell append (fail-closed): a crash between the
     // two leaves a ledgered-but-unindexed orphan reconcile() can clear,
     // never a duplicate vector. The count rides the guard's aggregate.

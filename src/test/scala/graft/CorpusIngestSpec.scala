@@ -135,4 +135,27 @@ class CorpusIngestSpec extends SparkSpec {
     assert(ledger.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
     assert(ledger.filter(col("doc_id") === 1L).select("h0").head().isNullAt(0))
   }
+
+  test("null-id/null-text rows quarantine; corrected re-sends are admitted") {
+    val root = tmpDir("cingest_q")
+    val corpusDir = s"$root/corpus"; val sigDir = s"$root/sigs"
+    val good = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val bad = Seq((2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .union(Seq((null.asInstanceOf[java.lang.Long], "orphan text row"))
+        .toDF("doc_id", "text"))
+    assert(CorpusIngest.processBatch(good.union(bad), corpusDir, sigDir) == 1L)
+
+    val q = spark.read.parquet(s"${sigDir}_quarantine")
+      .select("doc_id", "reason").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toSet
+    assert(q == Set((2L, "text_null"), (-1L, "doc_id_null")))
+    assert(spark.read.parquet(corpusDir).count() == 1L)
+
+    // id 2 was never ledgered: the corrected re-send is admitted once
+    val fixed = Seq((2L, "totally different content for doc two here now"))
+      .toDF("doc_id", "text")
+    assert(CorpusIngest.processBatch(fixed, corpusDir, sigDir) == 1L)
+    assert(CorpusIngest.processBatch(fixed, corpusDir, sigDir) == 0L)
+  }
 }

@@ -183,4 +183,33 @@ class VectorIngestSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*list_id".r.findFirstIn(plan).isDefined,
       s"probed cells not partition-pruned at the scan: $plan")
   }
+
+  test("malformed vectors quarantine without poisoning their ids") {
+    val root = tmpDir("vindex_q")
+    val all = (rows(0 until 8, 0) ++ rows(100 until 108, 1))
+      .toDF("vec_id", "embedding")
+    VectorIngest.trainCentroids(all, root, kCells = 2, iters = 5, dim = 4)
+
+    // batch with a wrong-dim vector, a null embedding, and a null id
+    val bad = Seq(
+      (50L, Array(1f, 2f)),                       // wrong dim (2 != 4)
+      (51L, null.asInstanceOf[Array[Float]])      // null embedding
+    ).toDF("vec_id", "embedding")
+      .union(Seq((null.asInstanceOf[java.lang.Long], Array(1f, 2f, 3f, 4f)))
+        .toDF("vec_id", "embedding"))
+    val mixed = rows(0 until 4, 0).toDF("vec_id", "embedding").union(bad)
+    assert(VectorIngest.processBatch(mixed, root) == 4L) // only valid rows
+
+    val q = spark.read.parquet(s"$root/_quarantine")
+      .select("vec_id", "reason").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toSet
+    assert(q == Set((50L, "wrong_dim"), (51L, "embedding_null"),
+      (-1L, "vec_id_null")))
+
+    // the invalid ids were NOT ledgered: a corrected re-send is admitted
+    val fixed = Seq((50L, vec(0, 50)), (51L, vec(1, 51))).toDF("vec_id", "embedding")
+    assert(VectorIngest.processBatch(fixed, root) == 2L)
+    // and a genuine replay of it is still rejected
+    assert(VectorIngest.processBatch(fixed, root) == 0L)
+  }
 }
