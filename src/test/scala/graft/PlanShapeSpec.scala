@@ -54,6 +54,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("custom expressions stay inside WholeStageCodegen spans") {
+    // the codegen-friendliness claim made concrete: queries whose hot
+    // path runs the custom expressions (poly_hash shingles, dot
+    // products, HMAC) must still show fused `*(n)` stages — a custom
+    // Expression without doGenCode would break the span and every
+    // operator in it falls back to interpreted row-at-a-time eval
+    for (q <- Seq("q28_fingerprint",   // poly_hash in projection
+        "q31_jaccard_pairs",           // ShingleHashes scan
+        "q34_cosine_knn",              // DotProduct in the BNLJ
+        "q24_signature",               // HmacSha256
+        "q117_heavy_hitters"))  {      // sketch-cell lookup filter
+      // AQE only annotates codegen spans on the FINAL plan — and only
+      // THIS df's own execution finalizes it (count() builds a separate
+      // plan and proves nothing), so collect() first
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"$q plan has no WholeStageCodegen span")
+    }
+  }
+
   test("round-5 guard/candidate operators keep equi-join shapes") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
