@@ -72,7 +72,8 @@ object CorpusIngest {
                    minEstPpm: Long = 500000L,
                    maxBandDf: Long = Long.MaxValue,
                    benchmark: Option[DataFrame] = None,
-                   decontamK: Int = 8, maxBenchShared: Long = 0L): Long = {
+                   decontamK: Int = 8, maxBenchShared: Long = 0L,
+                   batchId: Long = 0L): Long = {
     val spark = batch.sparkSession
     // a compact() crash mid-swap leaves the store retired as __old; heal
     // before the exists probe or the dedup store would look empty and
@@ -91,22 +92,28 @@ object CorpusIngest {
       else Dedup.minHashSignatures(
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           docSchema), k, numPerms)
-    // INPUT VALIDATION with an audit trail (the VectorIngest pattern):
-    // a null doc_id would vanish silently inside the guard's bloom
-    // probe, and a null text would flow a junk row into the corpus
-    // store with NULL signatures. Quarantine both (sigDir-side, with
-    // reason) and ingest only well-formed rows — invalid rows are NOT
-    // ledgered, so a corrected re-send is admitted, never a "replay".
-    val rows0 = batch.select("doc_id", "text").dropDuplicates("doc_id")
+    // INPUT VALIDATION with an audit trail (the VectorIngest pattern
+    // and its discipline): validate BEFORE dropDuplicates so every
+    // malformed row is audited, Stage the flagged batch once so the
+    // valid/invalid split cannot diverge across actions, and OVERWRITE
+    // the batch_id quarantine subdir so at-least-once re-runs are
+    // idempotent. A null doc_id would vanish silently inside the
+    // guard's bloom probe; a null text would flow a junk row into the
+    // corpus store with NULL signatures. Invalid rows are NOT ledgered,
+    // so a corrected re-send is admitted, never a "replay".
     val wellFormed = col("doc_id").isNotNull && col("text").isNotNull
-    val invalid = rows0.filter(!coalesce(wellFormed, lit(false)))
-    if (invalid.limit(1).count() > 0)
-      invalid.select(col("doc_id"),
+    val flagged = graft.llm.Stage(batch.select(col("doc_id"), col("text"))
+      .withColumn("__ok", coalesce(wellFormed, lit(false))))
+    if (flagged.filter(!col("__ok")).limit(1).count() > 0)
+      flagged.filter(!col("__ok")).select(col("doc_id"),
           when(col("doc_id").isNull, "doc_id_null")
             .otherwise("text_null").as("reason"))
-        .write.mode(SaveMode.Append).parquet(s"${sigDir}_quarantine")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"${sigDir}_quarantine/batch_id=$batchId")
     val dedupedIds = ReplayGuard.filterFresh(
-      rows0.filter(wellFormed), "doc_id", guardDir)
+      flagged.filter(col("__ok")).select("doc_id", "text")
+        .dropDuplicates("doc_id"),
+      "doc_id", guardDir)
     val fresh = benchmark match {
       case Some(b) =>
         val contaminated = graft.llm.Corpus.decontaminate(dedupedIds, b, decontamK)
@@ -221,8 +228,8 @@ object CorpusIngest {
       .json(inputDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        processBatch(df, corpusDir, sigDir); ()
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        processBatch(df, corpusDir, sigDir, batchId = id); ()
       }
       .start()
   }

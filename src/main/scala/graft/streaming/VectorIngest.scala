@@ -133,7 +133,7 @@ object VectorIngest {
     * are rejected (they have no cell and no place in cosine ranking —
     * see [[Similarity]]); rejected rows leave no trace, so a corrected
     * re-send of the same vec_id can be admitted later. */
-  def processBatch(batch: DataFrame, root: String): Long = {
+  def processBatch(batch: DataFrame, root: String, batchId: Long = 0L): Long = {
     val spark = batch.sparkSession
     val path = cellsPath(root)
     // a compactCells crash mid-swap leaves the store retired as __old,
@@ -150,28 +150,38 @@ object VectorIngest {
         ReplayGuard.record(
           spark.read.parquet(path).select("vec_id"), "vec_id", guardDir)
     }
-    val fresh0 = batch.select("vec_id", "embedding").dropDuplicates("vec_id")
     // INPUT VALIDATION with an audit trail: a null-id row would vanish
     // silently inside the guard's bloom probe, and a null/wrong-dim
     // embedding would be dropped by assignToCells' norm filter — both
     // invisible data bugs at stream scale. Quarantine them instead
-    // (root/_quarantine, with reason), and index only well-formed rows.
-    // Crucially the invalid rows are NOT ledgered, so a corrected
-    // re-send of the same id is admitted, never treated as a replay.
+    // (root/_quarantine/batch_id=N, with reason), and index only
+    // well-formed rows. Discipline (review-hardened):
+    //   - validate BEFORE dropDuplicates, so every malformed row is
+    //     audited (null ids would otherwise collapse to one group);
+    //   - Stage the flagged batch ONCE — the valid/invalid split feeds
+    //     several actions, and an unstaged nondeterministic dedup could
+    //     send the same id down both paths (or neither);
+    //   - the quarantine write OVERWRITES its batch_id subdir, so an
+    //     at-least-once re-run of the same batch is idempotent;
+    //   - invalid rows are NOT ledgered: a corrected re-send of the id
+    //     is admitted, never treated as a replay.
     val cents = centroids(spark, root)
     val dim = cents.select(size(col("cent"))).head().getInt(0)
     val wellFormed = col("vec_id").isNotNull && col("embedding").isNotNull &&
       size(col("embedding")) === dim
-    val invalid = fresh0.filter(!coalesce(wellFormed, lit(false)))
-    if (invalid.limit(1).count() > 0)
-      invalid.select(col("vec_id"),
+    val flagged = graft.llm.Stage(batch.select(col("vec_id"), col("embedding"))
+      .withColumn("__ok", coalesce(wellFormed, lit(false))))
+    if (flagged.filter(!col("__ok")).limit(1).count() > 0)
+      flagged.filter(!col("__ok")).select(col("vec_id"),
           when(col("vec_id").isNull, "vec_id_null")
             .when(col("embedding").isNull, "embedding_null")
             .otherwise("wrong_dim").as("reason"),
           coalesce(size(col("embedding")), lit(-1)).as("n_dims"))
-        .write.mode(SaveMode.Append).parquet(s"$root/_quarantine")
-    val fresh = ReplayGuard.filterFresh(
-      fresh0.filter(wellFormed), "vec_id", guardDir)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$root/_quarantine/batch_id=$batchId")
+    val fresh0 = flagged.filter(col("__ok"))
+      .select("vec_id", "embedding").dropDuplicates("vec_id")
+    val fresh = ReplayGuard.filterFresh(fresh0, "vec_id", guardDir)
     val assigned = graft.llm.Stage(
       Similarity.assignToCells(fresh, cents, "vec_id", keep = 1))
     // guard BEFORE the cell append (fail-closed): a crash between the
@@ -284,8 +294,8 @@ object VectorIngest {
             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, root); ()
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(batch, root, id); ()
       }
       .start()
 }

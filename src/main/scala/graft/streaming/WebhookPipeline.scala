@@ -52,11 +52,17 @@ class WebhookPipeline(tablesDir: String,
     try {
       // ONE aggregate decides which route groups have events — the
       // per-group emptiness probes it replaces were ~25 driver-visible
-      // jobs per micro-batch, pure scheduling overhead on the hot path
-      val typeCounts: Map[String, Long] = envelope.groupBy("event_type")
-        .count().collect()
-        .map(r => (r.getString(0), r.getLong(1))).toMap
-      quarantineUnprocessable(envelope, typeCounts, batchId)
+      // jobs per micro-batch, pure scheduling overhead on the hot path.
+      // The same pass also counts null payloads per type, so quarantine
+      // detection still costs zero extra jobs on a clean batch.
+      val stats = envelope.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("payload").isNull, 1)).as("n_null_payload"))
+        .collect()
+      val typeCounts: Map[String, Long] =
+        stats.map(r => (r.getString(0), r.getLong(1))).toMap
+      val nullPayloads = stats.map(_.getLong(2)).sum
+      quarantineUnprocessable(raw, typeCounts, nullPayloads, batchId)
       val live = StripeEvents.route(envelope).filter {
         case (_, _, types, _) => types.exists(t => typeCounts.getOrElse(t, 0L) > 0L)
       }
@@ -75,28 +81,42 @@ class WebhookPipeline(tablesDir: String,
   /** Dead-letter AUDIT sink — the ops extension the reference's
     * ignore-with-200 leaves open (`routes/webhooks.ts` acknowledges
     * every delivery; unhandled types just vanish): any batch containing
-    * events the router cannot place appends them to `_quarantine`
-    * (id, type, created, reason, raw payload, batch id) so silent drops
-    * are auditable and replayable after a route is added. The decision
-    * rides the SAME typeCounts aggregate the router already pays for —
-    * a clean batch (every type routed, none null) adds ZERO extra jobs,
-    * and the directory exists only once something was quarantined.
-    * Reasons: `malformed_envelope` (no parseable type/id/payload) vs
-    * `unrouted_type` (well-formed, just not a routed event type). */
-  private def quarantineUnprocessable(envelope: DataFrame,
-      typeCounts: Map[String, Long], batchId: Long): Unit = {
+    * events the router cannot place lands them in
+    * `_quarantine/batch_id=N` with the ORIGINAL raw delivery text, so
+    * drops are auditable and genuinely replayable after a route (or
+    * producer fix) lands — a typeless garbage delivery parses to all
+    * nulls, and without `raw_value` its quarantine row would be an
+    * unidentifiable husk. The decision rides the SAME type/payload
+    * aggregate the router already pays for — a clean batch (every type
+    * routed, no null payloads) adds ZERO extra jobs — and the write
+    * OVERWRITES its batch_id subdir, so Structured Streaming's
+    * at-least-once re-run of a batch is idempotent (the batch id
+    * surfaces as a partition column on read). Reasons:
+    * `malformed_envelope` (no parseable type or payload — null-payload
+    * events of ROUTED types are included: the sink would drop their
+    * all-null projection silently) vs `unrouted_type` (well-formed,
+    * just not a routed event type). */
+  private def quarantineUnprocessable(raw: DataFrame,
+      typeCounts: Map[String, Long], nullPayloads: Long,
+      batchId: Long): Unit = {
     val handled = StripeEvents.routes.keySet
-    val suspect = typeCounts.keys.exists(t => t == null || !handled.contains(t))
+    val suspect = nullPayloads > 0 ||
+      typeCounts.keys.exists(t => t == null || !handled.contains(t))
     if (!suspect) return
-    envelope.filter(col("event_type").isNull ||
+    val v = col("value")
+    raw.select(v.as("raw_value"),
+        get_json_object(v, "$.id").as("event_id"),
+        get_json_object(v, "$.type").as("event_type"),
+        expr("try_cast(get_json_object(value, '$.created') AS BIGINT)").as("created"),
+        get_json_object(v, "$.data.object").as("payload"))
+      .filter(col("event_type").isNull || col("payload").isNull ||
         !col("event_type").isin(handled.toSeq: _*))
       .select(col("event_id"), col("event_type"), col("created"),
-        when(col("event_type").isNull || col("event_id").isNull ||
-          col("payload").isNull, "malformed_envelope")
-          .otherwise("unrouted_type").as("reason"),
-        col("payload"), lit(batchId).as("batch_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$tablesDir/_quarantine")
+        when(col("event_type").isNull || col("payload").isNull,
+          "malformed_envelope").otherwise("unrouted_type").as("reason"),
+        col("payload"), col("raw_value"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$tablesDir/_quarantine/batch_id=$batchId")
   }
 
   private def runConcurrently(

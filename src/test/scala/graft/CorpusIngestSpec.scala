@@ -142,15 +142,24 @@ class CorpusIngestSpec extends SparkSpec {
     val good = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")
     val bad = Seq((2L, null.asInstanceOf[String])).toDF("doc_id", "text")
-      .union(Seq((null.asInstanceOf[java.lang.Long], "orphan text row"))
+      .union(Seq(
+        (null.asInstanceOf[java.lang.Long], "orphan text row"),
+        (null.asInstanceOf[java.lang.Long], "second orphan, also audited"))
         .toDF("doc_id", "text"))
-    assert(CorpusIngest.processBatch(good.union(bad), corpusDir, sigDir) == 1L)
+    assert(CorpusIngest.processBatch(good.union(bad), corpusDir, sigDir,
+      batchId = 1L) == 1L)
 
     val q = spark.read.parquet(s"${sigDir}_quarantine")
       .select("doc_id", "reason").collect()
-      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toSet
-    assert(q == Set((2L, "text_null"), (-1L, "doc_id_null")))
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+    assert(q.length == 3) // validation precedes the id dedup
+    assert(q.count(_ == (-1L, "doc_id_null")) == 2)
+    assert(q.contains((2L, "text_null")))
     assert(spark.read.parquet(corpusDir).count() == 1L)
+    // redelivery of the batch overwrites, never duplicates, the audit
+    assert(CorpusIngest.processBatch(good.union(bad), corpusDir, sigDir,
+      batchId = 1L) == 0L)
+    assert(spark.read.parquet(s"${sigDir}_quarantine").count() == 3L)
 
     // id 2 was never ledgered: the corrected re-send is admitted once
     val fixed = Seq((2L, "totally different content for doc two here now"))

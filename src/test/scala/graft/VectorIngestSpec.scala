@@ -190,26 +190,42 @@ class VectorIngestSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     VectorIngest.trainCentroids(all, root, kCells = 2, iters = 5, dim = 4)
 
-    // batch with a wrong-dim vector, a null embedding, and a null id
+    // batch with a wrong-dim vector, a null embedding, TWO distinct
+    // null-id rows (each must be audited — validation runs before the
+    // id dedup), and a bad+good pair for the SAME id (the good row must
+    // win deterministically: validation splits before dedup)
     val bad = Seq(
       (50L, Array(1f, 2f)),                       // wrong dim (2 != 4)
-      (51L, null.asInstanceOf[Array[Float]])      // null embedding
+      (51L, null.asInstanceOf[Array[Float]]),     // null embedding
+      (52L, Array(9f, 9f, 9f))                    // wrong dim, id also sent valid
     ).toDF("vec_id", "embedding")
-      .union(Seq((null.asInstanceOf[java.lang.Long], Array(1f, 2f, 3f, 4f)))
+      .union(Seq(
+        (null.asInstanceOf[java.lang.Long], Array(1f, 2f, 3f, 4f)),
+        (null.asInstanceOf[java.lang.Long], Array(5f, 6f, 7f, 8f)))
         .toDF("vec_id", "embedding"))
-    val mixed = rows(0 until 4, 0).toDF("vec_id", "embedding").union(bad)
-    assert(VectorIngest.processBatch(mixed, root) == 4L) // only valid rows
+    val mixed = rows(0 until 4, 0).toDF("vec_id", "embedding")
+      .union(Seq((52L, vec(0, 52))).toDF("vec_id", "embedding"))
+      .union(bad)
+    assert(VectorIngest.processBatch(mixed, root, batchId = 1L) == 5L)
 
     val q = spark.read.parquet(s"$root/_quarantine")
       .select("vec_id", "reason").collect()
-      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toSet
-    assert(q == Set((50L, "wrong_dim"), (51L, "embedding_null"),
-      (-1L, "vec_id_null")))
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+    assert(q.length == 5) // every malformed row audited, incl. both null ids
+    assert(q.count(_ == (-1L, "vec_id_null")) == 2)
+    assert(q.toSet == Set((50L, "wrong_dim"), (51L, "embedding_null"),
+      (52L, "wrong_dim"), (-1L, "vec_id_null")))
+    // id 52's VALID row was indexed even though its bad twin quarantined
+    assert(spark.read.parquet(s"$root/cells").filter(col("vec_id") === 52L)
+      .count() == 1L)
+    // at-least-once redelivery of the same batch id: audit stays exact
+    assert(VectorIngest.processBatch(mixed, root, batchId = 1L) == 0L)
+    assert(spark.read.parquet(s"$root/_quarantine").count() == 5L)
 
     // the invalid ids were NOT ledgered: a corrected re-send is admitted
     val fixed = Seq((50L, vec(0, 50)), (51L, vec(1, 51))).toDF("vec_id", "embedding")
-    assert(VectorIngest.processBatch(fixed, root) == 2L)
+    assert(VectorIngest.processBatch(fixed, root, batchId = 2L) == 2L)
     // and a genuine replay of it is still rejected
-    assert(VectorIngest.processBatch(fixed, root) == 0L)
+    assert(VectorIngest.processBatch(fixed, root, batchId = 3L) == 0L)
   }
 }

@@ -306,21 +306,32 @@ class WebhookPipelineSpec extends SparkSpec {
     // a clean batch must not create the quarantine dir (zero extra jobs)
     pipeline.processBatch(Seq(good).toDF("value"), 0L)
     assert(!Files.exists(Paths.get(s"$dir/_quarantine")))
-    // unknown type + typeless garbage: processed tables stay correct,
-    // the drops become auditable rows with the right reasons
+    // unknown type, typeless garbage, and a ROUTED type with no payload
+    // (whose all-null projection the sink would drop silently):
+    // processed tables stay correct, drops become auditable rows with
+    // the right reasons and the ORIGINAL raw delivery text
     val unknown =
       """{"id":"evt_u","type":"price.migrated","created":101,
         |"data":{"object":{"id":"price_x"}}}""".stripMargin.replaceAll("\n", " ")
     val garbage = """{"hello":"world"}"""
-    pipeline.processBatch(Seq(good, unknown, garbage).toDF("value"), 1L)
+    val noPayload = """{"id":"evt_np","type":"product.created","created":102}"""
+    pipeline.processBatch(Seq(good, unknown, garbage, noPayload).toDF("value"), 1L)
     assert(readTable(dir, "products").select("id").as[String].collect()
       .toSeq == Seq("prod_q1"))
-    val q = readTable(dir, "_quarantine")
-      .select("event_id", "event_type", "reason", "batch_id")
-      .as[(String, String, String, Long)].collect().sortBy(_._3)
-    assert(q.length == 2)
+    def quarantineRows() = readTable(dir, "_quarantine")
+      .select("event_id", "event_type", "reason", "raw_value", "batch_id")
+      .as[(String, String, String, String, Long)].collect()
+    val q = quarantineRows()
+    assert(q.length == 3)
     assert(q.exists(r => r._2 == "price.migrated" && r._3 == "unrouted_type"
-      && r._4 == 1L))
-    assert(q.exists(r => r._2 == null && r._3 == "malformed_envelope"))
+      && r._5 == 1L))
+    // the husk is still identifiable: its raw text rides along
+    assert(q.exists(r => r._2 == null && r._3 == "malformed_envelope"
+      && r._4 == garbage))
+    assert(q.exists(r => r._1 == "evt_np" && r._3 == "malformed_envelope"))
+    // at-least-once re-run of the same batch id: idempotent, no
+    // duplicate audit rows (the write overwrites its batch_id subdir)
+    pipeline.processBatch(Seq(good, unknown, garbage, noPayload).toDF("value"), 1L)
+    assert(quarantineRows().length == 3)
   }
 }
