@@ -41,9 +41,16 @@ object CountMin {
     HyperLogLog.scramble(PolyHash.poly_hash(
       concat(lit(s"$i:"), value.cast("string")))) % lit(Width.toLong)
 
-  /** Sketch of one data slice: (row_, col_, n) — the mergeable state. */
+  /** Sketch of one data slice: (row_, col_, n) — the mergeable state.
+    * NULL values are excluded — a null is not a countable item, and its
+    * null cell hash would emit a (row_, NULL) register row that a
+    * driver-side `getAs[Long]` unboxes to 0, CLOBBERING the real
+    * (row, 0) cell and breaking the one-sided est ≥ truth guarantee
+    * (a heavy hitter addressing column 0 could then be silently
+    * missed before the exact verify). */
   def registers(df: DataFrame, valueCol: String): DataFrame =
-    df.select(explode(array((0 until Depth).map(i =>
+    df.filter(col(valueCol).isNotNull)
+      .select(explode(array((0 until Depth).map(i =>
         struct(lit(i).as("row_"), cell(i, col(valueCol)).as("col_"))): _*)).as("rc"))
       .select(col("rc.row_").as("row_"), col("rc.col_").as("col_"))
       .groupBy("row_", "col_").agg(count(lit(1)).as("n"))
@@ -59,7 +66,7 @@ object CountMin {
     * registers. Both sides are sketch-sized (≤ Depth·Width) or
     * query-sized — broadcast territory at any corpus scale. */
   def estimate(regs: DataFrame, values: DataFrame, valueCol: String): DataFrame = {
-    val lookups = values.select(col(valueCol),
+    val lookups = values.filter(col(valueCol).isNotNull).select(col(valueCol),
         explode(array((0 until Depth).map(i =>
           struct(lit(i).as("row_"), cell(i, col(valueCol)).as("col_"))): _*)).as("rc"))
       .select(col(valueCol), col("rc.row_").as("row_"), col("rc.col_").as("col_"))

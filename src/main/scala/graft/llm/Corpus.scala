@@ -91,10 +91,17 @@ object Corpus {
       sum(size(words(col("text"))).cast("long")).as("t_tokens"))
     val termScore = tf.join(broadcast(df_), "term")
       .join(dl, "doc_id").crossJoin(broadcast(globals))
+      // every grouped product must enter DECIMAL(38,0) BEFORE it can
+      // exceed Long range: the denominator's 10·T·tf term passes 2^63
+      // at corpus tokens T ~ 1e13 with tf ~ 1e5 — exactly the regime
+      // the exactness claim covers — and a Long-typed subgroup would
+      // wrap (legacy) or throw (ANSI) before the outer cast applied
       .withColumn("score", expr(
         """CAST((2*(n_docs - df) + 1) AS DECIMAL(38,0)) * 22 * t_tokens * tf * 1000000
           | DIV (CAST((2*df + 1) AS DECIMAL(38,0))
-          |      * (10*t_tokens*tf + 3*t_tokens + 9*dl*n_docs))"""
+          |      * (CAST(10 AS DECIMAL(38,0))*t_tokens*tf
+          |         + CAST(3 AS DECIMAL(38,0))*t_tokens
+          |         + CAST(9 AS DECIMAL(38,0))*dl*n_docs))"""
           .stripMargin.replace("\n", "")))
     val perQuery = broadcast(queries).join(termScore, "term")
       .groupBy("query_id", "doc_id")
@@ -373,7 +380,11 @@ object Corpus {
       floor(sqrt(col("__n").cast("double")) * lit(1000000.0)).cast("long"))
     val tw = w.agg(sum("__w").as("__tw"))
     val quota = w.crossJoin(broadcast(tw))
-      .withColumn("quota", expr(s"$totalSample * __w DIV __tw"))
+      // the product enters DECIMAL before it can exceed Long range:
+      // __w ~ 1e11 at 1e10-doc strata, so totalSample ~ 1e8 would wrap
+      // a Long product (the targetShareMix overflow class)
+      .withColumn("quota", expr(
+        s"CAST(CAST($totalSample AS DECIMAL(38,0)) * __w DIV __tw AS BIGINT)"))
       .select(col(strataCol), col("quota"))
     val wdw = Window.partitionBy(strataCol).orderBy(col("__rnd"), col("doc_id"))
     docs.join(broadcast(quota), Seq(strataCol))
@@ -651,7 +662,12 @@ object Corpus {
       .orderBy(col("__rnd"), col("doc_id"))
     docs.select(col("doc_id"),
         explode(array((0 until epochs).map(i => lit(i.toLong)): _*)).as("epoch"))
-      .withColumn("__rnd", portableFold(col("doc_id") + col("epoch") * lit(7919L)))
+      // reduce doc_id mod P BEFORE the epoch shift: portableFold's
+      // pmod-first contract covers 2^63-range ids, and a raw Long add
+      // here would reopen the wrap window right above it (mod
+      // arithmetic makes the two forms equal for every in-range input)
+      .withColumn("__rnd", portableFold(
+        pmod(col("doc_id"), lit(1000000007L)) + col("epoch") * lit(7919L)))
       .withColumn("shard", col("__rnd") % nShards)
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))

@@ -63,8 +63,9 @@ object SinkQueries {
         graft.streaming.VectorIngest.trainCentroids(
           emb.filter(col("vec_id") < 2048), root, kCells = 16, iters = 3)
         val b1 = graft.streaming.VectorIngest.processBatch(
-          emb.filter(col("vec_id") % 2 === 0), root)
-        val b2 = graft.streaming.VectorIngest.processBatch(emb, root) // half replayed
+          emb.filter(col("vec_id") % 2 === 0), root, batchId = 0L)
+        val b2 = graft.streaming.VectorIngest.processBatch(
+          emb, root, batchId = 1L) // half replayed
         val served = graft.streaming.VectorIngest.ann(
             s, root, emb.filter(col("vec_id") < 32), k = 10, nProbe = 4)
           .groupBy("query_id").agg(count(lit(1)).as("n"))
@@ -135,11 +136,11 @@ object SinkQueries {
       val corpusDir = s"$root/corpus"; val sigDir = s"$root/sigs"
       try {
         val b1 = graft.streaming.CorpusIngest.processBatch(
-          docs.filter(col("doc_id") % 2 === 0), corpusDir, sigDir)
+          docs.filter(col("doc_id") % 2 === 0), corpusDir, sigDir, batchId = 0L)
         val b2 = graft.streaming.CorpusIngest.processBatch(
-          docs, corpusDir, sigDir) // odd half fresh, even half replayed
-        val (filesBefore, filesAfter) =
-          graft.streaming.ReplayGuard.compact(s, s"${sigDir}_guard")
+          docs, corpusDir, sigDir, batchId = 1L) // odd half fresh, even replayed
+        val (filesBefore, filesAfter) = graft.streaming.ReplayGuard.compact(
+          s, graft.streaming.CorpusIngest.guardDirOf(sigDir))
         val stored = s.read.parquet(corpusDir).count()
         Seq(("admitted_b1", b1), ("admitted_b2", b2),
             ("guard_files_before", filesBefore.toLong),

@@ -22,9 +22,15 @@ object StripeEvents {
     * envelope: event_id, event_type, created (epoch s), livemode,
     * api_version, payload (raw `data.object` JSON), previous_attributes.
     */
-  def parseEnvelope(raw: DataFrame, valueCol: String = "value"): DataFrame = {
+  /** `keepRaw = true` carries the original delivery text along as
+    * `raw_value` — the quarantine sink needs it so a typeless garbage
+    * row stays identifiable; the hot path omits it (narrower cache).
+    * ONE parser owns the envelope contract: the router's aggregate and
+    * the quarantine selection must never drift apart. */
+  def parseEnvelope(raw: DataFrame, valueCol: String = "value",
+                    keepRaw: Boolean = false): DataFrame = {
     val v = col(valueCol)
-    raw.select(
+    val fields = Seq(
       get_json_object(v, "$.id").as("event_id"),
       get_json_object(v, "$.type").as("event_type"),
       expr(s"try_cast(get_json_object($valueCol, '$$.created') AS BIGINT)").as("created"),
@@ -32,6 +38,8 @@ object StripeEvents {
       get_json_object(v, "$.api_version").as("api_version"),
       get_json_object(v, "$.data.object").as("payload"),
       get_json_object(v, "$.data.previous_attributes").as("previous_attributes"))
+    val cols = if (keepRaw) v.as("raw_value") +: fields else fields
+    raw.select(cols: _*)
   }
 
   /** Sync timestamp semantics (getSyncTimestamp, stripeSync.ts:580-582):

@@ -144,7 +144,14 @@ object CorpusIngest {
     n
   }
 
-  private def guardPath(sigDir: String): String = s"${sigDir}_guard"
+  /** The admission-ledger location beside a signature store — PUBLIC so
+    * maintenance callers (bench lifecycles, ops jobs) compact the SAME
+    * dir the ingest guards with instead of restating the suffix (a
+    * drifted restatement would "compact" a nonexistent dir: silent
+    * (0, 0) and a lifecycle phase that measures nothing). */
+  def guardDirOf(sigDir: String): String = s"${sigDir}_guard"
+
+  private def guardPath(sigDir: String): String = guardDirOf(sigDir)
 
   /** Ledgered-but-unstored doc_ids — admitted to the guard (and possibly
     * the signature store) but absent from the corpus: the fail-closed

@@ -61,104 +61,52 @@ object RollupIngest {
           spark.read.parquet(s"$p/regs"), batchDist))
       case None => (batchScalar, batchDist)
     }
-    // optional third state table: the mergeable histogram behind
-    // percentile dashboards. Its WIDTH is part of the state (encoded in
-    // the dir name, committed by the same rename): buckets computed at
-    // different widths must never sum, and a caller that forgets the
-    // knob must not silently destroy or fork the accumulated state.
-    //   - enabled + prior hist: widths must match (else error) — merge.
-    //   - enabled + prior snapshot WITHOUT hist: ERROR — a histogram
-    //     started mid-stream would cover a fraction of the history and
-    //     serve silently wrong percentiles; enable from the first batch
-    //     or rebuild the store.
-    //   - disabled + prior hist: CARRY the prior state forward unchanged
-    //     (new batch's values are absent from it — the caller opted out
-    //     for this batch — but pruning must not erase history). The
-    //     opted-out batch id is RECORDED in the snapshot (committed by
-    //     the same rename): the carried histogram now permanently
-    //     under-covers history, and a reader who couldn't see that
-    //     would trust silently-wrong percentiles — staleQuantileBatches
-    //     exposes the gap.
-    val priorHist: Option[(Long, String)] = latest.flatMap { case (_, p) =>
-      fsOf(spark, stateDir).listStatus(new Path(p)).toSeq
-        .map(_.getPath.getName).collectFirst {
-          case n if n.startsWith("hist_w") => (n.drop(6).toLong, s"$p/$n")
-        }
-    }
-    val hist: Option[(Long, DataFrame)] =
-      if (histWidth > 0L) {
-        val bh = IncrementalAgg.histogramState(batch, keys, valueCol, histWidth)
-        (latest, priorHist) match {
-          case (_, Some((w, p))) =>
-            require(w == histWidth,
-              s"histogram state at $p has width $w, batch uses $histWidth — " +
-                "incompatible buckets must not merge")
-            Some((histWidth,
-              IncrementalAgg.mergeHistogram(keys, spark.read.parquet(p), bh)))
-          case (Some(_), None) => throw new IllegalStateException(
-            s"store $stateDir has committed history without histogram state; " +
-              "a mid-stream histogram would cover partial history and serve " +
-              "wrong percentiles — enable histWidth from the first batch")
-          case (None, _) => Some((histWidth, bh))
-        }
-      } else priorHist.map { case (w, p) => (w, spark.read.parquet(p)) }
-    // optional fourth state table: Count-Min registers — streaming
-    // FREQUENCY maintenance (the sketch trilogy next to HLL-distinct
-    // and histogram-percentiles). Same guard semantics as the
-    // histogram, for the same reasons: the sketch merge is count
-    // addition (not idempotent — the replay guard above protects it),
-    // a sketch started mid-stream would under-cover history and serve
-    // silently-low estimates (error), and an opted-out batch carries
-    // the prior state forward but is RECORDED as stale. The sketch
-    // geometry (Depth×Width) is encoded in the dir name and committed
-    // by the same rename — registers from different geometries must
-    // never sum.
+    // optional state tables — the mergeable histogram (percentiles) and
+    // Count-Min registers (frequencies) — both driven by ONE state
+    // machine ([[optionalState]]): the knob (width / geometry) is
+    // encoded in the dir name and committed by the same rename, a
+    // mismatched knob must never merge, enabling mid-stream on a store
+    // with history errors (partial-history state serves silently wrong
+    // answers), and an opted-out batch carries state forward but is
+    // recorded in a staleness ledger.
+    val hist: Option[(String, DataFrame)] = optionalState(
+      spark, stateDir, latest,
+      dirPrefix = HistPrefix, enabled = histWidth > 0L,
+      tag = histWidth.toString,
+      buildBatch =
+        () => IncrementalAgg.histogramState(batch, keys, valueCol, histWidth),
+      merge = (prior, b) => IncrementalAgg.mergeHistogram(keys, prior, b),
+      what = "histogram", knob = "histWidth",
+      consequence = "wrong percentiles")
     val freqDims = s"d${graft.functions.CountMin.Depth}w${graft.functions.CountMin.Width}"
-    val priorFreq: Option[(String, String)] = latest.flatMap { case (_, p) =>
-      fsOf(spark, stateDir).listStatus(new Path(p)).toSeq
-        .map(_.getPath.getName).collectFirst {
-          case n if n.startsWith("freq_d") => (n.drop(5), s"$p/$n")
-        }
-    }
-    val freq: Option[(String, DataFrame)] =
-      if (freqCol.nonEmpty) {
-        val bf = graft.functions.CountMin.registers(batch, freqCol)
-        (latest, priorFreq) match {
-          case (_, Some((d, p))) =>
-            require(d == freqDims,
-              s"frequency state at $p has geometry $d, batch uses $freqDims — " +
-                "incompatible registers must not merge")
-            Some((freqDims,
-              graft.functions.CountMin.mergeRegisters(spark.read.parquet(p), bf)))
-          case (Some(_), None) => throw new IllegalStateException(
-            s"store $stateDir has committed history without frequency state; " +
-              "a mid-stream sketch would cover partial history and serve " +
-              "silently-low estimates — enable freqCol from the first batch")
-          case (None, _) => Some((freqDims, bf))
-        }
-      } else priorFreq.map { case (d, p) => (d, spark.read.parquet(p)) }
+    val freq: Option[(String, DataFrame)] = optionalState(
+      spark, stateDir, latest,
+      dirPrefix = FreqPrefix, enabled = freqCol.nonEmpty,
+      tag = freqDims.drop(1), // prefix already carries the "d"
+      buildBatch = () => graft.functions.CountMin.registers(batch, freqCol),
+      merge = (prior, b) => graft.functions.CountMin.mergeRegisters(prior, b),
+      what = "frequency", knob = "freqCol",
+      consequence = "silently-low estimates")
 
-    // staleness ledger: ids of batches whose values the histogram is
-    // missing (knob forgotten while hist state existed). Once stale,
-    // forever stale — the list carries through every later snapshot.
-    val priorSkipped = latest.map(l => staleQuantileBatches(spark, stateDir))
-      .getOrElse(Seq.empty)
-    val skipped =
-      if (histWidth == 0L && priorHist.nonEmpty) priorSkipped :+ batchId
-      else priorSkipped
-    val priorFreqSkipped = latest.map(l => staleFrequencyBatches(spark, stateDir))
-      .getOrElse(Seq.empty)
-    val freqSkipped =
-      if (freqCol.isEmpty && priorFreq.nonEmpty) priorFreqSkipped :+ batchId
-      else priorFreqSkipped
+    // staleness ledgers: ids of batches whose values an optional state
+    // is missing (knob forgotten while the state existed). Once stale,
+    // forever stale — the lists carry through every later snapshot.
+    def carriedForward(prefix: String, enabled: Boolean): Boolean =
+      !enabled && latest.exists { case (_, p) => priorStateDir(spark, p, prefix).nonEmpty }
+    val skipped = (if (latest.isEmpty) Seq.empty
+      else staleQuantileBatches(spark, stateDir)) ++
+      (if (carriedForward(HistPrefix, histWidth > 0L)) Seq(batchId) else Seq.empty)
+    val freqSkipped = (if (latest.isEmpty) Seq.empty
+      else staleFrequencyBatches(spark, stateDir)) ++
+      (if (carriedForward(FreqPrefix, freqCol.nonEmpty)) Seq(batchId) else Seq.empty)
 
     val fs = fsOf(spark, stateDir)
     val staging = new Path(s"$stateDir/.staging_v$batchId")
     if (fs.exists(staging)) fs.delete(staging, true) // prior crashed attempt
     scalar.write.parquet(s"$staging/scalar")
     dist.write.parquet(s"$staging/regs")
-    hist.foreach { case (w, df) => df.write.parquet(s"$staging/hist_w$w") }
-    freq.foreach { case (d, df) => df.write.parquet(s"$staging/freq_$d") }
+    hist.foreach { case (t, df) => df.write.parquet(s"$staging/$HistPrefix$t") }
+    freq.foreach { case (t, df) => df.write.parquet(s"$staging/$FreqPrefix$t") }
     def writeLedger(file: String, ids: Seq[Long]): Unit = if (ids.nonEmpty) {
       val out = fs.create(new Path(s"$staging/$file"), true)
       try out.write(ids.mkString("\n").getBytes("UTF-8")) finally out.close()
@@ -190,8 +138,62 @@ object RollupIngest {
         spark.read.parquet(s"$p/regs"), keys, distinctAlias)
     }
 
+  // dir-name prefixes of the optional state tables; what follows the
+  // prefix is the state's KNOB (bucket width / sketch geometry),
+  // committed with the data by the snapshot rename. The prefixes are
+  // chosen so the staleness-ledger FILES below never match them
+  // ("hist_skipped…" ∌ "hist_w", "freq_skipped…" ∌ "freq_d").
+  private val HistPrefix = "hist_w"
+  private val FreqPrefix = "freq_d"
   private val SkippedFile = "hist_skipped_batches"
   private val FreqSkippedFile = "freq_skipped_batches"
+
+  /** The latest snapshot's (knobTag, path) for one optional state, if
+    * present. */
+  private def priorStateDir(spark: SparkSession, versionPath: String,
+                            dirPrefix: String): Option[(String, String)] =
+    fsOf(spark, versionPath).listStatus(new Path(versionPath)).toSeq
+      .map(_.getPath.getName).collectFirst {
+        case n if n.startsWith(dirPrefix) =>
+          (n.drop(dirPrefix.length), s"$versionPath/$n")
+      }
+
+  /** The shared state machine behind every OPTIONAL snapshot state
+    * table (histogram, Count-Min — and any future mergeable state):
+    *   - enabled + prior state: knob tags must match (require — states
+    *     built at different knobs must never merge), then merge;
+    *   - enabled + committed history WITHOUT this state: ERROR — a
+    *     state started mid-stream covers partial history and serves
+    *     silently wrong answers; enable from the first batch;
+    *   - disabled + prior state: CARRY it forward unchanged (pruning
+    *     must not erase history; the caller records the gap in the
+    *     staleness ledger);
+    *   - disabled + nothing prior: absent.
+    * Returns (knobTag, dataframe) — the tag re-joins the dir prefix at
+    * write time, committing the knob with the data. */
+  private def optionalState(spark: SparkSession, stateDir: String,
+      latest: Option[(Long, String)], dirPrefix: String, enabled: Boolean,
+      tag: String, buildBatch: () => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      what: String, knob: String,
+      consequence: String): Option[(String, DataFrame)] = {
+    val prior = latest.flatMap { case (_, p) => priorStateDir(spark, p, dirPrefix) }
+    if (enabled) {
+      val b = buildBatch()
+      (latest, prior) match {
+        case (_, Some((t, p))) =>
+          require(t == tag,
+            s"$what state at $p has knob $t, batch uses $tag — " +
+              "incompatible states must not merge")
+          Some((tag, merge(spark.read.parquet(p), b)))
+        case (Some(_), None) => throw new IllegalStateException(
+          s"store $stateDir has committed history without $what state; " +
+            s"a mid-stream $what would cover partial history and serve " +
+            s"$consequence — enable $knob from the first batch")
+        case (None, _) => Some((tag, b))
+      }
+    } else prior.map { case (t, p) => (t, spark.read.parquet(p)) }
+  }
 
   private def readLedger(spark: SparkSession, stateDir: String,
                          file: String): Seq[Long] =
@@ -230,23 +232,20 @@ object RollupIngest {
   def currentFrequencies(spark: SparkSession, stateDir: String,
                          values: DataFrame, valueCol: String): Option[DataFrame] =
     latestVersion(spark, stateDir).flatMap { case (_, p) =>
-      fsOf(spark, stateDir).listStatus(new Path(p)).toSeq
-        .map(_.getPath.getName).collectFirst {
-          case n if n.startsWith("freq_d") =>
-            // the read path must enforce the geometry the dir name
-            // encodes, exactly like the write path: estimating stored
-            // d4w2048 registers with different compile-time constants
-            // would address cells the store never wrote, read coalesced
-            // zeros, and silently break the one-sided est ≥ truth
-            // contract
-            val dims = s"d${graft.functions.CountMin.Depth}w${graft.functions.CountMin.Width}"
-            if (n.drop(5) != dims) throw new IllegalStateException(
-              s"frequency state $p/$n has geometry ${n.drop(5)}, this build " +
-                s"estimates with $dims — mismatched registers would serve " +
-                "silently-low estimates")
-            graft.functions.CountMin.estimate(
-              spark.read.parquet(s"$p/$n"), values, valueCol)
-        }
+      priorStateDir(spark, p, FreqPrefix).map { case (t, path) =>
+        // the read path must enforce the geometry the dir name encodes,
+        // exactly like the write path: estimating stored registers with
+        // different compile-time constants would address cells the
+        // store never wrote, read coalesced zeros, and silently break
+        // the one-sided est ≥ truth contract
+        val dims = s"${graft.functions.CountMin.Depth}w${graft.functions.CountMin.Width}"
+        if (t != dims) throw new IllegalStateException(
+          s"frequency state $path has geometry d$t, this build " +
+            s"estimates with d$dims — mismatched registers would serve " +
+            "silently-low estimates")
+        graft.functions.CountMin.estimate(
+          spark.read.parquet(path), values, valueCol)
+      }
     }
 
   /** Per-key percentile estimates off the latest snapshot's histogram
@@ -262,13 +261,13 @@ object RollupIngest {
                        keys: Seq[String],
                        quantilesPermille: Seq[Int]): Option[DataFrame] =
     latestVersion(spark, stateDir).flatMap { case (_, p) =>
-      fsOf(spark, stateDir).listStatus(new Path(p)).toSeq
-        .map(_.getPath.getName).collectFirst {
-          case n if n.startsWith("hist_w") =>
-            IncrementalAgg.quantilesFromState(
-              spark.read.parquet(s"$p/$n"), keys, n.drop(6).toLong,
-              quantilesPermille)
-        }
+      priorStateDir(spark, p, HistPrefix).map { case (t, path) =>
+        // the committed knob (bucket width) is read from the state
+        // itself — a caller cannot misinterpret the buckets at a
+        // different scale
+        IncrementalAgg.quantilesFromState(
+          spark.read.parquet(path), keys, t.toLong, quantilesPermille)
+      }
     }
 
   /** Structured Streaming driver over a file-drop source. */

@@ -103,12 +103,10 @@ class WebhookPipeline(tablesDir: String,
     val suspect = nullPayloads > 0 ||
       typeCounts.keys.exists(t => t == null || !handled.contains(t))
     if (!suspect) return
-    val v = col("value")
-    raw.select(v.as("raw_value"),
-        get_json_object(v, "$.id").as("event_id"),
-        get_json_object(v, "$.type").as("event_type"),
-        expr("try_cast(get_json_object(value, '$.created') AS BIGINT)").as("created"),
-        get_json_object(v, "$.data.object").as("payload"))
+    // the ONE envelope parser, with the raw text riding along — a
+    // hand-rolled re-parse here could drift from the router's and
+    // quarantine the wrong rows
+    StripeEvents.parseEnvelope(raw, keepRaw = true)
       .filter(col("event_type").isNull || col("payload").isNull ||
         !col("event_type").isin(handled.toSeq: _*))
       .select(col("event_id"), col("event_type"), col("created"),
