@@ -67,6 +67,24 @@ class SketchFunctionsSpec extends SparkSpec {
     assert(whole == repart)
   }
 
+  test("count-min ignores nulls; heavy hitters stay exact beside them") {
+    import graft.functions.CountMin
+    // nulls interleaved with a heavy value: a null's null cell hash
+    // once emitted a (row, NULL) register the driver table unboxed onto
+    // column 0, clobbering a real register — the estimate could then
+    // undercount and a true heavy hitter vanish before the exact verify
+    val vals = (Seq.fill(60)(Some("hot")) ++ Seq.fill(40)(None) ++
+      (0 until 20).map(i => Some(s"r$i"))).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.orNull) }.toDF("id", "v")
+    val regs = CountMin.registers(vals, "v")
+    assert(regs.filter(col("col_").isNull).count() == 0L)
+    // register mass counts only non-null rows (80), Depth times
+    assert(regs.agg(sum("n")).as[Long].head() == 80L * CountMin.Depth)
+    val hh = CountMin.heavyHitters(vals, "v", thresholdPpm = 500000L)
+      .select("v", "cnt").as[(String, Long)].collect().toSeq
+    assert(hh == Seq(("hot", 60L))) // 60/80 non-null rows = 75% >= 50%
+  }
+
   test("heavyHitters equals the exact answer on a planted skewed stream") {
     import graft.functions.CountMin
     // 50×hot1 + 40×hot2 + 100 singletons = 190 rows; 10% threshold →
