@@ -26,6 +26,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", adaptive)
       .config("spark.sql.adaptive.coalescePartitions.enabled", adaptive)
       .config("spark.sql.session.timeZone", "UTC")
+      // runtime-bloom caps govern EVERY BloomFilterAggregate, including
+      // the ReplayGuard's admission filters (which clamp to these so
+      // driver-built and aggregate-built filters stay mergeable). The
+      // defaults (4M items / 64 Mbit) cap the exact-fpp envelope at
+      // ~5M ids; raise to ~1e9 items / 1 Gbit ≈ 110M ids at 1% fpp —
+      // past that the guard degrades fpp gracefully, never crashes.
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 1000000000L)
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 1073741824L)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -42,8 +42,15 @@ object MergeOps {
     val t = target.select(target.columns.toIndexedSeq.map(c => col(c).as("t_" + c)): _*)
     val s = source.select(source.columns.toIndexedSeq.map(c => col(c).as("s_" + c)): _*)
     val joined = t.join(s, col("t_" + key) === col("s_" + key), "full_outer")
+    // the t.ts IS NULL arm mirrors guardedUpsertSql/guardedMergeSql
+    // (postgres.ts:203 writes `t.ts IS NULL OR t.ts < s.ts`): a stored
+    // row whose timestamp was nulled by a malformed payload must still
+    // be updatable by a corrected redelivery — without the arm,
+    // `s_ts > NULL` is NULL → false and the stale row is kept forever,
+    // silently diverging from the JDBC path
     val takeSource = col("t_" + key).isNull ||
-      (col("s_" + key).isNotNull && col("s_" + tsCol) > col("t_" + tsCol))
+      (col("s_" + key).isNotNull &&
+        (col("t_" + tsCol).isNull || col("s_" + tsCol) > col("t_" + tsCol)))
     val cols = target.columns.map { c =>
       when(takeSource, col("s_" + c)).otherwise(col("t_" + c)).as(c)
     }

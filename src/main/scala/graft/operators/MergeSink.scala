@@ -47,7 +47,7 @@ object MergeSink {
     val path = s"$dir/${tdef.table}"
     healInterruptedSwap(spark, path)
     val merged =
-      if (Files.exists(Paths.get(path))) {
+      if (tableExists(spark, path)) {
         val target = spark.read.parquet(path)
         MergeOps.mergeGuarded(target, deduped, tdef.key, tsCol)
       } else deduped
@@ -71,11 +71,15 @@ object MergeSink {
       batch.filter(col(tdef.key).isNotNull), Seq(tdef.key), Seq(tsCol))
     val path = s"$dir/${tdef.table}"
     healInterruptedSwap(spark, path)
-    val merged =
-      if (Files.exists(Paths.get(path))) {
+    val merged0 =
+      if (tableExists(spark, path)) {
         val target = spark.read.parquet(path)
         MergeOps.mergeGuarded(target, deduped, tdef.key, tsCol)
       } else deduped
+    // Stage the merge once: `stale` AND the anti-join both consume it,
+    // and an unstaged plan re-runs the target scan + merge window twice
+    // per batch — giving back most of the fused-commit saving
+    val merged = graft.llm.Stage(merged0)
     val victims = stale(merged).select(col(tdef.key))
     writeAtomic(merged.join(victims, Seq(tdef.key), "left_anti"), path)
   }
@@ -103,7 +107,7 @@ object MergeSink {
     val path = s"$dir/${tdef.table}__history"
     healInterruptedSwap(spark, path)
     val merged =
-      if (Files.exists(Paths.get(path)))
+      if (tableExists(spark, path))
         MergeOps.scd2Merge(spark.read.parquet(path), clean,
           Seq(tdef.key), tsCol, tieCols)
       else
@@ -119,7 +123,7 @@ object MergeSink {
     val spark = ids.sparkSession
     val path = s"$dir/${tdef.table}"
     healInterruptedSwap(spark, path)
-    if (Files.exists(Paths.get(path))) {
+    if (tableExists(spark, path)) {
       val target = spark.read.parquet(path)
       writeAtomic(MergeOps.setDiffDelete(target, ids.select(col(ids.columns.head).as(tdef.key)), tdef.key), path)
     }
@@ -135,6 +139,19 @@ object MergeSink {
     * re-admit everything it ever deduped. (A transactional table format
     * makes all of this one metadata commit; this is the plain-filesystem
     * approximation with no silent-loss window.) */
+  /** Hadoop-FS existence test for sink paths — java.nio Files.exists
+    * only understands LOCAL OS paths: for a `file:` URI or any remote
+    * scheme it returns false, the merge would treat the table as absent,
+    * and writeAtomic would replace it with just the current batch — a
+    * silent total loss. healInterruptedSwap two lines above every call
+    * already resolves the same string through Hadoop; existence must
+    * use the same resolution. */
+  private def tableExists(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private[graft] def writeAtomic(df: DataFrame, path: String,
                                  partitionBy: Seq[String] = Nil): Unit = {
     val tmp = path + "__stage"
@@ -145,6 +162,18 @@ object MergeSink {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new Path(path)
     val old = new Path(path + "__old")
+    // REFUSE to publish over an unhealed crash window: dst missing with
+    // __old present means a swap died between its renames and __old
+    // holds the ONLY copy — and it ALSO means this caller skipped
+    // healInterruptedSwap, so its dataframe was computed against a
+    // missing target (a merge would be batch-only). Deleting __old here
+    // would finish the data loss silently; renaming it back would be
+    // retired-and-deleted by the very next lines. Throwing preserves
+    // the copy and surfaces the missing heal call loudly.
+    if (!fs.exists(dst) && fs.exists(old))
+      throw new IllegalStateException(
+        s"unhealed interrupted swap at $path ($old holds the only copy); " +
+          "call healInterruptedSwap before computing the write")
     if (fs.exists(old)) fs.delete(old, true) // prior completed swap's leftover
     if (fs.exists(dst) && !fs.rename(dst, old))
       throw new java.io.IOException(s"swap retire rename failed: $dst -> $old")

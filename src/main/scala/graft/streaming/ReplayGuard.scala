@@ -73,6 +73,29 @@ object ReplayGuard {
     math.max(64L,
       math.ceil(-estItems * math.log(Fpp) / (math.log(2) * math.log(2))).toLong)
 
+  /** The (estItems, numBits) actually USED for every filter this guard
+    * builds — BOTH construction paths clamped to the session's
+    * runtime-bloom caps. Spark's BloomFilterAggregate Math.min-clamps
+    * its arguments against `spark.sql.optimizer.runtime.bloomFilter.
+    * {maxNumItems,maxNumBits}` (defaults 4M / 64 Mbit); a driver-side
+    * BloomFilter.create with UNCLAMPED parameters would then be
+    * merge-INCOMPATIBLE with the aggregate's batch filters
+    * (IncompatibleMergeException on the first record() past the cap).
+    * Clamping both sides identically keeps every filter mergeable by
+    * construction; past the cap the fpp degrades gracefully instead of
+    * crashing (raise the caps in session conf — GraftSession does — to
+    * extend the exact envelope). */
+  private def bloomParams(spark: SparkSession, estItems: Long): (Long, Long) = {
+    def conf(k: String, dflt: Long): Long =
+      try spark.conf.get(k).toLong catch { case _: Exception => dflt }
+    val maxItems =
+      conf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
+    val maxBits =
+      conf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L)
+    val e = math.min(estItems, maxItems)
+    (e, math.min(numBits(e), maxBits))
+  }
+
   /** The guard exists once [[bootstrap]] has committed its meta file. */
   def exists(spark: SparkSession, guardDir: String): Boolean =
     fsOf(spark, guardDir).exists(new Path(metaPath(guardDir)))
@@ -144,9 +167,10 @@ object ReplayGuard {
     * xxhash64(id), matching [[filterFresh]]'s probe and the bucket hash. */
   private def countAndBloom(ids: DataFrame, idCol: String,
                             estItems: Long): (Long, Option[Array[Byte]]) = {
+    val (e, bits) = bloomParams(ids.sparkSession, estItems)
     val row = ids.agg(
       count(lit(1)),
-      BloomFns.bloom_filter_agg(xxhash64(col(idCol)), estItems, numBits(estItems))).head()
+      BloomFns.bloom_filter_agg(xxhash64(col(idCol)), e, bits)).head()
     (row.getLong(0),
       if (row.isNullAt(1)) None else Some(row.getAs[Array[Byte]](1)))
   }
@@ -169,8 +193,10 @@ object ReplayGuard {
     var est = math.max(floor, 1L)
     while (est < math.max(n * 2, atLeast)) est *= 2
     val (_, bytesOpt) = countAndBloom(ledger, "id", est)
-    val bytes = bytesOpt.getOrElse(
-      serialize(BloomFilter.create(est, numBits(est))))
+    val bytes = bytesOpt.getOrElse {
+      val (e, bits) = bloomParams(spark, est)
+      serialize(BloomFilter.create(e, bits))
+    }
     writeBloom(spark, guardDir, est, n, bytes)
     (est, n, bytes)
   }
@@ -182,8 +208,9 @@ object ReplayGuard {
     require(!exists(spark, guardDir), s"guard already exists at $guardDir")
     require(nBuckets > 0 && estItems > 0, "nBuckets and estItems must be positive")
     writeMeta(spark, guardDir, nBuckets, estItems)
+    val (e, bits) = bloomParams(spark, estItems)
     writeBloom(spark, guardDir, estItems, 0L,
-      serialize(BloomFilter.create(estItems, numBits(estItems))))
+      serialize(BloomFilter.create(e, bits)))
   }
 
   /** Split `batch` down to the rows whose id was never recorded.
@@ -210,6 +237,13 @@ object ReplayGuard {
       .select(pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).as("bucket"))
       .distinct().collect().map(_.getLong(0)).sorted
     if (buckets.isEmpty) definitelyNew
+    else if (!fsOf(spark, guardDir).exists(new Path(idsPath(guardDir))))
+      // the documented crash window (bloom committed, ledger append
+      // never ran) can leave cnt > 0 with NO ids/ dir at all; the
+      // ledger is the truth and it is empty, so every probable hit is
+      // a bloom-only artifact — admit the whole batch instead of
+      // crashing on a nonexistent path on every retry
+      batch
     else {
       val ledger = spark.read.parquet(idsPath(guardDir))
         .filter(col("bucket").isin(buckets.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
@@ -233,9 +267,11 @@ object ReplayGuard {
     if (n == 0L) return 0L
     if (cnt + n > est) {
       // outgrew capacity: rebuild ≥2× from ledger, fold the batch in
-      val (est2, _, _) = rebuildBloom(spark, guardDir, atLeast = (cnt + n) * 2)
+      // (reuse the rebuild's own return — re-reading the multi-MB
+      // bloom file it just wrote was pure waste plus an unguarded .get)
+      val (est2, cnt2, bytes2) = rebuildBloom(spark, guardDir,
+        atLeast = (cnt + n) * 2)
       val (_, grownOpt) = countAndBloom(ids, idCol, est2)
-      val (_, cnt2, bytes2) = readBloom(spark, guardDir).get
       val merged = deserialize(bytes2)
       grownOpt.foreach(b => merged.mergeInPlace(deserialize(b)))
       writeBloom(spark, guardDir, est2, cnt2 + n, serialize(merged))
@@ -313,7 +349,12 @@ object ReplayGuard {
     if (!fsOf(spark, guardDir).exists(new Path(idsPath(guardDir)))) return
     val keep = spark.read.parquet(idsPath(guardDir))
       .join(victims.select(col(idCol).as("id")), Seq("id"), "left_anti")
-    graft.operators.MergeSink.writeAtomic(keep, idsPath(guardDir),
+    if (keep.isEmpty)
+      // a fully-evicted ledger must DELETE the dir: an empty
+      // partitioned write emits no schema-bearing files, and every
+      // later ledger read would die on schema inference
+      fsOf(spark, guardDir).delete(new Path(idsPath(guardDir)), true)
+    else graft.operators.MergeSink.writeAtomic(keep, idsPath(guardDir),
       partitionBy = Seq("bucket"))
   }
 }

@@ -38,6 +38,19 @@ class MergeOpsSpec extends SparkSpec {
     assert(out == Map("a" -> "new", "b" -> "old", "c" -> "insert"))
   }
 
+  test("mergeGuarded updates a null-timestamp target row (postgres.ts:203 parity)") {
+    // a stored row whose ts was nulled by a malformed payload must be
+    // repairable by a corrected redelivery — the `t.ts IS NULL` arm of
+    // the reference's guard; without it s_ts > NULL is never true and
+    // the stale row is immortal on the parquet path
+    val target = Seq(("a", null.asInstanceOf[java.lang.Long], "stale"),
+      ("b", java.lang.Long.valueOf(9L), "keep")).toDF("id", "ts", "v")
+    val source = Seq(("a", 6L, "fixed")).toDF("id", "ts", "v")
+    val out = MergeOps.mergeGuarded(target, source, "id", "ts")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("a" -> "fixed", "b" -> "keep"))
+  }
+
   test("mergeGuarded is idempotent (replaying the same batch is a no-op)") {
     val target = Seq(("a", 5L, "x")).toDF("id", "ts", "v")
     val src = Seq(("a", 7L, "y"), ("b", 2L, "z")).toDF("id", "ts", "v")

@@ -148,4 +148,75 @@ class ReplayGuardSpec extends SparkSpec {
     assert(VectorIngest.processBatch(emb, root) == 24)
     assert(spark.read.parquet(s"$root/cells").select("vec_id").distinct().count() == 48)
   }
+
+  test("crash-window recovery: bloom committed but ids/ missing admits the batch") {
+    val g = tmpDir("guard-window") + "/g"
+    ReplayGuard.bootstrap(spark, g)
+    assert(ReplayGuard.record(ids(Seq(1L, 2L, 3L)), "doc_id", g) == 3L)
+    // simulate the documented crash ordering taken one step further:
+    // bloom persisted, the ledger append lost entirely
+    val fs = new org.apache.hadoop.fs.Path(g)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$g/ids"), true)
+    // the ledger is the truth and it is empty: the probable hits are
+    // bloom-only artifacts — the whole batch is admitted, no crash
+    val fresh = ReplayGuard.filterFresh(ids(Seq(1L, 2L, 3L, 4L)), "doc_id", g)
+    assert(fresh.count() == 4L)
+  }
+
+  test("evicting every ledger id deletes ids/ and later reads survive") {
+    val g = tmpDir("guard-evict-all") + "/g"
+    ReplayGuard.bootstrap(spark, g)
+    assert(ReplayGuard.record(ids(Seq(10L, 11L)), "doc_id", g) == 2L)
+    ReplayGuard.evict(spark, g, ids(Seq(10L, 11L)), "doc_id")
+    val fs = new org.apache.hadoop.fs.Path(g)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an empty partitioned rewrite would leave a schema-less husk that
+    // kills every later read; full eviction must delete the dir
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$g/ids")))
+    assert(ReplayGuard.knownIds(spark, g, "doc_id").count() == 0L)
+    // the evicted ids take the probable-hit path and are re-admitted
+    assert(ReplayGuard.filterFresh(ids(Seq(10L, 11L)), "doc_id", g)
+      .count() == 2L)
+  }
+
+  test("driver and aggregate bloom filters stay mergeable past the session caps") {
+    // BloomFilterAggregate Math.min-clamps against the runtime-bloom
+    // caps; the guard clamps its driver-side filters identically, so
+    // est above the cap degrades fpp instead of throwing
+    // IncompatibleMergeException on the first record()
+    val prevItems = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+    val prevBits = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 1000L)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 8192L)
+      val g = tmpDir("guard-clamp") + "/g"
+      ReplayGuard.bootstrap(spark, g, estItems = 1000000L) // far past the cap
+      assert(ReplayGuard.record(ids((1L to 50L)), "doc_id", g) == 50L)
+      assert(ReplayGuard.record(ids((51L to 80L)), "doc_id", g) == 30L)
+      // replay still rejected through the clamped bloom + exact ledger
+      assert(ReplayGuard.filterFresh(ids(Seq(1L, 60L, 999L)), "doc_id", g)
+        .as[Long].collect().toSet == Set(999L))
+    } finally {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", prevItems)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", prevBits)
+    }
+  }
+
+  test("writeAtomic refuses to publish over an unhealed crash window") {
+    val root = tmpDir("swap-refuse")
+    val path = s"$root/table"
+    // a crash between the swap renames: only __old survives
+    Seq((1L, "only-copy")).toDF("id", "v").write.parquet(path + "__old")
+    val batch = Seq((2L, "batch")).toDF("id", "v")
+    intercept[IllegalStateException] {
+      graft.operators.MergeSink.writeAtomic(batch, path)
+    }
+    // the sole copy survives the refusal, and healing then recovers it
+    graft.operators.MergeSink.healInterruptedSwap(spark, path)
+    assert(spark.read.parquet(path).as[(Long, String)].collect().toSeq ==
+      Seq((1L, "only-copy")))
+  }
 }
