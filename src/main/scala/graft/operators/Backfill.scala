@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{TableDef, TableDefs}
-import graft.streaming.WebhookPipeline
 
 /** Backfill scans + recursive FK backfill (SURVEY §3.2, S3/S4/S7 + J2).
   *
@@ -54,23 +53,35 @@ object Backfill {
                     width: Int = 10): Long = {
     import spark.implicits._
     val path = s"$tablesDir/$parentTable"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) return 0L
+    // Hadoop-FS existence, not java.nio: a file:/s3a: tablesDir would
+    // always look absent to NIO and the scan would silently return 0
+    if (!MergeSink.tableExists(spark, path)) return 0L
     val parents = spark.read.parquet(path)
     val live =
       if (parents.columns.contains("deleted"))
         parents.filter(!coalesce(col("deleted"), lit(false)))
       else parents
     val ids = live.select("id").as[String]
-    val nPart = math.max(1, (ids.count() / width).toInt)
+    // partition count follows the reference's width-10 fan-out but is
+    // CAPPED at a small multiple of cluster parallelism: 10M parents at
+    // width 10 would otherwise mean a million tiny scheduler tasks
+    val nPart = math.max(1L, math.min(ids.count() / width,
+      spark.sparkContext.defaultParallelism * 4L)).toInt
     val payloads = ids.repartition(nPart)
       .mapPartitions(it => it.flatMap(id => fetcher.listForParent(child, fkCol, id)))
       .toDF("payload")
-    val n = payloads.count()
-    if (n > 0) {
-      val rows = child.projectFrom(payloads, "payload", current_timestamp())
-      MergeSink.upsertParquet(rows, tablesDir, child)
-    }
-    n
+      // persist before the count: the count AND the merge write are two
+      // actions, and an uncached plan would run the REMOTE fetch twice —
+      // double egress, and a count that can diverge from the rows merged
+      .persist()
+    try {
+      val n = payloads.count()
+      if (n > 0) {
+        val rows = child.projectFrom(payloads, "payload", current_timestamp())
+        MergeSink.upsertParquet(rows, tablesDir, child)
+      }
+      n
+    } finally payloads.unpersist()
   }
 
   /** Upsert a chunk of raw entity JSON through the shared pipeline:
@@ -84,7 +95,10 @@ object Backfill {
     val raw = chunk.toDF("payload")
     val rows = tdef.projectFrom(raw, "payload", current_timestamp())
     MergeSink.upsertParquet(rows, tablesDir, tdef)
-    chunk.size.toLong
+    // count what can actually REACH the table: the sink drops null-key
+    // payloads and LWW-collapses duplicate ids, so reporting chunk.size
+    // would inflate the A3 metric (and every syncEntity/syncAll total)
+    rows.filter(col(tdef.key).isNotNull).select(tdef.key).distinct().count()
   }
 
   /** S3/S4: scan one entity with chunked flushes (reference buffers 250,
@@ -182,7 +196,7 @@ object Backfill {
         coalesce(get_json_object(col(fkCol), "$.id"), col(fkCol)).as(fkCol))
       val path = s"$tablesDir/$parentTable"
       val parent =
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        if (MergeSink.tableExists(spark, path))
           spark.read.parquet(path)
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], parentDef.schema)
@@ -198,8 +212,13 @@ object Backfill {
                       tdef: TableDef, fetcher: EntityFetcher,
                       maxDepth: Int = 4): Map[String, Long] = {
     if (maxDepth <= 0 || tdef.fkEdges.isEmpty) return Map.empty
-    missingParents(spark, tablesDir, batch, tdef).flatMap {
-      case (parentTable, missing) =>
+    // per-edge result maps must SUM across edges: two edges reaching the
+    // same ancestor table (charges → customer directly and → invoice →
+    // customer) would otherwise have one count silently overwrite the
+    // other in the flatMap-to-Map collapse
+    val perEdge: Seq[Map[String, Long]] =
+      missingParents(spark, tablesDir, batch, tdef).toSeq.map {
+        case (parentTable, missing) =>
         val parentDef = TableDefs.byTable(parentTable)
         val ids = missing.collect().map(_.getString(0)).toSeq
         if (ids.isEmpty) Map.empty[String, Long]
@@ -219,6 +238,7 @@ object Backfill {
           (grandparents.toSeq :+ (parentTable -> n))
             .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
         }
-    }
+      }
+    perEdge.flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
   }
 }

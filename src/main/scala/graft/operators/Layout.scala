@@ -66,7 +66,12 @@ object Layout {
     * can't collapse the curve onto a few prefixes. */
   def zValueRanked(df: DataFrame, cols: Seq[String], bits: Int): Column =
     zValue(cols.zip(rankBoundaries(df, cols, bits)).map { case (c, bounds) =>
-      QuantileRank.quantile_rank(col(c).cast("double"), bounds).cast("long")
+      // an all-null column (or empty input) yields NO quantile
+      // boundaries — the column carries no ordering signal, so it
+      // contributes a constant rank instead of crashing QuantileRank's
+      // nonEmpty require mid-maintenance
+      if (bounds.isEmpty) lit(0L)
+      else QuantileRank.quantile_rank(col(c).cast("double"), bounds).cast("long")
     }, bits)
 
   /** Write `df` as `numFiles` parquet files clustered on the Z-order
@@ -147,6 +152,12 @@ object Layout {
   def writeZOrderedPartitioned(df: DataFrame, root: String, partCol: String,
                                cols: Seq[String], bits: Int = 8,
                                numFiles: Int = 32, fileBits: Int = 4): Unit = {
+    // a negative shift is MASKED by shiftrightunsigned (mod 64), which
+    // silently collapses every row into file-prefix 0 — one unaligned
+    // file per partition with no error; maintain() has the analogous
+    // guard, this entry point needs its own
+    require(fileBits >= 1 && fileBits <= cols.size * bits,
+      s"fileBits must be in [1, n*bits]: fileBits=$fileBits n=${cols.size} bits=$bits")
     val shift = cols.size * bits - fileBits
     df.withColumn("__z", zValueRanked(df, cols, bits))
       .withColumn("__f", shiftrightunsigned(col("__z"), shift))
@@ -228,6 +239,18 @@ object Layout {
           .sortWithinPartitions("__z")
           .drop("__f", "__z")
           .write.parquet(stage.toString)
+        // CONCURRENT-APPEND GUARD: a file landed by appendRaw after the
+        // read's listing snapshot would be swept into .graft_old with
+        // the rest of the partition and deleted — permanent row loss.
+        // Re-list immediately before the retire: if anything appeared,
+        // skip this partition (it is now dirtier; the next tick redoes
+        // it). Like every compactor here, STRICT safety still requires
+        // quiescing appends to the partitions being maintained — this
+        // check closes the window from job-length to milliseconds.
+        if (dataFiles(fs, pd).toSet != files.toSet) {
+          fs.delete(stage, true)
+          skipped += 1
+        } else {
         fs.mkdirs(oldRoot)
         val old = new Path(oldRoot, pd.getName)
         if (fs.exists(old)) fs.delete(old, true)
@@ -238,6 +261,7 @@ object Layout {
         fs.delete(old, true)
         writeManifest(fs, manifestPath(root, pd.getName), dataFiles(fs, pd))
         re += 1
+        }
       }
     }
     if (fs.exists(stageRoot)) fs.delete(stageRoot, true)

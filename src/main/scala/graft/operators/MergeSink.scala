@@ -146,7 +146,7 @@ object MergeSink {
     * silent total loss. healInterruptedSwap two lines above every call
     * already resolves the same string through Hadoop; existence must
     * use the same resolution. */
-  private def tableExists(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def tableExists(spark: org.apache.spark.sql.SparkSession,
                           path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

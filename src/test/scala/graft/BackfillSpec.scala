@@ -52,6 +52,30 @@ class BackfillSpec extends SparkSpec {
     assert(Backfill.backfillParents(spark, dir, projected, TableDefs.charges, fetcher).isEmpty)
   }
 
+  test("backfillParents sums counts when two edges reach the same ancestor") {
+    // charge → customer edge pulls cus_a directly; charge → invoice edge
+    // pulls in_b whose recursion pulls cus_b — BOTH contribute to the
+    // customers count, which must sum to 2 (the flatMap-to-Map collapse
+    // used to keep only one edge's count)
+    val store2 = Map(
+      "ch_2" -> """{"id":"ch_2","object":"charge","amount":7,"customer":"cus_a","invoice":"in_b","created":20}""",
+      "in_b" -> """{"id":"in_b","object":"invoice","total":7,"customer":"cus_b","created":19}""",
+      "cus_a" -> """{"id":"cus_a","object":"customer","email":"a@x.y","created":18}""",
+      "cus_b" -> """{"id":"cus_b","object":"customer","email":"b@x.y","created":18}""")
+    val f2 = new Backfill.EntityFetcher {
+      def list(tdef: TableDef, gte: Option[Long], lt: Option[Long]): Iterator[String] =
+        Iterator.empty
+      def retrieve(tdef: TableDef, id: String): Option[String] = store2.get(id)
+    }
+    val dir = tmpDir("graft_bf_sum")
+    val batch = Seq(store2("ch_2")).toDF("payload")
+    val projected = TableDefs.charges.projectFrom(batch, "payload", current_timestamp())
+    val counts = Backfill.backfillParents(spark, dir, projected, TableDefs.charges, f2)
+    assert(counts.get("invoices").contains(1L))
+    assert(counts.get("customers").contains(2L), s"got $counts")
+    assert(spark.read.parquet(s"$dir/customers").count() == 2)
+  }
+
   test("syncWindow maps daily/weekly/monthly to created >= now-Nd pushdown (cron routes)") {
     val dir = tmpDir("graft_bf5")
     val now = 1000000L

@@ -140,4 +140,28 @@ class LayoutSpec extends SparkSpec {
     assert(re2 == 0 && sk2 == 2)
     assert(md5s(s"$root/p=0") == p0Before)
   }
+
+  test("an all-null clustering column degrades to constant rank, no crash") {
+    import spark.implicits._
+    val dir = tmpDir("zorder_nullcol")
+    val df = (1L to 100L)
+      .map(i => (i, i % 10, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "x", "y")
+    // y yields zero quantile boundaries (approxQuantile ignores nulls);
+    // the curve must fall back to x-only ordering instead of failing
+    // QuantileRank's nonEmpty require mid-write
+    Layout.writeZOrdered(df, s"$dir/t", Seq("x", "y"), bits = 4, numFiles = 4)
+    assert(spark.read.parquet(s"$dir/t").count() == 100L)
+  }
+
+  test("writeZOrderedPartitioned rejects fileBits that would collapse file prefixes") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 0L)).toDF("x", "y", "p")
+    intercept[IllegalArgumentException] {
+      // n*bits = 2 < fileBits = 4: the unguarded negative shift was
+      // masked mod 64 and silently put every row in file-prefix 0
+      Layout.writeZOrderedPartitioned(df, tmpDir("zorder_shift"), "p",
+        Seq("x"), bits = 2, numFiles = 4, fileBits = 4)
+    }
+  }
 }
