@@ -94,16 +94,16 @@ object CorpusIngest {
           docSchema), k, numPerms)
     // INPUT VALIDATION with an audit trail (the VectorIngest pattern
     // and its discipline): validate BEFORE dropDuplicates so every
-    // malformed row is audited, Stage the flagged batch once so the
-    // valid/invalid split cannot diverge across actions, and OVERWRITE
-    // the batch_id quarantine subdir so at-least-once re-runs are
-    // idempotent. A null doc_id would vanish silently inside the
+    // malformed row is audited (and so the row-wise validity flag
+    // splits identically on every re-evaluation — no staging needed),
+    // and OVERWRITE the batch_id quarantine subdir so at-least-once
+    // re-runs are idempotent. A null doc_id would vanish silently inside the
     // guard's bloom probe; a null text would flow a junk row into the
     // corpus store with NULL signatures. Invalid rows are NOT ledgered,
     // so a corrected re-send is admitted, never a "replay".
     val wellFormed = col("doc_id").isNotNull && col("text").isNotNull
-    val flagged = graft.llm.Stage(batch.select(col("doc_id"), col("text"))
-      .withColumn("__ok", coalesce(wellFormed, lit(false))))
+    val flagged = batch.select(col("doc_id"), col("text"))
+      .withColumn("__ok", coalesce(wellFormed, lit(false)))
     if (flagged.filter(!col("__ok")).limit(1).count() > 0)
       flagged.filter(!col("__ok")).select(col("doc_id"),
           when(col("doc_id").isNull, "doc_id_null")

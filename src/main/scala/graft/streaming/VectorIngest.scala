@@ -158,9 +158,11 @@ object VectorIngest {
     // well-formed rows. Discipline (review-hardened):
     //   - validate BEFORE dropDuplicates, so every malformed row is
     //     audited (null ids would otherwise collapse to one group);
-    //   - Stage the flagged batch ONCE — the valid/invalid split feeds
-    //     several actions, and an unstaged nondeterministic dedup could
-    //     send the same id down both paths (or neither);
+    //   - the validity flag is a PURE row-wise predicate computed
+    //     BEFORE the id dedup, so every re-evaluation splits the batch
+    //     identically — no materialization needed (a dedup-first order
+    //     would make the split ride dropDuplicates' nondeterministic
+    //     survivor and need staging);
     //   - the quarantine write OVERWRITES its batch_id subdir, so an
     //     at-least-once re-run of the same batch is idempotent;
     //   - invalid rows are NOT ledgered: a corrected re-send of the id
@@ -169,8 +171,8 @@ object VectorIngest {
     val dim = cents.select(size(col("cent"))).head().getInt(0)
     val wellFormed = col("vec_id").isNotNull && col("embedding").isNotNull &&
       size(col("embedding")) === dim
-    val flagged = graft.llm.Stage(batch.select(col("vec_id"), col("embedding"))
-      .withColumn("__ok", coalesce(wellFormed, lit(false))))
+    val flagged = batch.select(col("vec_id"), col("embedding"))
+      .withColumn("__ok", coalesce(wellFormed, lit(false)))
     if (flagged.filter(!col("__ok")).limit(1).count() > 0)
       flagged.filter(!col("__ok")).select(col("vec_id"),
           when(col("vec_id").isNull, "vec_id_null")
