@@ -454,45 +454,78 @@ object Dedup {
                            maxBandDf: Long = Long.MaxValue): DataFrame = {
     val nb0 = bandsFromSignatures(newSigs, numPerms, bands)
     val eb0 = bandsFromSignatures(existingSigs, numPerms, bands)
-    // the hot-bucket population spans BOTH sides (a duplicate class is
-    // part persisted, part incoming), so the df count runs on the union
-    // and the same over-cap key set prunes both band tables
-    val (nb, eb) =
-      if (maxBandDf == Long.MaxValue) (nb0, eb0)
-      else {
-        val hot = Stage(
-          nb0.select("band", "band_hash").union(eb0.select("band", "band_hash"))
-            .groupBy("band", "band_hash").agg(count(lit(1)).as("df"))
-            .filter(col("df") > maxBandDf).select("band", "band_hash"))
-        (nb0.join(broadcast(hot), Seq("band", "band_hash"), "left_anti"),
-         eb0.join(broadcast(hot), Seq("band", "band_hash"), "left_anti"))
-      }
+    val (nb, eb) = capJointBuckets(nb0, eb0, maxBandDf)
     // candidates: (new, existing) on any shared band; (new, earlier new)
-    val candOld = nb.as("n").join(eb.as("o"),
+    val cand = crossSideCandidates(nb, eb)
+      .union(withinBatchCandidates(nb)).distinct()
+    // signature-agreement verify — the "other" side may be an existing or
+    // a new doc, so probe the union of both signature tables. (The
+    // streaming ingest's banded-store path partition-prunes this probe
+    // instead — [[graft.streaming.CorpusIngest]]; here the store is an
+    // in-memory frame and the union is the honest shape.)
+    val allSigs = existingSigs.select(newSigs.columns.toIndexedSeq.map(col): _*)
+      .unionByName(newSigs)
+    val drop = sigAgreementDrops(cand, newSigs, allSigs, numPerms, minEstPpm)
+    newDocs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** Joint hot-bucket cap for the incremental band join: the hot-bucket
+    * population spans BOTH sides (a duplicate class is part persisted,
+    * part incoming), so the df count runs on the union and the same
+    * over-cap key set prunes both band tables. With the store side
+    * already bucket-pruned to the batch's band buckets the counts are
+    * unchanged — every store row sharing a batch band hash lives in a
+    * touched bucket by construction. */
+  private[graft] def capJointBuckets(nb0: DataFrame, eb0: DataFrame,
+                                     maxBandDf: Long): (DataFrame, DataFrame) =
+    if (maxBandDf == Long.MaxValue) (nb0, eb0)
+    else {
+      val hot = Stage(
+        nb0.select("band", "band_hash").union(eb0.select("band", "band_hash"))
+          .groupBy("band", "band_hash").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxBandDf).select("band", "band_hash"))
+      (nb0.join(broadcast(hot), Seq("band", "band_hash"), "left_anti"),
+       eb0.join(broadcast(hot), Seq("band", "band_hash"), "left_anti"))
+    }
+
+  /** (new_id, other_id) candidates: a new doc sharing any (band,
+    * band_hash) bucket with a stored doc. NOT distinct — multi-band
+    * collisions repeat; callers distinct after the union. */
+  private[graft] def crossSideCandidates(nb: DataFrame, eb: DataFrame): DataFrame =
+    nb.as("n").join(eb.as("o"),
         col("n.band") === col("o.band") && col("n.band_hash") === col("o.band_hash"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("other_id"))
-    val candNew = nb.as("n").join(nb.as("o"),
+
+  /** (new_id, other_id) candidates within the batch itself, other_id
+    * strictly lower (greedy min-id-wins drop policy). NOT distinct. */
+  private[graft] def withinBatchCandidates(nb: DataFrame): DataFrame =
+    nb.as("n").join(nb.as("o"),
         col("n.band") === col("o.band") && col("n.band_hash") === col("o.band_hash")
           && col("o.doc_id") < col("n.doc_id"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("other_id"))
-    val cand = candOld.union(candNew).distinct()
-    // signature-agreement verify — the "other" side may be an existing or
-    // a new doc, so probe the union of both signature tables
-    val allSigs = existingSigs.select(newSigs.columns.toIndexedSeq.map(col): _*)
-      .unionByName(newSigs)
+
+  /** Signature-agreement verify ([[minHashEstimates]]' arithmetic) over
+    * candidate pairs: new_ids whose estimated Jaccard against some
+    * candidate other reaches `minEstPpm` — the drop set. `otherSigs`
+    * must cover every other_id in `cand` (missing rows silently clear
+    * the candidate — the fail-open shape the crash-ordering analysis
+    * requires: a stored band whose signature was lost belongs to a doc
+    * that never reached the corpus). */
+  private[graft] def sigAgreementDrops(cand: DataFrame, newSigs: DataFrame,
+                                       otherSigs: DataFrame, numPerms: Int,
+                                       minEstPpm: Long): DataFrame = {
     val a = newSigs.select(col("doc_id").as("new_id") +:
       (0 until numPerms).map(j => col(s"h$j").as(s"a$j")): _*)
-    val b = allSigs.select(col("doc_id").as("other_id") +:
+    val b = otherSigs.select(col("doc_id").as("other_id") +:
       (0 until numPerms).map(j => col(s"h$j").as(s"b$j")): _*)
     val matches = (0 until numPerms)
       .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val drop = cand.join(a, "new_id").join(b, "other_id")
+    cand.join(a, "new_id").join(b, "other_id")
       .withColumn("matches", matches)
       .filter(expr(s"matches * 1000000 DIV $numPerms") >= minEstPpm)
       .select(col("new_id").as("doc_id"))
       .distinct()
-    newDocs.join(drop, Seq("doc_id"), "left_anti")
   }
 
   // --- SimHash -------------------------------------------------------------

@@ -55,6 +55,18 @@ object CorpusIngest {
     * collapsed first (replayed lines are byte-identical, so which row
     * survives is immaterial).
     *
+    * SCALE SHAPE of the dedup (the [[BandStore]] design): candidate
+    * generation joins the batch's bands against the persisted banded
+    * table pruned to the batch's band-hash buckets, and the signature
+    * verify probes the id-bucketed signature store pruned to the
+    * candidates' id buckets — per-batch cost is O(batch + touched
+    * buckets), never O(everything ever admitted). The signature store
+    * is therefore PARTITIONED by `bucket = pmod(xxhash64(doc_id),
+    * nBuckets)`; a flat pre-band-store layout is restructured once on
+    * first touch (with the banded table derived in the same pass).
+    * `nBuckets` only matters on that first call — afterwards the band
+    * store's meta governs, and (numPerms, bands) must match it.
+    *
     * Production knobs:
     *   - `maxBandDf` caps any one (band, band_hash) bucket across
     *     store + batch ([[Dedup.dedupIncrementalSigs]]) — the store is
@@ -73,7 +85,7 @@ object CorpusIngest {
                    maxBandDf: Long = Long.MaxValue,
                    benchmark: Option[DataFrame] = None,
                    decontamK: Int = 8, maxBenchShared: Long = 0L,
-                   batchId: Long = 0L): Long = {
+                   batchId: Long = 0L, nBuckets: Int = 64): Long = {
     val spark = batch.sparkSession
     // a compact() crash mid-swap leaves the store retired as __old; heal
     // before the exists probe or the dedup store would look empty and
@@ -87,11 +99,27 @@ object CorpusIngest {
         ReplayGuard.record(
           spark.read.parquet(sigDir).select("doc_id"), "doc_id", guardDir)
     }
-    val existingSigs =
-      if (Files.exists(Paths.get(sigDir))) spark.read.parquet(sigDir)
-      else Dedup.minHashSignatures(
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          docSchema), k, numPerms)
+    val bandsDir = BandStore.dirOf(sigDir)
+    if (!BandStore.exists(spark, bandsDir)) {
+      BandStore.bootstrap(spark, bandsDir, nBuckets, numPerms, bands)
+      if (Files.exists(Paths.get(sigDir))) {
+        // one-time layout migration of a pre-band-store archive: bucket
+        // the signature store by id hash, then derive and persist its
+        // bands — the last store-wide band hash this pipeline ever runs
+        val flat = spark.read.parquet(sigDir)
+        if (!flat.columns.contains("bucket"))
+          graft.operators.MergeSink.writeAtomic(
+            flat.withColumn("bucket", sigBucket(nBuckets))
+              .repartition(col("bucket")), sigDir, partitionBy = Seq("bucket"))
+        BandStore.append(Dedup.bandsFromSignatures(
+          spark.read.parquet(sigDir), numPerms, bands), bandsDir)
+      }
+    } else {
+      val (_, mPerms, mBands) = BandStore.meta(spark, bandsDir)
+      require(mPerms == numPerms && mBands == bands,
+        s"band store $bandsDir was built with (numPerms=$mPerms, bands=$mBands); " +
+          s"caller passed ($numPerms, $bands) — stored band hashes would be garbage")
+    }
     // INPUT VALIDATION with an audit trail (the VectorIngest pattern
     // and its discipline): validate BEFORE dropDuplicates so every
     // malformed row is audited (and so the row-wise validity flag
@@ -100,14 +128,17 @@ object CorpusIngest {
     // re-runs are idempotent. A null doc_id would vanish silently inside the
     // guard's bloom probe; a null text would flow a junk row into the
     // corpus store with NULL signatures. Invalid rows are NOT ledgered,
-    // so a corrected re-send is admitted, never a "replay".
+    // so a corrected re-send is admitted, never a "replay". A text
+    // prefix rides along so a null-id row stays auditable — (null,
+    // 'doc_id_null') alone is an unidentifiable husk.
     val wellFormed = col("doc_id").isNotNull && col("text").isNotNull
     val flagged = batch.select(col("doc_id"), col("text"))
       .withColumn("__ok", coalesce(wellFormed, lit(false)))
     if (flagged.filter(!col("__ok")).limit(1).count() > 0)
       flagged.filter(!col("__ok")).select(col("doc_id"),
           when(col("doc_id").isNull, "doc_id_null")
-            .otherwise("text_null").as("reason"))
+            .otherwise("text_null").as("reason"),
+          substring(col("text"), 1, 256).as("text_prefix"))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"${sigDir}_quarantine/batch_id=$batchId")
     val dedupedIds = ReplayGuard.filterFresh(
@@ -125,8 +156,8 @@ object CorpusIngest {
     // the ledger append below (round-4 cost: dedupIncremental computed
     // them internally and the ledger recomputed them for admitted docs)
     val freshSigs = graft.llm.Stage(Dedup.minHashSignatures(fresh, k, numPerms))
-    val kept = Dedup.dedupIncrementalSigs(fresh, freshSigs, existingSigs,
-      numPerms, bands, minEstPpm, maxBandDf)
+    val kept = dedupAgainstStore(fresh, freshSigs, sigDir, bandsDir,
+      minEstPpm, maxBandDf)
     // Admission must be decided before the appends (kept is read
     // several times): one small batch-sized materialization.
     val admitted = graft.llm.Stage(kept)
@@ -136,12 +167,103 @@ object CorpusIngest {
     if (n > 0) {
       // signature rows for ALL admitted ids, short docs carrying NULL
       // h-columns — the store stays the corpus's signature archive
-      admitted.select("doc_id")
-        .join(freshSigs, Seq("doc_id"), "left_outer")
-        .write.mode(SaveMode.Append).parquet(sigDir)
+      appendAdmitted(
+        admitted.select("doc_id").join(freshSigs, Seq("doc_id"), "left_outer"),
+        sigDir)
       admitted.write.mode(SaveMode.Append).parquet(corpusDir)
     }
     n
+  }
+
+  private def sigBucket(nBuckets: Int) =
+    pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong))
+
+  /** The batch-vs-store dedup decision, bucket-pruned on BOTH persisted
+    * artifacts (the O(batch) replacement for
+    * [[Dedup.dedupIncrementalSigs]] over a full store read):
+    *
+    *   1. candidates — the batch's bands join the [[BandStore]] pruned
+    *      to the batch's band-hash buckets; no bucket overlap (first
+    *      batch included) means NO store scan in the plan at all;
+    *   2. verify — cross-store candidates' id buckets (collected
+    *      driver-side, batch-bounded) prune the signature-store probe
+    *      the same way; a candidate whose signature row is missing
+    *      (the bands-written-sigs-lost crash window) clears fail-open,
+    *      which is correct because that doc never reached the corpus.
+    *
+    * Within-batch duplicate groups keep their min id (greedy policy),
+    * exactly [[Dedup.dedupIncrementalSigs]]' semantics — BandedDedupSpec
+    * asserts result equality against it. Package-visible so the spec
+    * can assert the plan contract directly. */
+  private[graft] def dedupAgainstStore(fresh: DataFrame, freshSigs: DataFrame,
+                                       sigDir: String, bandsDir: String,
+                                       minEstPpm: Long,
+                                       maxBandDf: Long): DataFrame = {
+    val spark = fresh.sparkSession
+    val (nBuckets, numPerms, bands) = BandStore.meta(spark, bandsDir)
+    // referenced by the self-join, the store join and the bucket collect
+    val nb0 = graft.llm.Stage(
+      Dedup.bandsFromSignatures(freshSigs, numPerms, bands)
+        .filter(col("band_hash").isNotNull))
+    BandStore.prunedFor(spark, bandsDir, nb0) match {
+      case None => // no store overlap: within-batch dedup only
+        val (nb, _) = Dedup.capJointBuckets(nb0, nb0.limit(0), maxBandDf)
+        val cand = Dedup.withinBatchCandidates(nb).distinct()
+        val drop = Dedup.sigAgreementDrops(cand, freshSigs, freshSigs,
+          numPerms, minEstPpm)
+        fresh.join(drop, Seq("doc_id"), "left_anti")
+      case Some(storeBands) =>
+        val (nb, eb) = Dedup.capJointBuckets(nb0, storeBands, maxBandDf)
+        // staged: feeds the id-bucket collect AND the verify join
+        val candOld = graft.llm.Stage(
+          Dedup.crossSideCandidates(nb, eb).distinct())
+        val otherSigs = prunedVerifySigs(spark, sigDir, nBuckets,
+          candOld, freshSigs)
+        val cand = candOld.union(Dedup.withinBatchCandidates(nb)).distinct()
+        val drop = Dedup.sigAgreementDrops(cand, freshSigs, otherSigs,
+          numPerms, minEstPpm)
+        fresh.join(drop, Seq("doc_id"), "left_anti")
+    }
+  }
+
+  /** The verify-side signature probe: cross-store candidates' id buckets
+    * (collected driver-side — pass a staged `candOld`, it is batch-
+    * bounded) prune the signature-store read; batchmates probe the
+    * in-memory batch signatures via the union. Package-visible so the
+    * spec can assert the pruning on the exact frame the verify joins
+    * (the staged candidate frame hides it from the end plan). */
+  private[graft] def prunedVerifySigs(spark: SparkSession, sigDir: String,
+                                      nBuckets: Int, candOld: DataFrame,
+                                      freshSigs: DataFrame): DataFrame = {
+    val idBuckets = candOld
+      .select(pmod(xxhash64(col("other_id")), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val sigCols = freshSigs.columns.toIndexedSeq.map(col)
+    if (idBuckets.isEmpty) freshSigs
+    else spark.read.parquet(sigDir)
+      .filter(col("bucket").isin(idBuckets.map(_.asInstanceOf[Any]): _*))
+      .select(sigCols: _*)
+      .unionByName(freshSigs)
+  }
+
+  /** Post-ledger admission append, in crash-safe order: bands FIRST,
+    * then id-bucketed signatures. A crash between them leaves bands
+    * whose signature rows are missing — those candidates clear the
+    * verify fail-open, which is correct: the doc never reached the
+    * corpus, and [[reconcile]] evicts the debris. (The reverse order
+    * would differ only cosmetically: signatures without bands are
+    * invisible to candidate generation, with the same fail-open
+    * outcome.) `sigs` must be [[Dedup.minHashSignatures]]-shaped;
+    * public so crash-window tests can reproduce the exact on-disk
+    * state a mid-append kill leaves. */
+  def appendAdmitted(sigs: DataFrame, sigDir: String): Unit = {
+    val spark = sigs.sparkSession
+    val bandsDir = BandStore.dirOf(sigDir)
+    val (nBuckets, numPerms, bands) = BandStore.meta(spark, bandsDir)
+    BandStore.append(Dedup.bandsFromSignatures(sigs, numPerms, bands), bandsDir)
+    sigs.withColumn("bucket", sigBucket(nBuckets))
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(sigDir)
   }
 
   /** The admission-ledger location beside a signature store — PUBLIC so
@@ -154,11 +276,12 @@ object CorpusIngest {
   private def guardPath(sigDir: String): String = guardDirOf(sigDir)
 
   /** Ledgered-but-unstored doc_ids — admitted to the guard (and possibly
-    * the signature store) but absent from the corpus: the fail-closed
-    * crash window, during which a re-send of those ids is silently
-    * dropped. `evict = true` clears them from the guard ledger AND the
-    * signature store (both must go: a surviving signature row would
-    * reject the re-send as a near-duplicate of itself), so a corrected
+    * the band + signature stores) but absent from the corpus: the
+    * fail-closed crash window, during which a re-send of those ids is
+    * silently dropped. `evict = true` clears them from the guard ledger
+    * AND both dedup artifacts (all must go: a surviving signature row
+    * would reject the re-send as a near-duplicate of itself; a stray
+    * band row would keep generating dead candidates), so a corrected
     * re-send is admitted. Run from maintenance, like [[compact]]. */
   def reconcile(spark: SparkSession, corpusDir: String, sigDir: String,
                 evict: Boolean = false): Seq[Long] = {
@@ -173,14 +296,29 @@ object CorpusIngest {
     val orphans = graft.llm.Stage(
       ReplayGuard.orphans(spark, guardDir, corpusIds, "doc_id"))
     if (evict) {
-      // signature store first: once the guard row is gone the id is
+      // dedup artifacts first: once the guard row is gone the id is
       // re-admittable, so every earlier state must already be clean
-      // (a crash between the two evictions leaves the guard row, which
+      // (a crash between the evictions leaves the guard row, which
       // keeps the id rejected until the next reconcile finishes the job)
-      if (Files.exists(Paths.get(sigDir)))
-        graft.operators.MergeSink.writeAtomic(
-          spark.read.parquet(sigDir)
-            .join(orphans, Seq("doc_id"), "left_anti"), sigDir)
+      val bandsDir = BandStore.dirOf(sigDir)
+      if (BandStore.exists(spark, bandsDir))
+        BandStore.evict(spark, bandsDir, orphans, "doc_id")
+      if (Files.exists(Paths.get(sigDir))) {
+        val keep = spark.read.parquet(sigDir)
+          .join(orphans, Seq("doc_id"), "left_anti")
+        if (keep.isEmpty)
+          // a fully-evicted partitioned store must be DELETED: an empty
+          // partitioned write leaves no schema-bearing files and every
+          // later read dies on inference (ReplayGuard.evict's rule)
+          new org.apache.hadoop.fs.Path(sigDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(sigDir), true)
+        else graft.operators.MergeSink.writeAtomic(keep, sigDir,
+          // a legacy flat archive reconciled before its first new-layout
+          // batch has no bucket column yet — rewrite it as it lies
+          partitionBy =
+            if (keep.columns.contains("bucket")) Seq("bucket") else Nil)
+      }
       ReplayGuard.evict(spark, guardDir, orphans, "doc_id")
     }
     orphans.collect().map(_.getLong(0)).sorted.toSeq
@@ -214,7 +352,8 @@ object CorpusIngest {
     require(!statuses.exists(s => s.isDirectory &&
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")),
       s"$dir is a partitioned store — use its partition-aware compaction " +
-        "(e.g. VectorIngest.compactCells), not the flat rewrite")
+        "(VectorIngest.compactCells, CorpusIngest.compactSigs, " +
+        "BandStore.compact), not the flat rewrite")
     val files = statuses
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val totalBytes = files.map(_.getLen).sum
@@ -224,6 +363,31 @@ object CorpusIngest {
     val after = fs.listStatus(new Path(dir))
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     (files.length, after)
+  }
+
+  /** Partition-aware compaction for the id-bucketed signature store —
+    * one file per bucket after a long run of per-batch appends, bucket
+    * layout (and so the verify's pruning) preserved. A legacy flat
+    * archive compacts flat. Returns (filesBefore, filesAfter). */
+  def compactSigs(spark: SparkSession, sigDir: String): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    graft.operators.MergeSink.healInterruptedSwap(spark, sigDir)
+    val fs = new Path(sigDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(sigDir))) return (0, 0)
+    def countFiles: Int = {
+      val it = fs.listFiles(new Path(sigDir), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = countFiles
+    val df = spark.read.parquet(sigDir)
+    if (df.columns.contains("bucket"))
+      graft.operators.MergeSink.writeAtomic(
+        df.repartition(col("bucket")), sigDir, partitionBy = Seq("bucket"))
+    else
+      graft.operators.MergeSink.writeAtomic(df.repartition(1), sigDir)
+    (before, countFiles)
   }
 
   /** Structured Streaming driver: file-drop source of JSON documents

@@ -104,11 +104,12 @@ class ReplayGuardSpec extends SparkSpec {
     val docs = (0L until 20L).map(i =>
       (i, s"document number $i with some distinct words ${i * 31}")).toDF("doc_id", "text")
     assert(CorpusIngest.processBatch(docs, corpusDir, sigDir) == 20)
-    // orphan 777: ledgered + signed, absent from the corpus
+    // orphan 777: ledgered + banded + signed, absent from the corpus —
+    // the exact state a kill after appendAdmitted leaves behind
     val orphanDoc = Seq((777L, "a crashed admission that never landed")).toDF("doc_id", "text")
     ReplayGuard.record(orphanDoc.select("doc_id"), "doc_id", s"${sigDir}_guard")
-    graft.llm.Dedup.minHashSignatures(orphanDoc, 3, 32)
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigDir)
+    CorpusIngest.appendAdmitted(
+      graft.llm.Dedup.minHashSignatures(orphanDoc, 3, 32), sigDir)
     // its re-send is silently dropped — exactly the hazard reconcile closes
     assert(CorpusIngest.processBatch(orphanDoc, corpusDir, sigDir) == 0)
     assert(CorpusIngest.reconcile(spark, corpusDir, sigDir) == Seq(777L))
