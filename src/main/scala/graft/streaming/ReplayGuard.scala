@@ -18,13 +18,21 @@ import graft.functions.BloomFns
   * suite (q93/q96/q101) exists to kill. This guard replaces it with two
   * layers:
   *
-  *   - `bloom.bin` — ONE bloom filter over every admitted id, loaded
-  *     driver-side (a few MB) and probed as a broadcast literal:
-  *     "definitely new" rows (the vast majority of a healthy stream)
-  *     never touch the ledger at all. No false negatives, so a miss is
-  *     PROOF of novelty; false positives fall through to the exact
-  *     layer. When the running count outgrows the filter's capacity it
-  *     is rebuilt ~2× larger from the ledger — amortized O(1)/batch.
+  *   - `blooms/K.bin` — PER-BUCKET bloom sidecars, one per ledger
+  *     bucket, each probed as a literal predicate on the rows that hash
+  *     into it: "definitely new" rows (the vast majority of a healthy
+  *     stream) never touch the ledger at all. No false negatives, so a
+  *     miss is PROOF of novelty; false positives fall through to the
+  *     exact layer. Only the buckets a batch touches are loaded (and on
+  *     record(), rewritten), so driver-resident bloom bytes are bounded
+  *     by touched-buckets × sidecar size — never by the total id
+  *     history (the monolithic predecessor held one filter over ALL
+  *     admitted ids: ~1.2 GB at 10⁹; past 10¹⁰ raise `nBuckets` and the
+  *     per-sidecar size stays flat). Each sidecar grows independently —
+  *     when its bucket's count outgrows its capacity it alone is
+  *     rebuilt ~2× larger from that ledger PARTITION, an O(bucket)
+  *     event, never an O(ledger) one. A lost or corrupt sidecar
+  *     self-heals the same way.
   *   - `ids/bucket=K/` — the exact ledger, one `id` column partitioned
   *     by `pmod(xxhash64(id), nBuckets)`: probable hits (true replays +
   *     bloom false positives) are verified by an anti-join whose ledger
@@ -32,6 +40,10 @@ import graft.functions.BloomFns
   *     so the exact scan reads ~hits/nBuckets of the ledger, not all of
   *     it. A batch with no probable hits skips the ledger entirely —
   *     the plan contains no ledger scan (ReplayGuardSpec asserts both).
+  *
+  * A v1 guard (single `bloom.bin` over everything) migrates lazily: the
+  * stale monolith is deleted on first touch and each bucket's sidecar
+  * rebuilds from its ledger partition the first time a batch probes it.
   *
   * Crash ordering contract (the reason this is SAFE to put in front of
   * fail-closed ingests): [[record]] writes the bloom BEFORE appending
@@ -49,18 +61,20 @@ import graft.functions.BloomFns
   * (sync-engine/src/stripeSync.ts:38-46) applied to its at-least-once
   * delivery model (fastify-app/src/routes/webhooks.ts:10-17).
   *
-  * Design envelope: ids are LONGs; the driver-resident bloom serves to
-  * ~10⁹ admitted ids at the default 1 % fpp (~1.2 GB at the top end —
-  * size `estItems` to the deployment); beyond that the bucketed exact
-  * layer still bounds the scan to touched-buckets/nBuckets of the
-  * ledger (raise `nBuckets` with scale), and the next step would be
-  * per-bucket bloom sidecars.
+  * Design envelope: ids are LONGs; driver-resident bloom bytes are
+  * touched-buckets × sidecar size per batch (at 1 % fpp a sidecar is
+  * ~1.2 MB per 10⁶ ids in its bucket — size `nBuckets` so buckets stay
+  * ~10⁶-10⁷ ids and both the sidecars and the pruned exact scans stay
+  * small at any total history). The cost of that boundedness is one
+  * extra small driver job per filterFresh (the touched-bucket collect
+  * that decides which sidecars to load).
   */
 object ReplayGuard {
 
   private val Fpp = 0.01
   private def idsPath(g: String) = s"$g/ids"
-  private def bloomPath(g: String) = s"$g/bloom.bin"
+  private def bloomPath(g: String) = s"$g/bloom.bin" // v1 monolith (stale)
+  private def sidecarPath(g: String, bucket: Long) = s"$g/blooms/$bucket.bin"
   private def metaPath(g: String) = s"$g/meta"
 
   private def fsOf(spark: SparkSession, p: String) =
@@ -119,29 +133,32 @@ object ReplayGuard {
     try (in.readInt(), in.readLong()) finally in.close()
   }
 
-  // bloom.bin: capacity, applied-id count, sketch bytes. Rewritten every
-  // record() via tmp + delete + rename; a crash that loses it is healed
-  // by rebuilding from the ledger (the bloom is always DERIVABLE state).
-  private def writeBloom(spark: SparkSession, guardDir: String,
-                         estItems: Long, count: Long, bytes: Array[Byte]): Unit = {
+  // blooms/K.bin: capacity, applied-id count, sketch bytes for ONE
+  // ledger bucket. Rewritten per touched bucket via tmp + delete +
+  // rename; a crash (or corruption) that loses one is healed by
+  // rebuilding it from its ledger PARTITION — every sidecar is
+  // derivable, bucket-locally.
+  private def writeSidecar(spark: SparkSession, guardDir: String, bucket: Long,
+                           estItems: Long, count: Long, bytes: Array[Byte]): Unit = {
     val fs = fsOf(spark, guardDir)
-    val tmp = new Path(bloomPath(guardDir) + ".tmp")
+    val dst = new Path(sidecarPath(guardDir, bucket))
+    val tmp = new Path(sidecarPath(guardDir, bucket) + ".tmp")
     val out = new java.io.DataOutputStream(fs.create(tmp, true))
     try { out.writeLong(estItems); out.writeLong(count)
           out.writeInt(bytes.length); out.write(bytes) }
     finally out.close()
-    val dst = new Path(bloomPath(guardDir))
     if (fs.exists(dst)) fs.delete(dst, false)
     if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"bloom commit failed: $guardDir")
+      throw new java.io.IOException(s"sidecar commit failed: $dst")
   }
 
-  private def readBloom(spark: SparkSession,
-                        guardDir: String): Option[(Long, Long, Array[Byte])] = {
+  // None on missing OR unparseable (a torn write heals like a lost one)
+  private def readSidecar(spark: SparkSession, guardDir: String,
+                          bucket: Long): Option[(Long, Long, Array[Byte])] = {
     val fs = fsOf(spark, guardDir)
-    val p = new Path(bloomPath(guardDir))
+    val p = new Path(sidecarPath(guardDir, bucket))
     if (!fs.exists(p)) None
-    else {
+    else try {
       val in = new java.io.DataInputStream(fs.open(p))
       try {
         val est = in.readLong(); val count = in.readLong()
@@ -149,7 +166,7 @@ object ReplayGuard {
         in.readFully(bytes)
         Some((est, count, bytes))
       } finally in.close()
-    }
+    } catch { case _: java.io.IOException | _: NegativeArraySizeException => None }
   }
 
   private def serialize(bf: BloomFilter): Array[Byte] = {
@@ -161,45 +178,69 @@ object ReplayGuard {
   private def deserialize(bytes: Array[Byte]): BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
 
-  /** Distributed (count, bloom) over `ids` in ONE aggregate job — the
-    * caller's "how many admitted" count rides along for free, so record()
-    * replaces rather than adds a driver-visible job. Insertion key is
-    * xxhash64(id), matching [[filterFresh]]'s probe and the bucket hash. */
-  private def countAndBloom(ids: DataFrame, idCol: String,
-                            estItems: Long): (Long, Option[Array[Byte]]) = {
-    val (e, bits) = bloomParams(ids.sparkSession, estItems)
-    val row = ids.agg(
-      count(lit(1)),
-      BloomFns.bloom_filter_agg(xxhash64(col(idCol)), e, bits)).head()
-    (row.getLong(0),
-      if (row.isNullAt(1)) None else Some(row.getAs[Array[Byte]](1)))
+  // a v1 guard's monolithic bloom is stale state under the sidecar
+  // layout: delete on first touch; sidecars rebuild lazily per bucket
+  private def dropV1Monolith(spark: SparkSession, guardDir: String): Unit = {
+    val fs = fsOf(spark, guardDir)
+    val p = new Path(bloomPath(guardDir))
+    if (fs.exists(p)) fs.delete(p, false)
   }
 
-  /** Rebuild the bloom from the full ledger — the self-heal (bloom file
-    * lost mid-swap) and grow (count outgrew capacity) path. O(ledger),
-    * but only on those rare events: amortized O(1) per batch. */
-  private def rebuildBloom(spark: SparkSession, guardDir: String,
-                           atLeast: Long): (Long, Long, Array[Byte]) = {
-    val (_, floor) = readMeta(spark, guardDir)
+  // ledger buckets that exist on disk — a driver-side listing of
+  // ≤ nBuckets entries, the truth a missing sidecar is judged against
+  private def ledgerBuckets(spark: SparkSession, guardDir: String): Set[Long] = {
     val fs = fsOf(spark, guardDir)
-    val ledger =
+    val p = new Path(idsPath(guardDir))
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(_.getPath.getName.stripPrefix("bucket=").toLong).toSet
+  }
+
+  /** Rebuild ONE bucket's sidecar from its ledger partition — the
+    * self-heal (sidecar lost/corrupt) and grow (bucket count outgrew
+    * its capacity) path. O(bucket), never O(ledger); the partition
+    * filter below prunes the scan to the one bucket directory. */
+  private def rebuildSidecar(spark: SparkSession, guardDir: String,
+                             bucket: Long, atLeast: Long): (Long, Long, Array[Byte]) = {
+    val (nBuckets, floor) = readMeta(spark, guardDir)
+    val fs = fsOf(spark, guardDir)
+    val part =
       if (fs.exists(new Path(idsPath(guardDir))))
-        spark.read.parquet(idsPath(guardDir)).select(col("id"))
+        spark.read.parquet(idsPath(guardDir))
+          .filter(col("bucket") === lit(bucket)).select(col("id"))
       else {
         import spark.implicits._
         spark.emptyDataset[Long].toDF("id")
       }
-    val n = ledger.count()
-    var est = math.max(floor, 1L)
+    val bucketFloor = math.max(64L, floor / nBuckets)
+    val row = part.agg(count(lit(1))).head()
+    val n = row.getLong(0)
+    var est = bucketFloor
     while (est < math.max(n * 2, atLeast)) est *= 2
-    val (_, bytesOpt) = countAndBloom(ledger, "id", est)
-    val bytes = bytesOpt.getOrElse {
-      val (e, bits) = bloomParams(spark, est)
-      serialize(BloomFilter.create(e, bits))
-    }
-    writeBloom(spark, guardDir, est, n, bytes)
+    val (e, bits) = bloomParams(spark, est)
+    val bytes =
+      if (n == 0) serialize(BloomFilter.create(e, bits))
+      else {
+        val r = part.agg(
+          BloomFns.bloom_filter_agg(xxhash64(col("id")), e, bits)).head()
+        r.getAs[Array[Byte]](0)
+      }
+    writeSidecar(spark, guardDir, bucket, est, n, bytes)
     (est, n, bytes)
   }
+
+  // sidecar for one touched bucket: present → read; missing/corrupt but
+  // ledgered → rebuild from the partition; never ledgered → None (every
+  // id hashing there is new by construction)
+  private def loadOrHealSidecar(spark: SparkSession, guardDir: String,
+                                bucket: Long, ledgered: Set[Long]
+                               ): Option[(Long, Long, Array[Byte])] =
+    readSidecar(spark, guardDir, bucket).orElse {
+      if (ledgered.contains(bucket))
+        Some(rebuildSidecar(spark, guardDir, bucket, atLeast = 1L))
+      else None
+    }
 
   /** Create an EMPTY guard. To migrate an existing store, follow with
     * `record(existingIds, …)` — a one-time O(store) seed. */
@@ -208,38 +249,54 @@ object ReplayGuard {
     require(!exists(spark, guardDir), s"guard already exists at $guardDir")
     require(nBuckets > 0 && estItems > 0, "nBuckets and estItems must be positive")
     writeMeta(spark, guardDir, nBuckets, estItems)
-    val (e, bits) = bloomParams(spark, estItems)
-    writeBloom(spark, guardDir, estItems, 0L,
-      serialize(BloomFilter.create(e, bits)))
   }
+
+  private def bucketOf(idCol: String, nBuckets: Int) =
+    pmod(xxhash64(col(idCol)), lit(nBuckets.toLong))
 
   /** Split `batch` down to the rows whose id was never recorded.
     *
-    * Plan shape (the 100 TB contract): rows the bloom rejects are new by
-    * proof and never touch the ledger; rows the bloom flags are verified
-    * by an anti-join against ONLY the ledger buckets their ids hash into
-    * (a literal IN over partition values → partition-pruned scan). A
-    * batch with zero probable hits yields a plan with NO ledger scan. */
+    * Plan shape (the 100 TB contract): the batch's distinct buckets are
+    * collected (one small job) and ONLY those buckets' sidecars load
+    * driver-side; rows their bloom rejects are new by proof and never
+    * touch the ledger; rows it flags are verified by an anti-join
+    * against ONLY the ledger buckets their ids hash into (a literal IN
+    * over partition values → partition-pruned scan). A batch with zero
+    * probable hits yields a plan with NO ledger scan; a batch touching
+    * only never-recorded buckets loads no sidecar at all. */
   def filterFresh(batch: DataFrame, idCol: String, guardDir: String): DataFrame = {
     val spark = batch.sparkSession
     graft.operators.MergeSink.healInterruptedSwap(spark, idsPath(guardDir))
+    dropV1Monolith(spark, guardDir)
     val (nBuckets, _) = readMeta(spark, guardDir)
-    val (_, cnt, bytes) = readBloom(spark, guardDir)
-      .getOrElse(rebuildBloom(spark, guardDir, atLeast = 1L))
-    if (cnt == 0L) return batch // empty guard: everything is new, zero probes
-    val probe = BloomFns.might_contain(lit(bytes), xxhash64(col(idCol)))
+    val bucketExpr = bucketOf(idCol, nBuckets)
+    val touched = batch.select(bucketExpr.as("bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val ledgered = ledgerBuckets(spark, guardDir)
+    val sidecars = touched.flatMap(b =>
+      loadOrHealSidecar(spark, guardDir, b, ledgered)
+        .collect { case (_, cnt, bytes) if cnt > 0 => b -> bytes })
+    if (sidecars.isEmpty) return batch // nothing recorded where this batch lands
+    // per-bucket probe: a literal when-chain over the touched sidecars —
+    // each row tests ONLY its own bucket's filter (missing sidecar ⇒
+    // bucket never recorded ⇒ new by proof)
+    val h = xxhash64(col(idCol))
+    val probe = sidecars.foldLeft(lit(false)) { case (acc, (b, bytes)) =>
+      when(bucketExpr === lit(b), BloomFns.might_contain(lit(bytes), h))
+        .otherwise(acc)
+    }
     val definitelyNew = batch.filter(!probe)
     // probable hits = true replays + bloom false positives: tiny on a
     // healthy stream. Their buckets (≤ nBuckets values) become a literal
     // partition predicate — collected, like VectorIngest.ann's probed
     // cells, so the pruning is static and provable in the plan.
     val buckets = batch.filter(probe)
-      .select(pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).as("bucket"))
+      .select(bucketExpr.as("bucket"))
       .distinct().collect().map(_.getLong(0)).sorted
     if (buckets.isEmpty) definitelyNew
     else if (!fsOf(spark, guardDir).exists(new Path(idsPath(guardDir))))
-      // the documented crash window (bloom committed, ledger append
-      // never ran) can leave cnt > 0 with NO ids/ dir at all; the
+      // the documented crash window (sidecars committed, ledger append
+      // never ran) can leave probable hits with NO ids/ dir at all; the
       // ledger is the truth and it is empty, so every probable hit is
       // a bloom-only artifact — admit the whole batch instead of
       // crashing on a nonexistent path on every retry
@@ -253,35 +310,66 @@ object ReplayGuard {
     }
   }
 
-  /** Record `ids` as admitted; returns how many there were (one combined
-    * count+bloom aggregate — callers drop their own count job). Bloom is
-    * committed BEFORE the ledger append: each crash window leaves the
-    * bloom over-approximating the ledger, never under. */
+  /** Record `ids` as admitted; returns how many there were. Sidecars are
+    * committed BEFORE the ledger append: each crash window leaves every
+    * bloom over-approximating its ledger partition, never under.
+    *
+    * Per batch: one per-bucket count aggregate, then one bloom
+    * aggregate per CAPACITY CLASS (buckets whose sidecars share
+    * (estItems, numBits) — capacities are powers of two, so classes are
+    * few) building all those buckets' batch filters in a single job;
+    * each touched sidecar merges and rewrites independently, and a
+    * bucket that outgrows its capacity rebuilds alone from its ledger
+    * partition — O(bucket), amortized O(1)/batch. */
   def record(ids: DataFrame, idCol: String, guardDir: String): Long = {
     val spark = ids.sparkSession
     graft.operators.MergeSink.healInterruptedSwap(spark, idsPath(guardDir))
-    val (nBuckets, _) = readMeta(spark, guardDir)
-    val (est, cnt, bytes) = readBloom(spark, guardDir)
-      .getOrElse(rebuildBloom(spark, guardDir, atLeast = 1L))
-    val (n, batchBytesOpt) = countAndBloom(ids, idCol, est)
+    dropV1Monolith(spark, guardDir)
+    val (nBuckets, floor) = readMeta(spark, guardDir)
+    val bucketExpr = bucketOf(idCol, nBuckets)
+    val perBucket = ids.groupBy(bucketExpr.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val n = perBucket.map(_._2).sum
     if (n == 0L) return 0L
-    if (cnt + n > est) {
-      // outgrew capacity: rebuild ≥2× from ledger, fold the batch in
-      // (reuse the rebuild's own return — re-reading the multi-MB
-      // bloom file it just wrote was pure waste plus an unguarded .get)
-      val (est2, cnt2, bytes2) = rebuildBloom(spark, guardDir,
-        atLeast = (cnt + n) * 2)
-      val (_, grownOpt) = countAndBloom(ids, idCol, est2)
-      val merged = deserialize(bytes2)
-      grownOpt.foreach(b => merged.mergeInPlace(deserialize(b)))
-      writeBloom(spark, guardDir, est2, cnt2 + n, serialize(merged))
-    } else {
-      val merged = deserialize(bytes)
-      batchBytesOpt.foreach(b => merged.mergeInPlace(deserialize(b)))
-      writeBloom(spark, guardDir, est, cnt + n, serialize(merged))
+    val ledgered = ledgerBuckets(spark, guardDir)
+    // ensure capacity per touched bucket (growing rebuilds fold the
+    // still-unappended batch count into the new size), then group the
+    // buckets by their filter parameters for the batch-bloom job(s)
+    val prepared: Array[(Long, (Long, Long, Array[Byte]))] =
+      perBucket.map { case (b, nb) =>
+        val side = loadOrHealSidecar(spark, guardDir, b, ledgered)
+          .getOrElse {
+            var est = math.max(64L, floor / nBuckets)
+            while (est < nb * 2) est *= 2
+            val (e, bits) = bloomParams(spark, est)
+            (est, 0L, serialize(BloomFilter.create(e, bits)))
+          }
+        val grown =
+          if (side._2 + nb > side._1)
+            rebuildSidecar(spark, guardDir, b, atLeast = (side._2 + nb) * 2)
+          else side
+        b -> grown
+      }
+    val byParams = prepared.groupBy { case (_, (est, _, _)) =>
+      bloomParams(spark, est)
     }
-    ids.select(col(idCol).as("id"),
-        pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).as("bucket"))
+    byParams.foreach { case ((e, bits), group) =>
+      val bucketSet = group.map(_._1).toSet
+      val batchBlooms = ids
+        .filter(bucketExpr.isin(bucketSet.toSeq.map(_.asInstanceOf[Any]): _*))
+        .groupBy(bucketExpr.as("bucket"))
+        .agg(BloomFns.bloom_filter_agg(xxhash64(col(idCol)), e, bits).as("bf"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      group.foreach { case (b, (est, cnt, bytes)) =>
+        val merged = deserialize(bytes)
+        batchBlooms.get(b).foreach(bb => merged.mergeInPlace(deserialize(bb)))
+        writeSidecar(spark, guardDir, b, est,
+          cnt + perBucket.find(_._1 == b).map(_._2).getOrElse(0L),
+          serialize(merged))
+      }
+    }
+    ids.select(col(idCol).as("id"), bucketOf(idCol, nBuckets).as("bucket"))
       // repartition BY BUCKET before the partitioned write: without it
       // every task writes a file into every bucket it happens to hold —
       // ~tasks x buckets tiny files PER BATCH (measured ~4k at bench

@@ -85,15 +85,63 @@ class ReplayGuardSpec extends SparkSpec {
       ids(350L until 450L), "doc_id", g).as[Long].collect().sorted.toSeq
       == (400L until 450L))
 
-    // the bloom is derivable state: deleting the file must not change
-    // answers (rebuilt from the ledger on next touch)
+    // the sidecars are derivable state: deleting the whole blooms/ dir
+    // must not change answers (each bucket rebuilds from its ledger
+    // partition on next touch)
     val fs = new org.apache.hadoop.fs.Path(g)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$g/bloom.bin"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$g/blooms"), true)
     assert(ReplayGuard.filterFresh(ids(0L until 400L), "doc_id", g).count() == 0)
     assert(ReplayGuard.filterFresh(ids(500L until 510L), "doc_id", g).count() == 10)
     assert(ReplayGuard.record(ids(500L until 510L), "doc_id", g) == 10)
     assert(ReplayGuard.filterFresh(ids(500L until 510L), "doc_id", g).count() == 0)
+  }
+
+  test("sidecars are per-bucket: untouched corruption is never read, touched heals") {
+    val g = tmpDir("guard-sidecar") + "/g"
+    ReplayGuard.bootstrap(spark, g, nBuckets = 8)
+    assert(ReplayGuard.record(ids(0L until 200L), "doc_id", g) == 200)
+    val fs = new org.apache.hadoop.fs.Path(g)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$g/blooms")).nonEmpty)
+    // corrupt ONE bucket's sidecar (a torn write)
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(s"$g/blooms"))
+      .head.getPath
+    val victimBucket = victim.getName.stripSuffix(".bin").toLong
+    val out = fs.create(victim, true)
+    try out.write(Array[Byte](1, 2, 3)) finally out.close()
+    // a batch hashing AWAY from the victim bucket never opens the torn
+    // file — per-bucket loading is the whole point (floorMod == pmod)
+    val away = (1000L until 1400L).filter(i =>
+      Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          i, org.apache.spark.sql.types.LongType, 42L), 8L) != victimBucket)
+      .take(50)
+    assert(ReplayGuard.filterFresh(ids(away), "doc_id", g).count() == 50)
+    // a batch INTO the victim bucket self-heals it from the ledger
+    // partition and still answers exactly
+    assert(ReplayGuard.filterFresh(ids(0L until 200L), "doc_id", g).count() == 0)
+    assert(ReplayGuard.filterFresh(ids(0L until 250L), "doc_id", g)
+      .as[Long].collect().sorted.toSeq == (200L until 250L))
+  }
+
+  test("a v1 guard (monolithic bloom.bin) migrates lazily to sidecars") {
+    val g = tmpDir("guard-v1") + "/g"
+    ReplayGuard.bootstrap(spark, g, nBuckets = 8)
+    assert(ReplayGuard.record(ids(0L until 100L), "doc_id", g) == 100)
+    val fs = new org.apache.hadoop.fs.Path(g)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fabricate the v1 state: monolith present, no sidecars
+    fs.delete(new org.apache.hadoop.fs.Path(s"$g/blooms"), true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$g/bloom.bin"), true)
+    try out.write(Array.fill[Byte](64)(0)) finally out.close()
+    // first touch drops the monolith, rebuilds touched sidecars from the
+    // ledger, and answers are unchanged
+    assert(ReplayGuard.filterFresh(ids(0L until 120L), "doc_id", g)
+      .as[Long].collect().sorted.toSeq == (100L until 120L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$g/bloom.bin")),
+      "the stale v1 monolith must be deleted on first touch")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$g/blooms")))
   }
 
   test("orphan detection and eviction re-admit a dropped id (both ingests)") {
