@@ -27,7 +27,7 @@ import scala.collection.mutable
   * min-of-2 with no deadline was killed by the harness timeout and
   * emitted nothing (BENCH_r02.json rc=124).
   *
-  *   BENCH_PASSES         max sequential passes (default 2)
+  *   BENCH_PASSES         max sequential passes (default 3)
   *   BENCH_DEADLINE_SEC   wall budget from main() start for sequential
   *                        timing (default max(210, 4 × inventory size),
   *                        so ≥3 completed passes survive inventory growth)

@@ -93,12 +93,17 @@ object Backfill {
     if (chunk.isEmpty) return 0L
     import spark.implicits._
     val raw = chunk.toDF("payload")
+    // A3 metric = MERGEABLE PAYLOADS PROCESSED (null-key rows excluded —
+    // the sink drops them at the door, so counting them would inflate
+    // every syncEntity/syncAll total; a duplicate id re-sent in one
+    // chunk still counts per payload, the reference's own semantics).
+    // The count rides the merge's own write action as an observed
+    // metric — no extra job per ~250-row chunk.
+    val obs = org.apache.spark.sql.Observation()
     val rows = tdef.projectFrom(raw, "payload", current_timestamp())
+      .observe(obs, count(when(col(tdef.key).isNotNull, lit(1))).as("n_keyed"))
     MergeSink.upsertParquet(rows, tablesDir, tdef)
-    // count what can actually REACH the table: the sink drops null-key
-    // payloads and LWW-collapses duplicate ids, so reporting chunk.size
-    // would inflate the A3 metric (and every syncEntity/syncAll total)
-    rows.filter(col(tdef.key).isNotNull).select(tdef.key).distinct().count()
+    obs.get("n_keyed").asInstanceOf[Long]
   }
 
   /** S3/S4: scan one entity with chunked flushes (reference buffers 250,

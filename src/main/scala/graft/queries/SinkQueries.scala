@@ -115,20 +115,21 @@ object SinkQueries {
     // The streaming CORPUS-ingest lifecycle under the bench clock —
     // completes the timed sink suite (qs1 webhook merge, qs2/qs3
     // vector index, qs4 corpus store): two micro-batches of documents
-    // through the ledger-first guard + incremental MinHash dedup
-    // (batch 2 half-replayed, exercising the bloom + pruned exact
-    // layer), then ledger compaction, then a snapshot read. Counts are
-    // deterministic (the guard admits each doc_id once; near-dup
-    // rejection is pure integer band arithmetic), but the result is
-    // SINK STATE, so rows-only like its siblings; CorpusIngestSpec
-    // golden-checks the same path.
-    // Cost profile at sf0.1 (Profile SPARK_GRAFT_JOBS=1): 55 jobs,
-    // ~18s job time, of which THREE jobs (~10.5s) are the per-batch
-    // dedup materializations (signatures + band join vs the store +
-    // exact verify + checkpoint) — real compute, not launch overhead;
-    // the ~50 remaining guard/append/compact jobs total ~4s. The
-    // sequential job chain is the fail-closed ordering (ledger before
-    // appends), which is the point of the design.
+    // through the ledger-first guard + the BUCKET-PRUNED incremental
+    // MinHash dedup (batch 2 half-replayed, exercising the sidecar
+    // blooms + pruned exact layer; candidates come from the persisted
+    // band store, the verify from the id-bucketed signature store),
+    // then compaction of all three maintained artifacts (guard ledger,
+    // band store, signature store), a reconcile sweep, and a snapshot
+    // read. VALUE-CHECKED IN-QUERY (the qs3 pattern): the check_* rows
+    // are deterministic pass/fail encodings of the lifecycle's
+    // invariants — stored docs equal total admissions, a clean run has
+    // zero ledgered-but-unstored orphans, and every compactor shrinks
+    // (or at worst keeps) its file count — so the driver's rows-only
+    // compare doubles as a real gate. Counts are deterministic (the
+    // guard admits each doc_id once; near-dup rejection is pure integer
+    // band arithmetic); the result is SINK STATE → no SQL oracle;
+    // CorpusIngestSpec + BandedDedupSpec golden-check the same paths.
     Q.noOracle("qs4_corpus_ingest") { (s, dir) =>
       import s.implicits._
       val docs = graft.Tables(s, dir, "documents")
@@ -139,13 +140,21 @@ object SinkQueries {
           docs.filter(col("doc_id") % 2 === 0), corpusDir, sigDir, batchId = 0L)
         val b2 = graft.streaming.CorpusIngest.processBatch(
           docs, corpusDir, sigDir, batchId = 1L) // odd half fresh, even replayed
-        val (filesBefore, filesAfter) = graft.streaming.ReplayGuard.compact(
+        val (gB, gA) = graft.streaming.ReplayGuard.compact(
           s, graft.streaming.CorpusIngest.guardDirOf(sigDir))
+        val (bB, bA) = graft.streaming.BandStore.compact(
+          s, graft.streaming.BandStore.dirOf(sigDir))
+        val (sB, sA) = graft.streaming.CorpusIngest.compactSigs(s, sigDir)
+        val orphans = graft.streaming.CorpusIngest.reconcile(s, corpusDir, sigDir)
         val stored = s.read.parquet(corpusDir).count()
         Seq(("admitted_b1", b1), ("admitted_b2", b2),
-            ("guard_files_before", filesBefore.toLong),
-            ("guard_files_after", filesAfter.toLong),
-            ("stored_docs", stored))
+            ("guard_files_before", gB.toLong), ("guard_files_after", gA.toLong),
+            ("stored_docs", stored),
+            ("check_stored_eq_admitted", if (stored == b1 + b2) 1L else 0L),
+            ("check_no_orphans", if (orphans.isEmpty) 1L else 0L),
+            ("check_guard_compacted", if (gA <= gB && gA > 0) 1L else 0L),
+            ("check_bands_compacted", if (bA <= bB && bA > 0) 1L else 0L),
+            ("check_sigs_compacted", if (sA <= sB && sA > 0) 1L else 0L))
           .toDF("key", "n").orderBy("key")
       } finally rm(new java.io.File(root))
     },

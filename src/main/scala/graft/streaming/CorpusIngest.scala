@@ -132,19 +132,24 @@ object CorpusIngest {
     // prefix rides along so a null-id row stays auditable — (null,
     // 'doc_id_null') alone is an unidentifiable husk.
     val wellFormed = col("doc_id").isNotNull && col("text").isNotNull
+    // the invalid-row existence check rides the guard's touched-bucket
+    // collect (the batch's first action) as an observed metric instead
+    // of costing its own limit(1).count() job (the VectorIngest pattern)
+    val obs = org.apache.spark.sql.Observation()
     val flagged = batch.select(col("doc_id"), col("text"))
       .withColumn("__ok", coalesce(wellFormed, lit(false)))
-    if (flagged.filter(!col("__ok")).limit(1).count() > 0)
+      .observe(obs, count(when(!col("__ok"), lit(1))).as("n_bad"))
+    val dedupedIds = ReplayGuard.filterFresh(
+      flagged.filter(col("__ok")).select("doc_id", "text")
+        .dropDuplicates("doc_id"),
+      "doc_id", guardDir)
+    if (obs.get("n_bad").asInstanceOf[Long] > 0)
       flagged.filter(!col("__ok")).select(col("doc_id"),
           when(col("doc_id").isNull, "doc_id_null")
             .otherwise("text_null").as("reason"),
           substring(col("text"), 1, 256).as("text_prefix"))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"${sigDir}_quarantine/batch_id=$batchId")
-    val dedupedIds = ReplayGuard.filterFresh(
-      flagged.filter(col("__ok")).select("doc_id", "text")
-        .dropDuplicates("doc_id"),
-      "doc_id", guardDir)
     val fresh = benchmark match {
       case Some(b) =>
         val contaminated = graft.llm.Corpus.decontaminate(dedupedIds, b, decontamK)

@@ -37,6 +37,12 @@ import graft.llm.{KMeans, Similarity}
   */
 object VectorIngest {
 
+  // The embedding dimension is fixed per index once trained (a retrain
+  // keeps it — the embedding model, not the data, sets it), so the
+  // validation predicate's dim lookup is cached per root instead of
+  // costing a head() driver job on every micro-batch.
+  private val dimCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+
   /** Train k-means centroids on a bootstrap sample and freeze them
     * under `root/centroids`. Must run once before [[processBatch]]. */
   def trainCentroids(sample: DataFrame, root: String, kCells: Int = 16,
@@ -45,6 +51,7 @@ object VectorIngest {
     Similarity.centroidTable(sample.sparkSession, cents)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/centroids")
+    dimCache.put(root, dim)
   }
 
   // ── offline retrain + atomic index swap ────────────────────────────
@@ -168,12 +175,22 @@ object VectorIngest {
     //   - invalid rows are NOT ledgered: a corrected re-send of the id
     //     is admitted, never treated as a replay.
     val cents = centroids(spark, root)
-    val dim = cents.select(size(col("cent"))).head().getInt(0)
+    val dim = dimCache.getOrElseUpdate(root,
+      cents.select(size(col("cent"))).head().getInt(0))
     val wellFormed = col("vec_id").isNotNull && col("embedding").isNotNull &&
       size(col("embedding")) === dim
+    // the invalid-row existence check RIDES the guard's touched-bucket
+    // collect (the batch's first action) as an observed metric instead
+    // of costing its own limit(1).count() job — a clean batch pays
+    // nothing for it
+    val obs = org.apache.spark.sql.Observation()
     val flagged = batch.select(col("vec_id"), col("embedding"))
       .withColumn("__ok", coalesce(wellFormed, lit(false)))
-    if (flagged.filter(!col("__ok")).limit(1).count() > 0)
+      .observe(obs, count(when(!col("__ok"), lit(1))).as("n_bad"))
+    val fresh0 = flagged.filter(col("__ok"))
+      .select("vec_id", "embedding").dropDuplicates("vec_id")
+    val fresh = ReplayGuard.filterFresh(fresh0, "vec_id", guardDir)
+    if (obs.get("n_bad").asInstanceOf[Long] > 0)
       flagged.filter(!col("__ok")).select(col("vec_id"),
           when(col("vec_id").isNull, "vec_id_null")
             .when(col("embedding").isNull, "embedding_null")
@@ -181,9 +198,6 @@ object VectorIngest {
           coalesce(size(col("embedding")), lit(-1)).as("n_dims"))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$root/_quarantine/batch_id=$batchId")
-    val fresh0 = flagged.filter(col("__ok"))
-      .select("vec_id", "embedding").dropDuplicates("vec_id")
-    val fresh = ReplayGuard.filterFresh(fresh0, "vec_id", guardDir)
     val assigned = graft.llm.Stage(
       Similarity.assignToCells(fresh, cents, "vec_id", keep = 1))
     // guard BEFORE the cell append (fail-closed): a crash between the
