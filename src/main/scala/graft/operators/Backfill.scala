@@ -176,6 +176,52 @@ object Backfill {
     syncAll(spark, tablesDir, fetcher, createdGte = Some(nowEpochS - days * 86400))
   }
 
+  /** WINDOW-PARALLEL backfill of one entity — the 100 TB form of the
+    * reference's own day-window guidance (sync-engine README,
+    * "Backfilling": split a large backfill into created-date windows):
+    * the `windows` (createdGte, createdLt) ranges are FETCHED
+    * concurrently on a bounded pool — paging the remote API is the
+    * long pole of a backfill and each window is an independent cursor —
+    * while every fetched payload funnels through the SAME single-writer
+    * chunked merge pipeline as [[syncEntity]]. Fetch concurrency never
+    * becomes sink concurrency: two concurrent writeAtomic swaps on one
+    * table would race their staging renames, and the LWW + merge guard
+    * needs no such risk — an entity that appears in two windows
+    * (updated mid-scan, or overlapping ranges) is collapsed by the
+    * guard exactly like a webhook redelivery. Fetch order across
+    * windows is therefore immaterial to the final table: the row set
+    * equals the sequential scan's (BackfillSpec asserts it). */
+  def syncWindows(spark: SparkSession, tablesDir: String, tdef: TableDef,
+                  fetcher: EntityFetcher, windows: Seq[(Long, Long)],
+                  parallelism: Int = 4, chunkSize: Int = 250): Long = {
+    if (windows.isEmpty) return 0L
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, windows.size)))
+    val payloads: Seq[String] =
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: java.util.List[java.util.concurrent.Callable[Seq[String]]] =
+          windows.map { case (gte, lt) =>
+            new java.util.concurrent.Callable[Seq[String]] {
+              def call(): Seq[String] =
+                fetcher.list(tdef, Some(gte), Some(lt)).toSeq
+            }
+          }.asJava
+        // unwrap like syncAll: callers must see the fetcher's original
+        // exception class regardless of the parallelism knob
+        pool.invokeAll(tasks).asScala.flatMap { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }.toSeq
+      } finally pool.shutdown()
+    payloads.grouped(chunkSize)
+      .map(chunk => upsertChunk(spark, tablesDir, tdef, chunk))
+      .sum
+  }
+
   /** S6: point sync — id prefix → TableDef → retrieve → shared pipeline
     * (syncSingleEntity, stripeSync.ts:606-662). */
   def syncSingle(spark: SparkSession, tablesDir: String, fetcher: EntityFetcher,
