@@ -32,7 +32,20 @@ object Clusters {
 
   /** edges: (id_a, id_b) undirected, any orientation, dupes ok.
     * Returns (doc_id, cluster_id) for every node in at least one edge,
-    * cluster_id = min node id reachable. */
+    * cluster_id = min node id reachable.
+    *
+    * FRONTIER-RESTRICTED rounds: labels only ever DECREASE, and a
+    * node's candidate set is (own label, neighbors' labels, its label's
+    * label) — all of which were folded in the round that produced them.
+    * So a node can improve THIS round only if a neighbor's label, its
+    * pointer target's label, or its own label changed LAST round; the
+    * union of those three is the frontier, and each round's joins run
+    * over frontier-adjacent edges only. On a planted long chain the
+    * frontier collapses to the still-converging tail within a few
+    * rounds, so late-round cost tracks the active frontier instead of
+    * re-joining the full edge list every round (the early-freeze form
+    * of Kiveris et al.'s optimization). Convergence = empty frontier
+    * delta, read off the already-staged merge — no extra probe join. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val adj = edges.select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
@@ -42,38 +55,41 @@ object Clusters {
       .persist()
     var labels = Stage(adj.groupBy("src").agg(min("dst").as("nbr"))
       .select(col("src").as("id"), least(col("src"), col("nbr")).as("label")))
-    // Convergence via Σlabel: labels only ever DECREASE (min includes the
-    // own label) over a fixed id set, so the round changed something iff
-    // the label sum dropped. That turns the old per-round convergence
-    // probe (a labels⋈labels join + filter + count) into a single 1-row
-    // aggregate over the just-staged table — at sf0.1 the probe join was
-    // ~a third of each round's cost. DECIMAL(38,0) sum: 1e9 ids of 2^63
-    // magnitude still fit with 10^9 headroom.
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      // empty labels (no edges at all) sum to NULL — normalize to 0 so
-      // the first comparison converges instead of NPEing
-      val s = df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
-        .collect()(0).getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
-    }
-    var prevSum = labelSum(labels)
-    var converged = false
+    // round 0: every node's label just changed (from "itself" to the
+    // initial min) — the first frontier is the whole graph, as it must be
+    var changed = Stage(labels.select("id"))
+    var done = changed.isEmpty
     var it = 0
-    while (!converged && it < maxIter) {
-      // neighbors' labels
-      val viaEdges = adj.join(labels, adj("dst") === labels("id"))
-        .select(adj("src").as("id"), col("label"))
-      // pointer doubling: label(label(id))
+    while (!done && it < maxIter) {
+      // nodes whose candidates moved: a neighbor changed, their pointer
+      // target changed, or their own label changed (its new target's
+      // label is a candidate never folded before)
+      val frontier = Stage(
+        adj.join(changed.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src").as("id"))
+          .union(labels.join(changed.select(col("id").as("label")),
+            Seq("label"), "left_semi").select("id"))
+          .union(changed.select("id"))
+          .distinct())
+      val fLabels = labels.join(frontier, Seq("id"), "left_semi")
+      val fAdj = adj.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
+      // neighbors' labels, frontier sources only
+      val viaEdges = fAdj.join(labels, fAdj("dst") === labels("id"))
+        .select(fAdj("src").as("id"), col("label"))
+      // pointer doubling: label(label(id)), frontier only
       val l2 = labels.select(col("id").as("pid"), col("label").as("plabel"))
-      val viaPtr = labels.join(l2, labels("label") === l2("pid"))
-        .select(labels("id"), col("plabel").as("label"))
-      val next = Stage(labels.select("id", "label")
+      val viaPtr = fLabels.join(l2, fLabels("label") === l2("pid"))
+        .select(fLabels("id"), col("plabel").as("label"))
+      val cand = fLabels.select("id", "label")
         .union(viaEdges).union(viaPtr)
-        .groupBy("id").agg(min("label").as("label")))
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+        .groupBy("id").agg(min("label").as("new_label"))
+      // one staged merge feeds next round's labels AND the changed set
+      val merged = Stage(labels.join(cand, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          coalesce(col("new_label"), col("label")).as("nl")))
+      labels = merged.select(col("id"), col("nl").as("label"))
+      changed = Stage(merged.filter(col("nl") < col("label")).select("id"))
+      done = changed.isEmpty
       it += 1
     }
     val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
