@@ -133,6 +133,37 @@ object ReplayGuard {
     try (in.readInt(), in.readLong()) finally in.close()
   }
 
+  // Driver-side sidecar cache, write-through and LRU-bounded: a
+  // long-running ingest touches the same buckets batch after batch, and
+  // re-reading every touched sidecar file per batch was measurable at
+  // bench scale (hundreds of small reads per micro-batch). The cache is
+  // PROCESS state under the guard's single-writer contract (one writer
+  // per guardDir — the assumption every compactor here documents):
+  // entries are updated on every successful sidecar commit, so in-
+  // process they never under-approximate the ledger; eviction is only a
+  // cache miss, never a correctness event (the file is the truth). A
+  // test (or operator) that mutates guard files EXTERNALLY is modeling
+  // a different process and must call [[invalidateCache]] — the
+  // moral equivalent of the restart it simulates.
+  private val CacheMaxEntries = 4096
+  private val sidecarCache: java.util.Map[(String, Long), (Long, Long, Array[Byte])] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), (Long, Long, Array[Byte])](
+          256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), (Long, Long, Array[Byte])]): Boolean =
+          size() > CacheMaxEntries
+      })
+
+  /** Drop every cached sidecar for `guardDir` — call after mutating the
+    * guard's files from OUTSIDE this process's record() path (crash
+    * simulations, manual surgery). Equivalent to a process restart. */
+  private[graft] def invalidateCache(guardDir: String): Unit =
+    sidecarCache.synchronized {
+      val it = sidecarCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == guardDir) it.remove()
+    }
+
   // blooms/K.bin: capacity, applied-id count, sketch bytes for ONE
   // ledger bucket. Rewritten per touched bucket via tmp + delete +
   // rename; a crash (or corruption) that loses one is healed by
@@ -150,11 +181,14 @@ object ReplayGuard {
     if (fs.exists(dst)) fs.delete(dst, false)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"sidecar commit failed: $dst")
+    sidecarCache.put((guardDir, bucket), (estItems, count, bytes))
   }
 
   // None on missing OR unparseable (a torn write heals like a lost one)
   private def readSidecar(spark: SparkSession, guardDir: String,
                           bucket: Long): Option[(Long, Long, Array[Byte])] = {
+    val cached = sidecarCache.get((guardDir, bucket))
+    if (cached != null) return Some(cached)
     val fs = fsOf(spark, guardDir)
     val p = new Path(sidecarPath(guardDir, bucket))
     if (!fs.exists(p)) None
@@ -164,6 +198,7 @@ object ReplayGuard {
         val est = in.readLong(); val count = in.readLong()
         val bytes = new Array[Byte](in.readInt())
         in.readFully(bytes)
+        sidecarCache.put((guardDir, bucket), (est, count, bytes))
         Some((est, count, bytes))
       } finally in.close()
     } catch { case _: java.io.IOException | _: NegativeArraySizeException => None }
@@ -248,6 +283,7 @@ object ReplayGuard {
                 estItems: Long = 1L << 20): Unit = {
     require(!exists(spark, guardDir), s"guard already exists at $guardDir")
     require(nBuckets > 0 && estItems > 0, "nBuckets and estItems must be positive")
+    invalidateCache(guardDir) // a prior guard may have lived at this path
     writeMeta(spark, guardDir, nBuckets, estItems)
   }
 
@@ -273,18 +309,16 @@ object ReplayGuard {
     val touched = batch.select(bucketExpr.as("bucket"))
       .distinct().collect().map(_.getLong(0)).sorted
     val ledgered = ledgerBuckets(spark, guardDir)
-    val sidecars = touched.flatMap(b =>
+    val sidecars: Map[Long, Array[Byte]] = touched.iterator.flatMap(b =>
       loadOrHealSidecar(spark, guardDir, b, ledgered)
-        .collect { case (_, cnt, bytes) if cnt > 0 => b -> bytes })
+        .collect { case (_, cnt, bytes) if cnt > 0 => b -> bytes }).toMap
     if (sidecars.isEmpty) return batch // nothing recorded where this batch lands
-    // per-bucket probe: a literal when-chain over the touched sidecars —
-    // each row tests ONLY its own bucket's filter (missing sidecar ⇒
-    // bucket never recorded ⇒ new by proof)
-    val h = xxhash64(col(idCol))
-    val probe = sidecars.foldLeft(lit(false)) { case (acc, (b, bytes)) =>
-      when(bucketExpr === lit(b), BloomFns.might_contain(lit(bytes), h))
-        .otherwise(acc)
-    }
+    // per-bucket probe: each row tests ONLY its own bucket's filter via
+    // the O(1)-per-row map expression (missing sidecar ⇒ bucket never
+    // recorded ⇒ new by proof) — see [[graft.functions.BucketedBloom]]
+    // for why this is not a literal CASE WHEN chain
+    val probe = graft.functions.BucketedBloom.might_contain(
+      bucketExpr, xxhash64(col(idCol)), sidecars)
     val definitelyNew = batch.filter(!probe)
     // probable hits = true replays + bloom false positives: tiny on a
     // healthy stream. Their buckets (≤ nBuckets values) become a literal

@@ -91,6 +91,7 @@ class ReplayGuardSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(g)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$g/blooms"), true)
+    ReplayGuard.invalidateCache(g) // the delete models another process
     assert(ReplayGuard.filterFresh(ids(0L until 400L), "doc_id", g).count() == 0)
     assert(ReplayGuard.filterFresh(ids(500L until 510L), "doc_id", g).count() == 10)
     assert(ReplayGuard.record(ids(500L until 510L), "doc_id", g) == 10)
@@ -110,6 +111,7 @@ class ReplayGuardSpec extends SparkSpec {
     val victimBucket = victim.getName.stripSuffix(".bin").toLong
     val out = fs.create(victim, true)
     try out.write(Array[Byte](1, 2, 3)) finally out.close()
+    ReplayGuard.invalidateCache(g) // the torn write models another process
     // a batch hashing AWAY from the victim bucket never opens the torn
     // file — per-bucket loading is the whole point (floorMod == pmod)
     val away = (1000L until 1400L).filter(i =>
@@ -131,8 +133,10 @@ class ReplayGuardSpec extends SparkSpec {
     assert(ReplayGuard.record(ids(0L until 100L), "doc_id", g) == 100)
     val fs = new org.apache.hadoop.fs.Path(g)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // fabricate the v1 state: monolith present, no sidecars
+    // fabricate the v1 state: monolith present, no sidecars (the state a
+    // pre-sidecar PROCESS left behind — so drop this process's cache)
     fs.delete(new org.apache.hadoop.fs.Path(s"$g/blooms"), true)
+    ReplayGuard.invalidateCache(g)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$g/bloom.bin"), true)
     try out.write(Array.fill[Byte](64)(0)) finally out.close()
     // first touch drops the monolith, rebuilds touched sidecars from the
