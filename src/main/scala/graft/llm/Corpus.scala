@@ -820,4 +820,35 @@ object Corpus {
         array_min(col("codes")).as("min_code"),
         array_max(col("codes")).as("max_code"))
   }
+
+  /** SOURCE-LEVEL CURATION — the hierarchical filter of the
+    * RefinedWeb/FineWeb recipes: quality decisions made per SOURCE
+    * (domain, crawl, feed), not per document, because a source whose
+    * aggregate signals are bad poisons even its individually-plausible
+    * documents. Per group: doc count, mean document length, and
+    * exact-duplicate share (1 − distinct texts / docs, in ppm — a high
+    * share marks template/boilerplate farms); a source is kept iff
+    * `mean_chars ≥ minMeanChars` and `dup_ppm ≤ maxDupPpm`, and every
+    * document inherits its source's verdict via a BROADCAST join (the
+    * stats table has one row per source — tiny at any corpus size).
+    * Shape: one group aggregate (map-side combined; the distinct-text
+    * count shuffles (source, text-hash) pairs, never full texts at the
+    * driver) + one broadcast join back. Exact integers → oracle (q124). */
+  def sourceCuration(docs: DataFrame, groupCol: String = "source",
+                     minMeanChars: Long = 250L,
+                     maxDupPpm: Long = 100000L): DataFrame = {
+    val stats = docs.groupBy(groupCol).agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("chars_total"),
+        countDistinct(col("text")).as("n_distinct"))
+      .withColumn("mean_chars", expr("chars_total DIV n_docs"))
+      .withColumn("dup_ppm", expr("(n_docs - n_distinct) * 1000000 DIV n_docs"))
+      .withColumn("src_kept",
+        when(col("mean_chars") >= minMeanChars && col("dup_ppm") <= maxDupPpm,
+          1L).otherwise(0L))
+    docs.select(col("doc_id"), col(groupCol))
+      .join(broadcast(stats.select(col(groupCol), col("n_docs"),
+        col("mean_chars"), col("dup_ppm"), col("src_kept"))), Seq(groupCol))
+      .select("doc_id", groupCol, "n_docs", "mean_chars", "dup_ppm", "src_kept")
+  }
 }

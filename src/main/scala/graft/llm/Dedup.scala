@@ -298,6 +298,54 @@ object Dedup {
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** GROUP-level MinHash signatures — the same wide min-aggregate as
+    * [[minHashSignatures]] keyed by `groupCol` instead of doc_id: the
+    * group's signature is the min over the UNION of its documents'
+    * shingle hashes (min is insensitive to the per-doc distinctness),
+    * i.e. the MinHash sketch of the whole group's shingle SET. One
+    * map-side-combined aggregate whose shuffle carries one row per
+    * group — the corpus-level sketch a source/crawl/snapshot overlap
+    * analysis wants at 100 TB, where the exact distinct-shingle
+    * intersection is the thing you cannot afford. */
+  def minHashSignaturesBy(docs: DataFrame, groupCol: String,
+                          k: Int = 3, numPerms: Int = 32): DataFrame = {
+    val hashed = docs.select(col(groupCol),
+        graft.functions.PolyShingleHashes.poly_shingle_hashes(col("text"), k).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .select(col(groupCol), explode(col("xs")).as("x"))
+    val mins = (0 until numPerms).map(j =>
+      min((lit(hashA(j)) * col("x") + lit(hashB(j))) % lit(P)).as(s"h$j"))
+    hashed.groupBy(groupCol).agg(mins.head, mins.tail: _*)
+  }
+
+  /** CORPUS-OVERLAP ESTIMATION: pairwise estimated Jaccard between the
+    * shingle sets of every two groups (sources, crawls, dumps) from
+    * their group-level MinHash signatures — "how much does source A
+    * overlap source B", the curation question behind dump-to-dump
+    * dedup ordering and source diversity audits. The pair join is a
+    * deliberate broadcast nested-loop over the GROUP table (one row per
+    * group — a source taxonomy is hundreds of rows, never corpus-
+    * sized); the corpus itself is touched exactly once, by the
+    * signature aggregate. Exact integer estimate arithmetic
+    * (matches·1e6 DIV numPerms over replayable poly-hash mins) →
+    * oracle-checkable end to end (q125). */
+  def groupOverlapEstimates(docs: DataFrame, groupCol: String = "source",
+                            k: Int = 3, numPerms: Int = 32): DataFrame = {
+    // self-joined — materialize the one-row-per-group aggregate once
+    val sig = Stage(minHashSignaturesBy(docs, groupCol, k, numPerms))
+    val a = sig.select(col(groupCol).as("grp_a") +:
+      (0 until numPerms).map(j => col(s"h$j").as(s"a$j")): _*)
+    val b = sig.select(col(groupCol).as("grp_b") +:
+      (0 until numPerms).map(j => col(s"h$j").as(s"b$j")): _*)
+    val matches = (0 until numPerms)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(broadcast(b), col("grp_a") < col("grp_b"))
+      .withColumn("matches", matches)
+      .withColumn("est_jaccard_ppm", expr(s"matches * 1000000 DIV $numPerms"))
+      .select("grp_a", "grp_b", "matches", "est_jaccard_ppm")
+  }
+
   /** Band hashes from an already-computed signature table (doc_id,
     * h0..h{numPerms-1}) — the signature table is the ARTIFACT a corpus
     * pipeline persists; banding it is a narrow projection, so candidate

@@ -331,4 +331,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** DICTIONARY BLOCKLIST scan — the wordlist content filter every web
+    * pipeline runs (the C4/LDNOOBW "bad words" stage): per document,
+    * total occurrences and distinct kinds of blocklist terms in the
+    * lowercased token stream, plus the keep decision (`n_hits ≤
+    * maxHits`). Shape: one token explode joined against the BROADCAST
+    * term list (blocklists are thousands of terms — driver-trivial at
+    * any corpus size), one doc-keyed aggregate; docs with zero hits
+    * survive via the left join, so the output covers the whole corpus.
+    * Exact integer counts → oracle-checkable (q123). */
+  def blocklistHits(docs: DataFrame, terms: Seq[String],
+                    maxHits: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("term"))
+    val hits = toks.join(broadcast(terms.toDF("term")), Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("term")).as("n_terms"))
+    docs.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        when(coalesce(col("n_hits"), lit(0L)) <= maxHits, 1L).otherwise(0L)
+          .as("kept"))
+  }
 }

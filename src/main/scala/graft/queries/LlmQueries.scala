@@ -897,6 +897,82 @@ object LlmQueries {
     ) { (s, dir) =>
       TextAnalysis.qualityFeatures(Tables(s, dir, "documents"))
         .orderBy("doc_id")
+    },
+
+    // Dictionary blocklist filter (the C4/LDNOOBW "bad words" stage):
+    // per-doc hit totals + distinct kinds against a broadcast wordlist,
+    // zero-hit docs surviving the left join, keep = n_hits <= 2.
+    Q("q123_blocklist_filter",
+      """WITH terms(term) AS (VALUES ('slow'), ('merge'), ('vector')),
+        | toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |          FROM documents),
+        | h AS (SELECT doc_id, count(*) AS n_hits, count(DISTINCT term) AS n_terms
+        |       FROM toks JOIN terms USING (term) GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        | CAST(COALESCE(h.n_terms, 0) AS BIGINT) AS n_terms,
+        | CAST(CASE WHEN COALESCE(h.n_hits, 0) <= 2 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.blocklistHits(Tables(s, dir, "documents"),
+          Seq("slow", "merge", "vector"), maxHits = 2L)
+        .orderBy("doc_id")
+    },
+
+    // Source-level curation (the RefinedWeb/FineWeb recipe shape):
+    // per-source doc count, mean length, exact-duplicate share; every
+    // doc inherits its source's keep verdict via a broadcast join.
+    Q("q124_source_curation",
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |        sum(length(text)) AS chars_total,
+        |        count(DISTINCT text) AS n_distinct
+        |       FROM documents GROUP BY 1),
+        | v AS (SELECT source, n_docs, chars_total // n_docs AS mean_chars,
+        |        (n_docs - n_distinct) * 1000000 // n_docs AS dup_ppm FROM s)
+        |SELECT d.doc_id, d.source, CAST(v.n_docs AS BIGINT) AS n_docs,
+        | CAST(v.mean_chars AS BIGINT) AS mean_chars,
+        | CAST(v.dup_ppm AS BIGINT) AS dup_ppm,
+        | CAST(CASE WHEN v.mean_chars >= 290 AND v.dup_ppm <= 100000
+        |   THEN 1 ELSE 0 END AS BIGINT) AS src_kept
+        |FROM documents d JOIN v USING (source) ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Corpus.sourceCuration(Tables(s, dir, "documents"), "source",
+          minMeanChars = 290L, maxDupPpm = 100000L)
+        .orderBy("doc_id")
+    },
+
+    // Corpus-overlap estimation: pairwise estimated Jaccard between
+    // sources' shingle SETS from group-level MinHash signatures — the
+    // sketch answer to "how much does source A overlap source B" (at
+    // 100 TB the exact distinct-shingle intersection is unaffordable;
+    // the sketch touches the corpus once). Oracle replays the poly-hash
+    // mins per source and the pairwise match counts exactly.
+    Q("q125_source_overlap",
+      """WITH w AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+        | sh AS (SELECT source, unnest(list_transform(range(1, len(l) - 1),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+        |        FROM w WHERE len(l) >= 3),
+        | hx AS (SELECT source, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(1, length(shingle) + 1),
+        |            i -> CAST(ascii(substr(shingle, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |          (a, c) -> (a * 131 + c) % 4294967291) AS x
+        |        FROM sh),
+        | perms AS (SELECT j, ((1103515245 * (j + 1) + 12345) % 2147483648) | 1 AS a,
+        |                  (2654435761 * (j + 7)) % 4294967311 AS b
+        |           FROM range(0, 32) t(j)),
+        | mh AS (SELECT source, j, min((a * x + b) % 4294967311) AS h
+        |        FROM hx CROSS JOIN perms GROUP BY 1, 2),
+        | p AS (SELECT a.source AS grp_a, b.source AS grp_b,
+        |        sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS matches
+        |       FROM mh a JOIN mh b ON a.j = b.j AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT grp_a, grp_b, CAST(matches AS BIGINT) AS matches,
+        | CAST(matches * 1000000 // 32 AS BIGINT) AS est_jaccard_ppm
+        |FROM p ORDER BY grp_a, grp_b""".stripMargin
+    ) { (s, dir) =>
+      Dedup.groupOverlapEstimates(Tables(s, dir, "documents"), "source",
+          k = 3, numPerms = 32)
+        .orderBy("grp_a", "grp_b")
     }
   )
 }

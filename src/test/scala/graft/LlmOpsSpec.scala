@@ -274,4 +274,58 @@ class LlmOpsSpec extends SparkSpec {
       assert(b * r == p)
     }
   }
+
+  test("blocklistHits counts terms, covers zero-hit docs, keeps under the cap") {
+    val d = Seq(
+      (0L, "clean words only here"),
+      (1L, "spam spam and more spam plus scam"),
+      (2L, "one scam mention")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.blocklistHits(d, Seq("spam", "scam"), maxHits = 1L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 0L, 1L), (1L, 4L, 2L, 0L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("sourceCuration flags duplicate-farm and short-doc sources") {
+    val tpl = "identical template text repeated across this entire source"
+    val d = (
+      (0 until 10).map(i => (i.toLong, tpl, "farm")) ++                  // 90% dups
+      (10 until 20).map(i =>
+        (i.toLong, s"a reasonably long unique document number $i with varied words", "good")) ++
+      (20 until 30).map(i => (i.toLong, s"tiny $i", "short"))            // short docs
+    ).toDF("doc_id", "text", "source")
+    val got = graft.llm.Corpus.sourceCuration(d, "source",
+        minMeanChars = 20L, maxDupPpm = 100000L)
+      .select("source", "src_kept").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("farm" -> 0L, "good" -> 1L, "short" -> 0L))
+    // dup share is exact: 10 docs, 1 distinct text -> 900000 ppm
+    val farm = graft.llm.Corpus.sourceCuration(d, "source", 20L, 100000L)
+      .filter(col("source") === "farm").select("dup_ppm").distinct()
+      .as[Long].head()
+    assert(farm == 900000L)
+  }
+
+  test("groupOverlapEstimates ranks a planted overlap above disjoint sources") {
+    // A and B share 5 of 10 docs; C is disjoint from both
+    val shared = (0 until 5).map(i =>
+      s"shared document number $i about spark shuffles merges and broadcast joins")
+    val d = (
+      shared.zipWithIndex.map { case (t, i) => (i.toLong, t, "A") } ++
+      (5 until 10).map(i => (i.toLong, s"a-only document $i with its own vocabulary set", "A")) ++
+      shared.zipWithIndex.map { case (t, i) => (100L + i, t, "B") } ++
+      (5 until 10).map(i => (100L + i, s"b-only document $i using different filler words", "B")) ++
+      (0 until 10).map(i => (200L + i, s"c document $i on wholly unrelated subject matter $i", "C"))
+    ).toDF("doc_id", "text", "source")
+    val est = Dedup.groupOverlapEstimates(d, "source", k = 3, numPerms = 32)
+      .select("grp_a", "grp_b", "est_jaccard_ppm")
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    val ab = est(("A", "B")); val ac = est(("A", "C")); val bc = est(("B", "C"))
+    assert(ab > ac && ab > bc,
+      s"planted A-B overlap must dominate: ab=$ab ac=$ac bc=$bc")
+    // true shingle Jaccard(A,B) is ~1/3 (5 shared of ~15 distinct doc
+    // vocabularies); 32 perms puts the estimate well away from 0 and 1
+    assert(ab >= 100000L && ab <= 700000L, s"ab=$ab out of plausible range")
+  }
 }
