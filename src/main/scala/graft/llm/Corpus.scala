@@ -831,16 +831,21 @@ object Corpus {
     * `mean_chars ≥ minMeanChars` and `dup_ppm ≤ maxDupPpm`, and every
     * document inherits its source's verdict via a BROADCAST join (the
     * stats table has one row per source — tiny at any corpus size).
-    * Shape: one group aggregate (map-side combined; the distinct-text
-    * count shuffles (source, text-hash) pairs, never full texts at the
-    * driver) + one broadcast join back. Exact integers → oracle (q124). */
+    * Shape: one group aggregate + one broadcast join back. The distinct
+    * count runs on xxhash64(text), not the text itself, so the
+    * distinct-aggregate shuffle carries (source, 8-byte hash) — never
+    * the corpus's strings (the q29/exact-dedup standard; a 64-bit
+    * collision first perturbs the count near 10⁹ distinct texts per
+    * source, far beyond any real source). Exact integers → oracle
+    * (q124, whose DuckDB side counts distinct texts directly —
+    * hash-identical short of that collision). */
   def sourceCuration(docs: DataFrame, groupCol: String = "source",
                      minMeanChars: Long = 250L,
                      maxDupPpm: Long = 100000L): DataFrame = {
     val stats = docs.groupBy(groupCol).agg(
         count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("chars_total"),
-        countDistinct(col("text")).as("n_distinct"))
+        countDistinct(xxhash64(col("text"))).as("n_distinct"))
       .withColumn("mean_chars", expr("chars_total DIV n_docs"))
       .withColumn("dup_ppm", expr("(n_docs - n_distinct) * 1000000 DIV n_docs"))
       .withColumn("src_kept",

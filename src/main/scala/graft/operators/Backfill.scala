@@ -195,31 +195,42 @@ object Backfill {
                   fetcher: EntityFetcher, windows: Seq[(Long, Long)],
                   parallelism: Int = 4, chunkSize: Int = 250): Long = {
     if (windows.isEmpty) return 0L
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(parallelism, windows.size)))
-    val payloads: Seq[String] =
-      try {
-        import scala.jdk.CollectionConverters._
-        val tasks: java.util.List[java.util.concurrent.Callable[Seq[String]]] =
-          windows.map { case (gte, lt) =>
-            new java.util.concurrent.Callable[Seq[String]] {
-              def call(): Seq[String] =
-                fetcher.list(tdef, Some(gte), Some(lt)).toSeq
-            }
-          }.asJava
+    val width = math.max(1, math.min(parallelism, windows.size))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(width)
+    // Windows merge AS THEY COMPLETE (completion service), and a fetcher
+    // may not even START until a buffered-window permit frees up — so
+    // driver-resident payloads are bounded by ~2× parallelism windows,
+    // never by the whole backfill (gathering every window first would
+    // make a month-scale backfill a driver OOM).
+    val permits = new java.util.concurrent.Semaphore(width * 2)
+    val done = new java.util.concurrent.ExecutorCompletionService[Seq[String]](pool)
+    try {
+      windows.foreach { case (gte, lt) =>
+        done.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] = {
+            permits.acquire()
+            fetcher.list(tdef, Some(gte), Some(lt)).toSeq
+          }
+        })
+      }
+      var total = 0L
+      (1 to windows.size).foreach { _ =>
         // unwrap like syncAll: callers must see the fetcher's original
         // exception class regardless of the parallelism knob
-        pool.invokeAll(tasks).asScala.flatMap { f =>
-          try f.get()
+        val payloads =
+          try done.take().get()
           catch {
             case e: java.util.concurrent.ExecutionException =>
               throw Option(e.getCause).getOrElse(e)
           }
-        }.toSeq
-      } finally pool.shutdown()
-    payloads.grouped(chunkSize)
-      .map(chunk => upsertChunk(spark, tablesDir, tdef, chunk))
-      .sum
+        try
+          total += payloads.grouped(chunkSize)
+            .map(chunk => upsertChunk(spark, tablesDir, tdef, chunk))
+            .sum
+        finally permits.release()
+      }
+      total
+    } finally pool.shutdownNow()
   }
 
   /** S6: point sync — id prefix → TableDef → retrieve → shared pipeline

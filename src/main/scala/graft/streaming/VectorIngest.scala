@@ -127,6 +127,7 @@ object VectorIngest {
     val n = spark.read.parquet(cellsNew).count()
     fs.create(markerPath(root), false).close() // the commit point
     healRetrainSwap(spark, root)               // roll our own swap forward
+    dimCache.put(root, dim) // a retrain keeps dim, but keep the cache exact
     n
   }
 

@@ -171,6 +171,22 @@ class BandedDedupSpec extends SparkSpec {
       minEstPpm = 400000L) == 1L)
   }
 
+  test("a banding-parameter change against an existing store fails loudly") {
+    val root = tmpDir("banded_params")
+    val corpusDir = s"$root/corpus"; val sigDir = s"$root/sigs"
+    assert(CorpusIngest.processBatch(storeDocs.take(1).toDF("doc_id", "text"),
+      corpusDir, sigDir, k = 3, numPerms = 32, bands = 16) == 1L)
+    // stored band hashes were folded at 16 bands; a caller passing 8
+    // would generate garbage candidates — the meta guard must refuse
+    val e = intercept[IllegalArgumentException] {
+      CorpusIngest.processBatch(
+        Seq(99L -> "a follow-up batch sent with the wrong banding parameters")
+          .toDF("doc_id", "text"),
+        corpusDir, sigDir, k = 3, numPerms = 32, bands = 8)
+    }
+    assert(e.getMessage.contains("band store"))
+  }
+
   test("a pre-band-store flat archive is restructured once on first touch") {
     val root = tmpDir("banded_migrate")
     val corpusDir = s"$root/corpus"; val sigDir = s"$root/sigs"

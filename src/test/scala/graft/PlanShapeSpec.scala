@@ -33,10 +33,24 @@ class PlanShapeSpec extends SparkSpec {
         // round-7 additions: per-lang bucket join, epoch manifest,
         // quota sampling, span removal, feature matrix
         "q114_ccnet_buckets", "q116_epoch_shuffle", "q118_temperature_mix",
-        "q119_span_removal", "q120_quality_features", "q121_corpus_release")) {
+        "q119_span_removal", "q120_quality_features", "q121_corpus_release",
+        // round-8: wordlist join + source-stats broadcast-back
+        "q123_blocklist_filter", "q124_source_curation")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
+  }
+
+  test("group-overlap pair join is a broadcast loop over the GROUP table") {
+    // q125's pair join is deliberately non-equi (grp_a < grp_b) over the
+    // one-row-per-source aggregate: it must broadcast, and the corpus
+    // itself must be scanned exactly once (by the signature aggregate)
+    val p = planOf("q125_source_overlap")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q125's group pair join should broadcast: $p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(_.contains("documents.parquet")) <= 1,
+      s"q125 must scan the corpus once: $p")
   }
 
   test("ccnet bucket assignment broadcasts the per-language cut table") {
