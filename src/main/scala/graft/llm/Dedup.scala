@@ -226,6 +226,56 @@ object Dedup {
         concat_ws(" ", col("kept")).as("text_clean"))
   }
 
+  /** Remove corpus-duplicate BLOCKS — the C4 "line dedup" stage (Raffel
+    * et al. 2020 §2.2 removed any three-sentence span occurring more
+    * than once in the corpus) restated for this corpus's single-space
+    * convention: the document is cut into NON-OVERLAPPING `blockLen`-
+    * token blocks ("lines"), and every block whose exact text occurs in
+    * ≥ `minDf` DISTINCT documents is deleted from all of them. The
+    * within-doc-only repeat is kept — that axis belongs to
+    * [[graft.llm.TextAnalysis.gopherRepetition]]. Complements
+    * [[removeDuplicateSpans]]: overlapping k-grams catch any shared run
+    * but cost k rows per token; disjoint blocks cost 1/blockLen row per
+    * token — the cheap boilerplate pass you run corpus-wide BEFORE the
+    * expensive gram surgery. A trailing partial block (< blockLen
+    * tokens) is never removed; docs shorter than one block pass whole.
+    *
+    * Shape: one block scan staged once (feeds the df aggregate AND the
+    * semi-join probe) carrying 8-byte block hashes, a per-doc-distinct
+    * df aggregate (map-side combined), a shuffled semi-join back (the
+    * df≥2 boilerplate set at web scale is LARGE — never broadcast), one
+    * doc-keyed collect of removed block indexes (bounded by
+    * doc length / blockLen), and a narrow array rebuild. Two keyed
+    * shuffles, both ~1/blockLen of [[removeDuplicateSpans]]' volume. */
+  def removeDuplicateBlocks(docs: DataFrame, blockLen: Int = 8,
+                            minDf: Long = 2L): DataFrame = {
+    require(blockLen >= 1, s"blockLen=$blockLen must be >= 1")
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+      .withColumn("nb", expr(s"CAST(size(l) DIV $blockLen AS INT)"))
+    val blocks = Stage(base.filter(col("nb") > 0)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("nb") - 1),
+        i => concat_ws(" ", slice(col("l"), i * blockLen + 1, lit(blockLen)))))
+        .as(Seq("p", "blk")))
+      .select(col("doc_id"), col("p"), xxhash64(col("blk")).as("bh")))
+    val dup = blocks.select("doc_id", "bh").distinct()
+      .groupBy("bh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("bh")
+    val removed = blocks.join(dup, Seq("bh"), "left_semi")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("p"))).as("dups"))
+    docs.join(removed, Seq("doc_id"), "left")
+      .withColumn("l", split(col("text"), " "))
+      .withColumn("d", coalesce(col("dups"), array().cast("array<int>")))
+      // token i (0-based) dies iff its block index is a removed block;
+      // trailing tokens have block index nb, never collected → kept
+      .withColumn("kept", filter(col("l"),
+        (_, i) => !array_contains(col("d"), floor(i / lit(blockLen)).cast("int"))))
+      .select(col("doc_id"),
+        expr(s"CAST(size(l) DIV $blockLen AS BIGINT)").as("n_blocks"),
+        size(col("d")).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("text_clean"))
+  }
+
   /** Shared inverted-index pair core: (id_a, id_b, n_a, n_b, common)
     * for every pair with ≥1 shared (surviving) shingle. The shingle
     * hashing is the codegen'd [[graft.functions.ShingleHashes]] — one

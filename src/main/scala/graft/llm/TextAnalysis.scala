@@ -81,12 +81,11 @@ object TextAnalysis {
     * expressions, all linear/linearithmic in the token count — a
     * per-distinct-token rescan would be O(distinct·n) and melt on
     * exactly the long degenerate documents this filter targets. */
-  def repetitionStats(docs: DataFrame, maxRepPpmFlag: Long = 300000L): DataFrame = {
-    val w = words(col("text"))
-    // most frequent token's count = longest equal-run of the SORTED
-    // token array: one sort + one linear fold (state: current run, best)
-    val topCnt = aggregate(
-      array_sort(w),
+  /** most frequent element's count = longest equal-run of the SORTED
+    * array: one sort + one linear fold (state: current run, best). */
+  private def longestRun(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {
         val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
@@ -95,6 +94,26 @@ object TextAnalysis {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
+
+  /** the distinct values occurring ≥2 times in `arr`: sort + linear
+    * fold appending each value exactly when its run hits 2. */
+  private def duplicatedValues(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        array().cast("array<string>").as("d")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          when(run === 2L, concat(acc.getField("d"), array(x)))
+            .otherwise(acc.getField("d")).as("d"))
+      },
+      acc => acc.getField("d"))
+
+  def repetitionStats(docs: DataFrame, maxRepPpmFlag: Long = 300000L): DataFrame = {
+    val w = words(col("text"))
+    val topCnt = longestRun(w)
     docs.select(
         col("doc_id"),
         size(w).cast("long").as("n_tokens"),
@@ -104,6 +123,69 @@ object TextAnalysis {
       .withColumn("top_tok_ppm", expr("(top_tok_cnt * 1000000) DIV n_tokens"))
       .withColumn("is_repetitive",
         (col("top_tok_ppm") >= maxRepPpmFlag).cast("int"))
+  }
+
+  /** Gopher REPETITION signals (Rae et al. 2021 §A1.1, the repetition
+    * half the structural [[gopherRules]] leave out; same thresholds
+    * family as NeMo-Curator / RefinedWeb reimplementations), token-
+    * weighted under the corpus single-space convention:
+    *   - top-n-gram share, n ∈ `topNs` (paper: 2,3,4): occurrence mass
+    *     of the doc's most frequent n-gram, count·n·1e6 DIV n_tokens —
+    *     overlapping occurrences each count, so degenerate docs can
+    *     exceed 1e6 (the paper's definition, no coverage dedup);
+    *   - duplicate-n-gram coverage, n ∈ `dupNs` (paper: 5..10): tokens
+    *     covered by ANY n-gram occurring ≥2 times WITHIN the doc, as
+    *     ppm — overlap counted once (coverage, the paper's char-level
+    *     dedup rule), the within-doc dual of the cross-document
+    *     [[graft.llm.Dedup.removeDuplicateSpans]].
+    * Docs shorter than n emit the −1 sentinel for that signal (the
+    * [[qualityFeatures]] convention) and the sentinel passes its rule.
+    * `rep_pass` = every signal within its threshold.
+    *
+    * Shape: narrow per-row array expressions only — sort + linear fold
+    * for top counts, a duplicated-values fold + exists-over-starts
+    * coverage lambda (the q119 rebuild) for duplicate coverage. No
+    * shuffle, no join: scan speed at 100 TB, O(len·dups) worst case on
+    * exactly the degenerate docs it removes. */
+  def gopherRepetition(docs: DataFrame,
+                       topNs: Seq[Int] = Seq(2, 3, 4),
+                       topMaxPpm: Seq[Long] = Seq(200000L, 180000L, 160000L),
+                       dupNs: Seq[Int] = Seq(5, 10),
+                       dupMaxPpm: Seq[Long] = Seq(150000L, 100000L)): DataFrame = {
+    require(topNs.length == topMaxPpm.length && dupNs.length == dupMaxPpm.length,
+      "thresholds must align with their n lists")
+    val w = words(col("text"))
+    var d = docs.select(col("doc_id"), col("text"),
+      size(w).cast("long").as("n_tokens"))
+    topNs.foreach { n =>
+      val g = graft.functions.TokenNgrams.token_ngrams(col("text"), n)
+      d = d.withColumn(s"top${n}_cnt",
+          when(size(g) === 0, lit(-1L)).otherwise(longestRun(g)))
+        .withColumn(s"top${n}_ppm",
+          when(col(s"top${n}_cnt") < 0L, lit(-1L))
+            .otherwise(expr(s"(top${n}_cnt * ${n}L * 1000000) DIV n_tokens")))
+        .drop(s"top${n}_cnt")
+    }
+    dupNs.foreach { n =>
+      val g = graft.functions.TokenNgrams.token_ngrams(col("text"), n)
+      val dupset = duplicatedValues(g)
+      val starts = filter(sequence(lit(0), size(g) - 1),
+        p => array_contains(dupset, element_at(g, p + 1)))
+      val covered = size(filter(words(col("text")),
+        (_, i) => exists(starts, s => s <= i && i < s + n))).cast("long")
+      d = d.withColumn(s"dup${n}_cov",
+        when(size(g) === 0, lit(-1L)).otherwise(covered))
+      d = d.withColumn(s"dup${n}_ppm",
+        when(col(s"dup${n}_cov") < 0L, lit(-1L))
+          .otherwise(expr(s"(dup${n}_cov * 1000000) DIV n_tokens")))
+        .drop(s"dup${n}_cov")
+    }
+    val rules =
+      topNs.zip(topMaxPpm).map { case (n, t) =>
+        col(s"top${n}_ppm") === -1L || col(s"top${n}_ppm") <= t } ++
+      dupNs.zip(dupMaxPpm).map { case (n, t) =>
+        col(s"dup${n}_ppm") === -1L || col(s"dup${n}_ppm") <= t }
+    d.withColumn("rep_pass", rules.reduce(_ && _).cast("long")).drop("text")
   }
 
   /** Composite rule-based quality filter — the Gopher-rules family

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Classifier, Dedup, TextAnalysis}
+
+/** Round-8 corpus-curation operators: the C4 line-dedup analog, the
+  * Gopher repetition signals, and the model-based quality classifier —
+  * the three public-recipe stages (Raffel 2020, Rae 2021, GPT-3/CCNet)
+  * the heuristic + dedup suites did not yet cover. */
+object CurationQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // C4 "line dedup" (Raffel et al. §2.2) under the corpus single-space
+    // convention: non-overlapping 8-token blocks removed from EVERY doc
+    // when the block text occurs in ≥2 distinct docs. Spark works on
+    // 8-byte block hashes; the oracle replays on the block strings.
+    Q("q126_block_dedup",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | b AS (SELECT doc_id, s.p AS p, s.blk AS blk
+        |       FROM (SELECT doc_id, unnest(list_transform(range(0, len(l) // 8),
+        |           i -> {'p': i, 'blk': array_to_string(l[i*8+1 : i*8+8], ' ')})) AS s
+        |         FROM w WHERE len(l) >= 8)),
+        | dup AS (SELECT blk FROM (SELECT DISTINCT doc_id, blk FROM b)
+        |         GROUP BY blk HAVING count(*) >= 2),
+        | st AS (SELECT doc_id, list_sort(list(p)) AS dups
+        |        FROM b JOIN dup USING (blk) GROUP BY doc_id),
+        | res AS (SELECT w.doc_id, len(w.l) // 8 AS n_blocks,
+        |          COALESCE(len(st.dups), 0) AS n_removed,
+        |          list_filter(list_transform(range(1, len(w.l) + 1),
+        |            i -> CASE WHEN list_contains(COALESCE(st.dups, []), (i - 1) // 8)
+        |                 THEN NULL ELSE w.l[i] END), x -> x IS NOT NULL) AS kept
+        |         FROM w LEFT JOIN st USING (doc_id))
+        |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+        | CAST(n_removed AS BIGINT) AS n_removed,
+        | COALESCE(list_aggregate(kept, 'string_agg', ' '), '') AS text_clean
+        |FROM res ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Dedup.removeDuplicateBlocks(Tables(s, dir, "documents"),
+          blockLen = 8, minDf = 2L)
+        .orderBy("doc_id")
+    },
+
+    // Gopher repetition signals (Rae et al. §A1.1), token-weighted:
+    // top-{2,3,4}-gram occurrence share + duplicate-{5,10}-gram
+    // coverage, −1 sentinels for docs shorter than n, conjunction pass.
+    Q("q127_gopher_repetition",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | base AS (SELECT doc_id, len(l) AS nt FROM w),
+        | g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |          i -> l[i] || ' ' || l[i+1])) AS gram FROM w WHERE len(l) >= 2),
+        | g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
+        |        FROM w WHERE len(l) >= 3),
+        | g4 AS (SELECT doc_id, unnest(list_transform(range(1, len(l) - 2),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS gram
+        |        FROM w WHERE len(l) >= 4),
+        | t2 AS (SELECT doc_id, max(c) AS mc FROM
+        |         (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        | t3 AS (SELECT doc_id, max(c) AS mc FROM
+        |         (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1),
+        | t4 AS (SELECT doc_id, max(c) AS mc FROM
+        |         (SELECT doc_id, gram, count(*) AS c FROM g4 GROUP BY 1, 2) GROUP BY 1),
+        | p5 AS (SELECT doc_id, s.p AS p, s.gram AS gram
+        |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(l) - 3),
+        |            i -> {'p': i, 'gram': l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+        |                  l[i+3] || ' ' || l[i+4]})) AS s
+        |          FROM w WHERE len(l) >= 5)),
+        | d5 AS (SELECT doc_id, gram FROM p5 GROUP BY doc_id, gram HAVING count(*) >= 2),
+        | s5 AS (SELECT p5.doc_id, list_sort(list(p)) AS st
+        |        FROM p5 JOIN d5 USING (doc_id, gram) GROUP BY 1),
+        | c5 AS (SELECT w.doc_id, len(list_filter(range(1, len(w.l) + 1),
+        |          i -> len(list_filter(COALESCE(s5.st, []),
+        |            stt -> stt <= i AND i < stt + 5)) > 0)) AS cov
+        |        FROM w LEFT JOIN s5 USING (doc_id)),
+        | p10 AS (SELECT doc_id, s.p AS p, s.gram AS gram
+        |         FROM (SELECT doc_id, unnest(list_transform(range(1, len(l) - 8),
+        |             i -> {'p': i, 'gram': l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+        |                   l[i+3] || ' ' || l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' ||
+        |                   l[i+7] || ' ' || l[i+8] || ' ' || l[i+9]})) AS s
+        |           FROM w WHERE len(l) >= 10)),
+        | d10 AS (SELECT doc_id, gram FROM p10 GROUP BY doc_id, gram HAVING count(*) >= 2),
+        | s10 AS (SELECT p10.doc_id, list_sort(list(p)) AS st
+        |         FROM p10 JOIN d10 USING (doc_id, gram) GROUP BY 1),
+        | c10 AS (SELECT w.doc_id, len(list_filter(range(1, len(w.l) + 1),
+        |           i -> len(list_filter(COALESCE(s10.st, []),
+        |             stt -> stt <= i AND i < stt + 10)) > 0)) AS cov
+        |         FROM w LEFT JOIN s10 USING (doc_id))
+        |SELECT b.doc_id, CAST(b.nt AS BIGINT) AS n_tokens,
+        | CAST(CASE WHEN t2.mc IS NULL THEN -1
+        |   ELSE (t2.mc * 2 * 1000000) // b.nt END AS BIGINT) AS top2_ppm,
+        | CAST(CASE WHEN t3.mc IS NULL THEN -1
+        |   ELSE (t3.mc * 3 * 1000000) // b.nt END AS BIGINT) AS top3_ppm,
+        | CAST(CASE WHEN t4.mc IS NULL THEN -1
+        |   ELSE (t4.mc * 4 * 1000000) // b.nt END AS BIGINT) AS top4_ppm,
+        | CAST(CASE WHEN b.nt < 5 THEN -1
+        |   ELSE (c5.cov * 1000000) // b.nt END AS BIGINT) AS dup5_ppm,
+        | CAST(CASE WHEN b.nt < 10 THEN -1
+        |   ELSE (c10.cov * 1000000) // b.nt END AS BIGINT) AS dup10_ppm,
+        | CAST(CASE WHEN
+        |   (t2.mc IS NULL OR (t2.mc * 2 * 1000000) // b.nt <= 200000) AND
+        |   (t3.mc IS NULL OR (t3.mc * 3 * 1000000) // b.nt <= 180000) AND
+        |   (t4.mc IS NULL OR (t4.mc * 4 * 1000000) // b.nt <= 160000) AND
+        |   (b.nt < 5 OR (c5.cov * 1000000) // b.nt <= 150000) AND
+        |   (b.nt < 10 OR (c10.cov * 1000000) // b.nt <= 100000)
+        |  THEN 1 ELSE 0 END AS BIGINT) AS rep_pass
+        |FROM base b
+        |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |LEFT JOIN t4 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+        |LEFT JOIN c10 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.gopherRepetition(Tables(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
+
+    // Naive-Bayes quality classifier (the GPT-3/CCNet "reference corpus
+    // vs the rest" filter): token log2-ratio weights with Laplace
+    // smoothing + class prior, mean milli-bits per token, floor-divided.
+    Q("q128_nb_quality_classifier",
+      """WITH toks AS (SELECT doc_id,
+        |        source IN ('src0', 'src1', 'src2', 'src3') AS is_good,
+        |        unnest(string_split(text, ' ')) AS tok FROM documents),
+        | c AS (SELECT tok, count(*) FILTER (WHERE is_good) AS c_g,
+        |        count(*) FILTER (WHERE NOT is_good) AS c_b
+        |       FROM toks GROUP BY 1),
+        | t AS (SELECT sum(c_g) AS tg, sum(c_b) AS tb, count(*) AS v FROM c),
+        | w AS (SELECT tok,
+        |        CAST(length(bin((c_g + 1) * 1048576 // (c_b + 1))) AS BIGINT) - 21
+        |        + (SELECT CAST(length(bin((tb + v) * 1048576 // (tg + v))) AS BIGINT) - 21
+        |           FROM t) AS w_bits
+        |       FROM c),
+        | s AS (SELECT doc_id, count(*) AS n_tokens, sum(w_bits) AS sum_bits
+        |       FROM toks JOIN w USING (tok) GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(sum_bits AS BIGINT) AS sum_bits,
+        | CAST(sum_bits * 1000 // n_tokens AS BIGINT) AS score_mbits,
+        | CAST(CASE WHEN sum_bits * 1000 // n_tokens >= -1225 THEN 1 ELSE 0 END
+        |   AS BIGINT) AS kept
+        |FROM s ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Classifier.nbQualityScores(Tables(s, dir, "documents"),
+          col("source").isin("src0", "src1", "src2", "src3"),
+          minScoreMbits = -1225L)
+        .orderBy("doc_id")
+    },
+
+    // Incremental classifier training: the NB count state is a
+    // mergeable aggregate (per-token class-count sums), so training
+    // folds batch by batch — merge(state(A), state(B)) == state(A ∪ B)
+    // EXACTLY, the q93/q101 maintenance guarantee applied to model
+    // training. Spark trains on a parity split folded together; the
+    // oracle trains once over the full corpus — hash equality IS the
+    // incremental-equals-rescan proof.
+    Q("q130_nb_incremental_train",
+      """WITH toks AS (SELECT doc_id,
+        |        source IN ('src0', 'src1', 'src2', 'src3') AS is_good,
+        |        unnest(string_split(text, ' ')) AS tok FROM documents),
+        | c AS (SELECT tok, count(*) FILTER (WHERE is_good) AS c_g,
+        |        count(*) FILTER (WHERE NOT is_good) AS c_b
+        |       FROM toks GROUP BY 1),
+        | t AS (SELECT sum(c_g) AS tg, sum(c_b) AS tb, count(*) AS v FROM c)
+        |SELECT tok, CAST(c_g AS BIGINT) AS c_g, CAST(c_b AS BIGINT) AS c_b,
+        | CAST(length(bin((c_g + 1) * 1048576 // (c_b + 1))) AS BIGINT) - 21
+        |  + (SELECT CAST(length(bin((tb + v) * 1048576 // (tg + v))) AS BIGINT) - 21
+        |     FROM t) AS w_bits
+        |FROM c ORDER BY tok""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pred = col("source").isin("src0", "src1", "src2", "src3")
+      val even = Classifier.countState(docs.filter(col("doc_id") % 2 === 0), pred)
+      val odd = Classifier.countState(docs.filter(col("doc_id") % 2 === 1), pred)
+      Classifier.weightsFromCounts(Classifier.mergeCounts(even, odd))
+        .select(col("tok"), col("c_g").cast("long").as("c_g"),
+          col("c_b").cast("long").as("c_b"), col("w_bits"))
+        .orderBy("tok")
+    },
+
+    // ROUND-8 CAPSTONE — the curation pipeline end to end: source-level
+    // gate (q124) → blocklist (q123, hits ≤ 5) → NB classifier keep
+    // (q128, trained on the RAW corpus labels, applied to survivors —
+    // the recipe order: the model sees the full distribution, the
+    // filter runs downstream) → C4 block dedup over the SURVIVOR set
+    // (block df counted after filtering, so a block held up only by
+    // removed docs is kept). Every stage the library operator at its
+    // scalable shape; the oracle replays the whole composition.
+    Q("q129_curation_pipeline",
+      """WITH src AS (SELECT source, count(*) AS n_docs,
+        |        sum(length(text)) AS chars_total,
+        |        count(DISTINCT text) AS n_distinct
+        |       FROM documents GROUP BY 1),
+        | sv AS (SELECT source FROM src
+        |        WHERE chars_total // n_docs >= 290
+        |          AND (n_docs - n_distinct) * 1000000 // n_docs <= 100000),
+        | blterms(term) AS (VALUES ('slow'), ('merge'), ('vector')),
+        | bl AS (SELECT doc_id, count(*) AS n_hits
+        |        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |              FROM documents) tt JOIN blterms USING (term) GROUP BY 1),
+        | toks AS (SELECT doc_id, source IN ('src0', 'src1', 'src2', 'src3') AS is_good,
+        |        unnest(string_split(text, ' ')) AS tok FROM documents),
+        | c AS (SELECT tok, count(*) FILTER (WHERE is_good) AS c_g,
+        |        count(*) FILTER (WHERE NOT is_good) AS c_b FROM toks GROUP BY 1),
+        | t AS (SELECT sum(c_g) AS tg, sum(c_b) AS tb, count(*) AS v FROM c),
+        | w AS (SELECT tok,
+        |        CAST(length(bin((c_g + 1) * 1048576 // (c_b + 1))) AS BIGINT) - 21
+        |        + (SELECT CAST(length(bin((tb + v) * 1048576 // (tg + v))) AS BIGINT) - 21
+        |           FROM t) AS w_bits
+        |       FROM c),
+        | nb AS (SELECT doc_id, count(*) AS n_tokens, sum(w_bits) AS sum_bits
+        |        FROM toks JOIN w USING (tok) GROUP BY 1),
+        | surv AS (SELECT d.doc_id, d.source, d.text FROM documents d
+        |          JOIN sv USING (source)
+        |          JOIN nb ON nb.doc_id = d.doc_id
+        |          LEFT JOIN bl ON bl.doc_id = d.doc_id
+        |          WHERE COALESCE(bl.n_hits, 0) <= 5
+        |            AND nb.sum_bits * 1000 // nb.n_tokens >= -1225),
+        | wl AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM surv),
+        | b AS (SELECT doc_id, s.p AS p, s.blk AS blk
+        |       FROM (SELECT doc_id, unnest(list_transform(range(0, len(l) // 8),
+        |           i -> {'p': i, 'blk': array_to_string(l[i*8+1 : i*8+8], ' ')})) AS s
+        |         FROM wl WHERE len(l) >= 8)),
+        | dup AS (SELECT blk FROM (SELECT DISTINCT doc_id, blk FROM b)
+        |         GROUP BY blk HAVING count(*) >= 2),
+        | st AS (SELECT doc_id, list_sort(list(p)) AS dups
+        |        FROM b JOIN dup USING (blk) GROUP BY doc_id),
+        | res AS (SELECT wl.doc_id, wl.source, len(wl.l) // 8 AS n_blocks,
+        |          COALESCE(len(st.dups), 0) AS n_removed,
+        |          list_filter(list_transform(range(1, len(wl.l) + 1),
+        |            i -> CASE WHEN list_contains(COALESCE(st.dups, []), (i - 1) // 8)
+        |                 THEN NULL ELSE wl.l[i] END), x -> x IS NOT NULL) AS kept
+        |         FROM wl LEFT JOIN st USING (doc_id))
+        |SELECT doc_id, source, CAST(n_blocks AS BIGINT) AS n_blocks,
+        | CAST(n_removed AS BIGINT) AS n_removed,
+        | COALESCE(list_aggregate(kept, 'string_agg', ' '), '') AS text_clean
+        |FROM res ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.Corpus
+      val docs = Tables(s, dir, "documents")
+      val srcKeep = Corpus.sourceCuration(docs, "source",
+          minMeanChars = 290L, maxDupPpm = 100000L)
+        .filter(col("src_kept") === 1L).select("doc_id")
+      val blKeep = TextAnalysis.blocklistHits(docs,
+          Seq("slow", "merge", "vector"), maxHits = 5L)
+        .filter(col("kept") === 1L).select("doc_id")
+      val nbKeep = Classifier.nbQualityScores(docs,
+          col("source").isin("src0", "src1", "src2", "src3"),
+          minScoreMbits = -1225L)
+        .filter(col("kept") === 1L).select("doc_id")
+      val survivors = docs.join(srcKeep, "doc_id").join(blKeep, "doc_id")
+        .join(nbKeep, "doc_id")
+      Dedup.removeDuplicateBlocks(survivors, blockLen = 8, minDf = 2L)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .select("doc_id", "source", "n_blocks", "n_removed", "text_clean")
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Classifier, Dedup, TextAnalysis}
+
+/** Value checks for the round-8 curation operators: C4-style block
+  * dedup, Gopher repetition signals, and the NB quality classifier. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8-token block shared VERBATIM AND ALIGNED between docs 0 and 1
+  private val blk = "one two three four five six seven eight"
+
+  test("removeDuplicateBlocks cuts a cross-doc block from every copy") {
+    val docs = Seq(
+      (0L, s"$blk alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, s"$blk iota kappa lambda mu nu xi omicron pi"),
+      (2L, "unique content tokens apple banana cherry date elderberry")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateBlocks(docs, blockLen = 8, minDf = 2L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((0L, 2L, 1L,
+      "alpha beta gamma delta epsilon zeta eta theta")))
+    assert(out(1) == ((1L, 2L, 1L,
+      "iota kappa lambda mu nu xi omicron pi")))
+    // doc 2: 8 tokens = 1 block, unique → untouched
+    assert(out(2) == ((2L, 1L, 0L,
+      "unique content tokens apple banana cherry date elderberry")))
+  }
+
+  test("removeDuplicateBlocks keeps within-doc repeats and partial tails") {
+    val docs = Seq(
+      // the same block TWICE in one doc: corpus df = 1 distinct doc → kept
+      (0L, s"$blk $blk tail"),
+      (1L, "short doc only")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateBlocks(docs, blockLen = 8, minDf = 2L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((0L, 2L, 0L, s"$blk $blk tail")))
+    // shorter than one block: zero blocks, passes whole
+    assert(out(1) == ((1L, 0L, 0L, "short doc only")))
+  }
+
+  test("removeDuplicateBlocks only cuts at block alignment") {
+    // doc 1 contains doc 0's block SHIFTED by one token — different
+    // block boundaries, so nothing is removed (the documented contrast
+    // with removeDuplicateSpans, which would catch it)
+    val docs = Seq(
+      (0L, s"$blk suffix one suffix two suffix three suffix four"),
+      (1L, s"prefix $blk other tokens follow here now then")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateBlocks(docs, blockLen = 8, minDf = 2L)
+    assert(out.filter(col("n_removed") > 0).count() == 0)
+  }
+
+  test("gopherRepetition flags top-gram mass and duplicate-gram coverage") {
+    // 40 distinct tokens: top4 share = 4/40 = 100000 ppm, under every rule
+    // (an all-distinct doc of < 25 tokens would trip top4 = 4/n > 16 % —
+    // the rules are calibrated for real doc lengths)
+    val clean = (1 to 40).map("w" + _).mkString(" ")
+    val loop2 = "x y x y x y x y x y x y x y x y x y x y"     // top2 dominates
+    // a 5-gram repeated twice inside one 20-token doc → 10/20 covered
+    val span5 = "v w x y z v w x y z a b c d e f g h i j"
+    val docs = Seq((0L, clean), (1L, loop2), (2L, span5), (3L, "tiny"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(docs).orderBy("doc_id").collect()
+    val clean0 = out(0)
+    assert(clean0.getAs[Long]("rep_pass") == 1L, s"clean doc must pass: $clean0")
+    val r1 = out(1)
+    // "x y" occurs 10 times in 20 tokens → share 10·2·1e6/20 = 1e6
+    assert(r1.getAs[Long]("top2_ppm") == 1000000L)
+    assert(r1.getAs[Long]("rep_pass") == 0L)
+    val r2 = out(2)
+    // v w x y z repeated → its two occurrences cover 10 of 20 tokens
+    assert(r2.getAs[Long]("dup5_ppm") == 500000L, s"dup5: $r2")
+    assert(r2.getAs[Long]("rep_pass") == 0L)
+    // also check dup10 is clean for the span doc (no repeated 10-gram)
+    assert(r2.getAs[Long]("dup10_ppm") == 0L)
+    val r3 = out(3)
+    // 1 token: every signal is the −1 sentinel; sentinels pass
+    assert(r3.getAs[Long]("top2_ppm") == -1L)
+    assert(r3.getAs[Long]("top3_ppm") == -1L)
+    assert(r3.getAs[Long]("dup5_ppm") == -1L)
+    assert(r3.getAs[Long]("dup10_ppm") == -1L)
+    assert(r3.getAs[Long]("rep_pass") == 1L)
+  }
+
+  test("nbQualityScores separates planted class vocabularies") {
+    val good = (0L to 3L).map(i => (i, "alpha " * 19 + "alpha", true))
+    val bad = (4L to 7L).map(i => (i, "beta " * 19 + "beta", false))
+    val docs = (good ++ bad).toDF("doc_id", "text", "is_good")
+    val out = Classifier.nbQualityScores(docs, col("is_good"))
+      .orderBy("doc_id").collect()
+    val goodScores = out.take(4).map(_.getAs[Long]("score_mbits"))
+    val badScores = out.drop(4).map(_.getAs[Long]("score_mbits"))
+    assert(goodScores.forall(_ > 0), s"good docs must score > 0: ${goodScores.toSeq}")
+    assert(badScores.forall(_ < 0), s"bad docs must score < 0: ${badScores.toSeq}")
+    assert(out.take(4).forall(_.getAs[Long]("kept") == 1L))
+    assert(out.drop(4).forall(_.getAs[Long]("kept") == 0L))
+    // balanced classes → prior ≈ 0; the alpha weight is symmetric to beta
+    assert(goodScores.toSet.size == 1 && badScores.toSet.size == 1)
+    assert(goodScores.head == -badScores.head ||
+      math.abs(goodScores.head + badScores.head) <= 1000,
+      s"symmetric classes should score near-symmetrically: " +
+        s"${goodScores.head} vs ${badScores.head}")
+  }
+
+  test("incremental NB training folds to the one-shot state exactly") {
+    val docs = Seq(
+      (0L, "alpha beta alpha gamma", true), (1L, "beta beta delta", false),
+      (2L, "alpha epsilon", true), (3L, "gamma gamma beta", false),
+      (4L, "delta alpha beta", true), (5L, "epsilon epsilon", false)
+    ).toDF("doc_id", "text", "is_good")
+    val oneShot = Classifier.weightsFromCounts(
+        Classifier.countState(docs, col("is_good")))
+      .orderBy("tok").collect().toSeq
+    // 3-way uneven split, folded pairwise in a different order
+    val s1 = Classifier.countState(docs.filter(col("doc_id") < 2), col("is_good"))
+    val s2 = Classifier.countState(docs.filter(col("doc_id") === 2), col("is_good"))
+    val s3 = Classifier.countState(docs.filter(col("doc_id") > 2), col("is_good"))
+    val folded = Classifier.weightsFromCounts(
+        Classifier.mergeCounts(Classifier.mergeCounts(s3, s1), s2))
+      .orderBy("tok").collect().toSeq
+    assert(folded == oneShot)
+  }
+
+  test("scoreWithWeights applies a trained model to an unseen corpus") {
+    val train = Seq(
+      (0L, "alpha alpha alpha alpha", true), (1L, "beta beta beta beta", false)
+    ).toDF("doc_id", "text", "is_good")
+    val weights = Classifier.weightsFromCounts(
+      Classifier.countState(train, col("is_good")))
+    val apply = Seq(
+      (10L, "alpha alpha unseen"),   // OOV token contributes nothing
+      (11L, "beta beta unseen")
+    ).toDF("doc_id", "text")
+    val out = Classifier.scoreWithWeights(apply, weights)
+      .orderBy("doc_id").collect()
+    // n_tokens counts only in-vocabulary tokens
+    assert(out(0).getAs[Long]("n_tokens") == 2L)
+    assert(out(0).getAs[Long]("score_mbits") > 0)
+    assert(out(1).getAs[Long]("score_mbits") < 0)
+  }
+
+  test("nbQualityScores shuffled-vocab join equals the broadcast form") {
+    val docs = Seq(
+      (0L, "alpha beta gamma", true), (1L, "delta epsilon zeta", false),
+      (2L, "alpha delta theta", true), (3L, "beta epsilon iota", false)
+    ).toDF("doc_id", "text", "is_good")
+    val a = Classifier.nbQualityScores(docs, col("is_good"),
+      broadcastVocab = true).orderBy("doc_id").collect().toSeq
+    val b = Classifier.nbQualityScores(docs, col("is_good"),
+      broadcastVocab = false).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}

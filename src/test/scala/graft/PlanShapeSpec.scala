@@ -35,10 +35,21 @@ class PlanShapeSpec extends SparkSpec {
         "q114_ccnet_buckets", "q116_epoch_shuffle", "q118_temperature_mix",
         "q119_span_removal", "q120_quality_features", "q121_corpus_release",
         // round-8: wordlist join + source-stats broadcast-back
-        "q123_blocklist_filter", "q124_source_curation")) {
+        "q123_blocklist_filter", "q124_source_curation",
+        // round-8 curation: block df semi-join, NB vocab scoring join
+        "q126_block_dedup", "q128_nb_quality_classifier")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
+  }
+
+  test("gopher repetition is join-free scan work") {
+    // every signal is a per-row array expression; the only exchange in
+    // the plan is the query's final presentation sort
+    val p = planOf("q127_gopher_repetition")
+    assert(!p.contains("Join"), s"q127 should be join-free, got:\n$p")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) <= 1,
+      "q127 must scan the corpus once")
   }
 
   test("group-overlap pair join is a broadcast loop over the GROUP table") {
