@@ -510,4 +510,61 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk")
   }
+
+  /** CENTROID-DISTANCE pruning (the D4 / SSL-prototypes shape, Sorscher
+    * et al. 2022): rank each vector by its squared Euclidean distance to
+    * its GROUP's mean embedding, then flag the two prune candidates the
+    * pruning literature uses — `is_outlier` (farthest `outlierPermille`:
+    * noise/ood mass) and `is_prototype` (nearest `protoPermille`: the
+    * easy redundant core that data-efficiency pruning drops). Groups
+    * come from any label column (a kmeans assignment, a source, a
+    * language).
+    *
+    * Exactness: per-dim micros (round(x·1e6), the q49 convention) sum
+    * exactly per group; the distance to the MEAN clears its denominator —
+    * dist2 = Σ_d (n·v_d − S_d)², n the group size, S the micros sum —
+    * so ranking needs no division at all; squares accumulate in
+    * DECIMAL(38,0) (oracle: HUGEINT) and the reported `dist2m` =
+    * dist2 DIV n² is one integral division at the end. Ties break on
+    * vec_id: cross-engine-exact output.
+    *
+    * Shape: one wide per-group aggregate (dim sum columns, map-side
+    * combined, one row per group) broadcast back; dist2 is a narrow
+    * per-row fold; the only other shuffle is the per-group rank window
+    * (the q70 keep-best budget — at billions of vectors per group,
+    * replace the exact rank with a dist2 threshold off
+    * [[graft.operators.IncrementalAgg.histogramState]]). Envelope:
+    * |n·v_d − S_d| must fit BIGINT — safe to ~10^11 rows per group at
+    * micros scale. */
+  def centroidOutliers(emb: DataFrame, groupCol: String = "label",
+                       dim: Int = 64, outlierPermille: Int = 100,
+                       protoPermille: Int = 100): DataFrame = {
+    val m = (0 until dim).map(i =>
+      round(element_at(col("embedding"), i + 1).cast("double") * lit(1000000.0))
+        .cast("long"))
+    val base = Stage(emb.select(col("vec_id"), col(groupCol).as("grp"),
+      array(m: _*).as("vm")))
+    val sums = (0 until dim).map(i => sum(element_at(col("vm"), i + 1)).as(s"s$i"))
+    val aggCols = count(lit(1)).as("n") +: sums
+    val cent = base.groupBy("grp")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("grp"), col("n"),
+        array((0 until dim).map(i => col(s"s$i")): _*).as("sig"))
+    val d2 = base.join(broadcast(cent), "grp")
+      .withColumn("diffs", zip_with(col("vm"), col("sig"),
+        (v, s) => col("n") * v - s))
+      .withColumn("dist2", aggregate(col("diffs"),
+        expr("CAST(0 AS DECIMAL(38,0))"),
+        (acc, x) => acc + x.cast("decimal(38,0)") * x))
+      .withColumn("dist2m", expr("CAST(dist2 DIV CAST(n * n AS DECIMAL(38,0)) AS BIGINT)"))
+    val w = Window.partitionBy("grp").orderBy(col("dist2").desc, col("vec_id"))
+    d2.withColumn("rank_far", row_number().over(w).cast("long"))
+      .withColumn("is_outlier",
+        (col("rank_far") * 1000 <= col("n") * outlierPermille).cast("long"))
+      .withColumn("is_prototype",
+        ((col("n") - col("rank_far") + 1) * 1000 <= col("n") * protoPermille)
+          .cast("long"))
+      .select(col("vec_id"), col("grp").as(groupCol), col("n"),
+        col("dist2m"), col("rank_far"), col("is_outlier"), col("is_prototype"))
+  }
 }

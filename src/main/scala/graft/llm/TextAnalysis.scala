@@ -125,6 +125,27 @@ object TextAnalysis {
         (col("top_tok_ppm") >= maxRepPpmFlag).cast("int"))
   }
 
+  /** pure-Column form of one Gopher top-n-gram rule — the share (ppm)
+    * of token mass in the most frequent n-gram, −1 when the doc is
+    * shorter than n. A narrow expression usable inside admission gates
+    * ([[graft.streaming.CorpusIngest]]) without a DataFrame round-trip.
+    * Identical semantics to [[gopherRepetition]]'s top signals (the
+    * double division is exact: products stay ≤ ~4e12 < 2^53). */
+  def topGramSharePpm(text: Column, n: Int): Column = {
+    val g = graft.functions.TokenNgrams.token_ngrams(text, n)
+    val nt = size(words(text)).cast("long")
+    when(size(g) === 0, lit(-1L))
+      .otherwise(floor(longestRun(g) * lit(n.toLong) * lit(1000000L) / nt)
+        .cast("long"))
+  }
+
+  /** admission-gate predicate: doc passes the top-`n`-gram repetition
+    * rule (sentinel −1 passes — too short to judge). */
+  def repetitionGate(text: Column, n: Int = 2, maxPpm: Long = 200000L): Column = {
+    val s = topGramSharePpm(text, n)
+    s === -1L || s <= maxPpm
+  }
+
   /** Gopher REPETITION signals (Rae et al. 2021 §A1.1, the repetition
     * half the structural [[gopherRules]] leave out; same thresholds
     * family as NeMo-Curator / RefinedWeb reimplementations), token-
@@ -158,13 +179,7 @@ object TextAnalysis {
     var d = docs.select(col("doc_id"), col("text"),
       size(w).cast("long").as("n_tokens"))
     topNs.foreach { n =>
-      val g = graft.functions.TokenNgrams.token_ngrams(col("text"), n)
-      d = d.withColumn(s"top${n}_cnt",
-          when(size(g) === 0, lit(-1L)).otherwise(longestRun(g)))
-        .withColumn(s"top${n}_ppm",
-          when(col(s"top${n}_cnt") < 0L, lit(-1L))
-            .otherwise(expr(s"(top${n}_cnt * ${n}L * 1000000) DIV n_tokens")))
-        .drop(s"top${n}_cnt")
+      d = d.withColumn(s"top${n}_ppm", topGramSharePpm(col("text"), n))
     }
     dupNs.foreach { n =>
       val g = graft.functions.TokenNgrams.token_ngrams(col("text"), n)

@@ -177,6 +177,45 @@ object CurationQueries {
         .orderBy("tok")
     },
 
+    // Centroid-distance pruning (the D4 / SSL-prototypes shape): rank
+    // every vector by squared Euclidean distance to its label-group
+    // mean; flag the farthest 10% (outliers) and nearest 10%
+    // (redundant prototypes). Division-free ranking: dist2 =
+    // Σ(n·v − S)² over per-dim micros, HUGEINT in the oracle,
+    // DECIMAL(38,0) in Spark.
+    Q("q131_centroid_pruning",
+      """WITH vm AS (SELECT vec_id, label, list_transform(range(1, 65),
+        |        di -> CAST(round(CAST(embedding[di] AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+        |      FROM embeddings),
+        | comp AS (SELECT vec_id, label, di, m[di] AS v
+        |          FROM vm, range(1, 65) t(di)),
+        | cent AS (SELECT label, di, sum(v) AS s FROM comp GROUP BY 1, 2),
+        | nn AS (SELECT label, count(*) AS n FROM vm GROUP BY 1),
+        | d AS (SELECT c.vec_id, c.label,
+        |        sum(CAST(nn.n * c.v - ct.s AS HUGEINT)
+        |            * CAST(nn.n * c.v - ct.s AS HUGEINT)) AS dist2
+        |       FROM comp c JOIN cent ct USING (label, di) JOIN nn USING (label)
+        |       GROUP BY 1, 2),
+        | r AS (SELECT d.vec_id, d.label, nn.n,
+        |        CAST(d.dist2 // CAST(nn.n * nn.n AS HUGEINT) AS BIGINT) AS dist2m,
+        |        row_number() OVER (PARTITION BY d.label
+        |          ORDER BY d.dist2 DESC, d.vec_id) AS rank_far
+        |       FROM d JOIN nn USING (label))
+        |SELECT vec_id, label, CAST(n AS BIGINT) AS n, dist2m,
+        | CAST(rank_far AS BIGINT) AS rank_far,
+        | CAST(CASE WHEN rank_far * 1000 <= n * 100 THEN 1 ELSE 0 END
+        |   AS BIGINT) AS is_outlier,
+        | CAST(CASE WHEN (n - rank_far + 1) * 1000 <= n * 100 THEN 1 ELSE 0 END
+        |   AS BIGINT) AS is_prototype
+        |FROM r ORDER BY vec_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.Similarity
+      Similarity.centroidOutliers(Tables(s, dir, "embeddings"),
+          groupCol = "label", dim = 64,
+          outlierPermille = 100, protoPermille = 100)
+        .orderBy("vec_id")
+    },
+
     // ROUND-8 CAPSTONE — the curation pipeline end to end: source-level
     // gate (q124) → blocklist (q123, hits ≤ 5) → NB classifier keep
     // (q128, trained on the RAW corpus labels, applied to survivors —

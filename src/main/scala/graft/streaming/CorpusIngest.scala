@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.llm.Dedup
@@ -78,14 +78,22 @@ object CorpusIngest {
     *     `decontamK`-gram shingles with the benchmark set are rejected
     *     before dedup — cheaper than scrubbing the corpus later, and
     *     the rejection leaves no ledger row, so a cleaned-up re-send of
-    *     the same doc_id can be admitted. */
+    *     the same doc_id can be admitted.
+    *   - `qualityPred` gates admission ON QUALITY at the door (e.g.
+    *     [[graft.llm.TextAnalysis.repetitionGate]]): a boolean Column
+    *     over (doc_id, text) evaluated per row alongside the
+    *     well-formedness flags — a narrow expression, no extra job.
+    *     Rejected rows quarantine with reason 'quality' and are NOT
+    *     ledgered, so a cleaned-up re-send of the id is admitted (the
+    *     same contract as malformed rows and benchmark contamination). */
   def processBatch(batch: DataFrame, corpusDir: String, sigDir: String,
                    k: Int = 3, numPerms: Int = 32, bands: Int = 8,
                    minEstPpm: Long = 500000L,
                    maxBandDf: Long = Long.MaxValue,
                    benchmark: Option[DataFrame] = None,
                    decontamK: Int = 8, maxBenchShared: Long = 0L,
-                   batchId: Long = 0L, nBuckets: Int = 64): Long = {
+                   batchId: Long = 0L, nBuckets: Int = 64,
+                   qualityPred: Option[Column] = None): Long = {
     val spark = batch.sparkSession
     // a compact() crash mid-swap leaves the store retired as __old; heal
     // before the exists probe or the dedup store would look empty and
@@ -132,21 +140,36 @@ object CorpusIngest {
     // prefix rides along so a null-id row stays auditable — (null,
     // 'doc_id_null') alone is an unidentifiable husk.
     val wellFormed = col("doc_id").isNotNull && col("text").isNotNull
+    // the quality gate rides the same per-row projection: expressions
+    // null-propagate on malformed rows, so coalesce(..., false) is safe
+    // and precedence in the quarantine reason stays with the
+    // malformed-ness (a null-text row is 'text_null', never 'quality')
+    val qPass = qualityPred.getOrElse(lit(true))
     // the invalid-row existence check rides the guard's touched-bucket
     // collect (the batch's first action) as an observed metric instead
     // of costing its own limit(1).count() job (the VectorIngest pattern)
     val obs = org.apache.spark.sql.Observation()
     val flagged = batch.select(col("doc_id"), col("text"))
       .withColumn("__ok", coalesce(wellFormed, lit(false)))
-      .observe(obs, count(when(!col("__ok"), lit(1))).as("n_bad"))
+      .withColumn("__q", coalesce(qPass, lit(false)))
+      .observe(obs, count(when(!col("__ok") || !col("__q"), lit(1))).as("n_bad"))
     val dedupedIds = ReplayGuard.filterFresh(
-      flagged.filter(col("__ok")).select("doc_id", "text")
+      flagged.filter(col("__ok") && col("__q")).select("doc_id", "text")
         .dropDuplicates("doc_id"),
       "doc_id", guardDir)
-    if (obs.get("n_bad").asInstanceOf[Long] > 0)
-      flagged.filter(!col("__ok")).select(col("doc_id"),
+    // the metric can come back ABSENT, not 0: if every row is filtered
+    // and the source folds to an empty LocalRelation (test batches;
+    // defensively, any statically-empty plan), PropagateEmptyRelation
+    // deletes the CollectMetrics node and obs.get returns an empty map
+    // — which must NOT read as "no bad rows" (the opposite is likelier:
+    // everything was rejected). Fall back to an explicit probe then.
+    val nBad = obs.get.get("n_bad").map(_.asInstanceOf[Long]).getOrElse(
+      flagged.filter(!col("__ok") || !col("__q")).limit(1).count())
+    if (nBad > 0)
+      flagged.filter(!col("__ok") || !col("__q")).select(col("doc_id"),
           when(col("doc_id").isNull, "doc_id_null")
-            .otherwise("text_null").as("reason"),
+            .when(col("text").isNull, "text_null")
+            .otherwise("quality").as("reason"),
           substring(col("text"), 1, 256).as("text_prefix"))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"${sigDir}_quarantine/batch_id=$batchId")
@@ -398,14 +421,16 @@ object CorpusIngest {
   /** Structured Streaming driver: file-drop source of JSON documents
     * ({"doc_id": …, "text": …} per line). */
   def start(spark: SparkSession, inputDir: String, corpusDir: String,
-            sigDir: String, checkpoint: String) = {
+            sigDir: String, checkpoint: String,
+            qualityPred: Option[Column] = None) = {
     spark.readStream
       .schema(docSchema)
       .json(inputDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
-        processBatch(df, corpusDir, sigDir, batchId = id); ()
+        processBatch(df, corpusDir, sigDir, batchId = id,
+          qualityPred = qualityPred); ()
       }
       .start()
   }

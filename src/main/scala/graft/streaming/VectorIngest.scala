@@ -191,7 +191,12 @@ object VectorIngest {
     val fresh0 = flagged.filter(col("__ok"))
       .select("vec_id", "embedding").dropDuplicates("vec_id")
     val fresh = ReplayGuard.filterFresh(fresh0, "vec_id", guardDir)
-    if (obs.get("n_bad").asInstanceOf[Long] > 0)
+    // ABSENT metric ≠ 0: an all-invalid batch over a statically-empty
+    // relation loses its CollectMetrics node to PropagateEmptyRelation
+    // (see CorpusIngest.processBatch) — fall back to an explicit probe
+    val nBad = obs.get.get("n_bad").map(_.asInstanceOf[Long]).getOrElse(
+      flagged.filter(!col("__ok")).limit(1).count())
+    if (nBad > 0)
       flagged.filter(!col("__ok")).select(col("vec_id"),
           when(col("vec_id").isNull, "vec_id_null")
             .when(col("embedding").isNull, "embedding_null")

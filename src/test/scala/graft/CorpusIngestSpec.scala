@@ -167,4 +167,52 @@ class CorpusIngestSpec extends SparkSpec {
     assert(CorpusIngest.processBatch(fixed, corpusDir, sigDir) == 1L)
     assert(CorpusIngest.processBatch(fixed, corpusDir, sigDir) == 0L)
   }
+
+  test("quality gate quarantines repetitive docs; cleaned re-send admitted") {
+    val root = tmpDir("cingest_qg")
+    val corpusDir = s"$root/corpus"; val sigDir = s"$root/sigs"
+    val gate = Some(graft.llm.TextAnalysis.repetitionGate(col("text")))
+    val looping = "spam ham " * 20 + "spam ham"     // top2 share ≈ 1e6
+    val batch = Seq(
+      // 12 distinct tokens → top2 share 2e6/12 ≈ 167k ppm < 200k: passes
+      (1L, "a perfectly ordinary document with many varied distinct tokens kept well inside"),
+      (2L, looping),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    assert(CorpusIngest.processBatch(batch, corpusDir, sigDir,
+      batchId = 7L, qualityPred = gate) == 1L)
+    val q = spark.read.parquet(s"${sigDir}_quarantine")
+      .select("doc_id", "reason").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toSet
+    // malformed-ness outranks quality in the reason; the looping doc is
+    // 'quality'; the good doc is admitted and never audited
+    assert(q == Set((2L, "quality"), (3L, "text_null")))
+    assert(spark.read.parquet(corpusDir).select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L))
+    // the rejected id was never ledgered: a cleaned-up re-send is
+    // admitted (same contract as malformed rows)
+    val fixed = Seq((2L,
+      "the cleaned replacement text now carries plenty of varied distinct words instead"))
+      .toDF("doc_id", "text")
+    assert(CorpusIngest.processBatch(fixed, corpusDir, sigDir,
+      qualityPred = gate) == 1L)
+    // ...and only once
+    assert(CorpusIngest.processBatch(fixed, corpusDir, sigDir,
+      qualityPred = gate) == 0L)
+    // a clean batch with the gate ON writes no quarantine subdir for it
+    val q2 = spark.read.parquet(s"${sigDir}_quarantine")
+    assert(q2.count() == 2L)
+
+    // an ALL-rejected batch still audits: the statically-empty survivor
+    // plan loses its CollectMetrics node to the optimizer, and the
+    // absent-metric fallback probe must catch it rather than reading
+    // "no metric" as "no bad rows"
+    val allBad = Seq((8L, looping), (9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(CorpusIngest.processBatch(allBad, corpusDir, sigDir,
+      batchId = 9L, qualityPred = gate) == 0L)
+    val q3 = spark.read.parquet(s"${sigDir}_quarantine")
+      .filter(col("doc_id") === 8L).select("reason").collect()
+    assert(q3.map(_.getString(0)).toSeq == Seq("quality"))
+  }
 }

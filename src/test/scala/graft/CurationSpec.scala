@@ -144,6 +144,37 @@ class CurationSpec extends SparkSpec {
     assert(out(1).getAs[Long]("score_mbits") < 0)
   }
 
+  test("centroidOutliers ranks a planted outlier first and flags the core") {
+    import graft.llm.Similarity
+    // group 0: nine vectors hugging +e0, one planted at −e0 (outlier);
+    // group 1: a second group proves independence
+    val mk = (head: Float) => Array.fill(64)(0.01f).updated(0, head)
+    val g0 = (0L to 8L).map(i => (i, mk(1.0f + 0.001f * i), 0))
+    val out = Seq((9L, mk(-1.0f), 0))
+    val g1 = (10L to 14L).map(i => (i, mk(0.5f), 1))
+    val embs = (g0 ++ out ++ g1).toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidOutliers(embs, "label", dim = 64,
+        outlierPermille = 100, protoPermille = 100)
+      .orderBy("vec_id").collect()
+    val byId = r.map(x => x.getAs[Long]("vec_id") -> x).toMap
+    assert(byId(9L).getAs[Long]("rank_far") == 1L, "planted outlier must rank farthest")
+    assert(byId(9L).getAs[Long]("is_outlier") == 1L)
+    // exactly ceil-free permille flags: n=10, 100‰ → 1 outlier, 1 prototype
+    assert(r.count(x => x.getAs[Int]("label") == 0 &&
+      x.getAs[Long]("is_outlier") == 1L) == 1)
+    assert(r.count(x => x.getAs[Int]("label") == 0 &&
+      x.getAs[Long]("is_prototype") == 1L) == 1)
+    // the prototype is NOT the outlier
+    val proto = r.find(x => x.getAs[Int]("label") == 0 &&
+      x.getAs[Long]("is_prototype") == 1L).get
+    assert(proto.getAs[Long]("vec_id") != 9L)
+    // group 1: all five identical vectors → dist2 0, ties broken by id
+    val g1rows = r.filter(_.getAs[Int]("label") == 1)
+    assert(g1rows.forall(_.getAs[Long]("dist2m") == 0L))
+    assert(g1rows.map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("rank_far"))
+      .sortBy(_._1).map(_._2).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("nbQualityScores shuffled-vocab join equals the broadcast form") {
     val docs = Seq(
       (0L, "alpha beta gamma", true), (1L, "delta epsilon zeta", false),

@@ -36,8 +36,10 @@ class PlanShapeSpec extends SparkSpec {
         "q119_span_removal", "q120_quality_features", "q121_corpus_release",
         // round-8: wordlist join + source-stats broadcast-back
         "q123_blocklist_filter", "q124_source_curation",
-        // round-8 curation: block df semi-join, NB vocab scoring join
-        "q126_block_dedup", "q128_nb_quality_classifier")) {
+        // round-8 curation: block df semi-join, NB vocab scoring join,
+        // centroid broadcast-back
+        "q126_block_dedup", "q128_nb_quality_classifier",
+        "q131_centroid_pruning")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
