@@ -368,6 +368,75 @@ object TextAnalysis {
         expr("sum(term) DIV count(*)").as("score_ppm"))
   }
 
+  /** STUPID BACKOFF trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the score Google used at
+    * web scale precisely BECAUSE it needs no normalization pass):
+    * trained on the `trainPred` reference subset (the CCNet
+    * arrangement: LM on Wikipedia, applied to Common Crawl), scored
+    * over every doc. Per trigram position:
+    *   S(w3|w1w2) = c3/c2p            if the trigram was seen in train,
+    *              = 0.4 · c2/c1p      else if bigram (w2 w3) was seen,
+    *              = 0.4² · c1/T       else (unigram relative frequency;
+    *                                  an unseen w3 scores 0).
+    * All terms are exact integer ppm — 0.4 = 2/5 clears denominators,
+    * truncation is the documented quantization (cross-engine identical).
+    * Backoff genuinely fires because train ⊊ corpus, unlike
+    * [[bigramLmScore]]'s self-trained counts where every gram is seen.
+    * Per doc: mean term ppm + the branch mix (tri/bi/uni hit counts) —
+    * the mix itself is a quality signal (fluent in-domain text resolves
+    * at the trigram level). Docs with < 3 tokens emit no row.
+    *
+    * Scale shape: counts are three map-side-combined aggregates over
+    * the TRAIN subset (Zipf-small outputs); scoring is one positional
+    * trigram explode of the corpus + five keyed equi-joins against
+    * those count tables (broadcast when they fit) + one doc-keyed agg.
+    * Nothing is ever all-pairs; the corpus text is scanned once. */
+  def stupidBackoffScore(docs: DataFrame,
+                         trainPred: Column): DataFrame = {
+    import graft.functions.TokenNgrams.token_ngrams
+    val train = docs.filter(trainPred)
+    val c3 = train.select(explode(token_ngrams(col("text"), 3)).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("c3"))
+    val c2 = train.select(explode(token_ngrams(col("text"), 2)).as("bi"))
+      .groupBy("bi").agg(count(lit(1)).as("c2"))
+    val c1 = train.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val tTokens = train.select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    require(tTokens > 0, "stupidBackoffScore needs a nonempty train subset")
+    val pos = docs.select(col("doc_id"),
+        explode(token_ngrams(col("text"), 3)).as("tri"))
+      .withColumn("w1", substring_index(col("tri"), " ", 1))
+      .withColumn("w3", substring_index(col("tri"), " ", -1))
+      .withColumn("bip", substring_index(col("tri"), " ", 2))
+      .withColumn("w2", substring_index(col("bip"), " ", -1))
+      .withColumn("bi", concat_ws(" ", col("w2"), col("w3")))
+    val scored = pos
+      .join(c3, Seq("tri"), "left")
+      .join(c2.withColumnRenamed("bi", "bip").withColumnRenamed("c2", "c2p"),
+        Seq("bip"), "left")
+      .join(c2, Seq("bi"), "left")
+      .join(c1.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c1p"),
+        Seq("w2"), "left")
+      .join(c1.withColumnRenamed("w", "w3").withColumnRenamed("c1", "c1c"),
+        Seq("w3"), "left")
+      // a seen trigram implies its prefix bigram was seen (c2p ≥ c3);
+      // a seen bigram implies w2 was seen (c1p ≥ c2): no null divisors
+      .withColumn("term", expr(
+        s"""CASE WHEN c3 IS NOT NULL THEN c3 * 1000000 DIV c2p
+           | WHEN c2 IS NOT NULL THEN (2 * c2 * 1000000) DIV (5 * c1p)
+           | ELSE (4 * coalesce(c1c, 0) * 1000000) DIV (25 * ${tTokens}L)
+           |END""".stripMargin))
+      .withColumn("branch", when(col("c3").isNotNull, lit(0))
+        .when(col("c2").isNotNull, lit(1)).otherwise(lit(2)))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        count(when(col("branch") === 0, 1)).as("tri_hits"),
+        count(when(col("branch") === 1, 1)).as("bi_hits"),
+        count(when(col("branch") === 2, 1)).as("uni_backoffs"),
+        expr("sum(term) DIV count(*)").as("sb_score_ppm"))
+  }
+
   /** Per-doc n-gram NOVELTY — the memorization/near-dup risk signal
     * that complements [[lexicalDiversity]] (within-doc) with a
     * cross-corpus axis: of a doc's distinct token n-grams, what

@@ -216,6 +216,58 @@ object CurationQueries {
         .orderBy("vec_id")
     },
 
+    // Stupid-backoff trigram LM scoring (Brants et al. 2007) — the
+    // web-scale LM filter in its CCNet arrangement: counts trained on
+    // the English reference subset, every doc scored with genuine
+    // backoff (train ⊊ corpus, so unseen trigrams/bigrams really
+    // occur). 0.4 = 2/5 keeps every term an exact integer ppm.
+    Q("q132_stupid_backoff",
+      """WITH trl AS (SELECT string_split(text, ' ') AS l FROM documents
+        |             WHERE lang = 'en'),
+        | c3 AS (SELECT tri, count(*) AS c3 FROM
+        |         (SELECT unnest(list_transform(range(1, len(l) - 1),
+        |            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tri
+        |          FROM trl WHERE len(l) >= 3) GROUP BY 1),
+        | c2 AS (SELECT bi, count(*) AS c2 FROM
+        |         (SELECT unnest(list_transform(range(1, len(l)),
+        |            i -> l[i] || ' ' || l[i+1])) AS bi
+        |          FROM trl WHERE len(l) >= 2) GROUP BY 1),
+        | c1 AS (SELECT w, count(*) AS c1 FROM
+        |         (SELECT unnest(l) AS w FROM trl) GROUP BY 1),
+        | t AS (SELECT sum(len(l)) AS tt FROM trl),
+        | dl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | pos AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2, s.w3 AS w3
+        |         FROM (SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+        |             i -> {'w1': l[i], 'w2': l[i+1], 'w3': l[i+2]})) AS s
+        |           FROM dl WHERE len(l) >= 3)),
+        | j AS (SELECT p.doc_id, c3.c3, c2p.c2 AS c2p, c2b.c2 AS c2b,
+        |        c1p.c1 AS c1p, c1c.c1 AS c1c
+        |       FROM pos p
+        |       LEFT JOIN c3 ON c3.tri = p.w1 || ' ' || p.w2 || ' ' || p.w3
+        |       LEFT JOIN c2 c2p ON c2p.bi = p.w1 || ' ' || p.w2
+        |       LEFT JOIN c2 c2b ON c2b.bi = p.w2 || ' ' || p.w3
+        |       LEFT JOIN c1 c1p ON c1p.w = p.w2
+        |       LEFT JOIN c1 c1c ON c1c.w = p.w3),
+        | s AS (SELECT doc_id,
+        |        CASE WHEN c3 IS NOT NULL THEN c3 * 1000000 // c2p
+        |             WHEN c2b IS NOT NULL THEN (2 * c2b * 1000000) // (5 * c1p)
+        |             ELSE (4 * COALESCE(c1c, 0) * 1000000)
+        |                  // (25 * (SELECT tt FROM t)) END AS term,
+        |        CASE WHEN c3 IS NOT NULL THEN 0
+        |             WHEN c2b IS NOT NULL THEN 1 ELSE 2 END AS br
+        |       FROM j)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        | CAST(count(*) FILTER (WHERE br = 0) AS BIGINT) AS tri_hits,
+        | CAST(count(*) FILTER (WHERE br = 1) AS BIGINT) AS bi_hits,
+        | CAST(count(*) FILTER (WHERE br = 2) AS BIGINT) AS uni_backoffs,
+        | CAST(sum(term) // count(*) AS BIGINT) AS sb_score_ppm
+        |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      TextAnalysis.stupidBackoffScore(Tables(s, dir, "documents"),
+          col("lang") === "en")
+        .orderBy("doc_id")
+    },
+
     // ROUND-8 CAPSTONE — the curation pipeline end to end: source-level
     // gate (q124) → blocklist (q123, hits ≤ 5) → NB classifier keep
     // (q128, trained on the RAW corpus labels, applied to survivors —

@@ -175,6 +175,30 @@ class CurationSpec extends SparkSpec {
       .sortBy(_._1).map(_._2).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("stupidBackoffScore resolves branches with exact rational terms") {
+    // train "a b c d e": trigram/bigram/unigram counts all 1, T = 5
+    val docs = Seq(
+      (0L, "a b c d e", "en"),
+      (1L, "a b c d e", "zh"),  // exact copy: every trigram seen → 1e6 each
+      (2L, "c d x", "zh"),      // tri+bi+uni all unseen → term 0
+      (3L, "x b c", "zh"),      // bigram (b,c) seen → 0.4·c2/c1p = 400000
+      (4L, "x y a", "zh"),      // only unigram a seen → 0.16·1/5 = 32000
+      (5L, "hi there", "zh")    // < 3 tokens → no row
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.stupidBackoffScore(docs, col("lang") === "en")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("tri_hits") == 3L)
+    assert(byId(1L).getAs[Long]("sb_score_ppm") == 1000000L)
+    assert(byId(2L).getAs[Long]("uni_backoffs") == 1L)
+    assert(byId(2L).getAs[Long]("sb_score_ppm") == 0L)
+    assert(byId(3L).getAs[Long]("bi_hits") == 1L)
+    assert(byId(3L).getAs[Long]("sb_score_ppm") == 400000L)
+    assert(byId(4L).getAs[Long]("uni_backoffs") == 1L)
+    assert(byId(4L).getAs[Long]("sb_score_ppm") == 32000L)
+  }
+
   test("nbQualityScores shuffled-vocab join equals the broadcast form") {
     val docs = Seq(
       (0L, "alpha beta gamma", true), (1L, "delta epsilon zeta", false),
