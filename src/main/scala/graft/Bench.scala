@@ -117,8 +117,12 @@ object Bench {
     // unchanged queries' sum by +35 % (a measurement artifact the round-5
     // judge flagged as masquerading as regression). ~4 s/query covers a
     // cold pass (~1.2 s/query at sf0.1) plus two warm ones with slack.
+    // 4.5 s/entry: a cold pass (~1.8 s/entry at sf0.1 with the sink
+    // lifecycles amortized in) + a warm pass + a cheap-tail-only third
+    // pass (settled long entries skip it) with slack; the shutdown hook
+    // still emits partial JSON if a harness kill lands first.
     val deadlineSec = sys.env.get("BENCH_DEADLINE_SEC").map(_.toDouble)
-      .getOrElse(math.max(210.0, inventory.size * 4.0))
+      .getOrElse(math.max(210.0, inventory.size * 4.5))
     // threshold above which a completed measurement is "settled" after
     // one run (see the pass loop + the settled field)
     val longQuerySec = sys.env.getOrElse("BENCH_LONG_QUERY_SEC", "10").toDouble
@@ -158,16 +162,14 @@ object Bench {
       // ADVICE). Cancelled queries still appear in "queries" (as their
       // elapsed lower bound) and are named in "cancelled".
       val total = results.collect { case (_, v, false) => v }.sum
-      // singles = queries whose min is over ONE completed run WITHOUT
-      // being deliberately settled (no cold-pass absorption): high
-      // singles => treat timings as upper bounds, not plan costs.
-      // settled = long queries (≥ BENCH_LONG_QUERY_SEC) measured once by
-      // design — noise is immaterial at their magnitude, and skipping
-      // their re-runs is what buys the cheap tail its third pass.
-      val settledNames = inventory.filter(q => runs.getOrDefault(q.name, 0) == 1 &&
+      // singles = queries whose min is over ONE completed run (no
+      // cold-pass absorption): high singles => treat timings as upper
+      // bounds, not plan costs. settled = long queries (min ≥
+      // BENCH_LONG_QUERY_SEC) deliberately stopped at min-of-2 — their
+      // skipped third run is what buys the cheap tail its third pass.
+      val settledNames = inventory.filter(q => runs.getOrDefault(q.name, 0) == 2 &&
         best.getOrDefault(q.name, 0.0) >= longQuerySec).map(_.name).toSet
-      val singles = inventory.count(q =>
-        runs.getOrDefault(q.name, 0) == 1 && !settledNames.contains(q.name))
+      val singles = inventory.count(q => runs.getOrDefault(q.name, 0) == 1)
       s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":${passesDone.get},"singles":$singles,"settled":${settledNames.size},"queries":$qs$cancelledField,"sf":"$sfDir"}"""
     }
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -220,19 +222,21 @@ object Bench {
     }
 
     // Sequential passes while budget remains: clean, uncontended mins.
-    // Later passes SKIP queries whose completed min is already long
-    // (≥ BENCH_LONG_QUERY_SEC): min-of-N exists to absorb ±seconds of
-    // page-reclaim noise, which is immaterial on a 30 s sink lifecycle
-    // but decisive on a 0.5 s query. Re-running only the cheap tail
-    // keeps three passes inside the deadline as the inventory grows —
-    // round 8: the 5 qs lifecycles cost ~70 s/pass, which pushed the
-    // third full pass past the budget and silently degraded every
-    // cheap query back to min-of-2.
+    // Long entries (completed min ≥ BENCH_LONG_QUERY_SEC) SETTLE after
+    // TWO completed runs — min-of-2 absorbs the cold first pass, and
+    // ±seconds of page-reclaim noise is immaterial at their magnitude,
+    // while on a 0.5 s query it is decisive. Skipping the long tail's
+    // third run keeps three passes of the cheap tail inside the
+    // deadline as the inventory grows — round 8: the 5 qs lifecycles
+    // cost ~70 s/pass, which pushed the third full pass past the
+    // budget and silently degraded every cheap query back to min-of-2
+    // (and settling after ONE run reported cold-pass times as minima —
+    // qs4 +20% against its own unchanged code).
     var passes = 0
     while (passes < maxPasses && elapsed < deadlineSec) {
       inventory.foreach { q =>
-        val settled = passes > 0 && best.containsKey(q.name) &&
-          best.get(q.name) >= longQuerySec
+        val settled = best.containsKey(q.name) &&
+          best.get(q.name) >= longQuerySec && runs.getOrDefault(q.name, 0) >= 2
         if (elapsed < deadlineSec && !settled)
           timeOne(q, s"seq$passes", math.min(queryTimeoutSec, deadlineSec - elapsed))
       }

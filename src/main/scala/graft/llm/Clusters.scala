@@ -45,8 +45,14 @@ object Clusters {
     * rounds, so late-round cost tracks the active frontier instead of
     * re-joining the full edge list every round (the early-freeze form
     * of Kiveris et al.'s optimization). Convergence = empty frontier
-    * delta, read off the already-staged merge — no extra probe join. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    * delta, read off the already-staged merge — no extra probe join.
+    *
+    * `roundTrace(round, frontierSize)`, when non-null, observes each
+    * round's frontier cardinality (one count over the already-staged
+    * frontier — instrumentation for specs/ops dashboards; the default
+    * null adds zero actions). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          roundTrace: (Int, Long) => Unit = null): DataFrame = {
     val adj = edges.select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
       .union(edges.select(col("id_b").cast("long").as("src"),
@@ -71,6 +77,7 @@ object Clusters {
             Seq("label"), "left_semi").select("id"))
           .union(changed.select("id"))
           .distinct())
+      if (roundTrace != null) roundTrace(it, frontier.count())
       val fLabels = labels.join(frontier, Seq("id"), "left_semi")
       val fAdj = adj.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
       // neighbors' labels, frontier sources only

@@ -535,10 +535,14 @@ object Similarity {
     * replace the exact rank with a dist2 threshold off
     * [[graft.operators.IncrementalAgg.histogramState]]). Envelope:
     * |n·v_d − S_d| must fit BIGINT — safe to ~10^11 rows per group at
-    * micros scale. */
+    * micros scale. `broadcastCentroids=true` fits label/source/language
+    * groupings (≤ ~10⁵ groups × dim longs); a million-cell kmeans
+    * assignment should pass false — the centroid join then shuffles
+    * co-partitioned with the group key. */
   def centroidOutliers(emb: DataFrame, groupCol: String = "label",
                        dim: Int = 64, outlierPermille: Int = 100,
-                       protoPermille: Int = 100): DataFrame = {
+                       protoPermille: Int = 100,
+                       broadcastCentroids: Boolean = true): DataFrame = {
     val m = (0 until dim).map(i =>
       round(element_at(col("embedding"), i + 1).cast("double") * lit(1000000.0))
         .cast("long"))
@@ -550,7 +554,8 @@ object Similarity {
       .agg(aggCols.head, aggCols.tail: _*)
       .select(col("grp"), col("n"),
         array((0 until dim).map(i => col(s"s$i")): _*).as("sig"))
-    val d2 = base.join(broadcast(cent), "grp")
+    val centSide = if (broadcastCentroids) broadcast(cent) else cent
+    val d2 = base.join(centSide, "grp")
       .withColumn("diffs", zip_with(col("vm"), col("sig"),
         (v, s) => col("n") * v - s))
       .withColumn("dist2", aggregate(col("diffs"),

@@ -268,6 +268,79 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Language-ID confusion matrix — the eval table every classifier
+    // stage ships with: predicted vs ground-truth language counts over
+    // the marker-token langId (q26's operator). The oracle replays the
+    // marker scores and the fixed precedence argmax exactly.
+    Q("q133_langid_confusion",
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+        | s AS (SELECT doc_id, lang,
+        |        len(list_filter(l, x -> x = 'the')) + len(list_filter(l, x -> x = 'and'))
+        |         + len(list_filter(l, x -> x = 'of')) AS s_en,
+        |        len(list_filter(l, x -> x = 'der')) + len(list_filter(l, x -> x = 'und'))
+        |         + len(list_filter(l, x -> x = 'die')) AS s_de,
+        |        len(list_filter(l, x -> x = 'le')) + len(list_filter(l, x -> x = 'et'))
+        |         + len(list_filter(l, x -> x = 'la')) AS s_fr,
+        |        len(list_filter(l, x -> x = 'el')) + len(list_filter(l, x -> x = 'y'))
+        |         + len(list_filter(l, x -> x = 'los')) AS s_es
+        |       FROM t),
+        | p AS (SELECT doc_id, lang,
+        |        CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |             WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
+        |       FROM s)
+        |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.langId(docs).select("doc_id", "pred_lang"), "doc_id")
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")
+    },
+
+    // Classifier calibration buckets — the reliability diagram as a
+    // table: per score band, how often is the doc actually from the
+    // reference class? Buckets are fixed-width over SHIFTED scores
+    // (Spark DIV truncates toward zero, DuckDB // floors — they agree
+    // only on non-negative operands, so the shift is load-bearing).
+    Q("q134_classifier_calibration",
+      """WITH toks AS (SELECT doc_id,
+        |        source IN ('src0', 'src1', 'src2', 'src3') AS is_good,
+        |        unnest(string_split(text, ' ')) AS tok FROM documents),
+        | c AS (SELECT tok, count(*) FILTER (WHERE is_good) AS c_g,
+        |        count(*) FILTER (WHERE NOT is_good) AS c_b
+        |       FROM toks GROUP BY 1),
+        | t AS (SELECT sum(c_g) AS tg, sum(c_b) AS tb, count(*) AS v FROM c),
+        | w AS (SELECT tok,
+        |        CAST(length(bin((c_g + 1) * 1048576 // (c_b + 1))) AS BIGINT) - 21
+        |        + (SELECT CAST(length(bin((tb + v) * 1048576 // (tg + v))) AS BIGINT) - 21
+        |           FROM t) AS w_bits
+        |       FROM c),
+        | sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w_bits) AS sum_bits
+        |        FROM toks JOIN w USING (tok) GROUP BY 1),
+        | sb AS (SELECT d.doc_id,
+        |         (sc.sum_bits * 1000 // sc.n_tokens + 100000) // 50 AS bucket,
+        |         CASE WHEN d.source IN ('src0', 'src1', 'src2', 'src3')
+        |           THEN 1 ELSE 0 END AS ig
+        |        FROM sc JOIN documents d USING (doc_id))
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(ig) AS BIGINT) AS n_good,
+        | CAST(sum(ig) * 1000000 // count(*) AS BIGINT) AS good_ppm
+        |FROM sb GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pred = col("source").isin("src0", "src1", "src2", "src3")
+      Classifier.nbQualityScores(docs, pred)
+        .join(docs.select(col("doc_id"), pred.cast("long").as("ig")), "doc_id")
+        .withColumn("bucket", expr("(score_mbits + 100000) DIV 50"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("ig").as("n_good"),
+          expr("sum(ig) * 1000000 DIV count(*)").as("good_ppm"))
+        .orderBy("bucket")
+    },
+
     // ROUND-8 CAPSTONE — the curation pipeline end to end: source-level
     // gate (q124) → blocklist (q123, hits ≤ 5) → NB classifier keep
     // (q128, trained on the RAW corpus labels, applied to survivors —

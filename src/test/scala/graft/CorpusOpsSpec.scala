@@ -95,6 +95,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(cc.size == n + 1)
   }
 
+  test("frontier restriction: late CC rounds touch only the converging tail") {
+    // a 200-leaf star (labels settle in round 0) + a 33-node path (the
+    // slowly-converging tail): once the star stops changing, the
+    // frontier must collapse to path-adjacent nodes — the measurable
+    // form of the early-freeze claim
+    val star = (1L to 200L).map(i => (0L, i))
+    val path = (1000L until 1032L).map(i => (i, i + 1))
+    val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val cc = Clusters.connectedComponents((star ++ path).toDF("id_a", "id_b"),
+        maxIter = 20, roundTrace = (_, n) => sizes += n)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(200L) == 0L && cc(1032L) == 1000L)
+    assert(sizes.head >= 200L, s"round-0 frontier is the whole graph: $sizes")
+    assert(sizes.last <= 40L,
+      s"late frontier must be the path tail, not the settled star: $sizes")
+  }
+
   test("connectedComponents matches union-find on seeded random graphs") {
     def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
       val parent = scala.collection.mutable.Map[Long, Long]()

@@ -173,6 +173,12 @@ class CurationSpec extends SparkSpec {
     assert(g1rows.forall(_.getAs[Long]("dist2m") == 0L))
     assert(g1rows.map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("rank_far"))
       .sortBy(_._1).map(_._2).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // the shuffled-centroid form (large-k kmeans groupings) is identical
+    val r2 = Similarity.centroidOutliers(embs, "label", dim = 64,
+        outlierPermille = 100, protoPermille = 100,
+        broadcastCentroids = false)
+      .orderBy("vec_id").collect()
+    assert(r2.toSeq == r.toSeq)
   }
 
   test("stupidBackoffScore resolves branches with exact rational terms") {

@@ -39,7 +39,8 @@ class PlanShapeSpec extends SparkSpec {
         // round-8 curation: block df semi-join, NB vocab scoring join,
         // centroid broadcast-back
         "q126_block_dedup", "q128_nb_quality_classifier",
-        "q131_centroid_pruning", "q132_stupid_backoff")) {
+        "q131_centroid_pruning", "q132_stupid_backoff",
+        "q133_langid_confusion", "q134_classifier_calibration")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
