@@ -123,8 +123,9 @@ object Bench {
     // still emits partial JSON if a harness kill lands first.
     val deadlineSec = sys.env.get("BENCH_DEADLINE_SEC").map(_.toDouble)
       .getOrElse(math.max(210.0, inventory.size * 4.5))
-    // threshold above which a completed measurement is "settled" after
-    // one run (see the pass loop + the settled field)
+    // threshold above which an entry is "settled" after TWO completed
+    // runs — min-of-2, never min-of-1, so the cold first pass is always
+    // absorbed (see the pass loop + the settled field)
     val longQuerySec = sys.env.getOrElse("BENCH_LONG_QUERY_SEC", "10").toDouble
 
     // The harness keeps only the LAST 2000 bytes of stdout (BENCH_r01/r03:
@@ -167,8 +168,12 @@ object Bench {
       // bounds, not plan costs. settled = long queries (min ≥
       // BENCH_LONG_QUERY_SEC) deliberately stopped at min-of-2 — their
       // skipped third run is what buys the cheap tail its third pass.
-      val settledNames = inventory.filter(q => runs.getOrDefault(q.name, 0) == 2 &&
-        best.getOrDefault(q.name, 0.0) >= longQuerySec).map(_.name).toSet
+      // settled = ran ≥2 times, is long, and skipped at least one pass
+      // that completed (runs < passesDone) — counts deliberate skips
+      // regardless of how many extra passes a future config runs
+      val settledNames = inventory.filter(q => runs.getOrDefault(q.name, 0) >= 2 &&
+        best.getOrDefault(q.name, 0.0) >= longQuerySec &&
+        runs.getOrDefault(q.name, 0) < passesDone.get).map(_.name).toSet
       val singles = inventory.count(q => runs.getOrDefault(q.name, 0) == 1)
       s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":${passesDone.get},"singles":$singles,"settled":${settledNames.size},"queries":$qs$cancelledField,"sf":"$sfDir"}"""
     }

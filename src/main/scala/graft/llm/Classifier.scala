@@ -58,7 +58,16 @@ object Classifier {
       count(when(col("is_good"), 1)).as("c_g"),
       count(when(!col("is_good"), 1)).as("c_b"))
     val w = weightsFromCounts(counts).select("tok", "w_bits")
-    val wSide = if (broadcastVocab) broadcast(w) else w
+    scoreTokens(toks, w, minScoreMbits, broadcastVocab)
+  }
+
+  /** shared scoring tail: weight join → doc aggregate → mean milli-bits
+    * → keep flag. ONE owner, so train-time ([[nbQualityScores]]) and
+    * deploy-time ([[scoreWithWeights]]) scores cannot diverge. */
+  private def scoreTokens(toks: DataFrame, weights: DataFrame,
+                          minScoreMbits: Long,
+                          broadcastVocab: Boolean): DataFrame = {
+    val wSide = if (broadcastVocab) broadcast(weights) else weights
     toks.join(wSide, "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("w_bits").cast("long").as("sum_bits"))
@@ -96,10 +105,14 @@ object Classifier {
     val c = Stage(counts)
     val t = c.agg(sum("c_g").cast("long"), sum("c_b").cast("long"),
       count(lit(1))).head()
-    val (tg, tb, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
-    require(tg > 0 && tb > 0,
+    require(!t.isNullAt(0) && !t.isNullAt(1) && t.getLong(0) > 0 && t.getLong(1) > 0,
       "classifier training needs at least one token in each class")
-    val prior = (((BigInt(tb) + v) * 1048576L) / (BigInt(tg) + v)).bitLength - 21
+    val (tg, tb, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    // max(_, 1): length(bin(0)) is 1, BigInt(0).bitLength is 0 — the
+    // zero-quotient case (one class > 2^20x the other) must still
+    // mirror the oracle's bin()-length exactly
+    val q = ((BigInt(tb) + v) * 1048576L) / (BigInt(tg) + v)
+    val prior = math.max(q.bitLength, 1) - 21
     c.withColumn("w_bits",
       expr("CAST(length(bin(((c_g + 1) * 1048576) DIV (c_b + 1))) AS BIGINT)" +
         s" - 21 + ${prior}L"))
@@ -111,15 +124,8 @@ object Classifier {
     * Same shapes and flags as [[nbQualityScores]]. */
   def scoreWithWeights(docs: DataFrame, weights: DataFrame,
                        minScoreMbits: Long = 0L,
-                       broadcastVocab: Boolean = true): DataFrame = {
-    val w = weights.select("tok", "w_bits")
-    val wSide = if (broadcastVocab) broadcast(w) else w
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .join(wSide, "tok")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("w_bits").cast("long").as("sum_bits"))
-      .withColumn("score_mbits", expr("(sum_bits * 1000) DIV n_tokens"))
-      .withColumn("kept", (col("score_mbits") >= lit(minScoreMbits)).cast("long"))
-      .select("doc_id", "n_tokens", "sum_bits", "score_mbits", "kept")
-  }
+                       broadcastVocab: Boolean = true): DataFrame =
+    scoreTokens(
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok")),
+      weights.select("tok", "w_bits"), minScoreMbits, broadcastVocab)
 }

@@ -561,7 +561,10 @@ object Similarity {
       .withColumn("dist2", aggregate(col("diffs"),
         expr("CAST(0 AS DECIMAL(38,0))"),
         (acc, x) => acc + x.cast("decimal(38,0)") * x))
-      .withColumn("dist2m", expr("CAST(dist2 DIV CAST(n * n AS DECIMAL(38,0)) AS BIGINT)"))
+      // n enters DECIMAL BEFORE squaring: BIGINT n*n wraps silently past
+      // ~3.04e9 rows/group, well inside the documented envelope
+      .withColumn("dist2m",
+        expr("CAST(dist2 DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
     val w = Window.partitionBy("grp").orderBy(col("dist2").desc, col("vec_id"))
     d2.withColumn("rank_far", row_number().over(w).cast("long"))
       .withColumn("is_outlier",

@@ -140,10 +140,16 @@ object TextAnalysis {
   }
 
   /** admission-gate predicate: doc passes the top-`n`-gram repetition
-    * rule (sentinel −1 passes — too short to judge). */
+    * rule (too-short docs pass — nothing to judge). The expensive
+    * sort+fold subtree appears ONCE: HOF expressions are interpreted,
+    * so `share === -1 || share <= max` would evaluate it twice per
+    * admitted row. */
   def repetitionGate(text: Column, n: Int = 2, maxPpm: Long = 200000L): Column = {
-    val s = topGramSharePpm(text, n)
-    s === -1L || s <= maxPpm
+    val g = graft.functions.TokenNgrams.token_ngrams(text, n)
+    val nt = size(words(text)).cast("long")
+    when(size(g) === 0, lit(true))
+      .otherwise(floor(longestRun(g) * lit(n.toLong) * lit(1000000L) / nt)
+        .cast("long") <= maxPpm)
   }
 
   /** Gopher REPETITION signals (Rae et al. 2021 §A1.1, the repetition

@@ -301,9 +301,11 @@ object CurationQueries {
 
     // Classifier calibration buckets — the reliability diagram as a
     // table: per score band, how often is the doc actually from the
-    // reference class? Buckets are fixed-width over SHIFTED scores
-    // (Spark DIV truncates toward zero, DuckDB // floors — they agree
-    // only on non-negative operands, so the shift is load-bearing).
+    // reference class? Buckets are fixed-width over SHIFTED scores:
+    // both engines TRUNCATE integer division toward zero (verified —
+    // see Classifier's scoring note), but truncation makes the bucket
+    // around zero twice as wide as the rest; the shift keeps every
+    // score positive so the bands are uniform (and non-negative).
     Q("q134_classifier_calibration",
       """WITH toks AS (SELECT doc_id,
         |        source IN ('src0', 'src1', 'src2', 'src3') AS is_good,
