@@ -91,6 +91,57 @@ object Multimodal {
     }
   }
 
+  /** PERCEPTUAL HASH over the decoded payload — the aHash construction
+    * (bit b = 1 iff region b's mass ≥ the global mean) every public
+    * multimodal pipeline uses to dedup images before training (LAION's
+    * pHash dedup): runs in the mapPartitions decode seam because a real
+    * pHash needs the decoded pixels (here the payload bytes stand in —
+    * deterministic integer slot sums, so the hash is oracle-exact).
+    * 64 bits as one BIGINT: integer cross-multiplied mean comparison
+    * (sum_b · 64 ≥ total), no float anywhere. */
+  def perceptualHash(docs: DataFrame, bits: Int = 64): DataFrame = {
+    require(bits == 64, "the packed-BIGINT layout is 64-bit")
+    val withBytes = withPayload(docs).select(col("doc_id"), col("payload"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("phash", LongType)))
+    implicit val enc = RowEncoder.encoderFor(schema)
+    withBytes.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val sums = new Array[Long](64)
+        var i = 0
+        while (i < bytes.length) { sums(i % 64) += (bytes(i) & 0xFF); i += 1 }
+        val total = sums.sum
+        var h = 0L
+        var b = 0
+        while (b < 64) { if (sums(b) * 64 >= total) h |= (1L << b); b += 1 }
+        Row(r.getLong(0), h)
+      }
+    }
+  }
+
+  /** Near-duplicate assets by perceptual-hash hamming distance — the
+    * multimodal face of [[graft.llm.Dedup.simHashPairs64]]: pigeonhole
+    * chunk banding (4 × 16-bit chunks; any pair within hamming ≤ 3
+    * shares at least one chunk, so the candidate join is EXACT for the
+    * default radius), then a popcount verify. One hash scan, one
+    * chunk-keyed equi-join — never all-pairs. */
+  def perceptualNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole is exact only to hamming 3")
+    val ph = graft.llm.Stage(perceptualHash(docs))
+    val chunks = ph.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(k =>
+        expr(s"shiftright(phash, ${k * 16}) & 65535")): _*)).as(Seq("k", "cv")))
+    val a = chunks.as("a"); val b = chunks.as("b")
+    a.join(b, col("a.k") === col("b.k") && col("a.cv") === col("b.cv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Resize stub: clamp/pad the payload to exactly `outBytes` bytes (a
     * real implementation decodes, resamples to w×h, re-encodes — same
     * column contract: binary in, binary out, size bounded). Keeping the

@@ -343,6 +343,43 @@ object CurationQueries {
         .orderBy("bucket")
     },
 
+    // Perceptual-hash near-dup pairs over the multimodal payloads (the
+    // LAION-style image dedup, aHash form): 64-bit hash from decoded-
+    // content slot sums, 4x16-bit pigeonhole banding (exact to hamming
+    // 3), popcount verify. The oracle replays slot sums, the packed
+    // BIGINT (bit 63 via the signed constant), chunks, and the verify.
+    Q("q135_perceptual_neardup",
+      """WITH chars AS (SELECT doc_id, s.p AS p, s.c AS c
+        |      FROM (SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+        |          i -> {'p': i, 'c': ascii(substr(text, CAST(i AS INTEGER), 1))})) AS s
+        |        FROM documents)),
+        | slots AS (SELECT doc_id, (p - 1) % 64 AS slot, sum(c) AS sc
+        |           FROM chars GROUP BY 1, 2),
+        | tot AS (SELECT doc_id, sum(sc) AS t FROM slots GROUP BY 1),
+        | bits AS (SELECT s.doc_id, s.slot,
+        |        CASE WHEN s.sc * 64 >= tot.t THEN 1 ELSE 0 END AS bit
+        |       FROM slots s JOIN tot USING (doc_id)),
+        | ph AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN slot = 63 AND bit = 1 THEN -9223372036854775808
+        |                 WHEN bit = 1 THEN (CAST(1 AS BIGINT) << CAST(slot AS INTEGER))
+        |                 ELSE 0 END) AS BIGINT) AS h
+        |       FROM bits GROUP BY 1),
+        | ck AS (SELECT doc_id, h, k, (h >> CAST(k * 16 AS INTEGER)) & 65535 AS cv
+        |        FROM ph, range(0, 4) t(k)),
+        | pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        bit_count(xor(a.h, b.h)) AS hamming
+        |       FROM ck a JOIN ck b ON a.k = b.k AND a.cv = b.cv
+        |         AND a.doc_id < b.doc_id
+        |       WHERE bit_count(xor(a.h, b.h)) <= 3)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs ORDER BY id_a, id_b""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.Multimodal
+      Multimodal.perceptualNearDupPairs(Tables(s, dir, "documents"),
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // ROUND-8 CAPSTONE — the curation pipeline end to end: source-level
     // gate (q124) → blocklist (q123, hits ≤ 5) → NB classifier keep
     // (q128, trained on the RAW corpus labels, applied to survivors —

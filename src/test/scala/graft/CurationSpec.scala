@@ -205,6 +205,27 @@ class CurationSpec extends SparkSpec {
     assert(byId(4L).getAs[Long]("sb_score_ppm") == 32000L)
   }
 
+  test("perceptualNearDupPairs equals brute-force popcount at radius 3") {
+    import graft.llm.Multimodal
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (0L, base), (1L, base),                       // identical → hamming 0
+      (2L, base + " x"),                            // near-identical payload
+      (3L, "completely different words about spark shuffles and partitions"),
+      (4L, "another unrelated document mentioning merge sinks and floors")
+    ).toDF("doc_id", "text")
+    val got = Multimodal.perceptualNearDupPairs(docs, maxHamming = 3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSet
+    // brute force over the same hashes
+    val hs = Multimodal.perceptualHash(docs).as[(Long, Long)].collect().toMap
+    val want = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want, s"pigeonhole must be exact: got=$got want=$want")
+    assert(got.contains((0L, 1L, 0L)), "identical payloads must pair at hamming 0")
+  }
+
   test("nbQualityScores shuffled-vocab join equals the broadcast form") {
     val docs = Seq(
       (0L, "alpha beta gamma", true), (1L, "delta epsilon zeta", false),

@@ -40,7 +40,8 @@ class PlanShapeSpec extends SparkSpec {
         // centroid broadcast-back
         "q126_block_dedup", "q128_nb_quality_classifier",
         "q131_centroid_pruning", "q132_stupid_backoff",
-        "q133_langid_confusion", "q134_classifier_calibration")) {
+        "q133_langid_confusion", "q134_classifier_calibration",
+        "q135_perceptual_neardup")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
