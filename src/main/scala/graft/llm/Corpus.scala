@@ -856,4 +856,32 @@ object Corpus {
         col("mean_chars"), col("dup_ppm"), col("src_kept"))), Seq(groupCol))
       .select("doc_id", groupCol, "n_docs", "mean_chars", "dup_ppm", "src_kept")
   }
+
+  /** Token FREQUENCY SPECTRUM (count-of-counts) with Good–Turing
+    * adjusted counts — the classic corpus statistic (Gale & Sampson's
+    * "frequency of frequencies") that feeds Good–Turing smoothing and
+    * reads off vocabulary health at a glance (N₁/N = unseen-mass
+    * estimate; a fat singleton tail means OCR noise or unsegmented
+    * text). Per occurrence count r: N_r = number of vocabulary types
+    * seen exactly r times, and the GT adjusted count
+    * r* = (r+1)·N_{r+1}/N_r in exact ppm (0 where N_{r+1} is empty —
+    * the raw-spectrum convention; smoothing of the gappy tail is the
+    * caller's choice).
+    *
+    * Scale shape: one token scan → vocab-keyed count (map-side
+    * combined) → count-keyed spectrum aggregate; the spectrum is tiny
+    * (≤ distinct r values ≈ hundreds at any corpus size), so the r+1
+    * self-join is free. NO global rank/sort anywhere — this is the
+    * Zipf view that does not need the Zipf ranking. */
+  def frequencySpectrum(docs: DataFrame): DataFrame = {
+    val cnt = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("r"))
+    val spec = cnt.groupBy("r").agg(count(lit(1)).as("n_r"))
+    // a spectrum row for count r' supplies N_{r+1} to the row r = r'−1
+    val next = spec.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+    spec.join(next, Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        expr("coalesce((r + 1) * n_next * 1000000 DIV n_r, 0)")
+          .as("gt_star_ppm"))
+  }
 }

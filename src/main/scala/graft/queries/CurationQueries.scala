@@ -380,6 +380,25 @@ object CurationQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Token frequency spectrum (count-of-counts) + Good–Turing adjusted
+    // counts — the Gale/Sampson table: N_r types seen exactly r times,
+    // r* = (r+1)·N_{r+1}/N_r in exact ppm. No global sort — the Zipf
+    // view without the Zipf ranking.
+    Q("q136_frequency_spectrum",
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        | c AS (SELECT tok, count(*) AS r FROM toks GROUP BY 1),
+        | sp AS (SELECT r, count(*) AS n_r FROM c GROUP BY 1)
+        |SELECT CAST(sp.r AS BIGINT) AS r, CAST(sp.n_r AS BIGINT) AS n_r,
+        | CAST(COALESCE((sp.r + 1) * nx.n_r * 1000000 // sp.n_r, 0) AS BIGINT)
+        |   AS gt_star_ppm
+        |FROM sp LEFT JOIN sp nx ON nx.r = sp.r + 1
+        |ORDER BY r""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.Corpus
+      Corpus.frequencySpectrum(Tables(s, dir, "documents"))
+        .orderBy("r")
+    },
+
     // ROUND-8 CAPSTONE — the curation pipeline end to end: source-level
     // gate (q124) → blocklist (q123, hits ≤ 5) → NB classifier keep
     // (q128, trained on the RAW corpus labels, applied to survivors —

@@ -226,6 +226,18 @@ class CurationSpec extends SparkSpec {
     assert(got.contains((0L, 1L, 0L)), "identical payloads must pair at hamming 0")
   }
 
+  test("frequencySpectrum counts types per count with exact GT adjustment") {
+    import graft.llm.Corpus
+    // tokens: a×3, b×2, c×1 → N_1=1, N_2=1, N_3=1
+    val docs = Seq((0L, "a a a b"), (1L, "b c")).toDF("doc_id", "text")
+    val out = Corpus.frequencySpectrum(docs).orderBy("r")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 2000000L),   // r*=2·N_2/N_1 = 2 → 2e6 ppm
+      (2L, 1L, 3000000L),   // r*=3·N_3/N_2 = 3 → 3e6 ppm
+      (3L, 1L, 0L)))        // no N_4 → raw-spectrum 0
+  }
+
   test("nbQualityScores shuffled-vocab join equals the broadcast form") {
     val docs = Seq(
       (0L, "alpha beta gamma", true), (1L, "delta epsilon zeta", false),
