@@ -393,10 +393,13 @@ object TextAnalysis {
     * at the trigram level). Docs with < 3 tokens emit no row.
     *
     * Scale shape: counts are three map-side-combined aggregates over
-    * the TRAIN subset (Zipf-small outputs); scoring is one positional
-    * trigram explode of the corpus + five keyed equi-joins against
-    * those count tables (broadcast when they fit) + one doc-keyed agg.
-    * Nothing is ever all-pairs; the corpus text is scanned once. */
+    * the TRAIN subset (Zipf-small outputs). Scoring happens on the
+    * DISTINCT-TRIGRAM-TYPE table, not on occurrences: the five
+    * count-table lookups shuffle only the type table (≪ occurrences —
+    * Zipf puts most of the occurrence mass on few types), and the
+    * corpus-sized occurrence table shuffles exactly ONCE, joining the
+    * scored types back by trigram before the doc-keyed agg. Nothing is
+    * ever all-pairs; the corpus text is scanned once. */
   def stupidBackoffScore(docs: DataFrame,
                          trainPred: Column): DataFrame = {
     import graft.functions.TokenNgrams.token_ngrams
@@ -410,14 +413,18 @@ object TextAnalysis {
     val tTokens = train.select(size(split(col("text"), " ")).cast("long").as("n"))
       .agg(sum("n")).head().getLong(0)
     require(tTokens > 0, "stupidBackoffScore needs a nonempty train subset")
-    val pos = docs.select(col("doc_id"),
+    // corpus occurrences, pre-aggregated per (doc, tri): map-side
+    // combine collapses repeated trigrams before the one type join
+    val occ = docs.select(col("doc_id"),
         explode(token_ngrams(col("text"), 3)).as("tri"))
-      .withColumn("w1", substring_index(col("tri"), " ", 1))
+      .groupBy("doc_id", "tri").agg(count(lit(1)).as("occ"))
+    // score each DISTINCT trigram type once
+    val types = occ.select("tri").distinct()
       .withColumn("w3", substring_index(col("tri"), " ", -1))
       .withColumn("bip", substring_index(col("tri"), " ", 2))
       .withColumn("w2", substring_index(col("bip"), " ", -1))
       .withColumn("bi", concat_ws(" ", col("w2"), col("w3")))
-    val scored = pos
+    val scoredTypes = types
       .join(c3, Seq("tri"), "left")
       .join(c2.withColumnRenamed("bi", "bip").withColumnRenamed("c2", "c2p"),
         Seq("bip"), "left")
@@ -435,12 +442,14 @@ object TextAnalysis {
            |END""".stripMargin))
       .withColumn("branch", when(col("c3").isNotNull, lit(0))
         .when(col("c2").isNotNull, lit(1)).otherwise(lit(2)))
-    scored.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_trigrams"),
-        count(when(col("branch") === 0, 1)).as("tri_hits"),
-        count(when(col("branch") === 1, 1)).as("bi_hits"),
-        count(when(col("branch") === 2, 1)).as("uni_backoffs"),
-        expr("sum(term) DIV count(*)").as("sb_score_ppm"))
+      .select("tri", "term", "branch")
+    occ.join(scoredTypes, Seq("tri"))
+      .groupBy("doc_id")
+      .agg(sum("occ").as("n_trigrams"),
+        sum(when(col("branch") === 0, col("occ")).otherwise(0L)).as("tri_hits"),
+        sum(when(col("branch") === 1, col("occ")).otherwise(0L)).as("bi_hits"),
+        sum(when(col("branch") === 2, col("occ")).otherwise(0L)).as("uni_backoffs"),
+        expr("sum(term * occ) DIV sum(occ)").as("sb_score_ppm"))
   }
 
   /** Per-doc n-gram NOVELTY — the memorization/near-dup risk signal
