@@ -511,6 +511,39 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** kNN LABEL PROBE — the standard embedding-quality eval (linear/kNN
+    * probing of representation papers): predict each query vector's
+    * label by majority vote of its k nearest neighbors (ties → smallest
+    * label) and report per-class accuracy. A space whose neighborhoods
+    * respect labels probes high; a collapsed or noisy embedding table
+    * probes at chance — run it before trusting an index or a semantic
+    * dedup built on those vectors.
+    *
+    * Shape: [[bruteForceKnn]] over a bounded probe set (queries scan
+    * the corpus once, broadcast side is the probe), one label join, a
+    * probe-keyed vote window, one class-keyed aggregate. Exactness:
+    * ranks are cross-engine identical (sequential-fold dots), votes and
+    * accuracy are integers. */
+  def knnLabelProbe(emb: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val votes = bruteForceKnn(emb, queries, k)
+      .join(lbl.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("label"))
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"))
+    pred.join(lbl.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "true_label"), "query_id")
+      .groupBy("true_label")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("pred_label") === col("true_label"), 1)).as("n_correct"))
+      .select(col("true_label").cast("long").as("true_label"), col("n"),
+        col("n_correct"),
+        expr("n_correct * 1000000 DIV n").as("acc_ppm"))
+  }
+
   /** CENTROID-DISTANCE pruning (the D4 / SSL-prototypes shape, Sorscher
     * et al. 2022): rank each vector by its squared Euclidean distance to
     * its GROUP's mean embedding, then flag the two prune candidates the

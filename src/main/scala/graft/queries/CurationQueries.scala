@@ -399,6 +399,40 @@ object CurationQueries {
         .orderBy("r")
     },
 
+    // kNN label probe — the representation-quality eval: per-class
+    // accuracy of majority-vote nearest-neighbor label prediction over
+    // a bounded probe set. Ranks are cross-engine identical
+    // (sequential-fold dots, the q34 contract); votes exact integers.
+    Q("q137_knn_label_probe",
+      """WITH knn AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |          c.vec_id) AS rnk
+        |    FROM embeddings q JOIN embeddings c
+        |      ON q.vec_id < 200 AND q.vec_id <> c.vec_id) t
+        |   WHERE rnk <= 5),
+        | v AS (SELECT k.query_id, e.label, count(*) AS votes
+        |       FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+        |       GROUP BY 1, 2),
+        | p AS (SELECT query_id, label AS pred_label FROM (
+        |        SELECT query_id, label, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY votes DESC, label) AS rn FROM v) t2 WHERE rn = 1),
+        | j AS (SELECT p.pred_label, e.label AS true_label
+        |       FROM p JOIN embeddings e ON e.vec_id = p.query_id)
+        |SELECT CAST(true_label AS BIGINT) AS true_label,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(*) FILTER (WHERE pred_label = true_label) AS BIGINT) AS n_correct,
+        | CAST(count(*) FILTER (WHERE pred_label = true_label) * 1000000 // count(*)
+        |   AS BIGINT) AS acc_ppm
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.Similarity
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.knnLabelProbe(emb, emb.filter(col("vec_id") < 200), k = 5)
+        .orderBy("true_label")
+    },
+
     // ROUND-8 CAPSTONE — the curation pipeline end to end: source-level
     // gate (q124) → blocklist (q123, hits ≤ 5) → NB classifier keep
     // (q128, trained on the RAW corpus labels, applied to survivors —

@@ -238,6 +238,23 @@ class CurationSpec extends SparkSpec {
       (3L, 1L, 0L)))        // no N_4 → raw-spectrum 0
   }
 
+  test("knnLabelProbe scores a label-respecting space perfectly") {
+    import graft.llm.Similarity
+    // two tight clusters along different axes, labels follow clusters
+    def vec(axis: Int, jitter: Float) = {
+      val a = Array.fill(64)(0.001f); a(axis) = 1.0f + jitter; a
+    }
+    val embs = ((0L to 5L).map(i => (i, vec(0, 0.01f * i), 0)) ++
+      (6L to 11L).map(i => (i, vec(7, 0.01f * i), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelProbe(embs, embs, k = 3)
+      .orderBy("true_label").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Long]("acc_ppm") == 1000000L),
+      s"clustered labels must probe perfectly: ${out.toSeq}")
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(6L, 6L))
+  }
+
   test("nbQualityScores shuffled-vocab join equals the broadcast form") {
     val docs = Seq(
       (0L, "alpha beta gamma", true), (1L, "delta epsilon zeta", false),
