@@ -857,6 +857,29 @@ object Corpus {
       .select("doc_id", groupCol, "n_docs", "mean_chars", "dup_ppm", "src_kept")
   }
 
+  /** Corpus COMPOSITION REPORT — the "data card" table every corpus
+    * release publishes (The Pile / ROOTS / Dolma composition tables):
+    * per (source, language): document count, token count, and the
+    * exact token share of the whole corpus in ppm. The table a data
+    * recipe ([[targetShareMix]], [[temperatureSample]]) is tuned
+    * against and the release artifact auditors read.
+    *
+    * Shape: one map-side-combined group aggregate; the corpus total
+    * rides back as a broadcast 1-row cross join (the established
+    * count-table pattern); share is integer-exact. Scan-bound at any
+    * corpus size. */
+  def compositionReport(docs: DataFrame, srcCol: String = "source",
+                        langCol: String = "lang"): DataFrame = {
+    val byGrp = docs.groupBy(srcCol, langCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = byGrp.agg(sum("n_tokens").as("t_tokens"))
+    byGrp.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("n_tokens * 1000000 DIV t_tokens"))
+      .select(col(srcCol), col(langCol), col("n_docs"), col("n_tokens"),
+        col("share_ppm"))
+  }
+
   /** Token FREQUENCY SPECTRUM (count-of-counts) with Good–Turing
     * adjusted counts — the classic corpus statistic (Gale & Sampson's
     * "frequency of frequencies") that feeds Good–Turing smoothing and

@@ -433,6 +433,24 @@ object CurationQueries {
         .orderBy("true_label")
     },
 
+    // Corpus composition report — the release "data card": per
+    // (source, lang) doc/token counts and the exact token share of the
+    // corpus in ppm (the table data recipes are tuned against).
+    Q("q138_composition_report",
+      """WITH g AS (SELECT source, lang, count(*) AS n_docs,
+        |        sum(len(string_split(text, ' '))) AS n_tokens
+        |       FROM documents GROUP BY 1, 2),
+        | t AS (SELECT sum(n_tokens) AS t_tokens FROM g)
+        |SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+        | CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n_tokens * 1000000 // t_tokens AS BIGINT) AS share_ppm
+        |FROM g, t ORDER BY source, lang""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.Corpus
+      Corpus.compositionReport(Tables(s, dir, "documents"))
+        .orderBy("source", "lang")
+    },
+
     // ROUND-8 CAPSTONE — the curation pipeline end to end: source-level
     // gate (q124) → blocklist (q123, hits ≤ 5) → NB classifier keep
     // (q128, trained on the RAW corpus labels, applied to survivors —

@@ -255,6 +255,18 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n")).toSeq == Seq(6L, 6L))
   }
 
+  test("compositionReport shares sum to ~1e6 with exact counts") {
+    import graft.llm.Corpus
+    val docs = Seq(
+      (0L, "a b c d", "en", "s0"), (1L, "e f", "en", "s0"),
+      (2L, "g h i j", "zh", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.compositionReport(docs).orderBy("source", "lang")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("s0", "en", 2L, 6L, 600000L),
+      ("s1", "zh", 1L, 4L, 400000L)))
+  }
+
   test("nbQualityScores shuffled-vocab join equals the broadcast form") {
     val docs = Seq(
       (0L, "alpha beta gamma", true), (1L, "delta epsilon zeta", false),
