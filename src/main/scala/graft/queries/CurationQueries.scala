@@ -451,6 +451,93 @@ object CurationQueries {
         .orderBy("source", "lang")
     },
 
+    // Per-source quality DASHBOARD — the round-8 eval suite composed
+    // into the one table an ops review reads: per source, corpus mass
+    // (docs/tokens/share), language-ID accuracy, NB-classifier keep
+    // rate, and blocklist keep rate, all exact ppm. The oracle stitches
+    // the q138/q133/q128/q123 component oracles source-keyed.
+    Q("q139_source_dashboard",
+      """WITH m AS (SELECT source, count(*) AS n_docs,
+        |        sum(len(string_split(text, ' '))) AS n_tokens
+        |       FROM documents GROUP BY 1),
+        | t AS (SELECT sum(n_tokens) AS tt FROM m),
+        | li AS (SELECT doc_id, lang, source, string_split(text, ' ') AS l
+        |        FROM documents),
+        | sc AS (SELECT doc_id, lang, source,
+        |        len(list_filter(l, x -> x = 'the')) + len(list_filter(l, x -> x = 'and'))
+        |         + len(list_filter(l, x -> x = 'of')) AS s_en,
+        |        len(list_filter(l, x -> x = 'der')) + len(list_filter(l, x -> x = 'und'))
+        |         + len(list_filter(l, x -> x = 'die')) AS s_de,
+        |        len(list_filter(l, x -> x = 'le')) + len(list_filter(l, x -> x = 'et'))
+        |         + len(list_filter(l, x -> x = 'la')) AS s_fr,
+        |        len(list_filter(l, x -> x = 'el')) + len(list_filter(l, x -> x = 'y'))
+        |         + len(list_filter(l, x -> x = 'los')) AS s_es
+        |       FROM li),
+        | lacc AS (SELECT source, count(*) FILTER (WHERE lang =
+        |        CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |             WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END) AS n_ok
+        |       FROM sc GROUP BY 1),
+        | toks AS (SELECT doc_id, source IN ('src0', 'src1', 'src2', 'src3') AS is_good,
+        |        unnest(string_split(text, ' ')) AS tok FROM documents),
+        | c AS (SELECT tok, count(*) FILTER (WHERE is_good) AS c_g,
+        |        count(*) FILTER (WHERE NOT is_good) AS c_b FROM toks GROUP BY 1),
+        | tc AS (SELECT sum(c_g) AS tg, sum(c_b) AS tb, count(*) AS v FROM c),
+        | w AS (SELECT tok,
+        |        CAST(length(bin((c_g + 1) * 1048576 // (c_b + 1))) AS BIGINT) - 21
+        |        + (SELECT CAST(length(bin((tb + v) * 1048576 // (tg + v))) AS BIGINT) - 21
+        |           FROM tc) AS w_bits FROM c),
+        | nb AS (SELECT doc_id, count(*) AS nt, sum(w_bits) AS sb
+        |        FROM toks JOIN w USING (tok) GROUP BY 1),
+        | nbk AS (SELECT d.source, count(*) FILTER (
+        |          WHERE nb.sb * 1000 // nb.nt >= -1225) AS n_kept
+        |        FROM nb JOIN documents d USING (doc_id) GROUP BY 1),
+        | blterms(term) AS (VALUES ('slow'), ('merge'), ('vector')),
+        | bl AS (SELECT doc_id, count(*) AS nh
+        |        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |              FROM documents) x JOIN blterms USING (term) GROUP BY 1),
+        | blk AS (SELECT d.source, count(*) FILTER (WHERE COALESCE(bl.nh, 0) <= 2)
+        |          AS n_clean
+        |        FROM documents d LEFT JOIN bl USING (doc_id) GROUP BY 1)
+        |SELECT m.source, CAST(m.n_docs AS BIGINT) AS n_docs,
+        | CAST(m.n_tokens AS BIGINT) AS n_tokens,
+        | CAST(m.n_tokens * 1000000 // t.tt AS BIGINT) AS share_ppm,
+        | CAST(lacc.n_ok * 1000000 // m.n_docs AS BIGINT) AS langid_acc_ppm,
+        | CAST(nbk.n_kept * 1000000 // m.n_docs AS BIGINT) AS nb_kept_ppm,
+        | CAST(blk.n_clean * 1000000 // m.n_docs AS BIGINT) AS bl_kept_ppm
+        |FROM m
+        |JOIN lacc USING (source) JOIN nbk USING (source) JOIN blk USING (source)
+        |CROSS JOIN t
+        |ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.{Classifier => Cls, Corpus => Crp}
+      val docs = Tables(s, dir, "documents")
+      val m = Crp.compositionReport(docs).groupBy("source")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+      val tot = m.agg(sum("n_tokens").as("tt"))
+      val lacc = docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(TextAnalysis.langId(docs).select("doc_id", "pred_lang"), "doc_id")
+        .groupBy("source")
+        .agg(count(when(col("lang") === col("pred_lang"), 1)).as("n_ok"))
+      val nbk = Cls.nbQualityScores(docs,
+          col("source").isin("src0", "src1", "src2", "src3"),
+          minScoreMbits = -1225L)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(count(when(col("kept") === 1L, 1)).as("n_kept"))
+      val blk = TextAnalysis.blocklistHits(docs,
+          Seq("slow", "merge", "vector"), maxHits = 2L)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(count(when(col("kept") === 1L, 1)).as("n_clean"))
+      m.crossJoin(broadcast(tot))
+        .join(lacc, "source").join(nbk, "source").join(blk, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens * 1000000 DIV tt").as("share_ppm"),
+          expr("n_ok * 1000000 DIV n_docs").as("langid_acc_ppm"),
+          expr("n_kept * 1000000 DIV n_docs").as("nb_kept_ppm"),
+          expr("n_clean * 1000000 DIV n_docs").as("bl_kept_ppm"))
+        .orderBy("source")
+    },
+
     // ROUND-8 CAPSTONE — the curation pipeline end to end: source-level
     // gate (q124) → blocklist (q123, hits ≤ 5) → NB classifier keep
     // (q128, trained on the RAW corpus labels, applied to survivors —
