@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: collapse a pair list (near-duplicate
@@ -34,74 +34,178 @@ object Clusters {
     * Returns (doc_id, cluster_id) for every node in at least one edge,
     * cluster_id = min node id reachable.
     *
-    * FRONTIER-RESTRICTED rounds: labels only ever DECREASE, and a
-    * node's candidate set is (own label, neighbors' labels, its label's
-    * label) — all of which were folded in the round that produced them.
-    * So a node can improve THIS round only if a neighbor's label, its
-    * pointer target's label, or its own label changed LAST round; the
-    * union of those three is the frontier, and each round's joins run
-    * over frontier-adjacent edges only. On a planted long chain the
-    * frontier collapses to the still-converging tail within a few
-    * rounds, so late-round cost tracks the active frontier instead of
-    * re-joining the full edge list every round (the early-freeze form
-    * of Kiveris et al.'s optimization). Convergence = empty frontier
-    * delta, read off the already-staged merge — no extra probe join.
+    * ADAPTIVELY FRONTIER-RESTRICTED rounds: labels only ever DECREASE,
+    * and a node's candidate set is (own label, neighbors' labels, its
+    * label's label) — all of which were folded in the round that
+    * produced them. So a node can improve THIS round only if a
+    * neighbor's label, its pointer target's label, or its own label
+    * changed LAST round; the union of those three is the frontier.
+    * Building that frontier costs two semi-joins + a distinct + a
+    * materialization — which only pays once the changed set is SMALL.
+    * On a dense small-diameter graph that converges in 2–3 rounds the
+    * changed set never shrinks before convergence, and unconditional
+    * restriction does strictly more work than the plain loop (round 0's
+    * frontier is by definition the whole graph). So each round picks:
+    * while |changed| ≥ ½·|nodes| run UNRESTRICTED (no frontier build at
+    * all — dense/early rounds); once the changed set drops below half,
+    * switch to frontier-restricted joins so late-round cost tracks the
+    * still-converging tail (the early-freeze form of Kiveris et al.'s
+    * optimization, gated the way their "large-star only while large"
+    * phase split gates work). Convergence = empty changed set, read off
+    * the already-staged merge — no extra probe join.
+    *
+    * SMALL-GRAPH / SMALL-TAIL LOCAL FINISH: the distributed loop's cost
+    * floor is jobs-per-round (joins + a checkpoint + a count), which
+    * dwarfs the data cost once the graph — or the still-converging
+    * remainder of it — is small. Production CC does what we do here:
+    * iterate distributed while big, finish in memory once bounded.
+    * (a) If the whole (deduped, directed) edge list has ≤ 2·
+    * `maxLocalEdges` rows, skip the loop: collect it (≤ ~16 MB at the
+    * default) and union-find on the driver. (b) Mid-loop, once the
+    * changed set is small, contract every edge by its endpoints'
+    * CURRENT labels — label(id) is always in id's component (inductive:
+    * initial label = least(id, min nbr); every later candidate is a
+    * label from the same component), so the label-quotient of a
+    * connected component is connected and its min label is the min
+    * member id. If the contracted graph fits the same bound, collect
+    * it, union-find, and broadcast the rep map back onto the labels —
+    * replacing ALL remaining O(log d) rounds with one bounded collect.
+    * Both collects are gated by an exact count ≤ threshold first, so
+    * driver memory stays bounded by `maxLocalEdges`, never data size.
     *
     * `roundTrace(round, frontierSize)`, when non-null, observes each
-    * round's frontier cardinality (one count over the already-staged
-    * frontier — instrumentation for specs/ops dashboards; the default
-    * null adds zero actions). */
+    * distributed round's effective frontier cardinality (|nodes| on
+    * unrestricted rounds — every node is a candidate; the materialized
+    * frontier's count on restricted ones). Instrumentation for
+    * specs/ops dashboards; the default null adds zero actions beyond
+    * the one convergence count per round. Local-finish paths run no
+    * distributed rounds and emit no trace (set `maxLocalEdges = 0` to
+    * force the distributed loop, as the frontier specs do). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-                          roundTrace: (Int, Long) => Unit = null): DataFrame = {
+                          roundTrace: (Int, Long) => Unit = null,
+                          maxLocalEdges: Long = 1L << 19): DataFrame = {
+    val spark = edges.sparkSession
     val adj = edges.select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
       .union(edges.select(col("id_b").cast("long").as("src"),
         col("id_a").cast("long").as("dst")))
       .distinct()
       .persist()
+    val nAdj = adj.count()
+    if (nAdj <= 2 * maxLocalEdges) {
+      // whole graph fits the driver bound: one collect + union-find
+      val out = localComponents(spark,
+        adj.collect().map(r => (r.getLong(0), r.getLong(1))))
+      adj.unpersist()
+      return out
+    }
     var labels = Stage(adj.groupBy("src").agg(min("dst").as("nbr"))
       .select(col("src").as("id"), least(col("src"), col("nbr")).as("label")))
+    val nNodes = labels.count()
     // round 0: every node's label just changed (from "itself" to the
-    // initial min) — the first frontier is the whole graph, as it must be
-    var changed = Stage(labels.select("id"))
-    var done = changed.isEmpty
+    // initial min) — the first frontier is the whole graph, as it must
+    // be, so round 0 always runs unrestricted
+    var changed = labels.select("id")
+    var changedCnt = nNodes
+    var lastCollapseTry = Long.MaxValue
     var it = 0
-    while (!done && it < maxIter) {
-      // nodes whose candidates moved: a neighbor changed, their pointer
-      // target changed, or their own label changed (its new target's
-      // label is a candidate never folded before)
-      val frontier = Stage(
-        adj.join(changed.select(col("id").as("dst")), Seq("dst"), "left_semi")
-          .select(col("src").as("id"))
-          .union(labels.join(changed.select(col("id").as("label")),
-            Seq("label"), "left_semi").select("id"))
-          .union(changed.select("id"))
-          .distinct())
-      if (roundTrace != null) roundTrace(it, frontier.count())
-      val fLabels = labels.join(frontier, Seq("id"), "left_semi")
-      val fAdj = adj.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
-      // neighbors' labels, frontier sources only
+    while (changedCnt > 0 && it < maxIter) {
+      // small-tail collapse: once the changed set is bounded, contract
+      // every edge by its endpoints' current labels; if the quotient
+      // graph fits the driver bound, finish with one collect +
+      // union-find + broadcast rep-map join instead of the remaining
+      // rounds. Re-attempted only after the changed set halves again,
+      // so a too-big quotient costs at most one extra pass per halving.
+      if (changedCnt <= maxLocalEdges && changedCnt * 2 < lastCollapseTry) {
+        lastCollapseTry = changedCnt
+        val la = labels.select(col("id").as("src"), col("label").as("la"))
+        val lb = labels.select(col("id").as("dst"), col("label").as("lb"))
+        val contracted = adj.join(la, Seq("src")).join(lb, Seq("dst"))
+          .filter(col("la") =!= col("lb"))
+          .select(col("la"), col("lb")).distinct().persist()
+        if (contracted.count() <= 2 * maxLocalEdges) {
+          val reps = unionFind(
+            contracted.collect().map(r => (r.getLong(0), r.getLong(1))))
+          import spark.implicits._
+          val repDf = reps.toSeq.toDF("label", "rep")
+          val out = labels.join(broadcast(repDf), Seq("label"), "left")
+            .select(col("id").as("doc_id"),
+              coalesce(col("rep"), col("label")).as("cluster_id"))
+          contracted.unpersist()
+          adj.unpersist()
+          return out
+        }
+        contracted.unpersist()
+      }
+      val restrict = changedCnt * 2 < nNodes
+      // restricted rounds join only frontier-adjacent labels/edges:
+      // nodes whose candidates moved because a neighbor changed, their
+      // pointer target changed, or their own label changed (its new
+      // target's label is a candidate never folded before)
+      val (fLabels, fAdj) =
+        if (!restrict) {
+          if (roundTrace != null) roundTrace(it, nNodes)
+          (labels, adj)
+        } else {
+          val frontier = Stage(
+            adj.join(changed.select(col("id").as("dst")), Seq("dst"), "left_semi")
+              .select(col("src").as("id"))
+              .union(labels.join(changed.select(col("id").as("label")),
+                Seq("label"), "left_semi").select("id"))
+              .union(changed.select("id"))
+              .distinct())
+          if (roundTrace != null) roundTrace(it, frontier.count())
+          (labels.join(frontier, Seq("id"), "left_semi"),
+            adj.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi"))
+        }
+      // neighbors' labels, (frontier) sources only
       val viaEdges = fAdj.join(labels, fAdj("dst") === labels("id"))
         .select(fAdj("src").as("id"), col("label"))
-      // pointer doubling: label(label(id)), frontier only
+      // pointer doubling: label(label(id))
       val l2 = labels.select(col("id").as("pid"), col("label").as("plabel"))
       val viaPtr = fLabels.join(l2, fLabels("label") === l2("pid"))
         .select(fLabels("id"), col("plabel").as("label"))
       val cand = fLabels.select("id", "label")
         .union(viaEdges).union(viaPtr)
         .groupBy("id").agg(min("label").as("new_label"))
-      // one staged merge feeds next round's labels AND the changed set
+      // ONE staged merge per round feeds next round's labels AND the
+      // changed set (a cheap filter re-read of the staged frame — no
+      // second checkpoint), AND the convergence count
       val merged = Stage(labels.join(cand, Seq("id"), "left")
         .select(col("id"), col("label"),
           coalesce(col("new_label"), col("label")).as("nl")))
       labels = merged.select(col("id"), col("nl").as("label"))
-      changed = Stage(merged.filter(col("nl") < col("label")).select("id"))
-      done = changed.isEmpty
+      changed = merged.filter(col("nl") < col("label")).select("id")
+      changedCnt = changed.count()
       it += 1
     }
     val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     adj.unpersist()
     out
+  }
+
+  /** Driver-side union-find with path compression + min-rep union:
+    * rep(x) = min id reachable from x. Input is a BOUNDED edge array
+    * (callers gate on an exact count ≤ maxLocalEdges first). */
+  private def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(x => x -> find(x)).toMap
+  }
+
+  /** (doc_id, cluster_id) DataFrame from a bounded local edge array. */
+  private def localComponents(spark: SparkSession,
+                              edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    unionFind(edges).toSeq.toDF("doc_id", "cluster_id")
   }
 
   /** INCREMENTAL component maintenance: fold a batch of NEW edges into

@@ -104,7 +104,7 @@ class CorpusOpsSpec extends SparkSpec {
     val path = (1000L until 1032L).map(i => (i, i + 1))
     val sizes = scala.collection.mutable.ArrayBuffer[Long]()
     val cc = Clusters.connectedComponents((star ++ path).toDF("id_a", "id_b"),
-        maxIter = 20, roundTrace = (_, n) => sizes += n)
+        maxIter = 20, roundTrace = (_, n) => sizes += n, maxLocalEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(cc(200L) == 0L && cc(1032L) == 1000L)
     assert(sizes.head >= 200L, s"round-0 frontier is the whole graph: $sizes")
@@ -130,10 +130,37 @@ class CorpusOpsSpec extends SparkSpec {
       val edges = Seq.fill(25)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
         .filter(e => e._1 != e._2)
       val expected = unionFind(30, edges)
-      val got = Clusters.connectedComponents(edges.toDF("id_a", "id_b"))
-        .as[(Long, Long)].collect().toMap
-      assert(got == expected, s"seed=$seed: $got != $expected")
+      // all three execution paths must agree with reference union-find:
+      // local fast path (default threshold), pure distributed loop
+      // (threshold 0), and mid-loop small-tail collapse (threshold 5:
+      // too small for the upfront collect, crossed once the changed
+      // set shrinks and the label-contracted quotient graph fits)
+      for (thr <- Seq(1L << 19, 0L, 5L)) {
+        val got = Clusters.connectedComponents(edges.toDF("id_a", "id_b"),
+            maxLocalEdges = thr)
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"seed=$seed thr=$thr: $got != $expected")
+      }
     }
+  }
+
+  test("mid-loop small-tail collapse finishes a long chain early and exactly") {
+    // 40-node chain: upfront collect is blocked (80 directed rows > 2*8),
+    // the loop runs until the changed set ≤ 8, then the label-quotient
+    // collapse must finish it — fewer traced rounds than the pure
+    // distributed run, identical labels
+    val edges = (0 until 40).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    var roundsCollapsed = 0
+    var roundsFull = 0
+    val got = Clusters.connectedComponents(edges, maxIter = 30,
+        roundTrace = (_, _) => roundsCollapsed += 1, maxLocalEdges = 8L)
+      .as[(Long, Long)].collect().toMap
+    val full = Clusters.connectedComponents(edges, maxIter = 30,
+        roundTrace = (_, _) => roundsFull += 1, maxLocalEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == full && got.values.toSet == Set(0L) && got.size == 41)
+    assert(roundsCollapsed < roundsFull,
+      s"collapse must cut rounds: $roundsCollapsed vs $roundsFull")
   }
 
   test("Stage reliable-checkpoint mode produces identical dedup results") {
