@@ -267,13 +267,20 @@ object Backfill {
 
   /** J2 fixpoint: fetch + upsert missing parents, recursing up the DAG
     * (charges → invoices → customers…; max depth 3, SURVEY §7.5). The
-    * reference recurses per-entity (stripeSync.ts:1762-1776); here each
-    * level is one anti-join + one chunked fetch, and the loop is bounded
-    * by the DAG depth. */
+    * reference recurses per-entity AND fetches sequentially
+    * (fetchMissingEntities, stripeSync.ts:1762-1776); here each level is
+    * one anti-join + one EXECUTOR-SIDE mapPartitions fetch over the
+    * missing-id frontier (the syncDependent seam, `width` ids per
+    * partition, partition count capped at a small multiple of cluster
+    * parallelism) — a cold-start backfill with a large missing-FK
+    * frontier parallelizes across executors instead of serializing on
+    * the driver. Only the DAG fixpoint loop stays driver-side; ids and
+    * payloads never collect. */
   def backfillParents(spark: SparkSession, tablesDir: String, batch: DataFrame,
                       tdef: TableDef, fetcher: EntityFetcher,
-                      maxDepth: Int = 4): Map[String, Long] = {
+                      maxDepth: Int = 4, width: Int = 10): Map[String, Long] = {
     if (maxDepth <= 0 || tdef.fkEdges.isEmpty) return Map.empty
+    import spark.implicits._
     // per-edge result maps must SUM across edges: two edges reaching the
     // same ancestor table (charges → customer directly and → invoice →
     // customer) would otherwise have one count silently overwrite the
@@ -282,23 +289,38 @@ object Backfill {
       missingParents(spark, tablesDir, batch, tdef).toSeq.map {
         case (parentTable, missing) =>
         val parentDef = TableDefs.byTable(parentTable)
-        val ids = missing.collect().map(_.getString(0)).toSeq
-        if (ids.isEmpty) Map.empty[String, Long]
+        val nMissing = missing.count()
+        if (nMissing == 0L) Map.empty[String, Long]
         else {
-          val fetched = ids.flatMap(id => fetcher.retrieve(parentDef, id))
-          val grandparents =
-            if (fetched.isEmpty) Map.empty[String, Long]
+          val nPart = math.max(1L, math.min(nMissing / width,
+            spark.sparkContext.defaultParallelism * 4L)).toInt
+          // persist before any action: the fetch is REMOTE and feeds
+          // three consumers (count, recursion batch, merge) — an
+          // uncached plan would re-fetch per action
+          val payloads = missing.as[String].repartition(nPart)
+            .mapPartitions(it => it.flatMap(id => fetcher.retrieve(parentDef, id)))
+            .toDF("payload")
+            .persist()
+          try {
+            if (payloads.isEmpty) Map.empty[String, Long]
             else {
-              import spark.implicits._
               val parentBatch = parentDef.projectFrom(
-                fetched.toDF("payload"), "payload", current_timestamp())
-              backfillParents(spark, tablesDir, parentBatch,
-                parentDef, fetcher, maxDepth - 1)
+                payloads, "payload", current_timestamp())
+              val grandparents = backfillParents(spark, tablesDir, parentBatch,
+                parentDef, fetcher, maxDepth - 1, width)
+              // one merge for the whole level; the A3 count rides it as
+              // an observed metric, null-key payloads excluded — same
+              // semantics as upsertChunk's chunked sum
+              val obs = org.apache.spark.sql.Observation()
+              val rows = parentDef.projectFrom(payloads, "payload", current_timestamp())
+                .observe(obs,
+                  count(when(col(parentDef.key).isNotNull, lit(1))).as("n_keyed"))
+              MergeSink.upsertParquet(rows, tablesDir, parentDef)
+              val n = obs.get("n_keyed").asInstanceOf[Long]
+              (grandparents.toSeq :+ (parentTable -> n))
+                .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
             }
-          val n = fetched.grouped(250)
-            .map(c => upsertChunk(spark, tablesDir, parentDef, c.toSeq)).sum
-          (grandparents.toSeq :+ (parentTable -> n))
-            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          } finally payloads.unpersist()
         }
       }
     perEdge.flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap

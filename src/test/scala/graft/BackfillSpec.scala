@@ -17,12 +17,11 @@ class BackfillSpec extends SparkSpec {
     "in_1" -> """{"id":"in_1","object":"invoice","total":5,"customer":"cus_1","created":9}""",
     "cus_1" -> """{"id":"cus_1","object":"customer","email":"e@x.y","created":8}""")
 
-  private val fetcher = new Backfill.EntityFetcher {
-    def list(tdef: TableDef, gte: Option[Long], lt: Option[Long]): Iterator[String] =
-      store.valuesIterator.filter(j =>
-        j.contains(s""""object":"${tdef.stripeObject}""""))
-    def retrieve(tdef: TableDef, id: String): Option[String] = store.get(id)
-  }
+  // a named top-level class, NOT an anonymous `new EntityFetcher {...}`
+  // referencing spec fields: backfillParents now fetches inside
+  // mapPartitions, so the fetcher closure must not capture the
+  // (non-serializable) spec instance
+  private val fetcher = new BackfillSpec.MapFetcher(store)
 
   test("syncSingle dispatches by id prefix and lands the row (S6)") {
     val dir = tmpDir("graft_bf1")
@@ -62,11 +61,7 @@ class BackfillSpec extends SparkSpec {
       "in_b" -> """{"id":"in_b","object":"invoice","total":7,"customer":"cus_b","created":19}""",
       "cus_a" -> """{"id":"cus_a","object":"customer","email":"a@x.y","created":18}""",
       "cus_b" -> """{"id":"cus_b","object":"customer","email":"b@x.y","created":18}""")
-    val f2 = new Backfill.EntityFetcher {
-      def list(tdef: TableDef, gte: Option[Long], lt: Option[Long]): Iterator[String] =
-        Iterator.empty
-      def retrieve(tdef: TableDef, id: String): Option[String] = store2.get(id)
-    }
+    val f2 = new BackfillSpec.MapFetcher(store2)
     val dir = tmpDir("graft_bf_sum")
     val batch = Seq(store2("ch_2")).toDF("payload")
     val projected = TableDefs.charges.projectFrom(batch, "payload", current_timestamp())
@@ -250,5 +245,51 @@ class BackfillSpec extends SparkSpec {
     // listing exactly once — nothing lost, nothing duplicated
     assert(got == docs.take(3) ++
       Seq("""{"id":"ch_0","object":"charge","amount":0}""", docs(3), docs(4), docs(5)))
+  }
+
+  test("backfillParents fetches the missing frontier on EXECUTORS, multi-partition") {
+    // 45 charges, each referencing a distinct missing customer: at
+    // width 10 the fetch must spread over >1 partition (45/10 = 4) —
+    // proving the per-id retrieve left the driver — and still land
+    // exactly the frontier, counted once per fetched parent
+    val n = 45
+    val chargeJson = (1 to n).map(i =>
+      s"""{"id":"ch_p$i","object":"charge","amount":$i,"customer":"cus_p$i","created":$i}""")
+    val parentStore = (1 to n).map(i =>
+      s"cus_p$i" -> s"""{"id":"cus_p$i","object":"customer","email":"p$i@x.y","created":$i}""").toMap
+    val partIds = spark.sparkContext.collectionAccumulator[Int]("fetchPartitions")
+    val f = new BackfillSpec.MapFetcher(parentStore, partIds)
+    val dir = tmpDir("graft_bf_exec")
+    val projected = TableDefs.charges.projectFrom(
+      chargeJson.toDF("payload"), "payload", current_timestamp())
+    val counts = Backfill.backfillParents(spark, dir, projected, TableDefs.charges, f)
+    assert(counts.get("customers").contains(n.toLong), s"got $counts")
+    assert(spark.read.parquet(s"$dir/customers").select("id").as[String]
+      .collect().toSet == (1 to n).map(i => s"cus_p$i").toSet)
+    import scala.jdk.CollectionConverters._
+    val distinctParts = partIds.value.asScala.toSet
+    assert(distinctParts.size > 1,
+      s"fetch ran in ${distinctParts.size} partition(s) — not distributed")
+  }
+}
+
+object BackfillSpec {
+  /** Serializable map-backed fetcher: backfillParents fetches inside
+    * mapPartitions, so test fetchers must ship to executors. The
+    * optional accumulator records which partition each retrieve ran in
+    * (executor-distribution proof). */
+  class MapFetcher(store: Map[String, String],
+                   partIds: org.apache.spark.util.CollectionAccumulator[Int] = null)
+      extends Backfill.EntityFetcher {
+    def list(tdef: TableDef, gte: Option[Long], lt: Option[Long]): Iterator[String] =
+      store.valuesIterator.filter(j =>
+        j.contains(s""""object":"${tdef.stripeObject}""""))
+    def retrieve(tdef: TableDef, id: String): Option[String] = {
+      if (partIds != null) {
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) partIds.add(tc.partitionId())
+      }
+      store.get(id)
+    }
   }
 }
