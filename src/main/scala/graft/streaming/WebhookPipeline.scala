@@ -19,8 +19,22 @@ final case class SyncConfig(
       * reference's latest-only model lacks. Soft-delete events
       * (deleted-split upserts) append a tombstone version; hard
       * deletes (S10) leave history intact by design — a history table
-      * exists precisely to outlive the row. */
-    historyTables: Set[String] = Set.empty)
+      * exists precisely to outlive the row. Child tables derived by
+      * normalization are versioned too when listed here:
+      * `subscription_items` (including J3 vanished-item tombstones)
+      * and `checkout_session_line_items`. */
+    historyTables: Set[String] = Set.empty,
+    /** Write every well-formed delivery's envelope to the `events`
+      * table — the ledger the reference migrates (`0009_events.sql`)
+      * but never writes (§1.2). One LWW-merged row per event id. */
+    eventsLedger: Boolean = false,
+    /** Drop redelivered event ids BEFORE the router (§2.6
+      * `dropDuplicatesWithinWatermark`-style event dedup, but exact and
+      * unbounded: a [[ReplayGuard]] ledger at `_event_guard`). The
+      * guarded merge already makes redeliveries idempotent; this knob
+      * saves the routing/merge work entirely and gives hard
+      * exactly-once accounting per event id. */
+    dedupEventIds: Boolean = false)
 
 /** The webhook hot path (SURVEY §3.1), Spark-first:
   *
@@ -46,10 +60,29 @@ class WebhookPipeline(tablesDir: String,
     "charges" -> Seq("refunds"), "invoices" -> Seq("lines"),
     "credit_notes" -> Seq("lines"), "subscriptions" -> Seq("items"))
 
+  private val eventGuardDir = s"$tablesDir/_event_guard"
+
   /** Process one micro-batch of raw event JSON (column `value`). */
   def processBatch(raw: DataFrame, batchId: Long = 0L): Unit = {
-    val envelope = StripeEvents.parseEnvelope(raw).cache()
+    // keepRaw only when the ledger needs the original event object —
+    // the hot path keeps the narrower cache
+    val parsed = StripeEvents.parseEnvelope(raw, keepRaw = config.eventsLedger)
+    val spark = raw.sparkSession
+    val deduped =
+      if (!config.dedupEventIds) parsed
+      else {
+        // pre-route replay drop: recorded event ids never reach the
+        // router (null-id rows pass through — they are the quarantine
+        // path's problem, not the guard's)
+        if (!ReplayGuard.exists(spark, eventGuardDir))
+          ReplayGuard.bootstrap(spark, eventGuardDir, nBuckets = 64)
+        ReplayGuard.filterFresh(parsed.filter(col("event_id").isNotNull),
+            "event_id", eventGuardDir)
+          .union(parsed.filter(col("event_id").isNull))
+      }
+    val envelope = deduped.cache()
     try {
+      if (config.eventsLedger) writeEventsLedger(envelope)
       // ONE aggregate decides which route groups have events — the
       // per-group emptiness probes it replaces were ~25 driver-visible
       // jobs per micro-batch, pure scheduling overhead on the hot path.
@@ -75,7 +108,28 @@ class WebhookPipeline(tablesDir: String,
       live.groupBy { case (_, action, _, _) => StripeEvents.rank(action) }
         .toSeq.sortBy(_._1)
         .foreach { case (_, groups) => runConcurrently(groups) }
+      // record AFTER all merges land: a crashed batch records nothing,
+      // the retry reprocesses, and every merge is idempotent — the
+      // standard at-least-once → exactly-once ledger ordering
+      if (config.dedupEventIds)
+        ReplayGuard.record(
+          envelope.filter(col("event_id").isNotNull).select("event_id"),
+          "event_id", eventGuardDir)
     } finally envelope.unpersist()
+  }
+
+  /** The `events` ledger (0009_events.sql parity, config-gated): LWW-
+    * merge each well-formed delivery's FULL event object into `events`,
+    * keyed by event id — the sink drops null-id rows at the door, so
+    * malformed deliveries stay the quarantine's concern. Timestamp =
+    * event.created (the body is webhook-trusted by definition; an event
+    * object is never refetched). */
+  private def writeEventsLedger(envelope: DataFrame): Unit = {
+    val tdef = TableDefs.events
+    val rows = tdef.projectFrom(
+      envelope.select(col("raw_value"), col("created")),
+      "raw_value", StripeEvents.syncTimestamp())
+    MergeSink.upsertParquet(rows, tablesDir, tdef)
   }
 
   /** Dead-letter AUDIT sink — the ops extension the reference's
@@ -171,8 +225,12 @@ class WebhookPipeline(tablesDir: String,
       fetcher.foreach { f =>
         val items = Enrichment.checkoutLineItems(events,
           TableDefs.checkoutSessionLineItems, f)
-        if (!items.isEmpty)
+        if (!items.isEmpty) {
           MergeSink.upsertParquet(items, tablesDir, TableDefs.checkoutSessionLineItems)
+          if (config.historyTables(TableDefs.checkoutSessionLineItems.table))
+            MergeSink.historyParquet(items, tablesDir,
+              TableDefs.checkoutSessionLineItems)
+        }
       }
   }
 
@@ -257,7 +315,20 @@ class WebhookPipeline(tablesDir: String,
           .select(projected.columns.toIndexedSeq.map(col): _*)
         projected.unionByName(flagged)
       } else projected
-    MergeSink.upsertParquet(batch, tablesDir, tdef)
+    // two sinks consume the batch and its plan READS the pre-merge
+    // table (the J3 set-difference): after upsertParquet swaps the
+    // directory, a lazy re-evaluation would chase deleted files — and
+    // the tombstones' current_timestamp() must freeze to ONE value —
+    // so materialize once when history is on
+    val staged = if (config.historyTables(tdef.table))
+      batch.localCheckpoint(true) else batch
+    MergeSink.upsertParquet(staged, tablesDir, tdef)
+    // SCD2 for the normalized child: the SAME batch (including the J3
+    // vanished-item tombstones, which version as deleted=true rows)
+    // feeds the history store, so child history tiles across batches
+    // exactly like parent history does
+    if (config.historyTables(tdef.table))
+      MergeSink.historyParquet(staged, tablesDir, tdef)
   }
 
   /** J4 (stripeSync.ts:1650-1660 + :1683-1712): upsert the summary's

@@ -278,6 +278,75 @@ class WebhookPipelineSpec extends SparkSpec {
     assert(readTable(twoDir, "customers__history").count() == before)
   }
 
+  test("child-table history: subscription_items SCD2 versions + J3 tombstones tile") {
+    import graft.streaming.SyncConfig
+    val dir = tmpDir("graft_childhist")
+    val pipeline = new WebhookPipeline(dir,
+      config = SyncConfig(historyTables = Set("subscription_items")))
+    def subEvent(ts: Long, items: String) =
+      s"""{"id":"evt_ch$ts","type":"customer.subscription.updated","created":$ts,
+         |"data":{"object":{"id":"sub_h","object":"subscription","status":"active",
+         |"items":{"object":"list","data":[$items]}}}}"""
+        .stripMargin.replaceAll("\n", "")
+    val itemA = """{"id":"si_ha","object":"subscription_item","quantity":1,"price":{"id":"price_1"},"subscription":"sub_h"}"""
+    val itemA2 = """{"id":"si_ha","object":"subscription_item","quantity":5,"price":{"id":"price_1"},"subscription":"sub_h"}"""
+    val itemB = """{"id":"si_hb","object":"subscription_item","quantity":2,"price":{"id":"price_2"},"subscription":"sub_h"}"""
+    pipeline.processBatch(Seq(subEvent(100, s"$itemA,$itemB")).toDF("value"))
+    // quantity change on A + B vanishes (J3): both must version in history
+    pipeline.processBatch(Seq(subEvent(200, itemA2)).toDF("value"))
+    val hist = readTable(dir, "subscription_items__history")
+    // A: v1 qty=1, v2 qty=5 (current); B: v1 live, v2 tombstone deleted=true
+    val a = hist.filter(col("id") === "si_ha").orderBy("version").collect()
+    assert(a.map(_.getAs[Long]("quantity")).toSeq == Seq(1L, 5L))
+    assert(a.last.getAs[Boolean]("is_current"))
+    val b = hist.filter(col("id") === "si_hb").orderBy("version").collect()
+    assert(b.map(_.getAs[Boolean]("deleted")).toSeq == Seq(false, true),
+      "vanished item must version as a deleted=true tombstone")
+    assert(b.last.getAs[Boolean]("is_current"))
+    // SCD2 invariants: one current per key, dense versions, tiled intervals
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("version")
+    val audit = hist.withColumn("nxt", lead("valid_from", 1).over(w))
+      .groupBy("id").agg(
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("cur"),
+        count(lit(1)).as("n"), max("version").as("maxv"),
+        sum(when(col("nxt").isNotNull && col("valid_to") =!= col("nxt"), 1L)
+          .otherwise(0L)).as("gaps"))
+    assert(audit.filter(col("cur") =!= 1L || col("maxv") =!= col("n") ||
+      col("gaps") =!= 0L).isEmpty, "child history violates SCD2 invariants")
+    // at-least-once: redelivering the second event adds no versions
+    val before = hist.count()
+    pipeline.processBatch(Seq(subEvent(200, itemA2)).toDF("value"))
+    assert(readTable(dir, "subscription_items__history").count() == before)
+  }
+
+  test("events ledger + event-id dedup: redelivery drops pre-route, ledger row intact") {
+    import graft.streaming.SyncConfig
+    val dir = tmpDir("graft_evledger")
+    val pipeline = new WebhookPipeline(dir,
+      config = SyncConfig(eventsLedger = true, dedupEventIds = true))
+    def custEvent(evtId: String, ts: Long, email: String) =
+      s"""{"id":"$evtId","type":"customer.updated","created":$ts,
+         |"data":{"object":{"id":"cus_ev","object":"customer","email":"$email"}}}"""
+        .stripMargin.replaceAll("\n", "")
+    pipeline.processBatch(Seq(custEvent("evt_led1", 100, "v1@x.com")).toDF("value"))
+    assert(readTable(dir, "customers").head().getAs[String]("email") == "v1@x.com")
+    val ledger0 = readTable(dir, "events")
+    assert(ledger0.count() == 1)
+    assert(ledger0.head().getAs[String]("id") == "evt_led1")
+    assert(ledger0.head().getAs[String]("type") == "customer.updated")
+    // REDELIVERY with the same event id but mutated body + newer created:
+    // without pre-route dedup the LWW merge would apply it (ts 300 > 100);
+    // the guard must drop it before the router ever sees it
+    pipeline.processBatch(Seq(custEvent("evt_led1", 300, "attacker@x.com")).toDF("value"))
+    assert(readTable(dir, "customers").head().getAs[String]("email") == "v1@x.com",
+      "redelivered event id must be dropped pre-route")
+    assert(readTable(dir, "events").count() == 1, "ledger row must stay intact")
+    // a genuinely new event id still flows
+    pipeline.processBatch(Seq(custEvent("evt_led2", 400, "v2@x.com")).toDF("value"))
+    assert(readTable(dir, "customers").head().getAs[String]("email") == "v2@x.com")
+    assert(readTable(dir, "events").count() == 2)
+  }
+
   test("entitlement summary delta: table converges to the current set (J4, entitlements.test.ts)") {
     val dir = tmpDir("graft_ent")
     val pipeline = new WebhookPipeline(dir)
