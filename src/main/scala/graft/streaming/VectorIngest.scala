@@ -136,6 +136,52 @@ object VectorIngest {
 
   private def cellsPath(root: String): String = s"$root/cells"
 
+  // ── optional PQ-coded cell layout ──────────────────────────────────
+  // Raw 64-dim doubles are ~512 B/vector — at billion scale that is
+  // 32x more index bytes than PQ codes. When a codebook is trained
+  // (BEFORE the first batch, like centroids), every admitted vector
+  // also stores its m sub-quantizer codes, and [[annPq]] serves in two
+  // passes: (1) ADC shortlist over a COLUMN-PRUNED scan of
+  // (vec_id, codes) — the probed partitions' code bytes only, ~3% of
+  // the raw column's I/O; (2) exact cosine rerank of the shortlist
+  // against the raw embedding column, semi-joined down to shortlist
+  // rows before any dot product. Same partition pruning as [[ann]];
+  // recall floor spec-asserted (ADC ranks by L2, rerank restores
+  // cosine order within the shortlist).
+
+  private def codebookPath(root: String): String = s"$root/codebook"
+
+  /** Train per-subspace PQ codebooks on a bootstrap sample and freeze
+    * them under `root/codebook`. OPTIONAL — when present, every
+    * subsequent [[processBatch]] stores codes alongside raw vectors
+    * (train it before the first batch: the cell store's schema is set
+    * by the first append). Frozen like centroids and for the same
+    * reason: codes must stay comparable across batches. */
+  def trainCodebook(sample: DataFrame, root: String, m: Int = 8,
+                    ksub: Int = 16, iters: Int = 5, dim: Int = 64): Unit = {
+    val cb = graft.llm.ProductQuantizer.train(sample, m, ksub, iters, dim)
+    val spark = sample.sparkSession
+    import spark.implicits._
+    cb.cents.zipWithIndex.flatMap { case (cells, s) =>
+      cells.map { case (cid, c) => (s, cid, c.toSeq) }
+    }.toDF("s", "cell", "cent")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(codebookPath(root))
+  }
+
+  /** Codebook rows → [[graft.llm.ProductQuantizer.Codebook]]; bounded
+    * collect (m·ksub rows). None when no codebook was trained. */
+  private def loadCodebook(spark: SparkSession,
+      root: String): Option[graft.llm.ProductQuantizer.Codebook] =
+    if (!Files.exists(Paths.get(codebookPath(root)))) None
+    else {
+      val rows = spark.read.parquet(codebookPath(root)).collect()
+      val cents = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map(_._2
+        .map(r => (r.getLong(1), r.getSeq[Double](2).toArray))
+        .sortBy(_._1).toIndexedSeq)
+      Some(graft.llm.ProductQuantizer.Codebook(
+        cents.size, cents.head.size, cents.head.head._2.length, cents))
+    }
+
   /** One micro-batch of (vec_id, embedding): returns the number of
     * newly indexed vectors. foreachBatch-compatible. Zero-norm vectors
     * are rejected (they have no cell and no place in cosine ranking —
@@ -152,7 +198,11 @@ object VectorIngest {
     graft.operators.MergeSink.healInterruptedSwap(spark, path)
     val guardDir = guardPath(root)
     if (!ReplayGuard.exists(spark, guardDir)) {
-      ReplayGuard.bootstrap(spark, guardDir)
+      // 64 buckets, not the 256 default: sidecar/ledger file counts set
+      // the per-batch guard I/O floor, and a vector index's id space
+      // prunes as well at 64 (the bloom capacity per bucket grows with
+      // the data either way)
+      ReplayGuard.bootstrap(spark, guardDir, nBuckets = 64)
       // migrate a pre-guard store: one-time O(index) seed of the ledger
       if (Files.exists(Paths.get(path)))
         ReplayGuard.record(
@@ -204,8 +254,16 @@ object VectorIngest {
           coalesce(size(col("embedding")), lit(-1)).as("n_dims"))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$root/_quarantine/batch_id=$batchId")
-    val assigned = graft.llm.Stage(
-      Similarity.assignToCells(fresh, cents, "vec_id", keep = 1))
+    val assignedRaw = Similarity.assignToCells(fresh, cents, "vec_id", keep = 1)
+    // PQ layout: codes ride the same staged frame — encode() is a
+    // narrow literal expression below the budget, so this adds one
+    // column to the append, not a job
+    val assigned = graft.llm.Stage(loadCodebook(spark, root) match {
+      case Some(cb) => assignedRaw.join(
+        graft.llm.ProductQuantizer.encode(
+          assignedRaw.select("vec_id", "embedding"), cb), Seq("vec_id"))
+      case None => assignedRaw
+    })
     // guard BEFORE the cell append (fail-closed): a crash between the
     // two leaves a ledgered-but-unindexed orphan reconcile() can clear,
     // never a duplicate vector. The count rides the guard's aggregate.
@@ -306,6 +364,71 @@ object VectorIngest {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** Top-k cosine neighbors off the PQ-CODED cell store, two passes:
+    * ADC shortlist over (vec_id, codes) — the probed partitions'
+    * column-pruned code bytes, never the raw embedding column — then an
+    * exact cosine rerank of the ≤`shortlist` candidates per query
+    * against raw vectors (semi-joined down before any dot product).
+    * Requires [[trainCodebook]] before the first batch. ADC ranks by
+    * approximate squared L2 (Jégou et al. 2011), the rerank restores
+    * exact cosine order within the shortlist — recall floor asserted in
+    * VectorIngestSpec, exact when `shortlist` covers the cells. */
+  def annPq(spark: SparkSession, root: String, queries: DataFrame, k: Int,
+            nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
+    healRetrainSwap(spark, root)
+    graft.operators.MergeSink.healInterruptedSwap(spark, cellsPath(root))
+    val cb = loadCodebook(spark, root).getOrElse(throw new IllegalStateException(
+      s"no PQ codebook at $root — trainCodebook before annPq"))
+    val qs = Similarity.assignToCells(
+        queries, centroids(spark, root), "query_id", keep = nProbe)
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        col("v_norm").as("q_norm"), col("list_id"))
+    val probed = qs.select("list_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val probedIn = probed.toIndexedSeq.map(_.asInstanceOf[Any])
+    // per-query ADC distance tables (m·ksub doubles) computed ONCE and
+    // broadcast with the probe rows — a candidate's score is m array
+    // lookups, never a D-dim dot product
+    val withTables = (0 until cb.m).foldLeft(qs) { (df, s) =>
+      val qSub = slice(col("q_emb"), s * cb.subDim + 1, cb.subDim)
+      val table = array(cb.cents(s).map { case (_, c) =>
+        val cArr = array(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(c.map(lit)): _*)
+        lit(c.map(x => x * x).sum) - lit(2.0) * Similarity.dot(qSub, cArr)
+      }: _*)
+      df.withColumn(s"__t$s", table)
+    }
+    // pass 1: codes-only scan of the probed partitions (ReadSchema
+    // excludes the embedding column — the 32x I/O cut)
+    val codes = spark.read.parquet(cellsPath(root))
+      .filter(col("list_id").isin(probedIn: _*))
+      .select(col("vec_id").as("neighbor_id"), col("codes"), col("list_id"))
+    val adcScore = (0 until cb.m).map { s =>
+      element_at(col(s"__t$s"), element_at(col("codes"), s + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    val short = broadcast(withTables).join(codes, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", adcScore)
+      .withColumn("srnk", row_number().over(wAdc))
+      .filter(col("srnk") <= shortlist)
+      .select("query_id", "neighbor_id", "q_emb", "q_norm")
+    // pass 2: exact rerank — raw embeddings only for shortlist rows
+    val raw = spark.read.parquet(cellsPath(root))
+      .filter(col("list_id").isin(probedIn: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("v_norm").as("c_norm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    short.join(raw, Seq("neighbor_id"))
+      .withColumn("sim",
+        Similarity.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk")
   }

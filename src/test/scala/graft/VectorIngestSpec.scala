@@ -228,4 +228,45 @@ class VectorIngestSpec extends SparkSpec {
     // and a genuine replay of it is still rejected
     assert(VectorIngest.processBatch(fixed, root, batchId = 3L) == 0L)
   }
+
+  test("PQ-coded cell store: codes ride appends; annPq reranks exact at full coverage; replay + compaction intact") {
+    val root = tmpDir("vindex_pq")
+    val all = (rows(0 until 16, 0) ++ rows(100 until 116, 1))
+      .toDF("vec_id", "embedding")
+    VectorIngest.trainCentroids(all, root, kCells = 2, iters = 3, dim = 4)
+    VectorIngest.trainCodebook(all, root, m = 2, ksub = 4, iters = 3, dim = 4)
+    val b1 = (rows(0 until 16, 0) ++ rows(100 until 108, 1))
+      .toDF("vec_id", "embedding")
+    val b2 = (rows(108 until 116, 1) ++ rows(0 until 4, 0)) // 0-3 replayed
+      .toDF("vec_id", "embedding")
+    assert(VectorIngest.processBatch(b1, root) == 24L)
+    assert(VectorIngest.processBatch(b2, root) == 8L)
+    assert(VectorIngest.processBatch(b2, root) == 0L) // replay no-op, coded store
+    val cells = spark.read.parquet(s"$root/cells")
+    assert(cells.columns.contains("codes"))
+    assert(cells.select(size(col("codes"))).distinct()
+      .as[Int].collect().toSeq == Seq(2), "m codes per vector")
+    // shortlist covering the store + all cells probed → the exact rerank
+    // IS brute-force cosine top-k
+    val queries = all.filter($"vec_id" < 4)
+    val exact = Similarity.bruteForceKnn(all, queries, k = 3)
+    val served = VectorIngest.annPq(spark, root, queries, k = 3,
+      nProbe = 2, shortlist = 64)
+    assert(served.exceptAll(exact).isEmpty && exact.exceptAll(served).isEmpty,
+      "full-coverage annPq must equal brute force")
+    // a narrow ADC shortlist still recalls most true neighbors (floor)
+    val narrow = VectorIngest.annPq(spark, root, queries, k = 3,
+      nProbe = 1, shortlist = 6)
+    val hits = narrow.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits >= 8L, s"PQ recall floor: $hits/12 exact pairs recovered")
+    // compaction preserves the coded layout and the served answer
+    val (before, after) = VectorIngest.compactCells(spark, root)
+    assert(after <= before)
+    assert(spark.read.parquet(s"$root/cells").columns.contains("codes"))
+    val reServed = VectorIngest.annPq(spark, root, queries, k = 3,
+      nProbe = 2, shortlist = 64)
+    assert(reServed.exceptAll(exact).isEmpty && exact.exceptAll(reServed).isEmpty)
+    // orphan reconcile works on the coded store
+    assert(VectorIngest.reconcile(spark, root).isEmpty)
+  }
 }
