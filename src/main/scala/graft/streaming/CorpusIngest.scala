@@ -102,7 +102,11 @@ object CorpusIngest {
     graft.operators.MergeSink.healInterruptedSwap(spark, corpusDir)
     val guardDir = guardPath(sigDir)
     if (!ReplayGuard.exists(spark, guardDir)) {
-      ReplayGuard.bootstrap(spark, guardDir)
+      // guard bucket count FOLLOWS the signature store's: one pruning
+      // granularity across the co-maintained artifacts, and 4x fewer
+      // sidecar files + ledger partition dirs than the 256 default —
+      // per-batch sidecar I/O and compaction are file-count-bound
+      ReplayGuard.bootstrap(spark, guardDir, nBuckets = nBuckets)
       if (Files.exists(Paths.get(sigDir))) // migrate a pre-guard store
         ReplayGuard.record(
           spark.read.parquet(sigDir).select("doc_id"), "doc_id", guardDir)
@@ -153,10 +157,18 @@ object CorpusIngest {
       .withColumn("__ok", coalesce(wellFormed, lit(false)))
       .withColumn("__q", coalesce(qPass, lit(false)))
       .observe(obs, count(when(!col("__ok") || !col("__q"), lit(1))).as("n_bad"))
-    val dedupedIds = ReplayGuard.filterFresh(
+    // ONE staged batch frame shared by every per-batch consumer: the
+    // guard probe re-references the batch ~4x (touched-bucket collect,
+    // the bloom's definitely-new/probable-hit splits, the ledger
+    // anti-join), and the shingle pass + final keep anti-join read it
+    // again — unstaged, each action re-ran the source scan and the
+    // validation projection. The quarantine metric rides this
+    // materialization (observe sits below it), so a clean batch still
+    // pays zero extra jobs for the audit.
+    val cleanBatch = graft.llm.Stage(
       flagged.filter(col("__ok") && col("__q")).select("doc_id", "text")
-        .dropDuplicates("doc_id"),
-      "doc_id", guardDir)
+        .dropDuplicates("doc_id"))
+    val dedupedIds = ReplayGuard.filterFresh(cleanBatch, "doc_id", guardDir)
     // the metric can come back ABSENT, not 0: if every row is filtered
     // and the source folds to an empty LocalRelation (test batches;
     // defensively, any statically-empty plan), PropagateEmptyRelation
@@ -230,9 +242,12 @@ object CorpusIngest {
     val spark = fresh.sparkSession
     val (nBuckets, numPerms, bands) = BandStore.meta(spark, bandsDir)
     // referenced by the self-join, the store join and the bucket collect
-    val nb0 = graft.llm.Stage(
-      Dedup.bandsFromSignatures(freshSigs, numPerms, bands)
-        .filter(col("band_hash").isNotNull))
+    // — but NOT checkpointed: `freshSigs` arrives staged, so every
+    // re-reference replays only a narrow projection+explode over
+    // in-memory blocks (its former Stage was one more job per batch
+    // buying nothing)
+    val nb0 = Dedup.bandsFromSignatures(freshSigs, numPerms, bands)
+      .filter(col("band_hash").isNotNull)
     BandStore.prunedFor(spark, bandsDir, nb0) match {
       case None => // no store overlap: within-batch dedup only
         val (nb, _) = Dedup.capJointBuckets(nb0, nb0.limit(0), maxBandDf)
