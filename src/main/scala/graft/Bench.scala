@@ -38,6 +38,42 @@ import scala.collection.mutable
   */
 object Bench {
 
+  /** Extract the per-query seconds map from a prior round's bench
+    * artifact (either the raw one-line JSON or the driver's wrapper,
+    * whose "tail" field carries the line with escaped quotes). Takes
+    * the LAST "queries" object — the line is emitted twice and the
+    * tail may be front-truncated, so only the last copy is guaranteed
+    * complete. Forgiving by design: any malformed input → empty map →
+    * the regression gate silently disarms. */
+  private[graft] def parsePriorQueries(text: String): Map[String, Double] = {
+    val t = text.replace("\\\"", "\"")
+    val marker = "\"queries\":{"
+    val qIdx = t.lastIndexOf(marker)
+    if (qIdx < 0) return Map.empty
+    val start = qIdx + marker.length
+    val end = t.indexOf('}', start)
+    if (end < 0) return Map.empty
+    t.substring(start, end).split(",").iterator.flatMap { kv =>
+      kv.split(":") match {
+        case Array(k, v) =>
+          val key = k.trim.stripPrefix("\"").stripSuffix("\"")
+          scala.util.Try(v.trim.toDouble).toOption
+            .filter(_ => key.nonEmpty).map(key -> _)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Keys whose current min regressed more than `factor` vs the prior
+    * artifact — the calm-box gate's comparator (pure; spec-tested).
+    * Keys absent from the prior round (new entries) never flag. */
+  private[graft] def regressedKeys(current: Map[String, Double],
+                                   prior: Map[String, Double],
+                                   factor: Double = 1.5): Seq[String] =
+    current.iterator.collect {
+      case (k, v) if prior.get(k).exists(p => p > 0 && v > p * factor) => k
+    }.toSeq.sorted
+
   /** Prefault heap by touching one long per 4 KiB page across many
     * threads, bounded by `capSec` — replaces -XX:+AlwaysPreTouch, whose
     * serial fault-in of 12 GiB took ~7 min of JVM startup here
@@ -99,6 +135,10 @@ object Bench {
     // fields that artifact is indistinguishable from regression).
     val runs = new ConcurrentHashMap[String, Int]()
     val passesDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    // calm-box regression gate state (see the gate below the sweep)
+    val rerunsDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stillRegressed =
+      new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
 
     // Local-iteration knob: BENCH_ONLY=q55,q92 times just those queries
     // (exact name or prefix). Unset (the driver's case) → full inventory.
@@ -175,7 +215,14 @@ object Bench {
         best.getOrDefault(q.name, 0.0) >= longQuerySec &&
         runs.getOrDefault(q.name, 0) < passesDone.get).map(_.name).toSet
       val singles = inventory.count(q => runs.getOrDefault(q.name, 0) == 1)
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":${passesDone.get},"singles":$singles,"settled":${settledNames.size},"queries":$qs$cancelledField,"sf":"$sfDir"}"""
+      // regression-gate verdict: reruns = extra timed runs the gate
+      // spent; regressed = entries STILL >1.5x their prior-round min
+      // after those reruns (empty field omitted to keep the line short)
+      val regressed = stillRegressed.get
+      val regressedField = if (regressed.isEmpty) ""
+        else regressed.map("\"" + _ + "\"")
+          .mkString(",\"regressed\":[", ",", "]")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":${passesDone.get},"reruns":${rerunsDone.get},"singles":$singles,"settled":${settledNames.size},"queries":$qs$cancelledField$regressedField,"sf":"$sfDir"}"""
     }
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def emitJson(): Unit = {
@@ -259,6 +306,44 @@ object Bench {
       }))
       pool.shutdown()
       pool.awaitTermination(1, TimeUnit.DAYS)
+    }
+
+    // Calm-box regression gate (round-8 lesson: BENCH_r08 shipped q92 at
+    // 11.8 s off a noisy passes=2 artifact — a min-of-3 re-run read
+    // 4.25 s): any completed entry whose min regressed >1.5x vs the
+    // previous round's artifact gets up to two extra timed runs —
+    // min-of-N absorbs page-reclaim noise — and whatever STAYS regressed
+    // is named in the JSON, so a reader sees "regressed", never just a
+    // silently bigger number. BENCH_PRIOR overrides the artifact path
+    // (default: newest BENCH_r*.json in cwd, the driver's layout);
+    // missing or unparseable priors disarm the gate. Reruns are budget-
+    // capped so a genuinely slower inventory cannot spiral the wall.
+    val priorText: Option[String] = sys.env.get("BENCH_PRIOR")
+      .orElse(Option(new java.io.File(".").listFiles()).flatMap(
+        _.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(_.getName).lastOption.map(_.getPath)))
+      .flatMap(p => scala.util.Try(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8)).toOption)
+    val prior = priorText.map(parsePriorQueries).getOrElse(Map.empty)
+    if (prior.nonEmpty) {
+      def mins: Map[String, Double] = inventory.flatMap(q =>
+        if (best.containsKey(q.name))
+          Some(shortKey(q.name) -> (best.get(q.name): Double))
+        else None).toMap
+      val rerunDeadline =
+        elapsed + sys.env.getOrElse("BENCH_RERUN_BUDGET_SEC", "150").toDouble
+      regressedKeys(mins, prior).foreach { key =>
+        inventory.filter(q => shortKey(q.name) == key).foreach { q =>
+          var r = 0
+          while (r < 2 && elapsed < rerunDeadline &&
+              prior.get(key).exists(p => best.get(q.name) > p * 1.5)) {
+            timeOne(q, s"rerun$r", math.min(queryTimeoutSec, rerunDeadline - elapsed))
+            rerunsDone.incrementAndGet(); r += 1
+          }
+        }
+      }
+      stillRegressed.set(regressedKeys(mins, prior))
     }
 
     // Emit once before stop (in case stop hangs and the harness kills us),

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench runner's calm-box regression gate — pure comparator +
+  * prior-artifact parser (no Spark): the gate that would have caught
+  * round-8's q92 11.8 s noise artifact before it shipped. */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("parsePriorQueries reads a raw bench line") {
+    val line = """{"metric":"total","value":9.5,"unit":"sec","passes":3,""" +
+      """"queries":{"q01":0.285,"q92":2.602,"qs1":3.210},"sf":"/x"}"""
+    assert(Bench.parsePriorQueries(line) ==
+      Map("q01" -> 0.285, "q92" -> 2.602, "qs1" -> 3.210))
+  }
+
+  test("parsePriorQueries reads the driver wrapper's escaped, twice-emitted tail") {
+    // the driver artifact wraps the line in a "tail" string with escaped
+    // quotes, often front-truncated and containing the line twice — only
+    // the LAST queries object is guaranteed complete
+    val tail = """{"n": 8, "rc": 0, "tail": "211},\"sf\":\"x\"}\n""" +
+      """{\"metric\":\"total\",\"value\":1.0,\"passes\":2,""" +
+      """\"queries\":{\"q92\":2.602,\"q55\":4.571},\"sf\":\"x\"}"}"""
+    assert(Bench.parsePriorQueries(tail) ==
+      Map("q92" -> 2.602, "q55" -> 4.571))
+  }
+
+  test("parsePriorQueries is forgiving: garbage disarms the gate") {
+    assert(Bench.parsePriorQueries("").isEmpty)
+    assert(Bench.parsePriorQueries("{\"no\":\"queries\"}").isEmpty)
+    assert(Bench.parsePriorQueries("\"queries\":{").isEmpty)
+    assert(Bench.parsePriorQueries("\"queries\":{\"q1\":not_a_number}").isEmpty)
+  }
+
+  test("regressedKeys flags >factor regressions only, sorted; new keys never flag") {
+    val prior = Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> 0.5, "qz" -> 0.0)
+    val current = Map(
+      "q1" -> 1.49,  // within 1.5x: fine
+      "q2" -> 3.01,  // just over 1.5x: flag
+      "q3" -> 5.0,   // 10x: flag
+      "q9" -> 99.0,  // new entry, no prior: never flags
+      "qz" -> 1.0)   // zero prior: never flags (division guard)
+    assert(Bench.regressedKeys(current, prior) == Seq("q2", "q3"))
+    // a looser factor clears the marginal one
+    assert(Bench.regressedKeys(current, prior, factor = 4.0) == Seq("q3"))
+    // empty prior disarms
+    assert(Bench.regressedKeys(current, Map.empty).isEmpty)
+  }
+}
