@@ -220,13 +220,19 @@ object SinkQueries {
         // try/finally like qs2: a failure mid-pipeline must not leak the
         // temp sink dir for the life of the bench host
         val counts = try {
+          // reference-default config (no ledger/guard): qs1 stays the
+          // comparable-across-rounds merge hot path; qs6 times the
+          // events-ledger + event-id-dedup variant
           val pipeline = new WebhookPipeline(dir)
           val df = Seq.fill(copies)(fx).flatten.toDF("value")
           (0 until batches).foreach(i => pipeline.processBatch(df, i.toLong))
           // counts are collected EAGERLY: the temp sink state is deleted
-          // below, so the returned frame must not re-read it lazily
+          // below, so the returned frame must not re-read it lazily.
+          // `_event_guard` is ledger/bloom state, not a parquet table —
+          // only `_quarantine` among the underscore dirs is countable.
           val tables = new java.io.File(dir).listFiles()
-            .filter(_.isDirectory).map(_.getName).sorted.toSeq
+            .filter(_.isDirectory).map(_.getName)
+            .filter(t => !t.startsWith("_") || t == "_quarantine").sorted.toSeq
           // ~21 independent metadata-only count jobs: run them on a thread
           // pool so wall time is one job launch, not 21 sequential ones
           // (job-launch overhead dominates counts at fixture scale)
@@ -244,6 +250,97 @@ object SinkQueries {
         } finally rm(new java.io.File(dir))
         counts.toDF("table", "n_rows").orderBy("table")
       }
+    },
+
+    // qs1's round-9 variant: the `events` LEDGER (0009_events.sql
+    // parity — the table the reference migrates but never writes) plus
+    // PRE-ROUTE event-id dedup through a ReplayGuard at `_event_guard`.
+    // Batch 0 admits the corpus (every envelope LWW-merged into
+    // `events`, every routed entity merged as usual); batch 1 redelivers
+    // the IDENTICAL corpus — every event id must be dropped before the
+    // router, so NO table (ledger included) may change. VALUE-CHECKED
+    // IN-QUERY (qs3 pattern): check_replay_noop is a deterministic
+    // pass/fail encoding of exactly-once accounting; the result is sink
+    // state → rows-only; WebhookPipelineSpec golden-checks the same
+    // path row by row.
+    Q.noOracle("qs6_event_ledger") { (s, _) =>
+      import s.implicits._
+      val fx: Seq[String] =
+        if (Files.exists(Paths.get(fixtureDir))) {
+          val stream = Files.list(Paths.get(fixtureDir))
+          try stream.iterator().asScala
+            .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+            .map(p => new String(Files.readAllBytes(p)).replaceAll("\n", " "))
+          finally stream.close()
+        } else Seq.empty
+      if (fx.isEmpty) Seq(("no_fixtures", 0L)).toDF("key", "n")
+      else {
+        val dir = Files.createTempDirectory("graft_ledgerbench").toString
+        try {
+          val pipeline = new WebhookPipeline(dir, config =
+            graft.streaming.SyncConfig(eventsLedger = true, dedupEventIds = true))
+          val df = fx.toDF("value")
+          pipeline.processBatch(df, 0L)
+          // pooled like qs1's counts: ~21 metadata-only jobs per call,
+          // sequential launches would dominate the entry's wall time
+          def tableCounts(): Map[String, Long] = {
+            val tables = new java.io.File(dir).listFiles().filter(_.isDirectory)
+              .map(_.getName)
+              .filter(t => !t.startsWith("_") || t == "_quarantine").toSeq
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(16, math.max(1, tables.size)))
+            try tables.map { t =>
+              pool.submit(new java.util.concurrent.Callable[(String, Long)] {
+                def call(): (String, Long) = (t, s.read.parquet(s"$dir/$t").count())
+              })
+            }.map(_.get()).toMap
+            finally pool.shutdown()
+          }
+          val after1 = tableCounts()
+          pipeline.processBatch(df, 1L) // full redelivery: dropped pre-route
+          val after2 = tableCounts()
+          Seq(("events_rows", after1.getOrElse("events", 0L)),
+              ("tables_written", after1.size.toLong),
+              ("check_ledger_nonempty",
+                if (after1.getOrElse("events", 0L) > 0L) 1L else 0L),
+              ("check_replay_noop", if (after1 == after2) 1L else 0L))
+            .toDF("key", "n").orderBy("key")
+        } finally rm(new java.io.File(dir))
+      }
+    },
+
+    // qs2's PQ-CODED variant: same lifecycle (frozen centroids, guarded
+    // batch, partition-pruned probes) but the cell store also carries
+    // m=8 sub-quantizer codes and serving goes ADC-shortlist-then-exact-
+    // rerank ([[VectorIngest.annPq]]) — the memory-bound layout for
+    // billion-scale stores (codes are ~3% of the raw column's bytes).
+    // VALUE-CHECKED IN-QUERY (qs3 pattern) with a RECALL FLOOR, not
+    // equality: ADC ranks by approximate L2, and k-means cell boundaries
+    // drift with partition summation order, so exact-match would flake —
+    // check_recall_floor = 1 whenever served∩exact ≥ 60% (typical ~90%).
+    Q.noOracle("qs7_ann_pq") { (s, dir) =>
+      import s.implicits._
+      val emb = graft.Tables(s, dir, "embeddings")
+      val root = Files.createTempDirectory("graft_annpqbench").toString
+      try {
+        val boot = emb.filter(col("vec_id") < 1024)
+        graft.streaming.VectorIngest.trainCentroids(boot, root, kCells = 8, iters = 2)
+        graft.streaming.VectorIngest.trainCodebook(boot, root, m = 8, ksub = 16, iters = 2)
+        val n = graft.streaming.VectorIngest.processBatch(emb, root)
+        val queries = emb.filter(col("vec_id") < 32)
+        val served = graft.streaming.VectorIngest.annPq(
+          s, root, queries, k = 10, nProbe = 6, shortlist = 100)
+        val exact = graft.llm.Similarity.bruteForceKnn(emb, queries, k = 10)
+        // collected EAGERLY: the index dir dies in the finally
+        val hits = served.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .count()
+        val total = exact.count()
+        Seq(("indexed", n), ("served_rows", served.count()),
+            ("exact_rows", total),
+            ("recall_pct", hits * 100L / math.max(1L, total)),
+            ("check_recall_floor", if (hits * 100L >= 60L * total) 1L else 0L))
+          .toDF("key", "n").orderBy("key")
+      } finally rm(new java.io.File(root))
     }
   )
 }
