@@ -63,15 +63,30 @@ object Classifier {
 
   /** shared scoring tail: weight join → doc aggregate → mean milli-bits
     * → keep flag. ONE owner, so train-time ([[nbQualityScores]]) and
-    * deploy-time ([[scoreWithWeights]]) scores cannot diverge. */
+    * deploy-time ([[scoreWithWeights]]) scores cannot diverge.
+    *
+    * Every input doc gets an EXPLICIT output row: a document whose
+    * every token is out-of-vocabulary (possible only on the deploy
+    * path, where the scored corpus can outrun the training vocab)
+    * scores 0 — no evidence either way, the NB neutral — and takes the
+    * same threshold decision as any other doc. The earlier inner-join
+    * form emitted NO row for such docs: neither kept nor rejected, and
+    * silently dropped by any pipeline composing keep-filters by
+    * doc_id join. `n_tokens` counts IN-VOCAB occurrences (0 for an
+    * all-OOV doc), unchanged. */
   private def scoreTokens(toks: DataFrame, weights: DataFrame,
                           minScoreMbits: Long,
                           broadcastVocab: Boolean): DataFrame = {
     val wSide = if (broadcastVocab) broadcast(weights) else weights
-    toks.join(wSide, "tok")
+    val scored = toks.join(wSide, "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("w_bits").cast("long").as("sum_bits"))
       .withColumn("score_mbits", expr("(sum_bits * 1000) DIV n_tokens"))
+    toks.select("doc_id").distinct().join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        coalesce(col("score_mbits"), lit(0L)).as("score_mbits"))
       .withColumn("kept", (col("score_mbits") >= lit(minScoreMbits)).cast("long"))
       .select("doc_id", "n_tokens", "sum_bits", "score_mbits", "kept")
   }
@@ -120,8 +135,9 @@ object Classifier {
 
   /** Score a corpus with an ALREADY-TRAINED weight table — the deploy
     * half (train on the labeled reference split once, apply to any
-    * corpus; tokens absent from the vocabulary contribute nothing).
-    * Same shapes and flags as [[nbQualityScores]]. */
+    * corpus; tokens absent from the vocabulary contribute nothing, and
+    * a doc with NO in-vocab token scores an explicit 0 — see
+    * [[scoreTokens]]). Same shapes and flags as [[nbQualityScores]]. */
   def scoreWithWeights(docs: DataFrame, weights: DataFrame,
                        minScoreMbits: Long = 0L,
                        broadcastVocab: Boolean = true): DataFrame =

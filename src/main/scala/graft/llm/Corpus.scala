@@ -902,9 +902,17 @@ object Corpus {
     val spec = cnt.groupBy("r").agg(count(lit(1)).as("n_r"))
     // a spectrum row for count r' supplies N_{r+1} to the row r = r'−1
     val next = spec.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+    // (r+1)·N_{r+1}·10⁶ accumulates in DECIMAL(38,0) (the
+    // centroidOutliers discipline): r·N_{r+1} is bounded by total
+    // tokens T, so a BIGINT product would wrap silently past T ≈ 9e12
+    // — decimal keeps the ppm exact at any corpus size (the BIGINT
+    // result column itself is safe: DIV by n_r ≥ 1 lands back under T·10⁶
+    // only when the product fit, and with decimal it always computes
+    // exactly first)
     spec.join(next, Seq("r"), "left")
       .select(col("r"), col("n_r"),
-        expr("coalesce((r + 1) * n_next * 1000000 DIV n_r, 0)")
+        expr("coalesce(CAST((CAST(r AS DECIMAL(38,0)) + 1) * n_next * 1000000 " +
+          "DIV n_r AS BIGINT), 0)")
           .as("gt_star_ppm"))
   }
 }

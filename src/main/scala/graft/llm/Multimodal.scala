@@ -98,10 +98,18 @@ object Multimodal {
     * pHash needs the decoded pixels (here the payload bytes stand in —
     * deterministic integer slot sums, so the hash is oracle-exact).
     * 64 bits as one BIGINT: integer cross-multiplied mean comparison
-    * (sum_b · 64 ≥ total), no float anywhere. */
+    * (sum_b · 64 ≥ total), no float anywhere.
+    *
+    * Zero-length (and null) payloads are EXCLUDED: an empty asset has
+    * no content to fingerprint — all slot sums 0 would make every
+    * `0·64 ≥ 0` bit test true, hashing EVERY empty doc to -1L and
+    * pairing them all at hamming 0 (and the q135 oracle generates no
+    * slot rows for empty text, so the row would diverge cross-engine).
+    * Dropping them matches the oracle's implicit drop. */
   def perceptualHash(docs: DataFrame, bits: Int = 64): DataFrame = {
     require(bits == 64, "the packed-BIGINT layout is 64-bit")
     val withBytes = withPayload(docs).select(col("doc_id"), col("payload"))
+      .filter(length(col("payload")) > 0)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("phash", LongType)))
     implicit val enc = RowEncoder.encoderFor(schema)

@@ -614,6 +614,80 @@ object CurationQueries {
         .join(docs.select("doc_id", "source"), Seq("doc_id"))
         .select("doc_id", "source", "n_blocks", "n_removed", "text_clean")
         .orderBy("doc_id")
+    },
+
+    // TWO-MODALITY joint dedup (round-9): a doc pair is a duplicate if
+    // it is near-dup in EITHER modality — image (perceptual-hash
+    // pigeonhole banding over the payload seam, q135's operator) OR
+    // text (SimHash chunk banding, q71's) — and connected components
+    // over the UNION edge list collapses chains that cross modalities
+    // (a≈b by image, b≈c by text ⇒ {a,b,c} one cluster), exactly how a
+    // production multimodal pipeline (LAION-style) dedups caption+image
+    // pairs. Keep-list = min-id representative per cluster. The oracle
+    // replays BOTH fingerprint families and the recursive-CTE CC.
+    Q("q140_multimodal_joint_dedup",
+      """WITH RECURSIVE
+        | chars AS (SELECT doc_id, s.p AS p, s.c AS c
+        |      FROM (SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+        |          i -> {'p': i, 'c': ascii(substr(text, CAST(i AS INTEGER), 1))})) AS s
+        |        FROM documents)),
+        | slots AS (SELECT doc_id, (p - 1) % 64 AS slot, sum(c) AS sc
+        |           FROM chars GROUP BY 1, 2),
+        | tot AS (SELECT doc_id, sum(sc) AS t FROM slots GROUP BY 1),
+        | pbits AS (SELECT s.doc_id, s.slot,
+        |        CASE WHEN s.sc * 64 >= tot.t THEN 1 ELSE 0 END AS bit
+        |       FROM slots s JOIN tot USING (doc_id)),
+        | ph AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN slot = 63 AND bit = 1 THEN -9223372036854775808
+        |                 WHEN bit = 1 THEN (CAST(1 AS BIGINT) << CAST(slot AS INTEGER))
+        |                 ELSE 0 END) AS BIGINT) AS h
+        |       FROM pbits GROUP BY 1),
+        | ck AS (SELECT doc_id, h, k, (h >> CAST(k * 16 AS INTEGER)) & 65535 AS cv
+        |        FROM ph, range(0, 4) t(k)),
+        | ppairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM ck a JOIN ck b ON a.k = b.k AND a.cv = b.cv
+        |         AND a.doc_id < b.doc_id
+        |       WHERE bit_count(xor(a.h, b.h)) <= 3),
+        | toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        | hx AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(1, length(tok) + 1),
+        |            i -> CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |          (a, c) -> (a * 131 + c) % 4294967291) AS h
+        |        FROM toks),
+        | tbits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+        |          FROM hx CROSS JOIN range(0, 32) t(b) GROUP BY doc_id, b),
+        | sims AS (SELECT doc_id, CAST(sum(CASE WHEN tally > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+        |          FROM tbits GROUP BY doc_id),
+        | sch AS (SELECT doc_id, simhash, c AS chunk,
+        |          (simhash >> CAST(c * 8 AS INTEGER)) & 255 AS chv
+        |        FROM sims CROSS JOIN range(0, 4) t(c)),
+        | tpairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |          FROM sch x JOIN sch y ON x.chunk = y.chunk AND x.chv = y.chv
+        |           AND x.doc_id < y.doc_id
+        |          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+        | up AS (SELECT id_a, id_b FROM ppairs UNION SELECT id_a, id_b FROM tpairs),
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM up
+        |           UNION SELECT id_b, id_a FROM up),
+        | reach AS (SELECT src AS id, dst AS r FROM edges
+        |           UNION
+        |           SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        | cl AS (SELECT id AS doc_id, min(least(id, r)) AS cluster_id
+        |        FROM reach GROUP BY id)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.{Clusters, Multimodal}
+      val docs = Tables(s, dir, "documents")
+      val img = Multimodal.perceptualNearDupPairs(docs, maxHamming = 3)
+        .select("id_a", "id_b")
+      val txt = Dedup.simHashPairs(docs, maxHamming = 3)
+        .select("id_a", "id_b")
+      val dropped = Clusters.connectedComponents(img.union(txt))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
     }
   )
 }

@@ -278,4 +278,72 @@ class CurationSpec extends SparkSpec {
       broadcastVocab = false).orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("scoreWithWeights emits an explicit 0 row for an all-OOV doc") {
+    val train = Seq((0L, "alpha beta", true), (1L, "gamma delta", false))
+      .toDF("doc_id", "text", "is_good")
+    val w = Classifier.weightsFromCounts(Classifier.countState(train, col("is_good")))
+    // doc 11 is entirely out-of-vocabulary: it must still get a row —
+    // score 0 (no evidence), the threshold decision explicit — instead
+    // of silently vanishing from the scored output
+    val apply = Seq((10L, "alpha zeta"), (11L, "omega psi")).toDF("doc_id", "text")
+    val out = Classifier.scoreWithWeights(apply, w, minScoreMbits = 0L)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    val oov = out(1)
+    assert(oov.getLong(0) == 11L && oov.getAs[Long]("n_tokens") == 0L &&
+      oov.getAs[Long]("score_mbits") == 0L && oov.getAs[Long]("kept") == 1L)
+  }
+
+  test("multimodal joint dedup: planted cross-modality duplicates collapse via union CC") {
+    import graft.llm.{Clusters, Multimodal}
+    // PLANTS (q140's composition). For short lowercase text payloads the
+    // perceptual hash reduces to the SPACE-POSITION pattern (every
+    // letter's slot sum clears the mean, every space misses it), and
+    // SimHash is order-free over the token multiset — which gives exact
+    // single-modality constructions:
+    //   image-ONLY pair (1,2): swapping the chars at distance 64 keeps
+    //   every phash slot sum (slot i folds positions i and i+64) →
+    //   identical phash, while the TOKENS change (cat/dog vs dat/cog) →
+    //   far SimHash;
+    //   text-ONLY pair (3,4): the same token multiset permuted → equal
+    //   SimHash, but the word-length layout moves every space → phash
+    //   hamming 8;
+    //   image-ONLY bridge (3,5): different words with the SAME length
+    //   structure → identical space pattern (phash hamming 0), disjoint
+    //   tokens → far SimHash.
+    // Expect clusters {1,2} and {3,4,5} — the latter merged by one edge
+    // per modality (the chain CROSSES modalities); keep-list = min ids.
+    val d1 = "cat " * 16 + "dog " * 16
+    val d2 = "dat " * 16 + "cog " * 16
+    val d3 = "red blue green yellow purple"
+    val d4 = "purple yellow green blue red"
+    val d5 = "tan pink coral violet orchid"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4), (5L, d5),
+      (6L, "unique zebra quartz violin meadow")).toDF("doc_id", "text")
+    // planted provenance: each edge exists in exactly ONE modality
+    val img = Multimodal.perceptualNearDupPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val txt = graft.llm.Dedup.simHashPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(img.contains((1L, 2L)) && !txt.contains((1L, 2L)),
+      s"(1,2) must be image-only: img=$img txt=$txt")
+    assert(txt.contains((3L, 4L)) && !img.contains((3L, 4L)),
+      s"(3,4) must be text-only: img=$img txt=$txt")
+    assert(img.contains((3L, 5L)) && !txt.contains((3L, 5L)),
+      s"(3,5) must be image-only: img=$img txt=$txt")
+    // the q140 composition: CC over the union edge list, keep min ids
+    val edges = Multimodal.perceptualNearDupPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b")
+      .union(graft.llm.Dedup.simHashPairs(docs, maxHamming = 3)
+        .select("id_a", "id_b"))
+    val cc = Clusters.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(2L) == 1L, s"image pair must merge: $cc")
+    assert(cc(4L) == 3L && cc(5L) == 3L,
+      s"cross-modality chain must merge {3,4,5}: $cc")
+    val dropped = cc.collect { case (id, rep) if id != rep => id }.toSet
+    val kept = (1L to 6L).toSet -- dropped
+    assert(kept == Set(1L, 3L, 6L))
+  }
 }
