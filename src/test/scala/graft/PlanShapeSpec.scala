@@ -187,6 +187,33 @@ class PlanShapeSpec extends SparkSpec {
       graft.llm.KMeans.assign(emb, cents).filter(col("cell") < 2).count())
   }
 
+  test("annPq's ADC shortlist scan is column-pruned to codes — no raw embeddings") {
+    // the 32x PQ I/O claim made concrete: build a coded store, then
+    // assert the shortlist pass's parquet scan reads (vec_id, codes)
+    // WITHOUT the embedding column — if the raw vectors leak into the
+    // ReadSchema, the memory-bound serving story is fiction
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = tmpDir("pq_prune")
+    val emb = (0L until 48L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 2.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.streaming.VectorIngest.trainCentroids(emb, root, kCells = 2, iters = 2, dim = 8)
+    graft.streaming.VectorIngest.trainCodebook(emb, root, m = 2, ksub = 4, iters = 2, dim = 8)
+    graft.streaming.VectorIngest.processBatch(emb, root)
+    val served = graft.streaming.VectorIngest.annPq(spark, root,
+      emb.filter(col("vec_id") < 4), k = 3, nProbe = 2, shortlist = 8)
+    val plan = served.queryExecution.executedPlan.toString
+    // two scans of the cell store: the codes pass and the rerank pass.
+    // The codes pass must NOT read `embedding`; its ReadSchema carries
+    // codes. (Scan lines look like `ReadSchema: struct<vec_id:...>`.)
+    val scanSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+      .filter(s => s.contains("codes") || s.contains("embedding"))
+    assert(scanSchemas.exists(s => s.contains("codes") && !s.contains("embedding")),
+      s"no codes-only scan — the ADC pass reads raw vectors: $scanSchemas")
+    assert(served.count() > 0)
+  }
+
   test("projection pruning reaches the parquet scan of the star join") {
     // q02 joins 5 tables but reads only the join keys + aggregated cols:
     // the lineitem scan must not read comment/shipmode/etc.
