@@ -973,6 +973,60 @@ object LlmQueries {
       Dedup.groupOverlapEstimates(Tables(s, dir, "documents"), "source",
           k = 3, numPerms = 32)
         .orderBy("grp_a", "grp_b")
+    },
+
+    // Product-quantization ADC top-k, HASH-GREEN (round 9): the PQ
+    // family's trained codebooks keep q42-style oracles out of reach
+    // (k-means sums drift with partition order), so this entry fixes
+    // the codebook by an integer hash formula — the q36/q92 LSH-plane
+    // trick applied to PQ — and then encode (per-subspace argmin,
+    // score = |c|² − 2·q·c, ties to the lower cell id) and ADC
+    // (per-query distance tables, m lookups summed in subspace order)
+    // are replayed TERM-FOR-TERM in the oracle: every double on both
+    // sides is the same ascending-index fold, so ranks hash-match
+    // exactly. m=8 × ksub=8 × subDim=8 over the 64-dim embeddings.
+    Q("q141_pq_adc",
+      s"""WITH cents AS (SELECT s, c, list_transform(range(0, 8),
+        |      d -> CAST((c * 2654435761 + s * 40503 + d * 2246822519) % 1048576
+        |               AS DOUBLE) / 1048576.0 - 0.5) AS w
+        |    FROM range(0, 8) ts(s) CROSS JOIN range(0, 8) tc(c)),
+        | cc AS (SELECT s, c, w, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(range(1, 9), wi -> w[wi] * w[wi])),
+        |          (a, x) -> a + x) AS c2
+        |        FROM cents),
+        | sc AS (SELECT e.vec_id, cc.s, cc.c,
+        |         cc.c2 - 2.0 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(1, 9),
+        |             di -> CAST(e.embedding[cc.s * 8 + di] AS DOUBLE) * cc.w[di])),
+        |           (a, x) -> a + x) AS score
+        |        FROM embeddings e CROSS JOIN cc),
+        | code AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c,
+        |           row_number() OVER (PARTITION BY vec_id, s
+        |             ORDER BY score, c) AS rn FROM sc)
+        |          WHERE rn = 1),
+        | adc0 AS (SELECT sq.vec_id AS query_id, cd.vec_id AS neighbor_id,
+        |           sq.s AS s, sq.score AS t
+        |          FROM code cd JOIN sc sq ON sq.s = cd.s AND sq.c = cd.c
+        |          WHERE sq.vec_id < 12 AND sq.vec_id <> cd.vec_id),
+        | adc AS (SELECT query_id, neighbor_id,
+        |          list_reduce(list(t ORDER BY s), (a, x) -> a + x) AS dist
+        |         FROM adc0 GROUP BY 1, 2),
+        | r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (
+        |         PARTITION BY query_id ORDER BY dist, neighbor_id) AS BIGINT) AS rnk
+        |       FROM adc)
+        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.ProductQuantizer
+      val cb = ProductQuantizer.Codebook(8, 8, 8,
+        (0 until 8).map(sp => (0 until 8).map(c => (c.toLong,
+          Array.tabulate(8)(d =>
+            ((c * 2654435761L + sp * 40503L + d * 2246822519L) % 1048576L)
+              .toDouble / 1048576.0 - 0.5))).toSeq).toSeq)
+      val emb = Tables(s, dir, "embeddings")
+      val coded = ProductQuantizer.encode(emb, cb)
+      ProductQuantizer.adcTopK(coded, emb.filter(col("vec_id") < 12), cb, k = 5)
+        .orderBy("query_id", "rnk")
     }
   )
 }

@@ -119,9 +119,19 @@ object VectorIngest {
     val cents = KMeans.train(sample, kCells, iters, dim)
     Similarity.centroidTable(spark, cents)
       .coalesce(1).write.parquet(centNew)
-    val reassigned = Similarity.assignToCells(
+    val reassigned0 = Similarity.assignToCells(
       spark.read.parquet(cellsPath(root)).select("vec_id", "embedding"),
       spark.read.parquet(centNew), "vec_id", keep = 1)
+    // a PQ-CODED store must stay coded through the retrain: the coarse
+    // cells move but the (frozen) codebook does not, so codes re-derive
+    // from the same raw vectors — dropping the column here would break
+    // every annPq after the swap
+    val reassigned = loadCodebook(spark, root) match {
+      case Some(cb) => reassigned0.join(
+        graft.llm.ProductQuantizer.encode(
+          reassigned0.select("vec_id", "embedding"), cb), Seq("vec_id"))
+      case None => reassigned0
+    }
     reassigned.repartition(col("list_id"))
       .write.partitionBy("list_id").parquet(cellsNew)
     val n = spark.read.parquet(cellsNew).count()
@@ -238,8 +248,12 @@ object VectorIngest {
     val flagged = batch.select(col("vec_id"), col("embedding"))
       .withColumn("__ok", coalesce(wellFormed, lit(false)))
       .observe(obs, count(when(!col("__ok"), lit(1))).as("n_bad"))
-    val fresh0 = flagged.filter(col("__ok"))
-      .select("vec_id", "embedding").dropDuplicates("vec_id")
+    // staged once (the CorpusIngest discipline): the guard probe
+    // re-references the batch ~4x and the assignment reads it again —
+    // unstaged, each action re-ran the source scan + validation. The
+    // quarantine metric rides this materialization.
+    val fresh0 = graft.llm.Stage(flagged.filter(col("__ok"))
+      .select("vec_id", "embedding").dropDuplicates("vec_id"))
     val fresh = ReplayGuard.filterFresh(fresh0, "vec_id", guardDir)
     // ABSENT metric ≠ 0: an all-invalid batch over a statically-empty
     // relation loses its CollectMetrics node to PropagateEmptyRelation

@@ -268,5 +268,15 @@ class VectorIngestSpec extends SparkSpec {
     assert(reServed.exceptAll(exact).isEmpty && exact.exceptAll(reServed).isEmpty)
     // orphan reconcile works on the coded store
     assert(VectorIngest.reconcile(spark, root).isEmpty)
+    // a retrain must keep the store CODED (cells move, the frozen
+    // codebook does not): annPq still serves — and still exactly —
+    // off the swapped tree
+    assert(VectorIngest.retrainAndSwap(spark, root, all,
+      kCells = 2, iters = 3, dim = 4) == 32L)
+    assert(spark.read.parquet(s"$root/cells").columns.contains("codes"),
+      "retrain dropped the codes column — coded store broken")
+    val postRetrain = VectorIngest.annPq(spark, root, queries, k = 3,
+      nProbe = 2, shortlist = 64)
+    assert(postRetrain.exceptAll(exact).isEmpty && exact.exceptAll(postRetrain).isEmpty)
   }
 }
