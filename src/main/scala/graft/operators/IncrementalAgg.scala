@@ -87,6 +87,53 @@ object IncrementalAgg {
       .groupBy("bucket", keys: _*)
       .agg(sum("n").as("n"))
 
+  /** Uniform-sample state: an EXACT-SIZE uniform-without-replacement
+    * sample of everything ever ingested, maintained incrementally — the
+    * streaming "reservoir" in its deterministic, mergeable form. Every
+    * row ranks by a fixed modular hash of its id; the sample IS the n
+    * smallest (rank, id) rows, so
+    *   merge(state(A), state(B)) = topN(dedup(state(A) ∪ state(B)))
+    * equals state(A ∪ B) EXACTLY for any batch split — the sample over
+    * an unbounded stream costs O(batch + n) per batch and never
+    * re-reads history. Replay-safe: a redelivered id collapses in the
+    * dedup (idempotent, like the HLL max-merge). Uniformity is the
+    * usual hash argument — the rank is a fixed pseudo-random
+    * permutation of the id space — and, unlike `rand()` reservoirs,
+    * the result is deterministic (same corpus, same sample, any batch
+    * order) and oracle-replayable: plain modular arithmetic, no engine
+    * hash (q142). The multiplier stays below 2³⁰ so
+    * (id mod p)·a never overflows BIGINT on either engine.
+    *
+    * `stratum = Some(col)` keeps n PER STRATUM via per-group rank
+    * windows (the scalable form — no global order); the global form
+    * is a distributed top-n (TakeOrdered), never a full sort. */
+  def sampleState(df: DataFrame, idCol: String, n: Int,
+                  stratum: Option[String] = None): DataFrame =
+    sampleTopN(
+      df.select(stratum.map(col).toSeq :+ col(idCol): _*)
+        .withColumn("rank", expr(
+          s"(($idCol % 4294967311) * 1103515245 + 12345) % 4294967311")),
+      idCol, n, stratum)
+
+  /** Merge sample states (any number, any split, overlaps safe). */
+  def mergeSamples(idCol: String, n: Int, stratum: Option[String],
+                   states: DataFrame*): DataFrame =
+    sampleTopN(states.reduce(_ unionByName _), idCol, n, stratum)
+
+  private def sampleTopN(ranked: DataFrame, idCol: String, n: Int,
+                         stratum: Option[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deduped = ranked.dropDuplicates(stratum.toSeq :+ idCol)
+    stratum match {
+      case Some(g) =>
+        val w = Window.partitionBy(g).orderBy(col("rank"), col(idCol))
+        deduped.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= n).drop("__rn")
+      case None =>
+        deduped.orderBy(col("rank"), col(idCol)).limit(n)
+    }
+  }
+
   /** Per-key quantile estimates read off a (merged) histogram state:
     * for each requested permille q, the upper edge of the smallest
     * bucket whose cumulative count reaches ceil(q·N/1000) — integer

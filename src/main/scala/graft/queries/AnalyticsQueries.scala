@@ -397,6 +397,38 @@ object AnalyticsQueries {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy("o_orderpriority")
+    },
+
+    // Maintained uniform sample (round 9): an exact-size per-source
+    // sample of everything ever ingested, kept fresh across batches by
+    // merging bounded states — the deterministic, mergeable form of
+    // reservoir sampling (rank = fixed modular hash of the id; the
+    // sample IS the n smallest ranks, so merge = top-n of unioned
+    // states, exactly). The Spark side folds THREE doc_id-split batch
+    // states through mergeSamples (the q130 parity-split trick: the
+    // incremental fold must hash-equal the oracle's one-shot top-n);
+    // replays collapse in the dedup, so at-least-once ingest cannot
+    // bias the sample.
+    Q("q142_maintained_sample",
+      """WITH r AS (SELECT source, doc_id,
+        |    ((doc_id % 4294967311) * 1103515245 + 12345) % 4294967311 AS rank
+        |   FROM documents),
+        | w AS (SELECT source, doc_id, rank, row_number() OVER (
+        |         PARTITION BY source ORDER BY rank, doc_id) AS rn
+        |        FROM r)
+        |SELECT source, doc_id, CAST(rank AS BIGINT) AS rank
+        |FROM w WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.IncrementalAgg
+      val docs = Tables(s, dir, "documents")
+      val stratum = Some("source")
+      def st(pred: org.apache.spark.sql.Column) = IncrementalAgg.sampleState(
+        docs.filter(pred), "doc_id", 5, stratum)
+      IncrementalAgg.mergeSamples("doc_id", 5, stratum,
+          st(col("doc_id") % 3 === 0), st(col("doc_id") % 3 === 1),
+          st(col("doc_id") % 3 === 2))
+        .select(col("source"), col("doc_id"), col("rank").cast("long").as("rank"))
+        .orderBy("source", "doc_id")
     }
   )
 }

@@ -102,4 +102,35 @@ class IncrementalAggSpec extends SparkSpec {
           s"$g: exact median ${exact(g)} outside bucket (${upper - width}, $upper]")
       }
   }
+
+  test("sample state: merge == one-shot on random splits; replays never bias") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 300L).map(i => (i, s"src${i % 4}"))
+    val docs = rows.toDF("doc_id", "source")
+    val oneShot = IncrementalAgg.sampleState(docs, "doc_id", 7, Some("source"))
+      .as[(String, Long, Long)].collect().toSet
+    // exact size per stratum (every stratum has ≥ 7 rows here)
+    assert(oneShot.groupBy(_._1).forall(_._2.size == 7))
+    for (seed <- Seq(1, 2)) {
+      val r2 = new scala.util.Random(seed)
+      val tag = rows.map(r => (r._1, r._2, r2.nextInt(3)))
+      val parts = (0 until 3).map(p =>
+        tag.filter(_._3 == p).map(t => (t._1, t._2)).toDF("doc_id", "source"))
+      val states = parts.map(b => IncrementalAgg.sampleState(b, "doc_id", 7, Some("source")))
+      // a replayed batch state merged IN TWICE must change nothing
+      val merged = IncrementalAgg.mergeSamples("doc_id", 7, Some("source"),
+        (states :+ states.head): _*)
+        .as[(String, Long, Long)].collect().toSet
+      assert(merged == oneShot, s"seed=$seed: incremental sample diverged")
+    }
+    // global (no stratum) form: distributed top-n, same determinism
+    val g1 = IncrementalAgg.sampleState(docs.select("doc_id"), "doc_id", 10)
+      .as[(Long, Long)].collect().toSet
+    val g2 = IncrementalAgg.mergeSamples("doc_id", 10, None,
+      IncrementalAgg.sampleState(docs.filter($"doc_id" < 100).select("doc_id"), "doc_id", 10),
+      IncrementalAgg.sampleState(docs.filter($"doc_id" >= 100).select("doc_id"), "doc_id", 10))
+      .as[(Long, Long)].collect().toSet
+    assert(g1 == g2 && g1.size == 10)
+  }
 }
