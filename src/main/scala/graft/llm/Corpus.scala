@@ -880,6 +880,48 @@ object Corpus {
         col("share_ppm"))
   }
 
+  /** Per-benchmark CONTAMINATION MATRIX — the release data-card
+    * decontamination table: for each named benchmark set, how many
+    * corpus docs share more than `maxShared` distinct k-gram shingles
+    * with it, plus the total and worst per-doc overlap. One
+    * [[decontaminate]] pass per benchmark (each a broadcast semi-join —
+    * benchmark shingle sets are small by definition); the corpus is
+    * never self-joined, and the per-benchmark aggregate is one row. */
+  def contaminationMatrix(corpus: DataFrame,
+                          benchmarks: Seq[(String, DataFrame)],
+                          k: Int = 5, maxShared: Long = 0L): DataFrame =
+    benchmarks.map { case (name, b) =>
+      decontaminate(corpus, b, k)
+        .agg(count(when(col("n_shared") > maxShared, 1)).as("n_contaminated"),
+          coalesce(sum("n_shared"), lit(0L)).as("total_shared"),
+          coalesce(max("n_shared"), lit(0L)).as("max_shared"))
+        .withColumn("benchmark", lit(name))
+    }.reduce(_ unionByName _)
+      .select("benchmark", "n_contaminated", "total_shared", "max_shared")
+
+  /** Distribution DRIFT between two corpus snapshots — the ops monitor
+    * for composition regressions between releases (a source whose share
+    * moved is a recipe change, intended or not): per key, each
+    * snapshot's exact integer share in ppm and the absolute drift.
+    * Two map-side-combined counts + a broadcast 1-row total each (the
+    * [[compositionReport]] pattern) + one key-keyed full-outer join;
+    * a key present in only one snapshot reads share 0 in the other —
+    * appearing/vanishing sources are drift, not errors. */
+  def distributionDrift(snapA: DataFrame, snapB: DataFrame,
+                        keyCol: String): DataFrame = {
+    def shares(df: DataFrame, as: String) = {
+      val c = df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+      c.crossJoin(broadcast(c.agg(sum("n").as("tot"))))
+        .select(col(keyCol), expr("n * 1000000 DIV tot").as(as))
+    }
+    shares(snapA, "share_a_ppm")
+      .join(shares(snapB, "share_b_ppm"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        coalesce(col("share_a_ppm"), lit(0L)).as("share_a_ppm"),
+        coalesce(col("share_b_ppm"), lit(0L)).as("share_b_ppm"))
+      .withColumn("drift_ppm", abs(col("share_a_ppm") - col("share_b_ppm")))
+  }
+
   /** Token FREQUENCY SPECTRUM (count-of-counts) with Good–Turing
     * adjusted counts — the classic corpus statistic (Gale & Sampson's
     * "frequency of frequencies") that feeds Good–Turing smoothing and

@@ -688,6 +688,69 @@ object CurationQueries {
         .select("doc_id")
       docs.join(dropped, Seq("doc_id"), "left_anti")
         .select("doc_id").orderBy("doc_id")
+    },
+
+    // Per-benchmark contamination matrix (round 9): the release
+    // data-card decontamination table — for each benchmark holdout, how
+    // many corpus docs share any 5-gram shingle with it, total and
+    // worst per-doc overlap. Two pseudo-benchmarks carved from the
+    // corpus by id (the q83 convention), corpus = the rest.
+    Q("q143_contamination_matrix",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+        |               || ' ' || l[i+4]))) AS shingle
+        |        FROM w WHERE len(l) >= 5),
+        | b0 AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+        | b1 AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 1),
+        | corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 >= 2),
+        | s0 AS (SELECT c.doc_id, count(DISTINCT c.shingle) AS n_shared
+        |        FROM corp c JOIN b0 USING (shingle) GROUP BY 1),
+        | s1 AS (SELECT c.doc_id, count(DISTINCT c.shingle) AS n_shared
+        |        FROM corp c JOIN b1 USING (shingle) GROUP BY 1),
+        | r0 AS (SELECT 'holdout_a' AS benchmark,
+        |         CAST(count(*) AS BIGINT) AS n_contaminated,
+        |         CAST(COALESCE(sum(n_shared), 0) AS BIGINT) AS total_shared,
+        |         CAST(COALESCE(max(n_shared), 0) AS BIGINT) AS max_shared FROM s0),
+        | r1 AS (SELECT 'holdout_b', CAST(count(*) AS BIGINT),
+        |         CAST(COALESCE(sum(n_shared), 0) AS BIGINT),
+        |         CAST(COALESCE(max(n_shared), 0) AS BIGINT) FROM s1)
+        |SELECT * FROM r0 UNION ALL SELECT * FROM r1 ORDER BY benchmark""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.Corpus
+      val docs = Tables(s, dir, "documents")
+      Corpus.contaminationMatrix(
+          docs.filter(col("doc_id") % 10 >= 2),
+          Seq("holdout_a" -> docs.filter(col("doc_id") % 10 === 0),
+            "holdout_b" -> docs.filter(col("doc_id") % 10 === 1)),
+          k = 5)
+        .orderBy("benchmark")
+    },
+
+    // Snapshot distribution drift (round 9): per-source share in exact
+    // ppm for two corpus snapshots (carved by id parity) and the
+    // absolute drift — the ops monitor for composition regressions
+    // between releases; a key in only one snapshot reads 0 in the
+    // other (appearing/vanishing sources are drift, not errors).
+    Q("q144_distribution_drift",
+      """WITH a AS (SELECT source, count(*) AS n FROM documents
+        |           WHERE doc_id % 2 = 0 GROUP BY 1),
+        | ash AS (SELECT source, n * 1000000 // (SELECT sum(n) FROM a) AS p FROM a),
+        | b AS (SELECT source, count(*) AS n FROM documents
+        |       WHERE doc_id % 2 = 1 GROUP BY 1),
+        | bsh AS (SELECT source, n * 1000000 // (SELECT sum(n) FROM b) AS p FROM b)
+        |SELECT COALESCE(ash.source, bsh.source) AS source,
+        | CAST(COALESCE(ash.p, 0) AS BIGINT) AS share_a_ppm,
+        | CAST(COALESCE(bsh.p, 0) AS BIGINT) AS share_b_ppm,
+        | CAST(abs(COALESCE(ash.p, 0) - COALESCE(bsh.p, 0)) AS BIGINT) AS drift_ppm
+        |FROM ash FULL JOIN bsh USING (source) ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.Corpus
+      val docs = Tables(s, dir, "documents")
+      Corpus.distributionDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "source")
+        .orderBy("source")
     }
   )
 }

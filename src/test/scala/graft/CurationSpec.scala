@@ -279,6 +279,34 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("contaminationMatrix counts planted overlaps per benchmark; drift handles vanishing sources") {
+    import graft.llm.Corpus
+    val phrase = "the quick brown fox jumps over lazy dogs"
+    val corpus = Seq(
+      (0L, s"$phrase and then some extra words here"), // overlaps bench A
+      (1L, "completely different content with unique tokens all around"),
+      (2L, s"prefix words $phrase suffix words too")   // overlaps bench A
+    ).toDF("doc_id", "text")
+    val benchA = Seq((100L, s"intro $phrase outro tokens")).toDF("doc_id", "text")
+    val benchB = Seq((200L, "nothing in common with that corpus at all ever")).toDF("doc_id", "text")
+    val m = Corpus.contaminationMatrix(corpus,
+        Seq("A" -> benchA, "B" -> benchB), k = 5)
+      .orderBy("benchmark").collect()
+    assert(m(0).getString(0) == "A" && m(0).getLong(1) == 2L,
+      s"both planted docs must flag against A: ${m.toSeq}")
+    assert(m(0).getAs[Long]("max_shared") >= 4L) // 8-token phrase → 4 5-grams
+    assert(m(1).getString(0) == "B" && m(1).getLong(1) == 0L &&
+      m(1).getAs[Long]("total_shared") == 0L)
+
+    val snapA = Seq((0L, "s1"), (1L, "s1"), (2L, "s2"), (3L, "s2")).toDF("doc_id", "source")
+    val snapB = Seq((0L, "s1"), (1L, "s3"), (2L, "s3"), (3L, "s3")).toDF("doc_id", "source")
+    val d = Corpus.distributionDrift(snapA, snapB, "source")
+      .orderBy("source").as[(String, Long, Long, Long)].collect().toSeq
+    // s1: 50% -> 25%; s2 vanished (50% -> 0); s3 appeared (0 -> 75%)
+    assert(d == Seq(("s1", 500000L, 250000L, 250000L),
+      ("s2", 500000L, 0L, 500000L), ("s3", 0L, 750000L, 750000L)), d.toString)
+  }
+
   test("scoreWithWeights emits an explicit 0 row for an all-OOV doc") {
     val train = Seq((0L, "alpha beta", true), (1L, "gamma delta", false))
       .toDF("doc_id", "text", "is_good")
