@@ -727,6 +727,71 @@ object CurationQueries {
         .orderBy("benchmark")
     },
 
+    // Cluster label propagation (round 9): a quality verdict reached on
+    // ONE copy of a near-duplicate document must apply to EVERY copy —
+    // otherwise the cluster re-enters the corpus through its unflagged
+    // members. Near-dup pairs (q31's inverted-index Jaccard) → connected
+    // components → per-cluster verdict = AND of member gates (the
+    // Gopher length rule stands in as the per-doc gate) → every member
+    // inherits it; singletons keep their own verdict. The oracle
+    // replays pairs, recursive-CTE CC, and the cluster aggregate.
+    Q("q145_cluster_label_propagation",
+      """WITH RECURSIVE
+        | w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+        |        FROM w WHERE len(l) >= 3),
+        | df AS (SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM sh)
+        |        GROUP BY shingle HAVING count(*) <= 64),
+        | shf AS (SELECT s.doc_id, s.shingle FROM sh s JOIN df USING (shingle)),
+        | nsh AS (SELECT doc_id, count(DISTINCT shingle) AS n FROM shf GROUP BY 1),
+        | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |            count(DISTINCT a.shingle) AS n_common
+        |           FROM shf a JOIN shf b ON a.shingle = b.shingle
+        |            AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        | pairs AS (SELECT id_a, id_b FROM inter
+        |           JOIN nsh na ON na.doc_id = id_a
+        |           JOIN nsh nb ON nb.doc_id = id_b
+        |           WHERE n_common * 1000000 >=
+        |             (na.n + nb.n - n_common) * 500000),
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |           UNION SELECT id_b, id_a FROM pairs),
+        | reach AS (SELECT src AS id, dst AS r FROM edges
+        |           UNION
+        |           SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        | cl AS (SELECT id AS doc_id, min(least(id, r)) AS cluster_id
+        |        FROM reach GROUP BY id),
+        | gate AS (SELECT doc_id, CASE WHEN len(string_split(text, ' ')) >= 30
+        |            THEN 1 ELSE 0 END AS own_kept
+        |          FROM documents),
+        | lab AS (SELECT g.doc_id, COALESCE(cl.cluster_id, g.doc_id) AS cluster_id,
+        |          g.own_kept FROM gate g LEFT JOIN cl USING (doc_id)),
+        | verdict AS (SELECT cluster_id, min(own_kept) AS cluster_kept
+        |             FROM lab GROUP BY 1)
+        |SELECT l.doc_id, l.cluster_id, CAST(l.own_kept AS BIGINT) AS own_kept,
+        | CAST(v.cluster_kept AS BIGINT) AS cluster_kept
+        |FROM lab l JOIN verdict v USING (cluster_id)
+        |ORDER BY l.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.{Clusters, Dedup, TextAnalysis}
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, k = 3, maxShingleDf = 64L)
+        .filter(col("jaccard_ppm") >= 500000L)
+      val cc = Clusters.connectedComponents(pairs.select("id_a", "id_b"))
+      val gate = docs.select(col("doc_id"),
+        (size(split(col("text"), " ")) >= 30).cast("long").as("own_kept"))
+      val lab = gate.join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          col("own_kept"))
+      val verdict = lab.groupBy("cluster_id")
+        .agg(min("own_kept").as("cluster_kept"))
+      lab.join(verdict, Seq("cluster_id"))
+        .select("doc_id", "cluster_id", "own_kept", "cluster_kept")
+        .orderBy("doc_id")
+    },
+
     // Snapshot distribution drift (round 9): per-source share in exact
     // ppm for two corpus snapshots (carved by id parity) and the
     // absolute drift — the ops monitor for composition regressions

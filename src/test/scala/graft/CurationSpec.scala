@@ -307,6 +307,39 @@ class CurationSpec extends SparkSpec {
       ("s2", 500000L, 0L, 500000L), ("s3", 0L, 750000L, 750000L)), d.toString)
   }
 
+  test("cluster label propagation: one flagged copy poisons its whole dup cluster") {
+    import graft.llm.{Clusters, Dedup}
+    val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4).trim
+    val docs = Seq(
+      (0L, long),                      // cluster {0,1,2}: near-identical
+      (1L, long + " lambda"),
+      (2L, "mu " + long),              // all pass a len>=30 gate...
+      (3L, "short unrelated doc"),     // singleton, FAILS the gate
+      (4L, ("one two three four five six seven " * 5).trim) // clean singleton
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, k = 3, maxShingleDf = 64L)
+      .filter(col("jaccard_ppm") >= 500000L)
+    val cc = Clusters.connectedComponents(pairs.select("id_a", "id_b"))
+    // gate: fail doc 1 ONLY (planted per-copy verdict) — its cluster
+    // mates 0 and 2 must inherit the rejection
+    val gate = docs.select(col("doc_id"),
+      (col("doc_id") =!= 1L && size(split(col("text"), " ")) >= 5)
+        .cast("long").as("own_kept"))
+    val lab = gate.join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"), col("own_kept"))
+    val out = lab.join(
+        lab.groupBy("cluster_id").agg(min("own_kept").as("cluster_kept")),
+        Seq("cluster_id"))
+      .select("doc_id", "own_kept", "cluster_kept")
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, o, c) => d -> ((o, c)) }.toMap
+    assert(out(0L) == ((1L, 0L)) && out(2L) == ((1L, 0L)),
+      s"cluster mates must inherit the flag: $out")
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(4L) == ((1L, 1L)), s"clean singleton unaffected: $out")
+  }
+
   test("scoreWithWeights emits an explicit 0 row for an all-OOV doc") {
     val train = Seq((0L, "alpha beta", true), (1L, "gamma delta", false))
       .toDF("doc_id", "text", "is_good")
