@@ -93,7 +93,9 @@ object CorpusIngest {
                    benchmark: Option[DataFrame] = None,
                    decontamK: Int = 8, maxBenchShared: Long = 0L,
                    batchId: Long = 0L, nBuckets: Int = 64,
-                   qualityPred: Option[Column] = None): Long = {
+                   qualityPred: Option[Column] = None,
+                   sampleDir: Option[String] = None,
+                   sampleN: Int = 1024): Long = {
     val spark = batch.sparkSession
     // a compact() crash mid-swap leaves the store retired as __old; heal
     // before the exists probe or the dedup store would look empty and
@@ -211,8 +213,40 @@ object CorpusIngest {
         admitted.select("doc_id").join(freshSigs, Seq("doc_id"), "left_outer"),
         sigDir)
       admitted.write.mode(SaveMode.Append).parquet(corpusDir)
+      // maintained uniform sample, LAST (an auxiliary view of the
+      // corpus): merge the admitted ids into the persisted top-n-by-
+      // hash-rank state ([[graft.operators.IncrementalAgg.sampleState]]
+      // — deterministic, so the maintained sample EQUALS the one-shot
+      // sample of everything admitted, any batch split). O(batch + n)
+      // per batch. Crash window: corpus appended, sample not — repair
+      // with [[rebuildSample]] (a one-shot recompute off the corpus,
+      // which lands on the SAME rows by determinism).
+      sampleDir.foreach { sd =>
+        val st = graft.operators.IncrementalAgg.sampleState(
+          admitted.select("doc_id"), "doc_id", sampleN)
+        graft.operators.MergeSink.healInterruptedSwap(spark, sd)
+        val merged =
+          if (Files.exists(Paths.get(sd)))
+            graft.operators.IncrementalAgg.mergeSamples("doc_id", sampleN, None,
+              spark.read.parquet(sd), st)
+          else st
+        graft.operators.MergeSink.writeAtomic(merged, sd)
+      }
     }
     n
+  }
+
+  /** One-shot rebuild of the maintained sample off the corpus dir —
+    * the repair for the appended-corpus/missed-sample crash window
+    * (and the migration for a store that predates the sample). Lands
+    * on the SAME rows the incremental path maintains, by determinism. */
+  def rebuildSample(spark: SparkSession, corpusDir: String, sampleDir: String,
+                    sampleN: Int = 1024): Long = {
+    graft.operators.MergeSink.healInterruptedSwap(spark, sampleDir)
+    val sample = graft.operators.IncrementalAgg.sampleState(
+      spark.read.parquet(corpusDir).select("doc_id"), "doc_id", sampleN)
+    graft.operators.MergeSink.writeAtomic(sample, sampleDir)
+    spark.read.parquet(sampleDir).count()
   }
 
   private def sigBucket(nBuckets: Int) =

@@ -215,4 +215,35 @@ class CorpusIngestSpec extends SparkSpec {
       .filter(col("doc_id") === 8L).select("reason").collect()
     assert(q3.map(_.getString(0)).toSeq == Seq("quality"))
   }
+
+  test("maintained sample equals the one-shot sample of everything admitted; crash repair lands on the same rows") {
+    val root = tmpDir("corpus_smp")
+    val corpusDir = s"$root/docs"; val sigDir = s"$root/sigs"
+    val sampleDir = s"$root/sample"
+    def doc(i: Long) = i -> s"document number $i with uniquely arranged tokens t$i u$i v$i w$i x$i"
+    def ingest(rows: Seq[(Long, String)]): Long =
+      CorpusIngest.processBatch(rows.toDF("doc_id", "text"), corpusDir, sigDir,
+        sampleDir = Some(sampleDir), sampleN = 6)
+    assert(ingest((0L until 10L).map(doc)) == 10L)
+    assert(ingest((10L until 25L).map(doc)) == 15L)
+    // a full replay changes nothing — guard drops it before the sample
+    assert(ingest((0L until 10L).map(doc)) == 0L)
+    val maintained = spark.read.parquet(sampleDir)
+      .as[(Long, Long)].collect().toSet
+    assert(maintained.size == 6)
+    // the DETERMINISM dividend: the maintained sample IS the one-shot
+    // sample over the stored corpus — not merely "a" uniform sample
+    val oneShot = graft.operators.IncrementalAgg.sampleState(
+        spark.read.parquet(corpusDir).select("doc_id"), "doc_id", 6)
+      .as[(Long, Long)].collect().toSet
+    assert(maintained == oneShot, s"$maintained != $oneShot")
+    // crash window repair: delete the sample (corpus appended, sample
+    // write missed), rebuild from the corpus — same rows again
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(sampleDir))
+    assert(CorpusIngest.rebuildSample(spark, corpusDir, sampleDir, 6) == 6L)
+    assert(spark.read.parquet(sampleDir).as[(Long, Long)].collect().toSet == oneShot)
+  }
 }
