@@ -792,6 +792,89 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Quality-ranked dedup survivor (round 9): q70 keeps the LONGEST
+    // copy per near-dup cluster; production recipes keep the
+    // BEST-QUALITY copy (dup families often pair a clean original with
+    // ad-wrapped or truncated mirrors, and length rewards the wrapper).
+    // Same dedup machinery — exact-rep pre-pass, MinHash estimate
+    // pairs, CC — with the rank window keyed on the q26 quality score
+    // (stop-word density, ties to the lower id). The pre-pass stays
+    // result-preserving: exact dups share text, hence score, so the
+    // min-id rep wins its family under this key too.
+    Q("q146_dedup_keep_quality",
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+        |        FROM w WHERE len(l) >= 3),
+        | hx AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(1, length(shingle) + 1),
+        |            i -> CAST(ascii(substr(shingle, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |          (a, c) -> (a * 131 + c) % 4294967291) AS x
+        |        FROM sh),
+        | perms AS (SELECT j, ((1103515245 * (j + 1) + 12345) % 2147483648) | 1 AS a,
+        |                  (2654435761 * (j + 7)) % 4294967311 AS b
+        |           FROM range(0, 32) t(j)),
+        | mh AS (SELECT doc_id, j, min((a * x + b) % 4294967311) AS h
+        |        FROM hx CROSS JOIN perms GROUP BY doc_id, j),
+        | bh AS (SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+        |          list_reduce(list_prepend(CAST(7 AS BIGINT), list(h ORDER BY j)),
+        |            (acc, v) -> (acc * 1315423911 + v) % 1000000007) AS band_hash
+        |        FROM mh GROUP BY doc_id, band),
+        | cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |          FROM bh x JOIN bh y ON x.band = y.band AND x.band_hash = y.band_hash
+        |           AND x.doc_id < y.doc_id),
+        | est AS (SELECT c.id_a, c.id_b,
+        |          sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS matches
+        |         FROM cand c JOIN mh ma ON ma.doc_id = c.id_a
+        |          JOIN mh mb ON mb.doc_id = c.id_b AND mb.j = ma.j
+        |         GROUP BY 1, 2),
+        | pairs AS (SELECT id_a, id_b FROM est
+        |           WHERE (matches * 1000000) // 32 >= 500000),
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |           UNION SELECT id_b, id_a FROM pairs),
+        | reach AS (SELECT src AS id, dst AS r FROM edges
+        |           UNION
+        |           SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        | comp AS (SELECT id, min(least(id, r)) AS cluster_id FROM reach GROUP BY id),
+        | qsc AS (SELECT doc_id,
+        |          (CAST(len(list_filter(string_split(text, ' '), x -> x = 'the'))
+        |           + len(list_filter(string_split(text, ' '), x -> x = 'a'))
+        |           + len(list_filter(string_split(text, ' '), x -> x = 'of'))
+        |           + len(list_filter(string_split(text, ' '), x -> x = 'and'))
+        |           + len(list_filter(string_split(text, ' '), x -> x = 'to')) AS BIGINT)
+        |           * 1000000) // CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ppm
+        |         FROM documents),
+        | ranked AS (SELECT c.id, c.cluster_id,
+        |             row_number() OVER (PARTITION BY c.cluster_id
+        |               ORDER BY q.stop_ppm DESC, c.id) AS rk
+        |            FROM comp c JOIN qsc q ON q.doc_id = c.id)
+        |SELECT d.doc_id, q.stop_ppm FROM documents d JOIN qsc q USING (doc_id)
+        |WHERE NOT EXISTS (SELECT 1 FROM ranked r
+        |                  WHERE r.id = d.doc_id AND r.rk > 1)
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.llm.Clusters
+      val docs = Tables(s, dir, "documents")
+      val reps = graft.llm.Stage(Dedup.exactReps(docs.select("doc_id", "text")))
+      val exactLosers = docs.select("doc_id")
+        .join(reps, Seq("doc_id"), "left_anti")
+      val edges = Dedup.minHashEstimates(reps, k = 3, numPerms = 32, bands = 8)
+        .filter(col("est_jaccard_ppm") >= 500000L)
+        .select("id_a", "id_b")
+      val cc = Clusters.connectedComponents(edges)
+      val quality = TextAnalysis.qualityScore(docs).select("doc_id", "stop_ppm")
+      val ranked = cc.join(quality, "doc_id")
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("stop_ppm").desc, col("doc_id"))
+      val losers = ranked.withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1).select("doc_id")
+      docs.select("doc_id").join(losers.union(exactLosers), Seq("doc_id"), "left_anti")
+        .join(quality, Seq("doc_id"))
+        .select("doc_id", "stop_ppm")
+        .orderBy("doc_id")
+    },
+
     // Snapshot distribution drift (round 9): per-source share in exact
     // ppm for two corpus snapshots (carved by id parity) and the
     // absolute drift — the ops monitor for composition regressions
