@@ -875,6 +875,46 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Maintained top-k neighbor lists (round 9): the continuously-
+    // adaptive similarity-search shape — per registered query, exact
+    // cosine top-k over everything ingested so far, updated per batch
+    // against ONLY the new vectors (top-k under a total order is an
+    // exactly mergeable aggregate). Spark folds THREE vec_id-split
+    // batches through VectorIngest.maintainTopK; the oracle is the
+    // ONE-SHOT brute-force top-k — they must hash-match exactly, the
+    // q130/q142 parity-split discipline.
+    Q("q147_maintained_topk",
+      """SELECT query_id, neighbor_id, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS BIGINT) AS rnk
+        | FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+        |WHERE rnk <= 7 ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val topkDir = java.nio.file.Files.createTempDirectory("graft_topk")
+        .toString + "/state"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      try {
+        (0 until 3).foreach(p => graft.streaming.VectorIngest.maintainTopK(
+          s, topkDir, queries, emb.filter(col("vec_id") % 3 === p), k = 7))
+        // collected shape only after the folds; read the final state
+        val out = s.read.parquet(topkDir)
+          .select("query_id", "neighbor_id", "rnk")
+          .orderBy("query_id", "rnk")
+        // materialize before the temp dir dies in the finally
+        val rows = out.collect()
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+          .orderBy("query_id", "rnk")
+      } finally rm(new java.io.File(
+        new java.io.File(topkDir).getParent))
+    },
+
     // Snapshot distribution drift (round 9): per-source share in exact
     // ppm for two corpus snapshots (carved by id parity) and the
     // absolute drift — the ops monitor for composition regressions

@@ -447,6 +447,53 @@ object VectorIngest {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** MAINTAINED top-k neighbor lists — the continuously-adaptive
+    * similarity-search shape (EDBT'20 incremental top-k sessions,
+    * SIGMOD'20 continuously adaptive search): for each REGISTERED
+    * query, the exact cosine top-k over everything ingested so far,
+    * updated per batch by scoring the queries against ONLY the new
+    * vectors and merging two bounded lists. Top-k under the
+    * (sim desc, neighbor_id) TOTAL order is an exactly mergeable
+    * aggregate — merge(topk(A), topk(B)) == topk(A ∪ B) — so the
+    * maintained lists EQUAL the one-shot brute-force answer at every
+    * point, for any batch split (VectorIngestSpec + q147's oracle).
+    * Cost per batch: |queries|·|batch| broadcast-scored pairs + a
+    * k-bounded merge; the index is never rescanned. The
+    * (query_id, neighbor_id) dedup makes an at-least-once replay of a
+    * batch a no-op (the same pair rescores to the identical double).
+    * State at `topkDir`: (query_id, neighbor_id, sim, rnk), swapped
+    * atomically. Returns the state's row count. */
+  def maintainTopK(spark: SparkSession, topkDir: String, queries: DataFrame,
+                   newBatch: DataFrame, k: Int): Long = {
+    graft.operators.MergeSink.healInterruptedSwap(spark, topkDir)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        Similarity.norm(col("embedding")).as("q_norm"))
+      .filter(col("q_norm") > 0))
+    val c = newBatch.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"),
+        Similarity.norm(col("embedding")).as("c_norm"))
+      .filter(col("c_norm") > 0)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val fresh = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        Similarity.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim")
+    val unioned =
+      if (Files.exists(Paths.get(topkDir)))
+        spark.read.parquet(topkDir).select("query_id", "neighbor_id", "sim")
+          .unionByName(fresh)
+      else fresh
+    val merged = unioned.dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+    graft.operators.MergeSink.writeAtomic(merged, topkDir)
+    spark.read.parquet(topkDir).count()
+  }
+
   /** Structured Streaming driver: fold a stream of embeddings into the
     * index. Centroids must already be trained. */
   def start(spark: SparkSession, stream: DataFrame, root: String,

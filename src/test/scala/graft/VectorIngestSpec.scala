@@ -279,4 +279,25 @@ class VectorIngestSpec extends SparkSpec {
       nProbe = 2, shortlist = 64)
     assert(postRetrain.exceptAll(exact).isEmpty && exact.exceptAll(postRetrain).isEmpty)
   }
+
+  test("maintainTopK: per-batch folds equal one-shot brute force; replays are no-ops") {
+    val topkDir = tmpDir("vtopk") + "/state"
+    val all = (rows(0 until 12, 0) ++ rows(100 until 112, 1))
+      .toDF("vec_id", "embedding")
+    val queries = all.filter($"vec_id" < 3)
+    val batches = Seq(
+      all.filter($"vec_id" % 3 === 0), all.filter($"vec_id" % 3 === 1),
+      all.filter($"vec_id" % 3 === 2))
+    batches.foreach(b => VectorIngest.maintainTopK(spark, topkDir, queries, b, k = 4))
+    val maintained = spark.read.parquet(topkDir)
+      .select("query_id", "neighbor_id", "rnk")
+    val exact = Similarity.bruteForceKnn(all, queries, k = 4)
+    assert(maintained.exceptAll(exact).isEmpty && exact.exceptAll(maintained).isEmpty,
+      "maintained top-k must equal one-shot brute force")
+    // at-least-once: replaying a batch changes nothing (same pair, same
+    // double, dedup collapses it)
+    val before = spark.read.parquet(topkDir).collect().toSet
+    VectorIngest.maintainTopK(spark, topkDir, queries, batches.head, k = 4)
+    assert(spark.read.parquet(topkDir).collect().toSet == before)
+  }
 }
