@@ -91,7 +91,23 @@ object MergeOps {
                   tieCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((tsCol +: tieCols).map(col): _*)
-    df.withColumn("version", row_number().over(w).cast("long"))
+    // CHANGE detection: a row repeating the previous row's content (all
+    // tie columns, null-safe — deleted projections carry nulls) is not
+    // a new version; SCD2 versions track changes, and refetch-with-
+    // now() sources (API-revalidated children, whose sync ts is
+    // current_timestamp per the reference's two-timestamp rule) would
+    // otherwise mint a no-change version on every redelivery. The old
+    // content stays valid until the next CHANGE's ts, so intervals
+    // still tile after the collapse.
+    val collapsed =
+      if (tieCols.isEmpty) df
+      else {
+        val content = struct(tieCols.map(col): _*)
+        df.withColumn("__prev", lag(content, 1).over(w))
+          .filter(col("__prev").isNull || !(col("__prev") <=> content))
+          .drop("__prev")
+      }
+    collapsed.withColumn("version", row_number().over(w).cast("long"))
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)

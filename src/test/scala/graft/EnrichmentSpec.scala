@@ -92,6 +92,26 @@ class EnrichmentSpec extends SparkSpec {
     assert(items(0).getAs[Long]("amount_total") == 5L)
   }
 
+  test("checkout line items version into SCD2 history when configured") {
+    import graft.streaming.SyncConfig
+    val dir = tmpDir("graft_cs_hist")
+    val pipeline = new WebhookPipeline(dir, Some(apiFetcher),
+      config = SyncConfig(historyTables = Set("checkout_session_line_items")))
+    val ev =
+      """{"id":"evt_csh","type":"checkout.session.completed","created":100,
+        |"data":{"object":{"id":"cs_h","object":"checkout.session","status":"complete"}}}"""
+        .stripMargin.replaceAll("\n", "")
+    pipeline.processBatch(Seq(ev).toDF("value"))
+    val hist = spark.read.parquet(s"$dir/checkout_session_line_items__history")
+    assert(hist.count() == 2)
+    assert(hist.filter(col("is_current")).count() == 2)
+    assert(hist.select("version").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // redelivery: same event, same fetched items → no new versions
+    pipeline.processBatch(Seq(ev).toDF("value"))
+    assert(spark.read.parquet(s"$dir/checkout_session_line_items__history")
+      .count() == 2)
+  }
+
   test("dependent fan-out scan: payment methods per live customer only (S5+P6)") {
     val dir = tmpDir("graft_pm")
     // seed customers: one live, one deleted
