@@ -62,6 +62,70 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** MMR diversity re-ranking (Carbonell & Goldstein 1998): greedily
+    * select `kOut` of each query's `kCand` nearest candidates, each
+    * step taking argmax of λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) —
+    * relevance traded against redundancy to the already-selected set.
+    * The standard diverse-example selection step (few-shot pools,
+    * eval-set picking, dedup-aware retrieval) that plain top-k lacks:
+    * top-k happily returns k near-copies of one document.
+    *
+    * Shape: exact top-kCand per query (broadcast queries, one corpus
+    * scan), candidate-pair sims computed ONCE per query
+    * (≤ kCand² rows/query, query-keyed equi-join — never corpus-pair),
+    * then kOut driver-composed rounds, each one join + one rank window
+    * over the candidate table. Deterministic (ties → lower id) and
+    * oracle-replayable: q148 statically unrolls the same greedy rounds
+    * (the q111 BPE discipline). Returns (query_id, cand_id, step). */
+  def mmrRerank(emb: DataFrame, queries: DataFrame, kCand: Int, kOut: Int,
+                lambda: Double = 0.7): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+      .filter(col("q_norm") > 0))
+    val c = emb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+      .filter(col("c_norm") > 0)
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("sim_q").desc, col("cand_id"))
+    val cands = Stage(q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("sim_q",
+        dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= kCand)
+      .select("query_id", "cand_id", "sim_q", "c_emb", "c_norm"))
+    val a = cands.select(col("query_id"), col("cand_id").as("a_id"),
+      col("c_emb").as("a_emb"), col("c_norm").as("a_norm"))
+    val b = cands.select(col("query_id"), col("cand_id").as("b_id"),
+      col("c_emb").as("b_emb"), col("c_norm").as("b_norm"))
+    val pair = Stage(a.join(b, Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim_ab",
+        dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .select("query_id", "a_id", "b_id", "sim_ab"))
+    val slim = cands.select("query_id", "cand_id", "sim_q")
+    // step 1: pure relevance
+    var selected = slim
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("step"))
+    for (r <- 2 to kOut) {
+      val selIds = selected.select(col("query_id"), col("cand_id").as("b_id"))
+      val remaining = slim.join(
+        selected.select("query_id", "cand_id"), Seq("query_id", "cand_id"), "left_anti")
+      val msel = pair.join(selIds, Seq("query_id", "b_id"))
+        .groupBy("query_id", "a_id").agg(max("sim_ab").as("msel"))
+        .select(col("query_id"), col("a_id").as("cand_id"), col("msel"))
+      val wMmr = Window.partitionBy("query_id")
+        .orderBy(col("mmr").desc, col("cand_id"))
+      val picked = remaining.join(msel, Seq("query_id", "cand_id"))
+        .withColumn("mmr",
+          lit(lambda) * col("sim_q") - lit(1.0 - lambda) * col("msel"))
+        .withColumn("rn", row_number().over(wMmr)).filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), lit(r.toLong).as("step"))
+      selected = Stage(selected.unionByName(picked))
+    }
+    selected
+  }
+
   /** MARGIN-BASED bitext/pair mining (Artetxe & Schwenk 2019; the
     * CCMatrix construction): for each source vector the best target by
     * RATIO MARGIN — sim(x,y) normalized by the mean of both sides'

@@ -1027,6 +1027,65 @@ object LlmQueries {
       val coded = ProductQuantizer.encode(emb, cb)
       ProductQuantizer.adcTopK(coded, emb.filter(col("vec_id") < 12), cb, k = 5)
         .orderBy("query_id", "rnk")
+    },
+
+    // MMR diversity re-rank (round 9; Carbonell & Goldstein 1998):
+    // greedily pick 3 of each query's 6 nearest candidates, each step
+    // argmax of 0.7·sim(q,d) − 0.3·max_sel sim(d,s) — plain top-k would
+    // happily return three near-copies of one document. The oracle
+    // statically UNROLLS the three greedy rounds (the q111 BPE
+    // discipline): every double on both sides is the same ascending
+    // fold, max is order-free, ties break on the lower id.
+    Q("q148_mmr_rerank",
+      s"""WITH v AS (SELECT vec_id, embedding,
+        |        sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+        | c0 AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sim_q,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+        |             c.vec_id) AS rnk
+        |        FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        | cand AS (SELECT query_id, cand_id, sim_q FROM c0 WHERE rnk <= 6),
+        | pair AS (SELECT x.query_id, x.cand_id AS a_id, y.cand_id AS b_id,
+        |           ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS sim_ab
+        |          FROM cand x JOIN cand y ON x.query_id = y.query_id
+        |            AND x.cand_id <> y.cand_id
+        |          JOIN v ea ON ea.vec_id = x.cand_id
+        |          JOIN v eb ON eb.vec_id = y.cand_id),
+        | s1 AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sim_q DESC, cand_id) AS rn FROM cand) WHERE rn = 1),
+        | m2 AS (SELECT c.query_id, c.cand_id, c.sim_q, max(p.sim_ab) AS msel
+        |        FROM cand c JOIN s1 ON s1.query_id = c.query_id
+        |          AND c.cand_id <> s1.cand_id
+        |        JOIN pair p ON p.query_id = c.query_id
+        |          AND p.a_id = c.cand_id AND p.b_id = s1.cand_id
+        |        GROUP BY 1, 2, 3),
+        | s2 AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY 0.7 * sim_q - 0.3 * msel DESC, cand_id) AS rn
+        |         FROM m2) WHERE rn = 1),
+        | m3 AS (SELECT c.query_id, c.cand_id, c.sim_q, max(p.sim_ab) AS msel
+        |        FROM cand c JOIN s1 ON s1.query_id = c.query_id
+        |          AND c.cand_id <> s1.cand_id
+        |        JOIN s2 ON s2.query_id = c.query_id AND c.cand_id <> s2.cand_id
+        |        JOIN pair p ON p.query_id = c.query_id AND p.a_id = c.cand_id
+        |          AND (p.b_id = s1.cand_id OR p.b_id = s2.cand_id)
+        |        GROUP BY 1, 2, 3),
+        | s3 AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY 0.7 * sim_q - 0.3 * msel DESC, cand_id) AS rn
+        |         FROM m3) WHERE rn = 1)
+        |SELECT query_id, cand_id, step FROM (
+        |  SELECT query_id, cand_id, CAST(1 AS BIGINT) AS step FROM s1
+        |  UNION ALL SELECT query_id, cand_id, 2 FROM s2
+        |  UNION ALL SELECT query_id, cand_id, 3 FROM s3)
+        |ORDER BY query_id, step""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 8),
+          kCand = 6, kOut = 3, lambda = 0.7)
+        .orderBy("query_id", "step")
     }
   )
 }

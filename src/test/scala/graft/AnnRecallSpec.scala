@@ -156,4 +156,31 @@ class AnnRecallSpec extends SparkSpec {
       f"agreement fell sharply with probe width: h=1 $a1%.3f vs h=2 $a2%.3f")
     assert(a2 >= 0.25, f"marginMineAnn h=2 agreement $a2%.3f below floor 0.25")
   }
+
+  test("mmrRerank trades redundancy for diversity; lambda=1 degenerates to top-k") {
+    import spark.implicits._
+    // query 0 at [1,0,0,0]; candidates: 10/11 near-copies of each other
+    // and of the query (sim ≈ 1), 12 moderately similar but DIVERSE.
+    // Top-2 = {10, 11}; at a diversity-leaning λ = 0.3, step 2 must
+    // skip the redundant 11 (mmr ≈ 0.3·1 − 0.7·1 ≈ −0.4) for 12
+    // (≈ 0.3·0.707 − 0.7·0.714 ≈ −0.29).
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (10L, Array(1f, 0.01f, 0f, 0f)),
+      (11L, Array(1f, 0f, 0.01f, 0f)),
+      (12L, Array(0.7f, 0.7f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" === 0L)
+    val sel = Similarity.mmrRerank(emb, queries, kCand = 3, kOut = 2, lambda = 0.3)
+      .orderBy("step").as[(Long, Long, Long)].collect().toSeq
+    assert(sel.map(_._2) == Seq(10L, 12L),
+      s"step 1 = most relevant, step 2 = diverse pick over the near-copy: $sel")
+    // λ = 1: pure relevance — degenerates to exact top-k order
+    val rel = Similarity.mmrRerank(emb, queries, kCand = 4, kOut = 3, lambda = 1.0)
+      .orderBy("step").as[(Long, Long, Long)].collect().toSeq
+    val exact = Similarity.bruteForceKnn(emb, queries, k = 3)
+      .orderBy("rnk").as[(Long, Long, Long)].collect().toSeq
+    assert(rel.map(_._2) == exact.map(_._2),
+      s"lambda=1 must equal top-k: $rel vs $exact")
+  }
 }
