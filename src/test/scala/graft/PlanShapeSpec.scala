@@ -214,6 +214,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("global sample state is a distributed top-n, never a full sort") {
+    // sampleState's no-stratum form must plan as TakeOrderedAndProject
+    // (per-partition top-n + bounded driver merge) — a Sort + Limit
+    // would globally sort everything ever ingested to keep n rows
+    import spark.implicits._
+    val docs = (0L until 500L).toDF("doc_id")
+    val plan = graft.operators.IncrementalAgg.sampleState(docs, "doc_id", 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global sample must be a distributed top-n: $plan")
+    assert(!plan.contains("GlobalLimit"),
+      s"full sort + limit leaked into the sample plan: $plan")
+  }
+
   test("projection pruning reaches the parquet scan of the star join") {
     // q02 joins 5 tables but reads only the join keys + aggregated cols:
     // the lineitem scan must not read comment/shipmode/etc.
