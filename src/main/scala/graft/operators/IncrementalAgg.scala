@@ -109,29 +109,39 @@ object IncrementalAgg {
     * is a distributed top-n (TakeOrdered), never a full sort. */
   def sampleState(df: DataFrame, idCol: String, n: Int,
                   stratum: Option[String] = None): DataFrame =
-    sampleTopN(
-      df.select(stratum.map(col).toSeq :+ col(idCol): _*)
-        .withColumn("rank", expr(
-          s"(($idCol % 4294967311) * 1103515245 + 12345) % 4294967311")),
-      idCol, n, stratum)
+    sampleStateKeys(df, idCol, n, stratum.toSeq)
 
   /** Merge sample states (any number, any split, overlaps safe). */
   def mergeSamples(idCol: String, n: Int, stratum: Option[String],
                    states: DataFrame*): DataFrame =
-    sampleTopN(states.reduce(_ unionByName _), idCol, n, stratum)
+    mergeSamplesKeys(idCol, n, stratum.toSeq, states: _*)
+
+  /** Multi-key strata form: n exemplars PER key combination (the
+    * rollup-store shape — same determinism and merge law). `idCol`
+    * must be integral: the rank is modular arithmetic over it. */
+  def sampleStateKeys(df: DataFrame, idCol: String, n: Int,
+                      keys: Seq[String]): DataFrame =
+    sampleTopN(
+      df.select(keys.map(col) :+ col(idCol): _*)
+        .withColumn("rank", expr(
+          s"(($idCol % 4294967311) * 1103515245 + 12345) % 4294967311")),
+      idCol, n, keys)
+
+  def mergeSamplesKeys(idCol: String, n: Int, keys: Seq[String],
+                       states: DataFrame*): DataFrame =
+    sampleTopN(states.reduce(_ unionByName _), idCol, n, keys)
 
   private def sampleTopN(ranked: DataFrame, idCol: String, n: Int,
-                         stratum: Option[String]): DataFrame = {
+                         keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val deduped = ranked.dropDuplicates(stratum.toSeq :+ idCol)
-    stratum match {
-      case Some(g) =>
-        val w = Window.partitionBy(g).orderBy(col("rank"), col(idCol))
-        deduped.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= n).drop("__rn")
-      case None =>
-        deduped.orderBy(col("rank"), col(idCol)).limit(n)
-    }
+    val deduped = ranked.dropDuplicates(keys :+ idCol)
+    if (keys.nonEmpty) {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("rank"), col(idCol))
+      deduped.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n).drop("__rn")
+    } else
+      deduped.orderBy(col("rank"), col(idCol)).limit(n)
   }
 
   /** Per-key quantile estimates read off a (merged) histogram state:

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.operators.IncrementalAgg
 
 /** Streaming rollup maintenance — [[graft.operators.IncrementalAgg]]
@@ -46,7 +47,8 @@ object RollupIngest {
   def processBatch(batch: DataFrame, stateDir: String, keys: Seq[String],
                    valueCol: String, distinctCol: String,
                    batchId: Long, keepVersions: Int = 2,
-                   histWidth: Long = 0L, freqCol: String = ""): Boolean = {
+                   histWidth: Long = 0L, freqCol: String = "",
+                   sampleCol: String = "", sampleN: Int = 8): Boolean = {
     val spark = batch.sparkSession
     val latest = latestVersion(spark, stateDir)
     if (latest.exists(_._1 >= batchId)) return false // replayed batch
@@ -87,6 +89,20 @@ object RollupIngest {
       merge = (prior, b) => graft.functions.CountMin.mergeRegisters(prior, b),
       what = "frequency", knob = "freqCol",
       consequence = "silently-low estimates")
+    // per-key EXEMPLARS: n deterministic sample ids per key combination
+    // ([[IncrementalAgg.sampleStateKeys]] — the dashboards' "show me
+    // example rows for this key" read, maintained like every other
+    // state; idCol must be integral, the rank is modular arithmetic)
+    val samp: Option[(String, DataFrame)] = optionalState(
+      spark, stateDir, latest,
+      dirPrefix = SampPrefix, enabled = sampleCol.nonEmpty,
+      tag = sampleN.toString,
+      buildBatch = () => IncrementalAgg.sampleStateKeys(
+        batch.select((keys.map(col) :+ col(sampleCol).cast("long").as("__sid")): _*),
+        "__sid", sampleN, keys),
+      merge = (prior, b) => IncrementalAgg.mergeSamplesKeys("__sid", sampleN, keys, prior, b),
+      what = "exemplar-sample", knob = "sampleCol",
+      consequence = "exemplars that never cover early history")
 
     // staleness ledgers: ids of batches whose values an optional state
     // is missing (knob forgotten while the state existed). Once stale,
@@ -99,6 +115,9 @@ object RollupIngest {
     val freqSkipped = (if (latest.isEmpty) Seq.empty
       else staleFrequencyBatches(spark, stateDir)) ++
       (if (carriedForward(FreqPrefix, freqCol.nonEmpty)) Seq(batchId) else Seq.empty)
+    val sampSkipped = (if (latest.isEmpty) Seq.empty
+      else staleExemplarBatches(spark, stateDir)) ++
+      (if (carriedForward(SampPrefix, sampleCol.nonEmpty)) Seq(batchId) else Seq.empty)
 
     val fs = fsOf(spark, stateDir)
     val staging = new Path(s"$stateDir/.staging_v$batchId")
@@ -107,12 +126,14 @@ object RollupIngest {
     dist.write.parquet(s"$staging/regs")
     hist.foreach { case (t, df) => df.write.parquet(s"$staging/$HistPrefix$t") }
     freq.foreach { case (t, df) => df.write.parquet(s"$staging/$FreqPrefix$t") }
+    samp.foreach { case (t, df) => df.write.parquet(s"$staging/$SampPrefix$t") }
     def writeLedger(file: String, ids: Seq[Long]): Unit = if (ids.nonEmpty) {
       val out = fs.create(new Path(s"$staging/$file"), true)
       try out.write(ids.mkString("\n").getBytes("UTF-8")) finally out.close()
     }
     writeLedger(SkippedFile, skipped)
     writeLedger(FreqSkippedFile, freqSkipped)
+    writeLedger(SampSkippedFile, sampSkipped)
     // the commit point: one rename publishes both tables + the watermark.
     // rename reports failure as FALSE (dest exists, parent gone), not an
     // exception — ignoring it would drop the batch's non-idempotent
@@ -147,6 +168,8 @@ object RollupIngest {
   private val FreqPrefix = "freq_d"
   private val SkippedFile = "hist_skipped_batches"
   private val FreqSkippedFile = "freq_skipped_batches"
+  private val SampPrefix = "samp_n"
+  private val SampSkippedFile = "samp_skipped_batches"
 
   /** The latest snapshot's (knobTag, path) for one optional state, if
     * present. */
@@ -221,6 +244,25 @@ object RollupIngest {
     * [[currentFrequencies]] analog of [[staleQuantileBatches]]. */
   def staleFrequencyBatches(spark: SparkSession, stateDir: String): Seq[Long] =
     readLedger(spark, stateDir, FreqSkippedFile)
+
+  /** Ids of batches missing from the served exemplars — the
+    * [[currentExemplars]] analog of [[staleQuantileBatches]]. */
+  def staleExemplarBatches(spark: SparkSession, stateDir: String): Seq[Long] =
+    readLedger(spark, stateDir, SampSkippedFile)
+
+  /** Per-key exemplar ids off the latest snapshot's sample state —
+    * the dashboards' "show example rows for this key" read, answered
+    * from maintained state (raw history never re-scanned), column
+    * `__sid` holding the sampled id. Deterministic: the exemplars are
+    * the n smallest hash ranks per key over everything ever folded in.
+    * None until a batch committed with `sampleCol` enabled. Pair with
+    * [[staleExemplarBatches]]. */
+  def currentExemplars(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    latestVersion(spark, stateDir).flatMap { case (_, p) =>
+      priorStateDir(spark, p, SampPrefix).map { case (_, path) =>
+        spark.read.parquet(path)
+      }
+    }
 
   /** Frequency estimates for `values` off the latest snapshot's
     * Count-Min state — the streaming form of q110/q117's sketch reads:

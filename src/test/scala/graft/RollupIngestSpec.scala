@@ -158,4 +158,39 @@ class RollupIngestSpec extends SparkSpec {
       RollupIngest.currentFrequencies(spark, dir, vals, "u")
     }
   }
+
+  test("exemplar sample rides the snapshot: streaming exemplars == one-shot") {
+    val dir = tmpDir("graft-rollup-samp")
+    val b = Seq(batchDf(7, 200), batchDf(8, 200))
+    def apply(df: org.apache.spark.sql.DataFrame, id: Long) =
+      RollupIngest.processBatch(df, dir, keys, "v", "u", id,
+        sampleCol = "v", sampleN = 4)
+    assert(apply(b(0), 0L))
+    assert(apply(b(1), 1L))
+    assert(!apply(b(1), 1L)) // replay rejected
+    val got = RollupIngest.currentExemplars(spark, dir).get
+      .select("g", "__sid").as[(String, Long)].collect().toSet
+    // the determinism dividend: maintained exemplars == the one-shot
+    // sample state over both batches' rows
+    val expected = IncrementalAgg.sampleStateKeys(
+        b.reduce(_ union _).select(col("g"), col("v").cast("long").as("__sid")),
+        "__sid", 4, keys)
+      .select("g", "__sid").as[(String, Long)].collect().toSet
+    assert(got == expected, s"$got != $expected")
+    assert(got.groupBy(_._1).forall(_._2.size <= 4))
+    assert(RollupIngest.staleExemplarBatches(spark, dir).isEmpty)
+    // forgetting the knob mid-stream: state carries forward, batch is
+    // recorded stale — the generic optional-state contract
+    assert(RollupIngest.processBatch(batchDf(9, 100), dir, keys, "v", "u", 2L))
+    assert(RollupIngest.staleExemplarBatches(spark, dir) == Seq(2L))
+    assert(RollupIngest.currentExemplars(spark, dir).get
+      .select("g", "__sid").as[(String, Long)].collect().toSet == got)
+    // mid-stream ENABLE on a store with sample-less history refuses
+    val freshDir = tmpDir("graft-rollup-samp2")
+    assert(RollupIngest.processBatch(batchDf(7, 50), freshDir, keys, "v", "u", 0L))
+    intercept[IllegalStateException] {
+      RollupIngest.processBatch(batchDf(8, 50), freshDir, keys, "v", "u", 1L,
+        sampleCol = "v", sampleN = 4)
+    }
+  }
 }
