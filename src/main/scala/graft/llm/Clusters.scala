@@ -189,9 +189,17 @@ object Clusters {
     * (callers gate on an exact count ≤ maxLocalEdges first). */
   private def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
+    // ITERATIVE find: the local-finish paths admit up to ~1M collected
+    // nodes at the default maxLocalEdges, and chain-shaped near-dup
+    // components (path graphs) drive a recursive find to O(n) depth —
+    // a driver StackOverflowError where the distributed loop succeeds.
+    // Walk to the root, then a second pass compresses the whole path.
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
     }
     edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))

@@ -88,29 +88,61 @@ object MergeOps {
     * deterministic versions under equal timestamps.
     */
   def scd2History(df: DataFrame, keys: Seq[String], tsCol: String,
-                  tieCols: Seq[String]): DataFrame = {
+                  tieCols: Seq[String]): DataFrame =
+    scd2HistoryFlagged(df, keys, tsCol, tieCols)
+      .filter(col("is_change")).drop("is_change")
+
+  /** [[scd2History]] with the no-change collapse FLAGGED instead of
+    * filtered: every distinct input row survives, carrying
+    * `is_change` — false for a row repeating the previous row's content
+    * (all tie columns, null-safe). This is the form a PERSISTED history
+    * must use: dropping collapsed rows at merge time permanently
+    * discards evidence, and a late out-of-order change landing BETWEEN
+    * two identical-content rows then re-tiles that key WITHOUT the
+    * second row — serving a wrong is_current under exactly the
+    * at-least-once/out-of-order regime the sink documents (e.g. A@t1,
+    * refetch A@t3 collapsed, late B@t2 arrives → stored history would
+    * end current=B while the one-shot ends current=A@t3). Keeping the
+    * row flagged lets [[scd2Merge]]'s replay re-decide changehood.
+    *
+    * Derived columns on change rows are exactly [[scd2History]]'s
+    * (version = rank among changes, [valid_from, valid_to) tiles to the
+    * next CHANGE, is_current on the open interval). No-change rows get
+    * the covering change's version and an EMPTY interval
+    * (valid_to = valid_from) so [[asOfState]] never matches them —
+    * point-in-time reads work on the flagged store unfiltered. Serve
+    * the classic history with `.filter(col("is_change"))`.
+    *
+    * Why collapse at all: SCD2 versions track changes, and refetch-
+    * with-now() sources (API-revalidated children, whose sync ts is
+    * current_timestamp per the reference's two-timestamp rule) would
+    * otherwise mint a no-change version on every redelivery.
+    * Same single keyed shuffle: the extra window functions share w's
+    * partitioning and sort.
+    */
+  def scd2HistoryFlagged(df: DataFrame, keys: Seq[String], tsCol: String,
+                         tieCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((tsCol +: tieCols).map(col): _*)
-    // CHANGE detection: a row repeating the previous row's content (all
-    // tie columns, null-safe — deleted projections carry nulls) is not
-    // a new version; SCD2 versions track changes, and refetch-with-
-    // now() sources (API-revalidated children, whose sync ts is
-    // current_timestamp per the reference's two-timestamp rule) would
-    // otherwise mint a no-change version on every redelivery. The old
-    // content stays valid until the next CHANGE's ts, so intervals
-    // still tile after the collapse.
-    val collapsed =
-      if (tieCols.isEmpty) df
+    val isChg =
+      if (tieCols.isEmpty) lit(true)
       else {
         val content = struct(tieCols.map(col): _*)
-        df.withColumn("__prev", lag(content, 1).over(w))
-          .filter(col("__prev").isNull || !(col("__prev") <=> content))
-          .drop("__prev")
+        val prev = lag(content, 1).over(w)
+        prev.isNull || !(prev <=> content)
       }
-    collapsed.withColumn("version", row_number().over(w).cast("long"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+    // ts is non-decreasing in window order, so the min over FOLLOWING
+    // change rows is the next change's ts — lead() over the collapsed
+    // set, computed without collapsing
+    val nextChangeTs = min(when(col("is_change"), col(tsCol))).over(wNext)
+    df.withColumn("is_change", isChg)
+      .withColumn("version", sum(col("is_change").cast("long")).over(wRun))
       .withColumn("valid_from", col(tsCol))
-      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
-      .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("valid_to",
+        when(col("is_change"), nextChangeTs).otherwise(col(tsCol)))
+      .withColumn("is_current", col("is_change") && nextChangeTs.isNull)
   }
 
   /** Point-in-time state over an [[scd2History]] table: the one version
@@ -122,28 +154,31 @@ object MergeOps {
       (col("valid_to").isNull || col("valid_to") > at))
 
   /** Incremental SCD2 maintenance: fold a batch of new change rows into
-    * an existing [[scd2History]] table. Only the batch's keys are
+    * an existing [[scd2HistoryFlagged]] table. Only the batch's keys are
     * rebuilt — their history rows (which carry the original change
-    * columns 1:1) are unioned with the batch and re-windowed; every
-    * other key's rows pass through untouched — so per-batch cost scales
-    * with the batch's key set, not the table. Late (out-of-order)
-    * changes insert mid-history and renumber/re-tile that key
-    * correctly, and exact redelivery of a change row is dropped by the
-    * (keys, tsCol, tieCols) identity guard — the same at-least-once
-    * idempotence the guarded upsert sink provides (postgres.ts:196-203).
-    * MergeOpsSpec proves convergence: any batch split in any delivery
-    * order, with redelivery, equals the one-shot history.
+    * columns 1:1, INCLUDING collapsed no-change rows, kept flagged) are
+    * unioned with the batch and re-windowed; every other key's rows pass
+    * through untouched — so per-batch cost scales with the batch's key
+    * set, not the table. Late (out-of-order) changes insert mid-history
+    * and renumber/re-tile that key correctly — including re-deciding
+    * changehood of previously-collapsed rows, which is why the store
+    * must be the flagged form — and exact redelivery of a change row is
+    * dropped by the (keys, tsCol, tieCols) identity guard — the same
+    * at-least-once idempotence the guarded upsert sink provides
+    * (postgres.ts:196-203). MergeOpsSpec proves convergence: any batch
+    * split in any delivery order, with redelivery and with late changes
+    * landing between identical-content rows, equals the one-shot build.
     */
   def scd2Merge(history: DataFrame, batch: DataFrame, keys: Seq[String],
                 tsCol: String, tieCols: Seq[String]): DataFrame = {
-    val derived = Seq("version", "valid_from", "valid_to", "is_current")
+    val derived = Seq("version", "valid_from", "valid_to", "is_current", "is_change")
     val affected = batch.select(keys.map(col): _*).distinct()
     val untouched = history.join(affected, keys, "left_anti")
     val replayed = history.drop(derived: _*)
       .join(affected, keys, "left_semi")
       .unionByName(batch)
       .dropDuplicates(keys ++ (tsCol +: tieCols))
-    untouched.unionByName(scd2History(replayed, keys, tsCol, tieCols))
+    untouched.unionByName(scd2HistoryFlagged(replayed, keys, tsCol, tieCols))
   }
 
   /** Child-table normalization (reference A4/A5/A6): explode a nested

@@ -97,7 +97,15 @@ object MergeSink {
     * redelivered rows look like distinct versions. The remaining payload
     * columns double as the deterministic tiebreak for equal event
     * timestamps, so history content is independent of batch boundaries
-    * and delivery order (proven in WebhookPipelineSpec). */
+    * and delivery order (proven in WebhookPipelineSpec).
+    *
+    * The store is the FLAGGED form ([[MergeOps.scd2HistoryFlagged]]):
+    * no-change rows survive with `is_change = false` so a late
+    * out-of-order change landing between identical-content rows can
+    * re-tile the key correctly on replay — filtering them at merge time
+    * would permanently discard the later row and serve a wrong
+    * is_current (the bug class MergeOpsSpec's late-change test pins).
+    * Read the served history through [[readHistory]]. */
   def historyParquet(batch: DataFrame, dir: String, tdef: TableDef,
                      tsCol: String = "last_synced_at"): Unit = {
     val spark = batch.sparkSession
@@ -110,10 +118,21 @@ object MergeSink {
         MergeOps.scd2Merge(spark.read.parquet(path), clean,
           Seq(tdef.key), tsCol, tieCols)
       else
-        MergeOps.scd2History(
+        MergeOps.scd2HistoryFlagged(
           clean.dropDuplicates(tdef.key +: tsCol +: tieCols),
           Seq(tdef.key), tsCol, tieCols)
     writeAtomic(merged, path)
+  }
+
+  /** Served SCD2 history: the `<table>__history` store minus the flagged
+    * no-change rows — classic dense-versioned, tiled SCD2 rows. Point-in-
+    * time reads ([[MergeOps.asOfState]]) may skip the filter: no-change
+    * rows carry empty intervals and never cover any timestamp. */
+  def readHistory(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  table: String): DataFrame = {
+    val path = s"$dir/${table}__history"
+    healInterruptedSwap(spark, path)
+    spark.read.parquet(path).filter(col("is_change")).drop("is_change")
   }
 
   /** Hard delete by key (S10: `DELETE … WHERE id = :id`,

@@ -114,15 +114,47 @@ class MergeOpsSpec extends SparkSpec {
     // deliver as 3 out-of-order batches, with batch 1 redelivered
     val batches = changes.grouped(40).toSeq
     val order = Seq(batches(2), batches(0), batches(1), batches(0))
-    var hist = MergeOps.scd2History(
+    var hist = MergeOps.scd2HistoryFlagged(
       order.head.toDF("id", "ts", "seq", "payload"), Seq("id"), "ts", Seq("seq"))
     order.tail.foreach { b =>
       hist = MergeOps.scd2Merge(hist,
         b.toDF("id", "ts", "seq", "payload"), Seq("id"), "ts", Seq("seq"))
     }
+    val served = hist.filter(col("is_change")).drop("is_change")
     val key = Seq("id", "version")
-    assert(hist.orderBy(key.map(col): _*).collect().toSeq ==
-      oneShot.select(hist.columns.map(col).toIndexedSeq: _*)
+    assert(served.orderBy(key.map(col): _*).collect().toSeq ==
+      oneShot.select(served.columns.map(col).toIndexedSeq: _*)
         .orderBy(key.map(col): _*).collect().toSeq)
+  }
+
+  test("scd2Merge: late change between identical-content rows re-tiles (flagged store)") {
+    // A@t1, then a refetch A@t3 with IDENTICAL content (collapsed,
+    // is_change=false), then a LATE B@t2 lands between them: A@t3 must
+    // become a real change (current=A) — a store that filtered the
+    // collapsed row would end current=B, silently serving wrong state.
+    // Content column only (no unique tie) so the t3 refetch collapses.
+    val b1 = Seq(("k", 1L, "A"), ("k", 3L, "A")).toDF("id", "ts", "payload")
+    val late = Seq(("k", 2L, "B")).toDF("id", "ts", "payload")
+    val hist0 = MergeOps.scd2HistoryFlagged(b1, Seq("id"), "ts", Seq("payload"))
+    // before the late row: one served version, refetch flagged out
+    assert(hist0.filter(col("is_change")).count() == 1)
+    assert(hist0.count() == 2)
+    val merged = MergeOps.scd2Merge(hist0, late, Seq("id"), "ts", Seq("payload"))
+      .filter(col("is_change")).drop("is_change")
+    val oneShot = MergeOps.scd2History(
+      b1.unionByName(late), Seq("id"), "ts", Seq("payload"))
+    val cols = merged.columns.toSeq
+    assert(merged.orderBy("version").collect().toSeq ==
+      oneShot.select(cols.map(col): _*).orderBy("version").collect().toSeq)
+    val cur = merged.filter(col("is_current")).collect()
+    assert(cur.length == 1 && cur.head.getAs[String]("payload") == "A"
+      && cur.head.getAs[Long]("ts") == 3L,
+      "late B@t2 must not remain current once A@t3 re-tiles as a change")
+    // no-change rows in the flagged store carry EMPTY intervals: asOfState
+    // never matches them, so point-in-time reads work unfiltered
+    val at = MergeOps.asOfState(
+      MergeOps.scd2Merge(hist0, late, Seq("id"), "ts", Seq("payload")), lit(2L))
+      .collect()
+    assert(at.length == 1 && at.head.getAs[String]("payload") == "B")
   }
 }

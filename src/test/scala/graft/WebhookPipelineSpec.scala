@@ -247,8 +247,10 @@ class WebhookPipelineSpec extends SparkSpec {
     build(twoDir, Seq(b1, b2))
     build(oneDir, Seq(fx))
     for (t <- histTables) {
-      val two = readTable(twoDir, s"${t}__history")
-      val one = readTable(oneDir, s"${t}__history")
+      // the SCD2 invariants hold on the SERVED form (is_change rows);
+      // flagged no-change rows are store bookkeeping for late re-tiling
+      val two = readTable(twoDir, s"${t}__history").filter(col("is_change"))
+      val one = readTable(oneDir, s"${t}__history").filter(col("is_change"))
       // incremental fold across two batches == one-shot history: the
       // stored content is independent of batch boundaries
       assert(two.except(one).isEmpty && one.except(two).isEmpty,
@@ -270,7 +272,8 @@ class WebhookPipelineSpec extends SparkSpec {
     // the corpus reuses entity ids across created/updated/deleted
     // variants, so real multi-version history must exist
     assert(readTable(twoDir, "customers__history")
-      .filter(col("version") >= 2L).count() > 0, "no multi-version key")
+      .filter(col("is_change") && col("version") >= 2L).count() > 0,
+      "no multi-version key")
     // at-least-once delivery: replaying the whole second batch is a no-op
     val before = readTable(twoDir, "customers__history").count()
     new WebhookPipeline(twoDir, config = SyncConfig(historyTables = histTables))
@@ -295,6 +298,7 @@ class WebhookPipelineSpec extends SparkSpec {
     // quantity change on A + B vanishes (J3): both must version in history
     pipeline.processBatch(Seq(subEvent(200, itemA2)).toDF("value"))
     val hist = readTable(dir, "subscription_items__history")
+      .filter(col("is_change"))
     // A: v1 qty=1, v2 qty=5 (current); B: v1 live, v2 tombstone deleted=true
     val a = hist.filter(col("id") === "si_ha").orderBy("version").collect()
     assert(a.map(_.getAs[Long]("quantity")).toSeq == Seq(1L, 5L))
