@@ -71,7 +71,9 @@ object Similarity {
     * top-k happily returns k near-copies of one document.
     *
     * Shape: exact top-kCand per query (broadcast queries, one corpus
-    * scan), candidate-pair sims computed ONCE per query
+    * scan — the caller-bounded BASELINE; at 100 TB feed ANN candidates
+    * through [[mmrRerankFromCandidates]] / [[mmrRerankAnn]] instead),
+    * candidate-pair sims computed ONCE per query
     * (≤ kCand² rows/query, query-keyed equi-join — never corpus-pair),
     * then kOut driver-composed rounds, each one join + one rank window
     * over the candidate table. Deterministic (ties → lower id) and
@@ -87,12 +89,74 @@ object Similarity {
       .filter(col("c_norm") > 0)
     val wq = Window.partitionBy("query_id")
       .orderBy(col("sim_q").desc, col("cand_id"))
-    val cands = Stage(q.join(c, col("query_id") =!= col("cand_id"))
+    val cands = q.join(c, col("query_id") =!= col("cand_id"))
       .withColumn("sim_q",
         dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
       .withColumn("rnk", row_number().over(wq))
       .filter(col("rnk") <= kCand)
-      .select("query_id", "cand_id", "sim_q", "c_emb", "c_norm"))
+      .select("query_id", "cand_id", "sim_q", "c_emb", "c_norm")
+    mmrGreedy(cands, kOut, lambda)
+  }
+
+  /** MMR greedy selection over ANY candidate table — the
+    * [[marginFromSims]] discipline applied to diversity re-ranking,
+    * and the form that matters at 100 TB: diversity re-ranking over
+    * ANN-RETRIEVED candidates is exactly what MMR is for, and the full
+    * greedy is candidate-bounded (≤ kCand² pair sims per query) once
+    * the candidate set is. `cands` is (query_id, cand_id, sim_q) from
+    * any source — [[lshKnn]]/[[lshKnnComposite]] buckets,
+    * [[ivfKnnTrained]] cells, a [[graft.streaming.VectorIngest]] probe,
+    * or the exact scan [[mmrRerank]] wires. Candidate vectors (for the
+    * pairwise-redundancy sims) are fetched from `emb` BY ID — the
+    * candidate table itself never carries embeddings through a
+    * shuffle. Returns (query_id, cand_id, step). */
+  def mmrRerankFromCandidates(cands: DataFrame, emb: DataFrame, kOut: Int,
+                              lambda: Double = 0.7): DataFrame = {
+    val cv = emb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+      .filter(col("c_norm") > 0)
+    mmrGreedy(cands.select("query_id", "cand_id", "sim_q")
+      .join(cv, Seq("cand_id")), kOut, lambda)
+  }
+
+  /** MMR over composite-LSH candidates — [[mmrRerank]]'s 100 TB form:
+    * candidates from [[lshCompositeCandidates]] (corpus scanned once,
+    * query-side probe explode, never a cross join), exact-cosine scored
+    * and cut to the top kCand per query, then the same greedy via
+    * [[mmrRerankFromCandidates]]. Equals exact [[mmrRerank]] whenever
+    * the probe set covers the true top-kCand (AnnRecallSpec asserts
+    * this and the coverage floors). */
+  def mmrRerankAnn(emb: DataFrame, queries: DataFrame, kCand: Int, kOut: Int,
+                   lambda: Double = 0.7, planes: Int = 6, dim: Int = 64,
+                   tables: Int = 4, probeHamming: Int = 1): DataFrame = {
+    val cand = lshCompositeCandidates(emb, queries, planes, dim, tables,
+      probeHamming)
+    val qv = broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+      .filter(col("q_norm") > 0))
+    val cv = emb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+      .filter(col("c_norm") > 0)
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("sim_q").desc, col("cand_id"))
+    val scored = cand.select(col("query_id"), col("neighbor_id").as("cand_id"))
+      .join(cv, Seq("cand_id")).join(qv, Seq("query_id"))
+      .withColumn("sim_q",
+        dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= kCand)
+      .select("query_id", "cand_id", "sim_q", "c_emb", "c_norm")
+    mmrGreedy(scored, kOut, lambda)
+  }
+
+  /** Shared greedy tail of the MMR family: kOut driver-composed rounds
+    * over a candidate table (query_id, cand_id, sim_q, c_emb, c_norm)
+    * that is ALREADY cut to each query's candidate set. */
+  private def mmrGreedy(candidates: DataFrame, kOut: Int,
+                        lambda: Double): DataFrame = {
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("sim_q").desc, col("cand_id"))
+    val cands = Stage(candidates)
     val a = cands.select(col("query_id"), col("cand_id").as("a_id"),
       col("c_emb").as("a_emb"), col("c_norm").as("a_norm"))
     val b = cands.select(col("query_id"), col("cand_id").as("b_id"),

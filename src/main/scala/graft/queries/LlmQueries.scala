@@ -1086,6 +1086,128 @@ object LlmQueries {
       Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 8),
           kCand = 6, kOut = 3, lambda = 0.7)
         .orderBy("query_id", "step")
+    },
+
+    // ANN-candidate-fed MMR (round 10) — q148's 100 TB form as its own
+    // hash-green entry: candidates come from single-table LSH buckets at
+    // hamming ≤ 1 (the q36 replay — the oracle states the candidate set
+    // as bit_count(xor(buckets)) ≤ 1 over the same deterministic
+    // planes), exact-cosine scored and cut to each query's top 6, then
+    // the SAME statically-unrolled greedy rounds as q148 run over that
+    // retrieved set. Every stage downstream of candidate generation is
+    // candidate-bounded — nothing rescans the corpus.
+    Q("q149_mmr_ann",
+      s"""WITH planes AS (SELECT p, list_transform(range(0, 64),
+        |    d -> CASE WHEN ((CAST(p*1021 + d*2039 + 1 AS BIGINT) * 2654435761) >> 13) & 1 = 1
+        |         THEN 1.0 ELSE -1.0 END) AS w
+        |  FROM range(0, 6) t(p)),
+        | b AS (SELECT e.vec_id, e.embedding,
+        |        sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm,
+        |        CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.w")} > 0
+        |                      THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM embeddings e CROSS JOIN planes p GROUP BY ALL),
+        | c0 AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sim_q,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+        |             c.vec_id) AS rnk
+        |        FROM b q JOIN b c ON bit_count(xor(q.bucket, c.bucket)) <= 1
+        |         AND q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        | cand AS (SELECT query_id, cand_id, sim_q FROM c0 WHERE rnk <= 6),
+        | pair AS (SELECT x.query_id, x.cand_id AS a_id, y.cand_id AS b_id,
+        |           ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS sim_ab
+        |          FROM cand x JOIN cand y ON x.query_id = y.query_id
+        |            AND x.cand_id <> y.cand_id
+        |          JOIN b ea ON ea.vec_id = x.cand_id
+        |          JOIN b eb ON eb.vec_id = y.cand_id),
+        | s1 AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sim_q DESC, cand_id) AS rn FROM cand) WHERE rn = 1),
+        | m2 AS (SELECT c.query_id, c.cand_id, c.sim_q, max(p.sim_ab) AS msel
+        |        FROM cand c JOIN s1 ON s1.query_id = c.query_id
+        |          AND c.cand_id <> s1.cand_id
+        |        JOIN pair p ON p.query_id = c.query_id
+        |          AND p.a_id = c.cand_id AND p.b_id = s1.cand_id
+        |        GROUP BY 1, 2, 3),
+        | s2 AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY 0.7 * sim_q - 0.3 * msel DESC, cand_id) AS rn
+        |         FROM m2) WHERE rn = 1),
+        | m3 AS (SELECT c.query_id, c.cand_id, c.sim_q, max(p.sim_ab) AS msel
+        |        FROM cand c JOIN s1 ON s1.query_id = c.query_id
+        |          AND c.cand_id <> s1.cand_id
+        |        JOIN s2 ON s2.query_id = c.query_id AND c.cand_id <> s2.cand_id
+        |        JOIN pair p ON p.query_id = c.query_id AND p.a_id = c.cand_id
+        |          AND (p.b_id = s1.cand_id OR p.b_id = s2.cand_id)
+        |        GROUP BY 1, 2, 3),
+        | s3 AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY 0.7 * sim_q - 0.3 * msel DESC, cand_id) AS rn
+        |         FROM m3) WHERE rn = 1)
+        |SELECT query_id, cand_id, step FROM (
+        |  SELECT query_id, cand_id, CAST(1 AS BIGINT) AS step FROM s1
+        |  UNION ALL SELECT query_id, cand_id, 2 FROM s2
+        |  UNION ALL SELECT query_id, cand_id, 3 FROM s3)
+        |ORDER BY query_id, step""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.mmrRerankAnn(emb, emb.filter(col("vec_id") < 8),
+          kCand = 6, kOut = 3, lambda = 0.7, planes = 6, dim = 64,
+          tables = 1, probeHamming = 1)
+        .orderBy("query_id", "step")
+    },
+
+    // ANN-fed margin mining (round 10) — q97's 100 TB form as its own
+    // hash-green entry: the ratio margin computed over LSH-RETRIEVED
+    // neighborhoods (bit_count(xor(buckets)) ≤ 1 across the even/odd
+    // split, the q36 plane replay), exactly as the production bitext
+    // miners do — the k-NN averages are over the retrieved k. Margins
+    // are exact micros: same sequential-fold dot and rank-ordered
+    // averages as q97, just over the candidate sims.
+    Q("q150_margin_ann",
+      s"""WITH planes AS (SELECT p, list_transform(range(0, 64),
+        |    d -> CASE WHEN ((CAST(p*1021 + d*2039 + 1 AS BIGINT) * 2654435761) >> 13) & 1 = 1
+        |         THEN 1.0 ELSE -1.0 END) AS w
+        |  FROM range(0, 6) t(p)),
+        | bk AS (SELECT e.vec_id, e.embedding,
+        |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm,
+        |         CAST(sum(CASE WHEN ${dotSql("e.embedding", "p.w")} > 0
+        |                       THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM embeddings e CROSS JOIN planes p
+        |        WHERE e.vec_id < 64 GROUP BY ALL),
+        | a AS (SELECT vec_id AS src_id, embedding, nrm, bucket FROM bk
+        |       WHERE vec_id % 2 = 0),
+        | b AS (SELECT vec_id AS tgt_id, embedding, nrm, bucket FROM bk
+        |       WHERE vec_id % 2 = 1),
+        | sims AS (SELECT src_id, tgt_id,
+        |           ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+        |          FROM a JOIN b ON bit_count(xor(a.bucket, b.bucket)) <= 1),
+        | rk AS (SELECT src_id, tgt_id, sim,
+        |         row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rf,
+        |         row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rb
+        |        FROM sims),
+        | ka AS (SELECT src_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list(sim ORDER BY rf)), (acc, x) -> acc + x) / count(*) AS avg_a
+        |        FROM rk WHERE rf <= 4 GROUP BY 1),
+        | kb AS (SELECT tgt_id, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list(sim ORDER BY rb)), (acc, x) -> acc + x) / count(*) AS avg_b
+        |        FROM rk WHERE rb <= 4 GROUP BY 1),
+        | m AS (SELECT r.src_id, r.tgt_id,
+        |        2.0 * r.sim / (ka.avg_a + kb.avg_b) AS margin
+        |       FROM rk r JOIN ka USING (src_id) JOIN kb USING (tgt_id)),
+        | best AS (SELECT src_id, tgt_id,
+        |           CAST(floor(margin * 1000000.0 + 0.5) AS BIGINT) AS margin_micros,
+        |           row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rnk
+        |          FROM m)
+        |SELECT src_id, tgt_id, margin_micros FROM best WHERE rnk = 1
+        |ORDER BY src_id""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.marginMineAnn(
+          emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 64),
+          emb.filter(col("vec_id") % 2 =!= 0 && col("vec_id") < 64),
+          kAvg = 4, planes = 6, dim = 64, tables = 1, probeHamming = 1)
+        .orderBy("src_id")
     }
   )
 }

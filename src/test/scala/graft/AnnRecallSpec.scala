@@ -183,4 +183,53 @@ class AnnRecallSpec extends SparkSpec {
     assert(rel.map(_._2) == exact.map(_._2),
       s"lambda=1 must equal top-k: $rel vs $exact")
   }
+
+  test("mmrRerankFromCandidates == exact mmrRerank when candidates cover top-kCand") {
+    import org.apache.spark.sql.expressions.Window
+    val kCand = 6; val kOut = 3
+    val qs = emb.filter(col("vec_id") < 8)
+    val exactSel = Similarity.mmrRerank(emb, qs, kCand, kOut, lambda = 0.7)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.sortBy(_._3).map(_._2).toSeq }
+    // exact-coverage equality: feed the greedy the exact top-kCand
+    // candidate table — bit-identical result, proving the split changed
+    // only WHERE candidates come from, not the selection semantics
+    val qv = qs.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), Similarity.norm(col("embedding")).as("q_norm"))
+    val cv = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"), Similarity.norm(col("embedding")).as("c_norm"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim_q").desc, col("cand_id"))
+    val exactCands = qv.join(cv, col("query_id") =!= col("cand_id"))
+      .withColumn("sim_q", Similarity.dot(col("q_emb"), col("c_emb")) /
+        (col("q_norm") * col("c_norm")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= kCand)
+      .select("query_id", "cand_id", "sim_q")
+    val fed = Similarity.mmrRerankFromCandidates(exactCands, emb, kOut, lambda = 0.7)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.sortBy(_._3).map(_._2).toSeq }
+    assert(fed == exactSel, s"candidate-fed MMR diverged on exact candidates")
+    // ANN-fed form: for every query whose LSH candidate set covers the
+    // true top-kCand, the ANN-fed selection must EQUAL the exact one
+    // (greedy only ever looks at the top-kCand by sim) — and coverage
+    // must actually occur at the production setting (L=4, h=2)
+    val exactTop = exactCands.select("query_id", "cand_id")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val annCandSet = Similarity.lshCompositeCandidates(emb, qs,
+        planes = 6, dim = 64, tables = 4, probeHamming = 2)
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val annSel = Similarity.mmrRerankAnn(emb, qs, kCand, kOut, lambda = 0.7,
+        planes = 6, dim = 64, tables = 4, probeHamming = 2)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.sortBy(_._3).map(_._2).toSeq }
+    val covered = exactTop.filter { case (q, top) =>
+      top.subsetOf(annCandSet.getOrElse(q, Set.empty)) }.keySet
+    info(f"ANN candidate sets cover top-$kCand for ${covered.size}/${exactTop.size} queries")
+    assert(covered.nonEmpty, "no query's candidate set covered top-kCand at L=4 h=2")
+    covered.foreach { q =>
+      assert(annSel(q) == exactSel(q),
+        s"query $q: ANN-fed MMR $annSel diverged from exact despite full coverage")
+    }
+  }
 }
