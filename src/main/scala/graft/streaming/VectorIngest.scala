@@ -86,7 +86,7 @@ object VectorIngest {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(markerPath(root))) return
-    Seq(s"$root/centroids", cellsPath(root)).foreach { dir =>
+    Seq(s"$root/centroids", cellsPath(root), codebookPath(root)).foreach { dir =>
       val cur = new Path(dir); val nw = new Path(dir + "__new")
       val old = new Path(dir + "__old")
       if (fs.exists(nw)) {
@@ -105,7 +105,15 @@ object VectorIngest {
     * the new cells, and atomically swap the (centroids, cells) pair —
     * probes see the old index until the commit instant, the new one
     * after. The replay-guard ledger is untouched: the vector SET is
-    * unchanged, only its cell layout moves. Returns the number of
+    * unchanged, only its cell layout moves.
+    *
+    * A PQ-coded store retrains its CODEBOOK too (same m/ksub, trained
+    * on the same sample) and re-encodes every vector with it: a frozen
+    * bootstrap codebook's quantization error grows under distribution
+    * drift, decaying the [[annPq]] shortlist even after a "retrain".
+    * The staged `codebook__new` + re-encoded codes commit through the
+    * SAME single marker as centroids/cells — a probe never sees new
+    * codes with the old codebook or vice versa. Returns the number of
     * vectors in the new tree. */
   def retrainAndSwap(spark: SparkSession, root: String, sample: DataFrame,
                      kCells: Int = 16, iters: Int = 5, dim: Int = 64): Long = {
@@ -114,22 +122,29 @@ object VectorIngest {
     graft.operators.MergeSink.healInterruptedSwap(spark, cellsPath(root))
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val centNew = s"$root/centroids__new"; val cellsNew = cellsPath(root) + "__new"
+    val cbNew = codebookPath(root) + "__new"
     // stale staging from a crashed pre-commit attempt: rebuild from scratch
-    Seq(centNew, cellsNew).foreach(d => fs.delete(new Path(d), true))
+    Seq(centNew, cellsNew, cbNew).foreach(d => fs.delete(new Path(d), true))
     val cents = KMeans.train(sample, kCells, iters, dim)
     Similarity.centroidTable(spark, cents)
       .coalesce(1).write.parquet(centNew)
     val reassigned0 = Similarity.assignToCells(
       spark.read.parquet(cellsPath(root)).select("vec_id", "embedding"),
       spark.read.parquet(centNew), "vec_id", keep = 1)
-    // a PQ-CODED store must stay coded through the retrain: the coarse
-    // cells move but the (frozen) codebook does not, so codes re-derive
-    // from the same raw vectors — dropping the column here would break
-    // every annPq after the swap
+    // a PQ-CODED store must stay coded through the retrain — with codes
+    // from the RETRAINED codebook, staged beside it
     val reassigned = loadCodebook(spark, root) match {
-      case Some(cb) => reassigned0.join(
-        graft.llm.ProductQuantizer.encode(
-          reassigned0.select("vec_id", "embedding"), cb), Seq("vec_id"))
+      case Some(old) =>
+        val cb = graft.llm.ProductQuantizer.train(
+          sample, old.m, old.ksub, iters, dim)
+        import spark.implicits._
+        cb.cents.zipWithIndex.flatMap { case (cells, s) =>
+          cells.map { case (cid, c) => (s, cid, c.toSeq) }
+        }.toDF("s", "cell", "cent")
+          .coalesce(1).write.parquet(cbNew)
+        reassigned0.join(
+          graft.llm.ProductQuantizer.encode(
+            reassigned0.select("vec_id", "embedding"), cb), Seq("vec_id"))
       case None => reassigned0
     }
     reassigned.repartition(col("list_id"))

@@ -280,6 +280,78 @@ class VectorIngestSpec extends SparkSpec {
     assert(postRetrain.exceptAll(exact).isEmpty && exact.exceptAll(postRetrain).isEmpty)
   }
 
+  test("retrainAndSwap retrains the PQ codebook through the same commit marker") {
+    val root = tmpDir("vindex_pqrt")
+    // DRIFTED bootstrap: centroids AND codebook trained on cluster 0
+    // only — the stream then delivers both clusters, so the frozen
+    // quantizer misrepresents half the data
+    val boot = rows(0 until 16, 0).toDF("vec_id", "embedding")
+    val all = (rows(0 until 16, 0) ++ rows(100 until 116, 1))
+      .toDF("vec_id", "embedding")
+    VectorIngest.trainCentroids(boot, root, kCells = 2, iters = 3, dim = 4)
+    VectorIngest.trainCodebook(boot, root, m = 2, ksub = 4, iters = 3, dim = 4)
+    assert(VectorIngest.processBatch(all, root) == 32L)
+    val cbBefore = spark.read.parquet(s"$root/codebook").collect().toSet
+    val queries = (rows(0 until 2, 0) ++ rows(100 until 102, 1))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceKnn(all, queries, k = 3)
+
+    // ── pre-commit crash: a staged codebook__new with NO marker must
+    // neither be served nor roll anything back
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$root/codebook__new"))
+    val served = VectorIngest.annPq(spark, root, queries, k = 3,
+      nProbe = 2, shortlist = 64)
+    assert(served.exceptAll(exact).isEmpty && exact.exceptAll(served).isEmpty,
+      "pre-commit crash: old codebook+codes must keep serving exactly")
+    assert(spark.read.parquet(s"$root/codebook").collect().toSet == cbBefore,
+      "uncommitted staging must not replace the live codebook")
+
+    // ── the real retrain on the full (drifted) distribution: the
+    // codebook commits WITH the centroids/cells through the one marker
+    assert(VectorIngest.retrainAndSwap(spark, root, all,
+      kCells = 2, iters = 3, dim = 4) == 32L)
+    assert(!fs.exists(new Path(s"$root/codebook__new")))
+    val cbAfter = spark.read.parquet(s"$root/codebook").collect().toSet
+    assert(cbAfter != cbBefore,
+      "codebook unchanged — retrain froze the bootstrap quantizer")
+    // stored codes are consistent with the NEW codebook: re-encoding the
+    // raw vectors with it reproduces the cell store's codes exactly
+    def loadCb() = {
+      val cbRows = spark.read.parquet(s"$root/codebook").collect()
+      val cents = cbRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map(_._2
+        .map(r => (r.getLong(1), r.getSeq[Double](2).toArray))
+        .sortBy(_._1).toIndexedSeq)
+      graft.llm.ProductQuantizer.Codebook(
+        cents.size, cents.head.size, cents.head.head._2.length, cents)
+    }
+    val stored = spark.read.parquet(s"$root/cells").select("vec_id", "codes")
+    val reEnc = graft.llm.ProductQuantizer.encode(
+      spark.read.parquet(s"$root/cells").select("vec_id", "embedding"), loadCb())
+      .select("vec_id", "codes")
+    assert(stored.exceptAll(reEnc).isEmpty && reEnc.exceptAll(stored).isEmpty,
+      "cell codes were not re-encoded with the retrained codebook")
+    // and the swapped index still serves exactly at full coverage
+    val post = VectorIngest.annPq(spark, root, queries, k = 3,
+      nProbe = 2, shortlist = 64)
+    assert(post.exceptAll(exact).isEmpty && exact.exceptAll(post).isEmpty)
+
+    // ── post-commit crash: marker present + staged codebook__new heals
+    // FORWARD on the next read (codebook participates in the roll)
+    val cbDir = s"$root/codebook"
+    fs.rename(new Path(cbDir), new Path(cbDir + "__new")) // stage
+    // a marker with ONLY the codebook staged: centroids/cells stay
+    fs.create(new Path(s"$root/__retrain_commit"), false).close()
+    val healed = VectorIngest.annPq(spark, root, queries, k = 3,
+      nProbe = 2, shortlist = 64)
+    assert(healed.exceptAll(exact).isEmpty && exact.exceptAll(healed).isEmpty)
+    assert(!fs.exists(new Path(s"$root/__retrain_commit")))
+    assert(fs.exists(new Path(cbDir)) && !fs.exists(new Path(cbDir + "__new")),
+      "heal must publish the staged codebook and drop the marker")
+    assert(spark.read.parquet(cbDir).collect().toSet == cbAfter)
+  }
+
   test("maintainTopK: per-batch folds equal one-shot brute force; replays are no-ops") {
     val topkDir = tmpDir("vtopk") + "/state"
     val all = (rows(0 until 12, 0) ++ rows(100 until 112, 1))
