@@ -37,6 +37,13 @@ object Multimodal {
       val fmt = if (b0 % 2 == 0) "png" else "jpg"
       (w, h, fmt)
     }
+
+    /** Decode with an explicit FAILURE mode — a real media decoder
+      * throws on truncated/corrupt payloads; the stub fails on anything
+      * too short to carry the 2-byte header it reads. None = quarantine
+      * the asset, never guess dimensions. */
+    def tryDecode(bytes: Array[Byte]): Option[(Int, Int, String)] =
+      if (bytes == null || bytes.length < 2) None else Some(decode(bytes))
   }
 
   /** Attach a binary payload column. For the synthetic corpus the "image
@@ -149,6 +156,84 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Per-asset quality stats + gates — the LAION-style filter stage next
+    * to [[perceptualHash]]: decode-failure detection, decoded dimensions,
+    * aspect ratio, and a content-concentration proxy for entropy, each
+    * gate an exact-ppm 0/1 column packed into a mask (the q109 Gopher
+    * shape, so downstream curation composes identically for text and
+    * media). Runs in the mapPartitions decode seam — a REAL pipeline
+    * needs the decoded pixels for every one of these; the stub derives
+    * them from the payload bytes so the oracle is exact.
+    *
+    * Gates (all integer arithmetic — a float entropy would differ in
+    * ulps across engines; max-byte share catches the same near-constant
+    * payloads exactly):
+    *   g1 decodable        — [[FakeDecoder.tryDecode]] succeeded
+    *   g2 min dimensions   — width ≥ minDim AND height ≥ minDim
+    *   g3 aspect ratio     — width·1e6/height within [lo, hi] ppm
+    *   g4 content entropy  — no byte value holds > maxBytePpm of the
+    *                         payload (near-constant content ⇒ one value
+    *                         dominates; an empty payload counts as fully
+    *                         concentrated)
+    * Undecodable assets carry zero dims/aspect and fail g1 (and so the
+    * overall `pass`), but still emit a row — quarantine needs the
+    * evidence. Output: (doc_id, n_bytes, width, height, aspect_ppm,
+    * maxbyte_ppm, rule_mask, pass), all BIGINT. */
+  def qualityStats(docs: DataFrame, minDim: Int = 8,
+                   aspectLoPpm: Long = 250000L, aspectHiPpm: Long = 4000000L,
+                   maxBytePpm: Long = 500000L): DataFrame = {
+    val withBytes = withPayload(docs).select(col("doc_id"), col("payload"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_bytes", LongType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("aspect_ppm", LongType), StructField("maxbyte_ppm", LongType),
+      StructField("rule_mask", LongType), StructField("pass", LongType)))
+    implicit val enc = RowEncoder.encoderFor(schema)
+    withBytes.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        val dec = FakeDecoder.tryDecode(bytes)
+        val (w, h) = dec match {
+          case Some((dw, dh, _)) => (dw.toLong, dh.toLong)
+          case None => (0L, 0L)
+        }
+        val aspect = if (h > 0) w * 1000000L / h else 0L
+        var maxCount = 0L
+        if (n > 0) {
+          val counts = new Array[Long](256)
+          var i = 0
+          while (i < bytes.length) { counts(bytes(i) & 0xFF) += 1; i += 1 }
+          var j = 0
+          while (j < 256) { if (counts(j) > maxCount) maxCount = counts(j); j += 1 }
+        }
+        val share = if (n > 0) maxCount * 1000000L / n else 1000000L
+        val g1 = if (dec.isDefined) 1L else 0L
+        val g2 = if (w >= minDim && h >= minDim) 1L else 0L
+        val g3 = if (aspect >= aspectLoPpm && aspect <= aspectHiPpm) 1L else 0L
+        val g4 = if (share <= maxBytePpm) 1L else 0L
+        Row(r.getLong(0), n, w, h, aspect, share,
+          g1 + g2 * 2 + g3 * 4 + g4 * 8,
+          if (g1 + g2 + g3 + g4 == 4) 1L else 0L)
+      }
+    }
+  }
+
+  /** [[qualityStats]]' verdict joined back onto the documents as
+    * `mm_pass` — the composition seam into ingest: pass the result as
+    * the batch with `qualityPred = Some(col("mm_pass") === 1)` and
+    * [[graft.streaming.CorpusIngest.processBatch]] quarantines failing
+    * assets with reason 'quality' at the door. The join is by doc_id
+    * (the stats frame is 8 longs/row — tiny next to payloads). */
+  def attachQualityVerdict(docs: DataFrame, minDim: Int = 8,
+                           aspectLoPpm: Long = 250000L,
+                           aspectHiPpm: Long = 4000000L,
+                           maxBytePpm: Long = 500000L): DataFrame =
+    docs.join(
+      qualityStats(docs, minDim, aspectLoPpm, aspectHiPpm, maxBytePpm)
+        .select(col("doc_id"), col("pass").as("mm_pass")),
+      Seq("doc_id"), "left")
 
   /** Resize stub: clamp/pad the payload to exactly `outBytes` bytes (a
     * real implementation decodes, resamples to w×h, re-encodes — same

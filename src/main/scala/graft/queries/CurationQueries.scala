@@ -380,6 +380,49 @@ object CurationQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Multimodal quality gates (round 10) — the LAION-style filter stage
+    // next to q135's perceptual hash: decode failure (stub: payload too
+    // short for its 2-byte header), decoded dimensions, aspect ratio,
+    // and a max-byte-share entropy proxy, each an exact-ppm 0/1 gate
+    // packed q109-style. The oracle replays the stub decoder's header
+    // arithmetic and the byte histogram (the q135 ascii machinery) —
+    // all integer, so the mask is hash-exact.
+    Q("q151_multimodal_quality",
+      """WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CASE WHEN length(text) >= 2 THEN 1 ELSE 0 END AS g1,
+        |  CAST(CASE WHEN length(text) >= 2
+        |       THEN (ascii(substr(text, 1, 1)) * 7) % 256 ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN length(text) >= 2
+        |       THEN (ascii(substr(text, 2, 1)) * 13) % 256 ELSE 0 END AS BIGINT) AS height
+        | FROM documents),
+        | chars AS (SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+        |      i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS c
+        |    FROM documents),
+        | mx AS (SELECT doc_id, max(cnt) AS mc FROM
+        |    (SELECT doc_id, c, count(*) AS cnt FROM chars GROUP BY 1, 2)
+        |   GROUP BY 1),
+        | m AS (SELECT b.doc_id, b.n_bytes, b.width, b.height, b.g1,
+        |   CASE WHEN b.height > 0 THEN b.width * 1000000 // b.height
+        |        ELSE 0 END AS aspect_ppm,
+        |   CASE WHEN b.n_bytes > 0 THEN mx.mc * 1000000 // b.n_bytes
+        |        ELSE 1000000 END AS maxbyte_ppm
+        |  FROM b LEFT JOIN mx USING (doc_id)),
+        | r AS (SELECT *,
+        |   CASE WHEN width >= 8 AND height >= 8 THEN 1 ELSE 0 END AS g2,
+        |   CASE WHEN aspect_ppm BETWEEN 250000 AND 4000000 THEN 1 ELSE 0 END AS g3,
+        |   CASE WHEN maxbyte_ppm <= 500000 THEN 1 ELSE 0 END AS g4
+        |  FROM m)
+        |SELECT doc_id, n_bytes, width, height,
+        | CAST(aspect_ppm AS BIGINT) AS aspect_ppm,
+        | CAST(maxbyte_ppm AS BIGINT) AS maxbyte_ppm,
+        | CAST(g1 + g2*2 + g3*4 + g4*8 AS BIGINT) AS rule_mask,
+        | CAST(CASE WHEN g1 + g2 + g3 + g4 = 4 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM r ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      graft.llm.Multimodal.qualityStats(Tables(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
+
     // Token frequency spectrum (count-of-counts) + Good–Turing adjusted
     // counts — the Gale/Sampson table: N_r types seen exactly r times,
     // r* = (r+1)·N_{r+1}/N_r in exact ppm. No global sort — the Zipf

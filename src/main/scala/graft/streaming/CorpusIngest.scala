@@ -81,7 +81,9 @@ object CorpusIngest {
     *     the same doc_id can be admitted.
     *   - `qualityPred` gates admission ON QUALITY at the door (e.g.
     *     [[graft.llm.TextAnalysis.repetitionGate]]): a boolean Column
-    *     over (doc_id, text) evaluated per row alongside the
+    *     evaluated per row over the FULL batch row (any caller-provided
+    *     column, e.g. a pre-joined multimodal verdict from
+    *     [[graft.llm.Multimodal.attachQualityVerdict]]) alongside the
     *     well-formedness flags — a narrow expression, no extra job.
     *     Rejected rows quarantine with reason 'quality' and are NOT
     *     ledgered, so a cleaned-up re-send of the id is admitted (the
@@ -153,11 +155,16 @@ object CorpusIngest {
     val qPass = qualityPred.getOrElse(lit(true))
     // the invalid-row existence check rides the guard's touched-bucket
     // collect (the batch's first action) as an observed metric instead
-    // of costing its own limit(1).count() job (the VectorIngest pattern)
+    // of costing its own limit(1).count() job (the VectorIngest pattern).
+    // The quality predicate is evaluated over the FULL batch row before
+    // the (doc_id, text) projection, so a caller-joined verdict column
+    // (e.g. [[graft.llm.Multimodal.attachQualityVerdict]]'s mm_pass)
+    // composes as a qualityPred without widening the store schema.
     val obs = org.apache.spark.sql.Observation()
-    val flagged = batch.select(col("doc_id"), col("text"))
+    val flagged = batch
       .withColumn("__ok", coalesce(wellFormed, lit(false)))
       .withColumn("__q", coalesce(qPass, lit(false)))
+      .select(col("doc_id"), col("text"), col("__ok"), col("__q"))
       .observe(obs, count(when(!col("__ok") || !col("__q"), lit(1))).as("n_bad"))
     // ONE staged batch frame shared by every per-batch consumer: the
     // guard probe re-references the batch ~4x (touched-bucket collect,

@@ -216,6 +216,39 @@ class CorpusIngestSpec extends SparkSpec {
     assert(q3.map(_.getString(0)).toSeq == Seq("quality"))
   }
 
+  test("multimodal verdict composes as the quality gate: failing assets quarantine as 'quality'") {
+    import graft.llm.Multimodal
+    val root = tmpDir("cingest_mm")
+    val corpusDir = s"$root/corpus"; val sigDir = s"$root/sigs"
+    val batch = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog 0123456789"),
+      (2L, "x"),      // undecodable: payload shorter than the header
+      (3L, "a" * 40)  // near-constant content: entropy gate trips
+    ).toDF("doc_id", "text")
+    // the composition seam: verdict joined on, then gated at the door
+    val withVerdict = Multimodal.attachQualityVerdict(batch)
+    assert(CorpusIngest.processBatch(withVerdict, corpusDir, sigDir,
+      batchId = 3L, qualityPred = Some(col("mm_pass") === 1)) == 1L)
+    assert(spark.read.parquet(corpusDir).select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L))
+    val q = spark.read.parquet(s"${sigDir}_quarantine")
+      .select("doc_id", "reason").as[(Long, String)].collect().toSet
+    assert(q == Set((2L, "quality"), (3L, "quality")))
+    // rejects were never ledgered: the corrected (decodable, varied)
+    // re-send of the same ids is admitted — exactly once
+    // (header chars chosen so the stub decodes sane dims: 'T','h' → 76×72)
+    val fixed = Seq(
+      (2L, "The real payload now carries plenty of distinct varied content"),
+      (3L, "Their replacement text holds many different words and letters too"))
+      .toDF("doc_id", "text")
+    assert(CorpusIngest.processBatch(Multimodal.attachQualityVerdict(fixed),
+      corpusDir, sigDir, batchId = 4L,
+      qualityPred = Some(col("mm_pass") === 1)) == 2L)
+    assert(CorpusIngest.processBatch(Multimodal.attachQualityVerdict(fixed),
+      corpusDir, sigDir, batchId = 5L,
+      qualityPred = Some(col("mm_pass") === 1)) == 0L)
+  }
+
   test("maintained sample equals the one-shot sample of everything admitted; crash repair lands on the same rows") {
     val root = tmpDir("corpus_smp")
     val corpusDir = s"$root/docs"; val sigDir = s"$root/sigs"

@@ -226,6 +226,33 @@ class CurationSpec extends SparkSpec {
     assert(got.contains((0L, 1L, 0L)), "identical payloads must pair at hamming 0")
   }
 
+  test("multimodal quality gates catch planted violations") {
+    import graft.llm.Multimodal
+    // planted: 1 healthy; 2 undecodable (payload shorter than the
+    // 2-byte header); 3 near-constant content (one byte is the whole
+    // payload); 4 extreme aspect ('z','d' header → 86×20, ratio 4.3 > 4)
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog 0123456789"),
+      (2L, "x"),
+      (3L, "a" * 40),
+      (4L, "zd a varied payload holding many different letters 0123456789")
+    ).toDF("doc_id", "text")
+    val got = Multimodal.qualityStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // healthy: every gate set
+    assert(got(1L).getAs[Long]("rule_mask") == 15L && got(1L).getAs[Long]("pass") == 1L)
+    // undecodable: no dims, no aspect, fully-concentrated "empty" stats —
+    // every gate fails, but the row still exists (quarantine evidence)
+    assert(got(2L).getAs[Long]("rule_mask") == 0L)
+    assert(got(2L).getAs[Long]("width") == 0L && got(2L).getAs[Long]("height") == 0L)
+    // near-constant: decodes fine, dims/aspect fine, entropy gate trips
+    assert(got(3L).getAs[Long]("maxbyte_ppm") == 1000000L)
+    assert(got(3L).getAs[Long]("rule_mask") == 7L && got(3L).getAs[Long]("pass") == 0L)
+    // extreme aspect: 86×20 decoded dims → 4.3e6 ppm, outside [0.25, 4]
+    assert(got(4L).getAs[Long]("aspect_ppm") == 4300000L)
+    assert(got(4L).getAs[Long]("rule_mask") == 11L && got(4L).getAs[Long]("pass") == 0L)
+  }
+
   test("frequencySpectrum counts types per count with exact GT adjustment") {
     import graft.llm.Corpus
     // tokens: a×3, b×2, c×1 → N_1=1, N_2=1, N_3=1
