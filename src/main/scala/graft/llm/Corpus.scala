@@ -85,10 +85,25 @@ object Corpus {
     val qterms = broadcast(queries.select("term").distinct())
     val tf = toks.join(qterms, "term")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = docs.select(col("doc_id"), size(words(col("text"))).cast("long").as("dl"))
     val globals = docs.select(count(lit(1)).as("n_docs"),
       sum(size(words(col("text"))).cast("long")).as("t_tokens"))
+    bm25FromStats(tf, dl, globals, queries, k)
+  }
+
+  /** The BM25 scorer over its SUFFICIENT STATISTICS — shared by the
+    * one-shot [[bm25TopK]] and the maintained-state server
+    * ([[graft.streaming.Bm25Ingest]]), which is the whole point of the
+    * split: every input is a mergeable count, so ranked retrieval can
+    * serve off maintained state without rescanning the corpus.
+    * `tf` must already be restricted to the query's terms (doc_id,
+    * term, tf); df derives from it (df(t) = docs containing t — the
+    * restriction keeps it exact); `dl` is (doc_id, dl) for at least the
+    * tf docs; `globals` is the 1-row (n_docs, t_tokens). */
+  private[graft] def bm25FromStats(tf: DataFrame, dl: DataFrame,
+                                   globals: DataFrame, queries: DataFrame,
+                                   k: Int): DataFrame = {
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val termScore = tf.join(broadcast(df_), "term")
       .join(dl, "doc_id").crossJoin(broadcast(globals))
       // every grouped product must enter DECIMAL(38,0) BEFORE it can

@@ -265,6 +265,53 @@ object PipelineQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // MAINTAINED BM25 (round 10) — q108's statistics are all mergeable
+    // counts (postings tf, doc lengths, corpus totals), so retrieval
+    // serves off maintained state without rescanning the corpus (the
+    // q93/q96/q110/q142 discipline). This entry folds a two-batch split
+    // of the state tables and scores off the fold — the oracle is
+    // q108's ONE-SHOT arithmetic verbatim, so hash-equality IS the
+    // merge-correctness proof.
+    Q("q152_bm25_maintained",
+      """WITH qt(query_id, term) AS (VALUES (1, 'join'), (1, 'hash'),
+        |   (2, 'vector'), (2, 'stream'), (2, 'window')),
+        | toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |        JOIN (SELECT DISTINCT term FROM qt) USING (term) GROUP BY 1, 2),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        | g AS (SELECT count(*) AS n_docs,
+        |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_tokens FROM documents),
+        | s AS (SELECT doc_id, term,
+        |        (CAST((2*(n_docs - df) + 1) AS HUGEINT) * 22 * t_tokens * tf * 1000000)
+        |          // (CAST((2*df + 1) AS HUGEINT)
+        |              * (10*t_tokens*tf + 3*t_tokens + 9*dl*n_docs)) AS score
+        |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
+        | p AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |        CAST(sum(score) AS BIGINT) AS score
+        |       FROM qt JOIN s USING (term) GROUP BY 1, 2),
+        | r AS (SELECT query_id, doc_id, score,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        |       FROM p)
+        |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.Bm25Ingest
+      val qt = Seq((1L, "join"), (1L, "hash"),
+        (2L, "vector"), (2L, "stream"), (2L, "window")).toDF("query_id", "term")
+      val docs = Tables(s, dir, "documents")
+      def part(m: Int) = docs.filter(col("doc_id") % 2 === m)
+      val postings = Bm25Ingest.postingsState(part(0), 64)
+        .unionByName(Bm25Ingest.postingsState(part(1), 64))
+      val doclen = Bm25Ingest.doclenState(part(0), 64)
+        .unionByName(Bm25Ingest.doclenState(part(1), 64))
+      val globals = Bm25Ingest.mergeGlobals(
+        Bm25Ingest.globalsState(part(0)), Bm25Ingest.globalsState(part(1)))
+      Bm25Ingest.serveFromState(postings, doclen, globals, qt, k = 10)
+        .orderBy("query_id", "rnk")
+    },
+
     // BPE-style merge learning (tokenizer training): 5 rounds of
     // global-argmax pair fusion over word-level segments. The oracle
     // statically unrolls the same loop — per-round pair counts,

@@ -1,0 +1,167 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maintained BM25 retrieval state — the lexical-retrieval face of the
+  * maintained-state family (q93/q96/q110/q142): every statistic BM25
+  * needs is a mergeable count, so an unbounded document stream keeps a
+  * query-independent index current and ranked retrieval serves off it
+  * without ever rescanning the corpus.
+  *
+  * State under `stateDir`:
+  *   - `postings/batch_id=<id>/bucket=<b>/` — (term, doc_id, tf), the
+  *     inverted index, partitioned by `bucket = pmod(xxhash64(term),
+  *     nBuckets)` so a query's terms prune the scan to their buckets
+  *     (the [[CorpusIngest]] bucket discipline);
+  *   - `doclen/batch_id=<id>/bucket=<b>/` — (doc_id, dl), bucketed by
+  *     id hash so the freshness anti-join probes only the batch's
+  *     buckets;
+  *   - `v<id>/globals` — the 1-row (n_docs, t_tokens), a versioned
+  *     snapshot whose version number IS the applied-batch watermark
+  *     (the [[RollupIngest]] commit protocol).
+  *
+  * Idempotence WITHOUT a fail-closed window: the per-batch appends are
+  * OVERWRITES of the batch's own `batch_id=` subdir, and batch
+  * freshness is decided against the store EXCLUDING that subdir — so a
+  * replay of any crash window recomputes the identical fresh set and
+  * rewrites the identical files, and the non-idempotent globals merge
+  * is guarded by the version watermark. A doc_id redelivered in a LATER
+  * batch is dropped by the same anti-join. Bm25IngestSpec drives the
+  * fold-equality, replay and crash paths.
+  */
+object Bm25Ingest {
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def postingsDir(stateDir: String) = s"$stateDir/postings"
+  private def doclenDir(stateDir: String) = s"$stateDir/doclen"
+
+  private def termBucket(nBuckets: Int) =
+    pmod(xxhash64(col("term")), lit(nBuckets.toLong))
+  private def idBucket(nBuckets: Int) =
+    pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong))
+
+  /** Latest committed (batchId, path) globals snapshot, if any. */
+  def latestVersion(spark: SparkSession, stateDir: String): Option[(Long, String)] = {
+    val fs = fsOf(spark, stateDir)
+    val root = new Path(stateDir)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(s => (s.getPath.getName.drop(1).toLong, s.getPath.toString))
+      .sortBy(_._1).lastOption
+  }
+
+  /** Per-doc postings of one batch: (term, doc_id, tf) + term bucket. */
+  private[graft] def postingsState(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucket(nBuckets))
+
+  private[graft] def doclenState(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      .withColumn("bucket", idBucket(nBuckets))
+
+  private[graft] def globalsState(docs: DataFrame): DataFrame =
+    docs.select(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("t_tokens"))
+
+  /** Globals fold: both statistics are plain sums. */
+  private[graft] def mergeGlobals(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).agg(
+      sum("n_docs").as("n_docs"), sum("t_tokens").as("t_tokens"))
+
+  /** Fold one micro-batch of (doc_id, text) into the index. Returns the
+    * number of newly indexed documents (0 for a full replay).
+    * foreachBatch-compatible. */
+  def processBatch(batch: DataFrame, stateDir: String, batchId: Long,
+                   nBuckets: Int = 64, keepVersions: Int = 2): Long = {
+    val spark = batch.sparkSession
+    val fs = fsOf(spark, stateDir)
+    val latest = latestVersion(spark, stateDir)
+    if (latest.exists(_._1 >= batchId)) return 0L // fully applied replay
+
+    val clean = batch.select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .dropDuplicates("doc_id")
+    // freshness vs the store EXCLUDING this batch's own subdir — the
+    // property that makes every crash-window replay recompute the same
+    // fresh set no matter which appends landed. The probe prunes to the
+    // batch's id buckets (driver-side bucket list, ≤ nBuckets values).
+    val dlPath = doclenDir(stateDir)
+    val fresh = graft.llm.Stage(
+      if (!fs.exists(new Path(dlPath))) clean
+      else {
+        val buckets = clean.select(idBucket(nBuckets).as("bucket"))
+          .distinct().collect().map(_.getLong(0)).toIndexedSeq
+        val prior = spark.read.parquet(dlPath)
+          .filter(col("batch_id") =!= batchId &&
+            col("bucket").isin(buckets.map(_.asInstanceOf[Any]): _*))
+          .select("doc_id")
+        clean.join(prior, Seq("doc_id"), "left_anti")
+      })
+    val n = fresh.count()
+    // idempotent appends: each is an overwrite of THIS batch's subdir
+    postingsState(fresh, nBuckets).repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"${postingsDir(stateDir)}/batch_id=$batchId")
+    doclenState(fresh, nBuckets)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$dlPath/batch_id=$batchId")
+    // globals LAST: the snapshot rename is the batch's commit point and
+    // its version number the replay watermark (RollupIngest protocol)
+    val merged = latest match {
+      case Some((_, p)) =>
+        mergeGlobals(spark.read.parquet(s"$p/globals"), globalsState(fresh))
+      case None => globalsState(fresh)
+    }
+    val staging = new Path(s"$stateDir/.staging_v$batchId")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    merged.coalesce(1).write.parquet(s"$staging/globals")
+    if (!fs.rename(staging, new Path(s"$stateDir/v$batchId")))
+      throw new java.io.IOException(
+        s"bm25 globals commit rename failed: $staging -> $stateDir/v$batchId")
+    val versions = fs.listStatus(new Path(stateDir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .sortBy(_.getPath.getName.drop(1).toLong)
+    versions.dropRight(keepVersions).foreach(s => fs.delete(s.getPath, true))
+    n
+  }
+
+  /** Ranked retrieval off the maintained state ONLY — the corpus is
+    * never touched: the postings scan prunes to the query terms'
+    * buckets (literal IN over the partition column), df derives from
+    * the pruned postings, doc lengths and the 1-row globals join back.
+    * Exactly [[graft.llm.Corpus.bm25TopK]]'s answer over everything
+    * indexed so far (Bm25IngestSpec asserts equality for any batch
+    * split). */
+  def serve(spark: SparkSession, stateDir: String, queries: DataFrame,
+            k: Int = 10, nBuckets: Int = 64): Option[DataFrame] =
+    latestVersion(spark, stateDir).map { case (_, p) =>
+      val qterms = queries.select("term").distinct()
+      val buckets = qterms.select(termBucket(nBuckets).as("bucket"))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq
+      val tf = spark.read.parquet(postingsDir(stateDir))
+        .filter(col("bucket").isin(buckets.map(_.asInstanceOf[Any]): _*))
+        .join(broadcast(qterms), "term")
+        .select("doc_id", "term", "tf")
+      val dl = spark.read.parquet(doclenDir(stateDir)).select("doc_id", "dl")
+      val globals = spark.read.parquet(s"$p/globals")
+      graft.llm.Corpus.bm25FromStats(tf, dl, globals, queries, k)
+    }
+
+  /** The pure state-fold form (no disk): score off explicitly merged
+    * state tables — the oracle-replayable seam q152 checks against the
+    * one-shot q108 arithmetic. */
+  def serveFromState(postings: DataFrame, doclen: DataFrame,
+                     globals: DataFrame, queries: DataFrame,
+                     k: Int = 10): DataFrame =
+    graft.llm.Corpus.bm25FromStats(
+      postings.join(broadcast(queries.select("term").distinct()), "term")
+        .select("doc_id", "term", "tf"),
+      doclen.select("doc_id", "dl"), globals, queries, k)
+}

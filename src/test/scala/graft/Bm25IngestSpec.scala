@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Corpus
+import graft.streaming.Bm25Ingest
+
+/** Maintained BM25 state: fold equality against the one-shot ranker,
+  * replay no-ops, doc redelivery, and the crash windows of the
+  * batch-subdir + versioned-globals commit protocol. */
+class Bm25IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark joins hash tables with broadcast hash join plans"),
+    (2L, "stream processing over event windows and watermarks"),
+    (3L, "vector search with quantized codes in a stream"),
+    (4L, "hash partitioning and join reordering in the optimizer"),
+    (5L, "window functions rank rows over partitions"),
+    (6L, "a plain document about nothing in particular at all")
+  ).toDF("doc_id", "text")
+  private val queries = Seq(
+    (1L, "join"), (1L, "hash"), (2L, "stream"), (2L, "window"))
+    .toDF("query_id", "term")
+
+  private def served(stateDir: String) =
+    Bm25Ingest.serve(spark, stateDir, queries, k = 10).get
+      .orderBy("query_id", "rnk").collect().toSeq
+
+  test("maintained index equals one-shot bm25TopK for any batch split; replays and redeliveries are no-ops") {
+    val stateDir = tmpDir("bm25") + "/state"
+    val oneShot = Corpus.bm25TopK(docs, queries, k = 10)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val b = (m: Long) => docs.filter(col("doc_id") % 3 === m)
+    assert(Bm25Ingest.processBatch(b(0), stateDir, batchId = 0L) == 2L)
+    assert(Bm25Ingest.processBatch(b(1), stateDir, batchId = 1L) == 2L)
+    // full-batch replay with its own id: watermark rejects it
+    assert(Bm25Ingest.processBatch(b(1), stateDir, batchId = 1L) == 0L)
+    // doc redelivery under a NEW batch id: the doclen anti-join drops
+    // the repeats, admits only the genuinely new docs
+    assert(Bm25Ingest.processBatch(b(1).unionByName(b(2)), stateDir,
+      batchId = 2L) == 2L)
+    assert(served(stateDir) == oneShot,
+      "maintained state must serve the exact one-shot ranking")
+    // serving never touches the corpus: the inputs are state dirs only
+    // (compile-time property of serve's signature); the globals snapshot
+    // carries the exact corpus totals
+    val g = spark.read.parquet(
+      s"${Bm25Ingest.latestVersion(spark, stateDir).get._2}/globals").collect()
+    assert(g.head.getLong(0) == 6L)
+  }
+
+  test("crash windows replay to the same state (appends idempotent, globals watermark-gated)") {
+    val stateDir = tmpDir("bm25crash") + "/state"
+    val b0 = docs.filter(col("doc_id") <= 3); val b1 = docs.filter(col("doc_id") > 3)
+    assert(Bm25Ingest.processBatch(b0, stateDir, batchId = 0L) == 3L)
+
+    // crash window 1: postings landed, doclen + globals did not — a
+    // replay must recompute the SAME fresh set (freshness excludes the
+    // batch's own subdir) and land the full batch
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate: write batch 1's postings subdir only, as a crashed run would
+    Bm25Ingest.postingsState(b1, 64).repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$stateDir/postings/batch_id=1")
+    assert(Bm25Ingest.processBatch(b1, stateDir, batchId = 1L) == 3L,
+      "partial postings from a crashed attempt must not shrink the replayed fresh set")
+    val oneShot = Corpus.bm25TopK(docs, queries, k = 10)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(served(stateDir) == oneShot)
+
+    // crash window 2: everything landed but the rename (staging left
+    // behind) — the replay overwrites the staging and commits
+    val staging = new Path(s"$stateDir/.staging_v2")
+    fs.mkdirs(staging)
+    val b2 = Seq((7L, "late join arrival with hash terms")).toDF("doc_id", "text")
+    assert(Bm25Ingest.processBatch(b2, stateDir, batchId = 2L) == 1L)
+    assert(!fs.exists(staging))
+    assert(Bm25Ingest.latestVersion(spark, stateDir).get._1 == 2L)
+    val full = Corpus.bm25TopK(docs.unionByName(b2), queries, k = 10)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(served(stateDir) == full)
+  }
+}
