@@ -165,12 +165,16 @@ object SinkQueries {
     // states enabled from the first batch) fold into versioned
     // snapshots, a replayed batch is rejected, then dashboards read
     // rollup + quantiles + frequency estimates off the maintained
-    // state. All emitted numbers are deterministic (counts, exact
-    // integer states, one-sided estimate checks), but the result is
-    // SINK STATE → rows-only like its siblings; RollupIngestSpec
-    // value-checks the same paths.
+    // state. VALUE-CHECKED IN-QUERY (qs3 pattern, round 10): the folded
+    // snapshot must EQUAL the one-shot states built from the whole
+    // event table in one pass — scalar+HLL rollup and histogram
+    // quantiles both, row for row (merge exactness is the store's core
+    // claim; a silent wrong-merge can no longer bench green). The
+    // result is SINK STATE → rows-only like its siblings;
+    // RollupIngestSpec value-checks the same paths.
     Q.noOracle("qs5_rollup_ingest") { (s, dir) =>
       import s.implicits._
+      import graft.operators.IncrementalAgg
       import graft.streaming.RollupIngest
       val ev = graft.Tables(s, dir, "events")
         .withColumn("v_micros", expr("CAST(round(value * 1000000.0) AS BIGINT)"))
@@ -185,8 +189,28 @@ object SinkQueries {
         val applied = Seq(apply(b1, 0L), apply(b2, 1L), apply(b2, 1L))
         val rollup = RollupIngest.currentRollup(s, root, keys, "approx_users").get
         val nTotal = rollup.agg(sum("n")).as[Long].head()
-        val qRows = RollupIngest.currentQuantiles(s, root, keys, Seq(500, 900))
-          .get.count()
+        // state-hash equality vs one-shot: the two-batch fold must equal
+        // the single-pass states exactly (HLL register merge is max-per-
+        // register, histogram merge is keyed sums — both exact)
+        val oneShot = IncrementalAgg.finalizeState(
+          IncrementalAgg.scalarState(ev, keys, "v_micros"),
+          IncrementalAgg.distinctState(ev, keys, "user_id"), keys, "approx_users")
+        val stateEq = {
+          val a = rollup.collect().toSet
+          val b = oneShot.select(rollup.columns.map(col).toIndexedSeq: _*)
+            .collect().toSet
+          a == b
+        }
+        val qState = RollupIngest.currentQuantiles(s, root, keys, Seq(500, 900)).get
+        val qOne = IncrementalAgg.quantilesFromState(
+          IncrementalAgg.histogramState(ev, keys, "v_micros", 1000000L),
+          keys, 1000000L, Seq(500, 900))
+        val quantEq = {
+          val a = qState.collect().toSet
+          val b = qOne.select(qState.columns.map(col).toIndexedSeq: _*)
+            .collect().toSet
+          a == b
+        }
         val probe = ev.select("user_id").distinct().limit(16)
         val freqs = RollupIngest.currentFrequencies(s, root, probe, "user_id").get
         val truth = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
@@ -196,8 +220,10 @@ object SinkQueries {
             ("replay_rejected", applied.count(!_).toLong),
             ("rollup_rows", rollup.count()),
             ("events_total", nTotal),
-            ("quantile_rows", qRows),
-            ("freq_one_sided", oneSided))
+            ("quantile_rows", qState.count()),
+            ("freq_one_sided", oneSided),
+            ("check_state_eq_oneshot", if (stateEq) 1L else 0L),
+            ("check_quantiles_eq_oneshot", if (quantEq) 1L else 0L))
           .toDF("key", "n").orderBy("key")
       } finally rm(new java.io.File(root))
     },
@@ -219,7 +245,7 @@ object SinkQueries {
         val dir = Files.createTempDirectory("graft_sinkbench").toString
         // try/finally like qs2: a failure mid-pipeline must not leak the
         // temp sink dir for the life of the bench host
-        val counts = try {
+        val rows = try {
           // reference-default config (no ledger/guard): qs1 stays the
           // comparable-across-rounds merge hot path; qs6 times the
           // events-ledger + event-id-dedup variant
@@ -230,25 +256,57 @@ object SinkQueries {
           // below, so the returned frame must not re-read it lazily.
           // `_event_guard` is ledger/bloom state, not a parquet table —
           // only `_quarantine` among the underscore dirs is countable.
-          val tables = new java.io.File(dir).listFiles()
-            .filter(_.isDirectory).map(_.getName)
-            .filter(t => !t.startsWith("_") || t == "_quarantine").sorted.toSeq
           // ~21 independent metadata-only count jobs: run them on a thread
           // pool so wall time is one job launch, not 21 sequential ones
           // (job-launch overhead dominates counts at fixture scale)
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(
-            math.min(16, math.max(1, tables.size)))
-          try {
-            val futs = tables.map { t =>
+          def tableCounts(): Seq[(String, Long)] = {
+            val tables = new java.io.File(dir).listFiles()
+              .filter(_.isDirectory).map(_.getName)
+              .filter(t => !t.startsWith("_") || t == "_quarantine").sorted.toSeq
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(16, math.max(1, tables.size)))
+            try tables.map { t =>
               pool.submit(new java.util.concurrent.Callable[(String, Long)] {
                 def call(): (String, Long) =
                   (t, s.read.parquet(s"$dir/$t").count())
               })
-            }
-            futs.map(_.get())
-          } finally pool.shutdown()
+            }.map(_.get())
+            finally pool.shutdown()
+          }
+          val counts = tableCounts()
+          // IN-QUERY VALUE GATES (qs3 pattern, round 10):
+          // 1. per-table counts vs the FIXTURE-DERIVED expectation —
+          //    distinct payload ids per upsert-only route target,
+          //    computed straight off the envelopes (one distinct-count
+          //    aggregate; shares the router's table map but none of the
+          //    merge/sink machinery whose wrong-count it would catch).
+          //    Tables also receiving deletes/deltas are excluded: their
+          //    final count is legitimately below the distinct-id count.
+          import graft.sources.StripeEvents
+          val env = StripeEvents.parseEnvelope(fx.toDF("value"))
+          val upsertOnly = StripeEvents.route(env).groupBy(_._1.table)
+            .filter(_._2.forall(g => g._2 == StripeEvents.Upsert ||
+              g._2 == StripeEvents.DeletedUpsert))
+          val expected = upsertOnly.toSeq.flatMap { case (t, gs) =>
+            gs.map(g => g._4.select(lit(t).as("table"),
+              get_json_object(col("payload"), "$.id").as("id")))
+          }.reduce(_ unionByName _)
+            .groupBy("table").agg(countDistinct("id").as("e"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val countsMap = counts.toMap
+          val mismatched = expected.count { case (t, e) =>
+            countsMap.getOrElse(t, -1L) != e }
+          // 2. merge idempotence: replaying the identical frame must
+          //    leave every table count unchanged (the guarded upsert's
+          //    core contract — a silent duplicate-minting sink can no
+          //    longer bench green)
+          pipeline.processBatch(df, batches.toLong)
+          val replayNoop = tableCounts() == counts
+          counts ++ Seq(
+            ("check_counts_match_fixture", if (mismatched == 0) 1L else 0L),
+            ("check_replay_noop", if (replayNoop) 1L else 0L))
         } finally rm(new java.io.File(dir))
-        counts.toDF("table", "n_rows").orderBy("table")
+        rows.toDF("table", "n_rows").orderBy("table")
       }
     },
 
@@ -282,27 +340,40 @@ object SinkQueries {
           val df = fx.toDF("value")
           pipeline.processBatch(df, 0L)
           // pooled like qs1's counts: ~21 metadata-only jobs per call,
-          // sequential launches would dominate the entry's wall time
-          def tableCounts(): Map[String, Long] = {
+          // sequential launches would dominate the entry's wall time.
+          // Each probe returns (rows, content hash): the redelivery
+          // delta is checked on CONTENT, not just cardinality — a
+          // replay that rewrote a row without changing any count would
+          // still trip the gate (round-10 hardening).
+          def tableState(): Map[String, (Long, String)] = {
             val tables = new java.io.File(dir).listFiles().filter(_.isDirectory)
               .map(_.getName)
               .filter(t => !t.startsWith("_") || t == "_quarantine").toSeq
             val pool = java.util.concurrent.Executors.newFixedThreadPool(
               math.min(16, math.max(1, tables.size)))
             try tables.map { t =>
-              pool.submit(new java.util.concurrent.Callable[(String, Long)] {
-                def call(): (String, Long) = (t, s.read.parquet(s"$dir/$t").count())
+              pool.submit(new java.util.concurrent.Callable[(String, (Long, String))] {
+                def call(): (String, (Long, String)) = {
+                  // DECIMAL sum: a Long sum of ~hundreds of xxhash64
+                  // values overflows (ANSI throws)
+                  val agg = s.read.parquet(s"$dir/$t")
+                    .agg(count(lit(1)),
+                      coalesce(sum(xxhash64(to_json(struct(col("*"))))
+                        .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")))
+                    .head()
+                  (t, (agg.getLong(0), agg.getDecimal(1).toPlainString))
+                }
               })
             }.map(_.get()).toMap
             finally pool.shutdown()
           }
-          val after1 = tableCounts()
+          val after1 = tableState()
           pipeline.processBatch(df, 1L) // full redelivery: dropped pre-route
-          val after2 = tableCounts()
-          Seq(("events_rows", after1.getOrElse("events", 0L)),
+          val after2 = tableState()
+          Seq(("events_rows", after1.get("events").map(_._1).getOrElse(0L)),
               ("tables_written", after1.size.toLong),
               ("check_ledger_nonempty",
-                if (after1.getOrElse("events", 0L) > 0L) 1L else 0L),
+                if (after1.get("events").exists(_._1 > 0L)) 1L else 0L),
               ("check_replay_noop", if (after1 == after2) 1L else 0L))
             .toDF("key", "n").orderBy("key")
         } finally rm(new java.io.File(dir))
