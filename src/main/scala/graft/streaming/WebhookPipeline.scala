@@ -378,3 +378,36 @@ class WebhookPipeline(tablesDir: String,
       .start()
   }
 }
+
+object WebhookPipeline {
+
+  /** POINT-IN-TIME table rebuild from the `events` ledger — the
+    * audit/debug capability the ledger exists for, and the capstone
+    * composing ledger + router + LWW + SCD2: replay every ledgered
+    * event with `created <= asOfEpochSec` through a FRESH pipeline into
+    * `outDir`. For every history-tracked table without hard deletes,
+    * the rebuilt latest-state table equals
+    * [[graft.operators.MergeOps.asOfState]] of the original store's
+    * `<table>__history` at the same instant (WebhookPipelineSpec proves
+    * this at sampled timestamps over the fixture corpus with
+    * redeliveries). Hard-delete tables differ BY DESIGN: history
+    * outlives the row, the rebuild replays the delete.
+    *
+    * The delivery JSON is reconstructed from the ledger row: scalar
+    * envelope fields via to_json (null fields omitted, exactly what
+    * the envelope parser tolerates), the `data` object spliced back
+    * verbatim — the ledger stores it as the original JSON text. */
+  def rebuildAsOf(spark: SparkSession, tablesDir: String, outDir: String,
+                  asOfEpochSec: Long,
+                  config: SyncConfig = SyncConfig()): Unit = {
+    val ev = spark.read.parquet(s"$tablesDir/events")
+      .filter(col("created") <= asOfEpochSec)
+    val head = to_json(struct(col("id"), col("type"), col("created"),
+      col("livemode"), col("api_version")))
+    val value = concat(
+      expr("substring(head, 1, length(head) - 1)"),
+      lit(",\"data\":"), coalesce(col("data"), lit("null")), lit("}"))
+    val raw = ev.withColumn("head", head).select(value.as("value"))
+    new WebhookPipeline(outDir, config = config).processBatch(raw, 0L)
+  }
+}

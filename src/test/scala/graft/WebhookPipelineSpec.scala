@@ -407,4 +407,47 @@ class WebhookPipelineSpec extends SparkSpec {
     pipeline.processBatch(Seq(good, unknown, garbage, noPayload).toDF("value"), 1L)
     assert(quarantineRows().length == 3)
   }
+
+  test("point-in-time rebuild from the events ledger equals asOfState of the history") {
+    import graft.streaming.SyncConfig
+    val fx = fixtures()
+    assume(fx.nonEmpty, "reference fixture corpus not present")
+    val dir = tmpDir("graft_pit")
+    val tables = Seq("customers", "subscription_items")
+    val pipeline = new WebhookPipeline(dir, config = SyncConfig(
+      eventsLedger = true, dedupEventIds = true, historyTables = tables.toSet))
+    val df = fx.toDF("value")
+    pipeline.processBatch(df, 0L)
+    pipeline.processBatch(df, 1L) // full redelivery: exactly-once via the guard
+    // sample several instants across the ledger's event-time range
+    val created = readTable(dir, "events").select("created")
+      .as[Long].collect().distinct.sorted
+    assert(created.length >= 3, "corpus must span multiple created instants")
+    val samples = Seq(created.head, created(created.length / 2), created.last)
+    for (t <- samples.distinct) {
+      val out = tmpDir(s"graft_pit_out_$t")
+      WebhookPipeline.rebuildAsOf(spark, dir, out, t)
+      for (table <- tables) {
+        // the rebuilt LATEST-STATE table vs the original store's SCD2
+        // point-in-time view — asOfState reads the flagged store
+        // unfiltered (no-change rows carry empty intervals)
+        val asOf = graft.operators.MergeOps.asOfState(
+          readTable(dir, s"${table}__history"), timestamp_seconds(lit(t)))
+        val exists = new java.io.File(s"$out/$table").exists
+        if (!exists)
+          assert(asOf.count() == 0L,
+            s"$table@t=$t: history serves rows but the rebuild wrote none")
+        else {
+          val rebuilt = readTable(out, table)
+          // updated_at is wall-clock bookkeeping; everything else must match
+          val cols = rebuilt.columns.filterNot(_ == "updated_at").toSeq
+          val a = rebuilt.select(cols.map(col): _*)
+          val b = asOf.select(cols.map(col): _*)
+          assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+            s"$table@t=$t: ledger replay != asOfState " +
+              s"(only_rebuilt=${a.exceptAll(b).count()}, only_hist=${b.exceptAll(a).count()})")
+        }
+      }
+    }
+  }
 }
