@@ -45,6 +45,12 @@ object Bench {
     * tail may be front-truncated, so only the last copy is guaranteed
     * complete. Forgiving by design: any malformed input → empty map →
     * the regression gate silently disarms. */
+  /** Newest prior-bench artifact by NUMERIC round (pure; spec-tested):
+    * lexicographic picks BENCH_r9 over BENCH_r10 once padding slips. */
+  private[graft] def newestPrior(names: Seq[String]): Option[String] =
+    names.filter(_.matches("BENCH_r\\d+\\.json"))
+      .sortBy(_.replaceAll("\\D", "").toInt).lastOption
+
   private[graft] def parsePriorQueries(text: String): Map[String, Double] = {
     val t = text.replace("\\\"", "\"")
     val marker = "\"queries\":{"
@@ -226,8 +232,17 @@ object Bench {
     }
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def emitJson(): Unit = {
-      println(jsonLine())
+      val line = jsonLine()
+      println(line)
       Console.out.flush()
+      // self-emitted artifact: the driver captures only the stdout TAIL,
+      // which can truncate the JSON head on a long line — the full line
+      // also lands in BENCH_LOCAL.json (overwritten per run) so the
+      // complete artifact survives any capture, and the regression gate
+      // can read it back as a prior
+      scala.util.Try(java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     }
     // Last-ditch: if the harness SIGTERMs the JVM mid-run, emit whatever
     // was measured instead of nothing (best-effort — sbt's output pump
@@ -318,10 +333,12 @@ object Bench {
     // (default: newest BENCH_r*.json in cwd, the driver's layout);
     // missing or unparseable priors disarm the gate. Reruns are budget-
     // capped so a genuinely slower inventory cannot spiral the wall.
+    // NUMERIC round sort: a lexicographic pick reads BENCH_r9 as newer
+    // than BENCH_r10 the moment zero-padding slips (or rounds pass 99),
+    // silently arming the gate against a stale prior
     val priorText: Option[String] = sys.env.get("BENCH_PRIOR")
-      .orElse(Option(new java.io.File(".").listFiles()).flatMap(
-        _.filter(_.getName.matches("BENCH_r\\d+\\.json"))
-          .sortBy(_.getName).lastOption.map(_.getPath)))
+      .orElse(Option(new java.io.File(".").listFiles()).flatMap(fs =>
+        newestPrior(fs.map(_.getName).toIndexedSeq)))
       .flatMap(p => scala.util.Try(new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
         java.nio.charset.StandardCharsets.UTF_8)).toOption)

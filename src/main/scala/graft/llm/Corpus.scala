@@ -904,7 +904,11 @@ object Corpus {
     * never self-joined, and the per-benchmark aggregate is one row. */
   def contaminationMatrix(corpus: DataFrame,
                           benchmarks: Seq[(String, DataFrame)],
-                          k: Int = 5, maxShared: Long = 0L): DataFrame =
+                          k: Int = 5, maxShared: Long = 0L): DataFrame = {
+    // reduce over an empty list throws a bare UnsupportedOperationException
+    // — fail with the actual mistake named instead
+    require(benchmarks.nonEmpty,
+      "contaminationMatrix needs at least one (name, benchmark) pair")
     benchmarks.map { case (name, b) =>
       decontaminate(corpus, b, k)
         .agg(count(when(col("n_shared") > maxShared, 1)).as("n_contaminated"),
@@ -913,6 +917,7 @@ object Corpus {
         .withColumn("benchmark", lit(name))
     }.reduce(_ unionByName _)
       .select("benchmark", "n_contaminated", "total_shared", "max_shared")
+  }
 
   /** Distribution DRIFT between two corpus snapshots — the ops monitor
     * for composition regressions between releases (a source whose share

@@ -97,9 +97,21 @@ object RollupIngest {
       spark, stateDir, latest,
       dirPrefix = SampPrefix, enabled = sampleCol.nonEmpty,
       tag = sampleN.toString,
-      buildBatch = () => IncrementalAgg.sampleStateKeys(
-        batch.select((keys.map(col) :+ col(sampleCol).cast("long").as("__sid")): _*),
-        "__sid", sampleN, keys),
+      buildBatch = () => {
+        // enforce the "idCol must be integral" contract the doc states:
+        // an unchecked cast("long") turns a non-integral column into
+        // null __sid exemplars that sort FIRST under the rank window —
+        // silently-wrong exemplars, the failure mode the other optional
+        // states name loudly
+        val t = batch.schema(sampleCol).dataType
+        require(Seq("byte", "short", "integer", "long")
+          .contains(t.typeName), s"sampleCol '$sampleCol' must be an " +
+          s"integral column (got ${t.typeName}) — a lossy cast would " +
+          "rank null exemplars first and serve silently-wrong samples")
+        IncrementalAgg.sampleStateKeys(
+          batch.select((keys.map(col) :+ col(sampleCol).cast("long").as("__sid")): _*),
+          "__sid", sampleN, keys)
+      },
       merge = (prior, b) => IncrementalAgg.mergeSamplesKeys("__sid", sampleN, keys, prior, b),
       what = "exemplar-sample", knob = "sampleCol",
       consequence = "exemplars that never cover early history")

@@ -32,6 +32,23 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.parsePriorQueries("\"queries\":{\"q1\":not_a_number}").isEmpty)
   }
 
+  test("newestPrior sorts rounds numerically, not lexicographically") {
+    assert(Bench.newestPrior(Seq("BENCH_r09.json", "BENCH_r10.json"))
+      .contains("BENCH_r10.json"))
+    // the unpadded / >99-round cases a filename sort gets wrong
+    assert(Bench.newestPrior(Seq("BENCH_r9.json", "BENCH_r10.json"))
+      .contains("BENCH_r10.json"))
+    assert(Bench.newestPrior(Seq("BENCH_r99.json", "BENCH_r100.json"))
+      .contains("BENCH_r100.json"))
+    assert(Bench.newestPrior(Seq("BENCH_LOCAL.json", "other.txt")).isEmpty)
+  }
+
+  test("a BENCH_LOCAL-style self-emitted line round-trips through the prior parser") {
+    val line = """{"metric":"total","value":12.3,"unit":"sec","passes":3,""" +
+      """"reruns":0,"singles":0,"settled":2,"queries":{"q1":0.5,"qs1":3.4},"sf":"/x"}"""
+    assert(Bench.parsePriorQueries(line) == Map("q1" -> 0.5, "qs1" -> 3.4))
+  }
+
   test("regressedKeys flags >factor regressions only, sorted; new keys never flag") {
     val prior = Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> 0.5, "qz" -> 0.0)
     val current = Map(
