@@ -371,7 +371,19 @@ object VectorIngest {
     * cosine top-k over the indexed vectors (VectorIngestSpec asserts
     * equality with [[Similarity.bruteForceKnn]]). */
   def ann(spark: SparkSession, root: String, queries: DataFrame, k: Int,
-          nProbe: Int = 4): DataFrame = {
+          nProbe: Int = 4): DataFrame =
+    annScored(spark, root, queries, k, nProbe)
+      .select("query_id", "neighbor_id", "rnk")
+
+  /** [[ann]] keeping the exact cosine — (query_id, neighbor_id, rnk,
+    * sim) — the scored-candidate surface downstream re-rankers consume:
+    * rename neighbor_id→cand_id / sim→sim_q and
+    * [[graft.llm.Similarity.mmrRerankFromCandidates]] (or
+    * [[graft.llm.Similarity.marginFromSims]] after the analogous rename)
+    * runs directly over an index probe — no corpus rescan anywhere in
+    * the chain (VectorIngestSpec drives the composition). */
+  def annScored(spark: SparkSession, root: String, queries: DataFrame, k: Int,
+                nProbe: Int = 4): DataFrame = {
     healRetrainSwap(spark, root)
     graft.operators.MergeSink.healInterruptedSwap(spark, cellsPath(root))
     val qs = Similarity.assignToCells(
@@ -394,7 +406,7 @@ object VectorIngest {
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "rnk")
+      .select("query_id", "neighbor_id", "rnk", "sim")
   }
 
   /** Top-k cosine neighbors off the PQ-CODED cell store, two passes:

@@ -214,6 +214,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("round-10 candidate consumers keep non-cartesian shapes") {
+    for (q <- Seq("q149_mmr_ann", "q150_margin_ann", "q152_bm25_maintained")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+    // multimodal quality stats are one decode pass: no join anywhere
+    val p = planOf("q151_multimodal_quality")
+    assert(!p.contains("Join"), s"q151 should be join-free, got:\n$p")
+    assert(p.linesIterator.count(_.contains("documents.parquet")) <= 1,
+      "q151 must scan the corpus once")
+  }
+
+  test("bm25 serve prunes the postings scan to the query terms' buckets") {
+    // the "served off maintained state, corpus never rescanned" claim
+    // made concrete: the postings scan must carry the bucket predicate
+    // as a PartitionFilter (touching the query terms' buckets only),
+    // and no scan of any documents table may appear anywhere
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val stateDir = tmpDir("bm25_plan") + "/state"
+    val docs = Seq(
+      (1L, "alpha join beta"), (2L, "join gamma"), (3L, "delta stream"))
+      .toDF("doc_id", "text")
+    graft.streaming.Bm25Ingest.processBatch(docs, stateDir, batchId = 0L)
+    val queries = Seq((1L, "join")).toDF("query_id", "term")
+    val served = graft.streaming.Bm25Ingest.serve(spark, stateDir, queries, k = 5).get
+    val plan = served.queryExecution.executedPlan.toString
+    val postingScans = plan.linesIterator
+      .filter(l => l.contains("/postings") && l.contains("PartitionFilters")).toSeq
+    assert(postingScans.exists(_.contains("bucket")),
+      s"postings scan carries no bucket partition filter:\n$plan")
+    assert(!plan.contains("documents"),
+      "serve must never touch a documents table")
+  }
+
   test("global sample state is a distributed top-n, never a full sort") {
     // sampleState's no-stratum form must plan as TakeOrderedAndProject
     // (per-partition top-n + bounded driver merge) — a Sort + Limit

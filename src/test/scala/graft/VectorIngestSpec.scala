@@ -352,6 +352,27 @@ class VectorIngestSpec extends SparkSpec {
     assert(spark.read.parquet(cbDir).collect().toSet == cbAfter)
   }
 
+  test("an index probe feeds MMR directly: full-coverage annScored == exact mmrRerank") {
+    val root = tmpDir("vindex_mmr")
+    val all = (rows(0 until 12, 0) ++ rows(100 until 112, 1))
+      .toDF("vec_id", "embedding")
+    VectorIngest.trainCentroids(all, root, kCells = 2, iters = 3, dim = 4)
+    assert(VectorIngest.processBatch(all, root) == 24L)
+    val queries = all.filter($"vec_id" < 2)
+    // nProbe = kCells → the probe IS exact top-kCand, so the candidate-fed
+    // greedy must equal the exact operator bit-for-bit — the composition
+    // the scored surface exists for (index probe → diversity re-rank,
+    // no corpus rescan anywhere)
+    val cand = VectorIngest.annScored(spark, root, queries, k = 6, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("sim").as("sim_q"))
+    val fed = Similarity.mmrRerankFromCandidates(cand, all, kOut = 3, lambda = 0.7)
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = Similarity.mmrRerank(all, queries, kCand = 6, kOut = 3, lambda = 0.7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fed == exact, s"probe-fed MMR diverged: $fed vs $exact")
+  }
+
   test("maintainTopK: per-batch folds equal one-shot brute force; replays are no-ops") {
     val topkDir = tmpDir("vtopk") + "/state"
     val all = (rows(0 until 12, 0) ++ rows(100 until 112, 1))
