@@ -312,6 +312,93 @@ object PipelineQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // HYBRID RETRIEVAL capstone (round 10) — the textbook MMR setting
+    // (Carbonell & Goldstein: relevance from the IR engine, redundancy
+    // from document similarity): BM25 supplies each query's top-6
+    // lexical candidates with sim_q = score/1e6, the embedding table
+    // supplies candidate-pair cosines, and the SAME candidate-fed greedy
+    // as q148/q149 picks 3 diverse results — the query-targeted diverse
+    // example selection a training pipeline runs for few-shot pools and
+    // eval picking. Composes q108's exact integer arithmetic with q148's
+    // statically-unrolled rounds; every double on both sides is the same
+    // fold, so the selection is hash-exact.
+    Q("q153_hybrid_retrieval", {
+      val dot = (a: String, b: String) =>
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+      s"""WITH qt(query_id, term) AS (VALUES (1, 'join'), (1, 'hash'),
+        |   (2, 'vector'), (2, 'stream'), (2, 'window')),
+        | toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |        JOIN (SELECT DISTINCT term FROM qt) USING (term) GROUP BY 1, 2),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        | g AS (SELECT count(*) AS n_docs,
+        |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_tokens FROM documents),
+        | sterm AS (SELECT doc_id, term,
+        |        (CAST((2*(n_docs - df) + 1) AS HUGEINT) * 22 * t_tokens * tf * 1000000)
+        |          // (CAST((2*df + 1) AS HUGEINT)
+        |              * (10*t_tokens*tf + 3*t_tokens + 9*dl*n_docs)) AS score
+        |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
+        | p AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |        CAST(sum(score) AS BIGINT) AS score
+        |       FROM qt JOIN sterm USING (term) GROUP BY 1, 2),
+        | r AS (SELECT query_id, doc_id, score,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        |       FROM p),
+        | cand AS (SELECT query_id, doc_id AS cand_id,
+        |           CAST(score AS DOUBLE) / 1000000.0 AS sim_q
+        |          FROM r WHERE rnk <= 6),
+        | v AS (SELECT vec_id, embedding,
+        |        sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+        | pair AS (SELECT x.query_id, x.cand_id AS a_id, y.cand_id AS b_id,
+        |           ${dot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS sim_ab
+        |          FROM cand x JOIN cand y ON x.query_id = y.query_id
+        |            AND x.cand_id <> y.cand_id
+        |          JOIN v ea ON ea.vec_id = x.cand_id
+        |          JOIN v eb ON eb.vec_id = y.cand_id),
+        | s1 AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sim_q DESC, cand_id) AS rn FROM cand) WHERE rn = 1),
+        | m2 AS (SELECT c.query_id, c.cand_id, c.sim_q, max(p.sim_ab) AS msel
+        |        FROM cand c JOIN s1 ON s1.query_id = c.query_id
+        |          AND c.cand_id <> s1.cand_id
+        |        JOIN pair p ON p.query_id = c.query_id
+        |          AND p.a_id = c.cand_id AND p.b_id = s1.cand_id
+        |        GROUP BY 1, 2, 3),
+        | s2 AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY 0.7 * sim_q - 0.3 * msel DESC, cand_id) AS rn
+        |         FROM m2) WHERE rn = 1),
+        | m3 AS (SELECT c.query_id, c.cand_id, c.sim_q, max(p.sim_ab) AS msel
+        |        FROM cand c JOIN s1 ON s1.query_id = c.query_id
+        |          AND c.cand_id <> s1.cand_id
+        |        JOIN s2 ON s2.query_id = c.query_id AND c.cand_id <> s2.cand_id
+        |        JOIN pair p ON p.query_id = c.query_id AND p.a_id = c.cand_id
+        |          AND (p.b_id = s1.cand_id OR p.b_id = s2.cand_id)
+        |        GROUP BY 1, 2, 3),
+        | s3 AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY 0.7 * sim_q - 0.3 * msel DESC, cand_id) AS rn
+        |         FROM m3) WHERE rn = 1)
+        |SELECT query_id, cand_id, step FROM (
+        |  SELECT query_id, cand_id, CAST(1 AS BIGINT) AS step FROM s1
+        |  UNION ALL SELECT query_id, cand_id, 2 FROM s2
+        |  UNION ALL SELECT query_id, cand_id, 3 FROM s3)
+        |ORDER BY query_id, step""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      import graft.llm.Similarity
+      val qt = Seq((1L, "join"), (1L, "hash"),
+        (2L, "vector"), (2L, "stream"), (2L, "window")).toDF("query_id", "term")
+      val cands = Corpus.bm25TopK(Tables(s, dir, "documents"), qt, k = 6)
+        .select(col("query_id"), col("doc_id").as("cand_id"),
+          (col("score").cast("double") / lit(1000000.0)).as("sim_q"))
+      Similarity.mmrRerankFromCandidates(cands,
+          Tables(s, dir, "embeddings"), kOut = 3, lambda = 0.7)
+        .orderBy("query_id", "step")
+    },
+
     // BPE-style merge learning (tokenizer training): 5 rounds of
     // global-argmax pair fusion over word-level segments. The oracle
     // statically unrolls the same loop — per-round pair counts,

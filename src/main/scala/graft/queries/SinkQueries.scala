@@ -140,11 +140,22 @@ object SinkQueries {
           docs.filter(col("doc_id") % 2 === 0), corpusDir, sigDir, batchId = 0L)
         val b2 = graft.streaming.CorpusIngest.processBatch(
           docs, corpusDir, sigDir, batchId = 1L) // odd half fresh, even replayed
-        val (gB, gA) = graft.streaming.ReplayGuard.compact(
-          s, graft.streaming.CorpusIngest.guardDirOf(sigDir))
-        val (bB, bA) = graft.streaming.BandStore.compact(
-          s, graft.streaming.BandStore.dirOf(sigDir))
-        val (sB, sA) = graft.streaming.CorpusIngest.compactSigs(s, sigDir)
+        // the three maintained artifacts are independent stores — their
+        // compactions submit concurrently (the qs1 pool pattern; wall
+        // time = the slowest compactor, not the sum of three)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        val (fG, fB, fS) = try {
+          val fG = pool.submit(new java.util.concurrent.Callable[(Int, Int)] {
+            def call() = graft.streaming.ReplayGuard.compact(
+              s, graft.streaming.CorpusIngest.guardDirOf(sigDir)) })
+          val fB = pool.submit(new java.util.concurrent.Callable[(Int, Int)] {
+            def call() = graft.streaming.BandStore.compact(
+              s, graft.streaming.BandStore.dirOf(sigDir)) })
+          val fS = pool.submit(new java.util.concurrent.Callable[(Int, Int)] {
+            def call() = graft.streaming.CorpusIngest.compactSigs(s, sigDir) })
+          (fG, fB, fS)
+        } finally pool.shutdown()
+        val (gB, gA) = fG.get(); val (bB, bA) = fB.get(); val (sB, sA) = fS.get()
         val orphans = graft.streaming.CorpusIngest.reconcile(s, corpusDir, sigDir)
         val stored = s.read.parquet(corpusDir).count()
         Seq(("admitted_b1", b1), ("admitted_b2", b2),
