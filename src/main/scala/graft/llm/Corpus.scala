@@ -102,10 +102,19 @@ object Corpus {
     * tf docs; `globals` is the 1-row (n_docs, t_tokens). */
   private[graft] def bm25FromStats(tf: DataFrame, dl: DataFrame,
                                    globals: DataFrame, queries: DataFrame,
-                                   k: Int): DataFrame = {
-    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val termScore = tf.join(broadcast(df_), "term")
-      .join(dl, "doc_id").crossJoin(broadcast(globals))
+                                   k: Int): DataFrame =
+    bm25FromStatsDl(tf.join(dl, "doc_id"), globals, queries, k)
+
+  /** [[bm25FromStats]] with the doc length already ON the tf rows —
+    * the denormalized-postings serving path
+    * ([[graft.streaming.Bm25Ingest]]) skips the doclen join entirely:
+    * at corpus scale that join shuffles one row per document ever
+    * indexed just to fetch a constant the posting can carry. */
+  private[graft] def bm25FromStatsDl(tfDl: DataFrame, globals: DataFrame,
+                                     queries: DataFrame, k: Int): DataFrame = {
+    val df_ = tfDl.groupBy("term").agg(count(lit(1)).as("df"))
+    val termScore = tfDl.join(broadcast(df_), "term")
+      .crossJoin(broadcast(globals))
       // every grouped product must enter DECIMAL(38,0) BEFORE it can
       // exceed Long range: the denominator's 10·T·tf term passes 2^63
       // at corpus tokens T ~ 1e13 with tf ~ 1e5 — exactly the regime

@@ -55,10 +55,18 @@ object Bm25Ingest {
       .sortBy(_._1).lastOption
   }
 
-  /** Per-doc postings of one batch: (term, doc_id, tf) + term bucket. */
+  /** Per-doc postings of one batch: (term, doc_id, tf, dl) + term
+    * bucket. The doc length rides DENORMALIZED on every posting
+    * (+8 bytes/row) — the standard inverted-index layout — so serving
+    * never joins the doclen store: at corpus scale that join shuffles
+    * one row per document ever indexed just to fetch a length the
+    * posting can carry itself. dl is constant per doc, so grouping by
+    * it costs nothing. */
   private[graft] def postingsState(docs: DataFrame, nBuckets: Int): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", termBucket(nBuckets))
 
   private[graft] def doclenState(docs: DataFrame, nBuckets: Int): DataFrame =
@@ -135,33 +143,35 @@ object Bm25Ingest {
   /** Ranked retrieval off the maintained state ONLY — the corpus is
     * never touched: the postings scan prunes to the query terms'
     * buckets (literal IN over the partition column), df derives from
-    * the pruned postings, doc lengths and the 1-row globals join back.
-    * Exactly [[graft.llm.Corpus.bm25TopK]]'s answer over everything
-    * indexed so far (Bm25IngestSpec asserts equality for any batch
-    * split). */
+    * the pruned postings, doc lengths ride the posting rows (no doclen
+    * join — the denormalized layout above), and the 1-row globals
+    * broadcast back. Exactly [[graft.llm.Corpus.bm25TopK]]'s answer
+    * over everything indexed so far (Bm25IngestSpec asserts equality
+    * for any batch split). */
   def serve(spark: SparkSession, stateDir: String, queries: DataFrame,
             k: Int = 10, nBuckets: Int = 64): Option[DataFrame] =
     latestVersion(spark, stateDir).map { case (_, p) =>
       val qterms = queries.select("term").distinct()
       val buckets = qterms.select(termBucket(nBuckets).as("bucket"))
         .distinct().collect().map(_.getLong(0)).toIndexedSeq
-      val tf = spark.read.parquet(postingsDir(stateDir))
+      val tfDl = spark.read.parquet(postingsDir(stateDir))
         .filter(col("bucket").isin(buckets.map(_.asInstanceOf[Any]): _*))
         .join(broadcast(qterms), "term")
-        .select("doc_id", "term", "tf")
-      val dl = spark.read.parquet(doclenDir(stateDir)).select("doc_id", "dl")
-      val globals = spark.read.parquet(s"$p/globals")
-      graft.llm.Corpus.bm25FromStats(tf, dl, globals, queries, k)
+        .select("doc_id", "term", "tf", "dl")
+      graft.llm.Corpus.bm25FromStatsDl(
+        tfDl, spark.read.parquet(s"$p/globals"), queries, k)
     }
 
   /** The pure state-fold form (no disk): score off explicitly merged
     * state tables — the oracle-replayable seam q152 checks against the
-    * one-shot q108 arithmetic. */
+    * one-shot q108 arithmetic. `postings` carries dl ([[postingsState]]);
+    * `doclen` stays in the signature as the store's other half but is
+    * not consulted for scoring. */
   def serveFromState(postings: DataFrame, doclen: DataFrame,
                      globals: DataFrame, queries: DataFrame,
                      k: Int = 10): DataFrame =
-    graft.llm.Corpus.bm25FromStats(
+    graft.llm.Corpus.bm25FromStatsDl(
       postings.join(broadcast(queries.select("term").distinct()), "term")
-        .select("doc_id", "term", "tf"),
-      doclen.select("doc_id", "dl"), globals, queries, k)
+        .select("doc_id", "term", "tf", "dl"),
+      globals, queries, k)
 }
