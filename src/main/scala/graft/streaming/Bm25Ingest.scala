@@ -75,8 +75,12 @@ object Bm25Ingest {
       .withColumn("bucket", idBucket(nBuckets))
 
   private[graft] def globalsState(docs: DataFrame): DataFrame =
+    // coalesce: sum over an empty batch is NULL, which would poison
+    // every later merge (sum ignores nulls, but a first-batch null
+    // t_tokens serves a null denominator)
     docs.select(count(lit(1)).as("n_docs"),
-      sum(size(split(col("text"), " ")).cast("long")).as("t_tokens"))
+      coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+        .as("t_tokens"))
 
   /** Globals fold: both statistics are plain sums. */
   private[graft] def mergeGlobals(a: DataFrame, b: DataFrame): DataFrame =
@@ -113,13 +117,18 @@ object Bm25Ingest {
         clean.join(prior, Seq("doc_id"), "left_anti")
       })
     val n = fresh.count()
-    // idempotent appends: each is an overwrite of THIS batch's subdir
-    postingsState(fresh, nBuckets).repartition(col("bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"${postingsDir(stateDir)}/batch_id=$batchId")
-    doclenState(fresh, nBuckets)
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$dlPath/batch_id=$batchId")
+    // idempotent appends: each is an overwrite of THIS batch's subdir.
+    // An all-replayed/empty batch writes NOTHING (a zero-row partitioned
+    // write leaves a schema-less dir that breaks every later read) but
+    // still commits its watermark below.
+    if (n > 0) {
+      postingsState(fresh, nBuckets).repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"${postingsDir(stateDir)}/batch_id=$batchId")
+      doclenState(fresh, nBuckets)
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$dlPath/batch_id=$batchId")
+    }
     // globals LAST: the snapshot rename is the batch's commit point and
     // its version number the replay watermark (RollupIngest protocol)
     val merged = latest match {
@@ -154,10 +163,16 @@ object Bm25Ingest {
       val qterms = queries.select("term").distinct()
       val buckets = qterms.select(termBucket(nBuckets).as("bucket"))
         .distinct().collect().map(_.getLong(0)).toIndexedSeq
-      val tfDl = spark.read.parquet(postingsDir(stateDir))
-        .filter(col("bucket").isin(buckets.map(_.asInstanceOf[Any]): _*))
-        .join(broadcast(qterms), "term")
-        .select("doc_id", "term", "tf", "dl")
+      // an index whose every committed batch was empty has no postings
+      // dir yet — serve the (correct) empty ranking, not a read error
+      val tfDl =
+        if (!fsOf(spark, stateDir).exists(new Path(postingsDir(stateDir))))
+          queries.select(col("query_id").cast("long").as("doc_id"),
+              col("term"), lit(0L).as("tf"), lit(0L).as("dl")).limit(0)
+        else spark.read.parquet(postingsDir(stateDir))
+          .filter(col("bucket").isin(buckets.map(_.asInstanceOf[Any]): _*))
+          .join(broadcast(qterms), "term")
+          .select("doc_id", "term", "tf", "dl")
       graft.llm.Corpus.bm25FromStatsDl(
         tfDl, spark.read.parquet(s"$p/globals"), queries, k)
     }

@@ -49,6 +49,33 @@ class Bm25IngestSpec extends SparkSpec {
     assert(g.head.getLong(0) == 6L)
   }
 
+  test("randomized batch splits with redeliveries converge to the one-shot ranking") {
+    // property form of the split-equality contract: any partition of the
+    // corpus into 1..4 batches, with a random batch redelivered under a
+    // fresh id, serves the identical ranking. Seeded RNG — failures
+    // reproduce.
+    val rnd = new scala.util.Random(42)
+    val oneShot = Corpus.bm25TopK(docs, queries, k = 10)
+      .orderBy("query_id", "rnk").collect().toSeq
+    for (trial <- 0 until 3) {
+      val stateDir = tmpDir(s"bm25rand$trial") + "/state"
+      val nB = 1 + rnd.nextInt(4)
+      val assign = (0 until 6).map(_ => rnd.nextInt(nB))
+      var id = 0L
+      for (b <- 0 until nB) {
+        val ids = assign.zipWithIndex.collect { case (bb, i) if bb == b => i + 1L }
+        val batch = docs.filter(col("doc_id").isin(ids.map(_.asInstanceOf[Any]): _*))
+        Bm25Ingest.processBatch(batch, stateDir, batchId = id); id += 1
+        if (rnd.nextBoolean()) { // redeliver under a NEW id: must no-op
+          assert(Bm25Ingest.processBatch(batch, stateDir, batchId = id) == 0L
+            || ids.isEmpty)
+          id += 1
+        }
+      }
+      assert(served(stateDir) == oneShot, s"trial $trial (nB=$nB, $assign) diverged")
+    }
+  }
+
   test("crash windows replay to the same state (appends idempotent, globals watermark-gated)") {
     val stateDir = tmpDir("bm25crash") + "/state"
     val b0 = docs.filter(col("doc_id") <= 3); val b1 = docs.filter(col("doc_id") > 3)
