@@ -177,6 +177,25 @@ object Bm25Ingest {
         tfDl, spark.read.parquet(s"$p/globals"), queries, k)
     }
 
+  /** Structured Streaming driver over a JSONL file-drop source of
+    * (doc_id, text) — the same foreachBatch wiring as its sibling
+    * ingests; checkpointed batch ids give the watermark its monotonic
+    * contract across restarts. */
+  def start(spark: SparkSession, inputDir: String, stateDir: String,
+            checkpoint: String, nBuckets: Int = 64) = {
+    import org.apache.spark.sql.types._
+    spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        processBatch(df, stateDir, batchId = id, nBuckets = nBuckets); ()
+      }
+      .start()
+  }
+
   /** The pure state-fold form (no disk): score off explicitly merged
     * state tables — the oracle-replayable seam q152 checks against the
     * one-shot q108 arithmetic. `postings` carries dl ([[postingsState]]);

@@ -76,6 +76,33 @@ class Bm25IngestSpec extends SparkSpec {
     }
   }
 
+  test("structured-streaming driver folds file drops; restart replays as a no-op") {
+    val root = tmpDir("bm25stream")
+    val in = s"$root/in"; val stateDir = s"$root/state"; val cp = s"$root/cp"
+    new java.io.File(in).mkdirs()
+    def drop(name: String, rows: Seq[(Long, String)]): Unit = {
+      val txt = rows.map { case (id, t) =>
+        s"""{"doc_id":$id,"text":"$t"}""" }.mkString("\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$in/$name"), txt)
+    }
+    val rows = docs.as[(Long, String)].collect().toSeq
+    drop("a.jsonl", rows.take(3))
+    val q1 = Bm25Ingest.start(spark, in, stateDir, cp)
+    try q1.processAllAvailable() finally q1.stop()
+    drop("b.jsonl", rows.drop(3))
+    // restart from the checkpoint: a.jsonl must not re-fold
+    val q2 = Bm25Ingest.start(spark, in, stateDir, cp)
+    try q2.processAllAvailable() finally q2.stop()
+    val oneShot = Corpus.bm25TopK(docs, queries, k = 10)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(served(stateDir) == oneShot,
+      "streamed folds across a restart must serve the one-shot ranking")
+    assert(spark.read.parquet(
+      s"${Bm25Ingest.latestVersion(spark, stateDir).get._2}/globals")
+      .head().getLong(0) == 6L, "restart double-counted a file drop")
+  }
+
   test("crash windows replay to the same state (appends idempotent, globals watermark-gated)") {
     val stateDir = tmpDir("bm25crash") + "/state"
     val b0 = docs.filter(col("doc_id") <= 3); val b1 = docs.filter(col("doc_id") > 3)
