@@ -94,6 +94,11 @@ object Bm25Ingest {
                    nBuckets: Int = 64, keepVersions: Int = 2): Long = {
     val spark = batch.sparkSession
     val fs = fsOf(spark, stateDir)
+    // a compact() crash mid-swap leaves a store retired as __old; heal
+    // BEFORE any read or append — an unhealed append would create a
+    // fresh dir that blocks healing forever (the CorpusIngest lesson)
+    graft.operators.MergeSink.healInterruptedSwap(spark, postingsDir(stateDir))
+    graft.operators.MergeSink.healInterruptedSwap(spark, doclenDir(stateDir))
     val latest = latestVersion(spark, stateDir)
     if (latest.exists(_._1 >= batchId)) return 0L // fully applied replay
 
@@ -160,6 +165,8 @@ object Bm25Ingest {
   def serve(spark: SparkSession, stateDir: String, queries: DataFrame,
             k: Int = 10, nBuckets: Int = 64): Option[DataFrame] =
     latestVersion(spark, stateDir).map { case (_, p) =>
+      graft.operators.MergeSink.healInterruptedSwap(spark, postingsDir(stateDir))
+      graft.operators.MergeSink.healInterruptedSwap(spark, doclenDir(stateDir))
       val qterms = queries.select("term").distinct()
       val buckets = qterms.select(termBucket(nBuckets).as("bucket"))
         .distinct().collect().map(_.getLong(0)).toIndexedSeq
@@ -176,6 +183,40 @@ object Bm25Ingest {
       graft.llm.Corpus.bm25FromStatsDl(
         tfDl, spark.read.parquet(s"$p/globals"), queries, k)
     }
+
+  /** Rewrite the per-batch append swamp into a single `batch_id=0` tree
+    * per store — months of micro-batches otherwise leave one subdir per
+    * batch and file-count-bound every scan (the [[VectorIngest
+    * .compactCells]] problem, same cure). The rewritten rows keep the
+    * partition columns readers rely on: the freshness probe still
+    * filters `batch_id =!= current`, and a replay of a pre-compaction
+    * batch id still no-ops — its docs are in the compacted tree, so the
+    * anti-join yields nothing and nothing is written. Atomic per store
+    * (stage + rename; readers heal). Assumes quiesced ingest, like
+    * every sibling compactor. Returns (files before, files after). */
+  def compact(spark: SparkSession, stateDir: String): (Int, Int) = {
+    val fs = fsOf(spark, stateDir)
+    def files(dir: String): Int =
+      if (!fs.exists(new Path(dir))) 0
+      else {
+        val it = fs.listFiles(new Path(dir), true)
+        var n = 0
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+    def rewrite(dir: String): Unit = if (fs.exists(new Path(dir))) {
+      graft.operators.MergeSink.healInterruptedSwap(spark, dir)
+      val df = spark.read.parquet(dir).withColumn("batch_id", lit(0L))
+      graft.operators.MergeSink.writeAtomic(
+        df.repartition(col("bucket")), dir,
+        partitionBy = Seq("batch_id", "bucket"))
+    }
+    val before = files(postingsDir(stateDir)) + files(doclenDir(stateDir))
+    rewrite(postingsDir(stateDir))
+    rewrite(doclenDir(stateDir))
+    (before, files(postingsDir(stateDir)) + files(doclenDir(stateDir)))
+  }
 
   /** Structured Streaming driver over a JSONL file-drop source of
     * (doc_id, text) — the same foreachBatch wiring as its sibling

@@ -76,6 +76,33 @@ class Bm25IngestSpec extends SparkSpec {
     }
   }
 
+  test("compact rewrites the per-batch swamp; served ranking, replays and new batches intact") {
+    val stateDir = tmpDir("bm25compact") + "/state"
+    val b = (m: Long) => docs.filter(col("doc_id") % 3 === m)
+    (0 to 2).foreach(i => Bm25Ingest.processBatch(b(i.toLong), stateDir, batchId = i.toLong))
+    val before = served(stateDir)
+    val (nB, nA) = Bm25Ingest.compact(spark, stateDir)
+    assert(nA < nB, s"compaction must shrink the file count ($nB -> $nA)")
+    assert(served(stateDir) == before, "compaction changed the served ranking")
+    // a pre-compaction batch id replayed: its docs live in the compacted
+    // tree, the anti-join drops them all — still a no-op
+    assert(Bm25Ingest.processBatch(b(1L), stateDir, batchId = 3L) == 0L)
+    // and genuinely new docs still fold
+    val extra = Seq((7L, "a very late join and hash document"))
+      .toDF("doc_id", "text")
+    assert(Bm25Ingest.processBatch(extra, stateDir, batchId = 4L) == 1L)
+    val full = Corpus.bm25TopK(docs.unionByName(extra), queries, k = 10)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(served(stateDir) == full)
+    // crash mid-swap: postings retired to __old, nothing published — the
+    // next reader heals instead of serving an empty index
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(s"$stateDir/postings"),
+      new Path(s"$stateDir/postings__old")))
+    assert(served(stateDir) == full, "mid-swap crash must heal on read")
+  }
+
   test("structured-streaming driver folds file drops; restart replays as a no-op") {
     val root = tmpDir("bm25stream")
     val in = s"$root/in"; val stateDir = s"$root/state"; val cp = s"$root/cp"
