@@ -190,6 +190,39 @@ object Similarity {
     selected
   }
 
+  /** RECIPROCAL RANK FUSION (Cormack et al. 2009) — the standard
+    * hybrid-search fusion step (every production vector store ships
+    * it): fuse ANY number of per-query rankings (query_id, doc_id,
+    * rnk) into one list by score(q,d) = Σ_lists 1/(kConst + rnk).
+    * Rankings can come from anything sharing the query-id space —
+    * [[graft.llm.Corpus.bm25TopK]] lexical ranks, [[bruteForceKnn]] /
+    * [[lshKnn]] / [[graft.streaming.VectorIngest.ann]] dense ranks — and
+    * a doc absent from a list simply contributes nothing (the RRF
+    * convention).
+    *
+    * Exactness: each term is the INTEGER floor(1e12/(kConst+rnk)) and
+    * the per-(query, doc) score an integer sum — order-free, so fusing
+    * 3+ lists stays deterministic where a double fold would depend on
+    * addend order. Output: (query_id, doc_id, fused_score, rnk). */
+  def rrfFuse(rankings: Seq[DataFrame], kConst: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    // DIV, not `/`: Spark's `/` on longs is DOUBLE division, whose
+    // round-to-nearest can land ABOVE the true quotient before the cast
+    // truncates — DIV is exact integer division like the oracle's `//`
+    val terms = rankings.map(_.select(col("query_id"), col("doc_id"),
+      expr(s"CAST(1000000000000 DIV ($kConst + rnk) AS BIGINT)").as("t")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("fused_score").desc, col("doc_id"))
+    terms.groupBy("query_id", "doc_id")
+      .agg(sum("t").as("fused_score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("doc_id"),
+        col("fused_score").cast("long").as("fused_score"), col("rnk"))
+  }
+
   /** MARGIN-BASED bitext/pair mining (Artetxe & Schwenk 2019; the
     * CCMatrix construction): for each source vector the best target by
     * RATIO MARGIN — sim(x,y) normalized by the mean of both sides'

@@ -399,6 +399,70 @@ object PipelineQueries {
         .orderBy("query_id", "step")
     },
 
+    // RECIPROCAL RANK FUSION (round 10; Cormack et al. 2009) — the
+    // other standard hybrid-search composition next to q153's MMR:
+    // BM25 lexical top-10 fused with exact dense cosine top-10 for the
+    // same query ids by score = Σ 1/(60+rank). Every fused term is the
+    // INTEGER floor(1e12/(60+rnk)) and the per-doc score an order-free
+    // integer sum, so fusion is hash-exact however many lists join.
+    Q("q154_rrf_fusion", {
+      val dot = (a: String, b: String) =>
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+      s"""WITH qt(query_id, term) AS (VALUES (1, 'join'), (1, 'hash'),
+        |   (2, 'vector'), (2, 'stream'), (2, 'window')),
+        | toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |        JOIN (SELECT DISTINCT term FROM qt) USING (term) GROUP BY 1, 2),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        | g AS (SELECT count(*) AS n_docs,
+        |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_tokens FROM documents),
+        | sterm AS (SELECT doc_id, term,
+        |        (CAST((2*(n_docs - df) + 1) AS HUGEINT) * 22 * t_tokens * tf * 1000000)
+        |          // (CAST((2*df + 1) AS HUGEINT)
+        |              * (10*t_tokens*tf + 3*t_tokens + 9*dl*n_docs)) AS score
+        |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
+        | p AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |        CAST(sum(score) AS BIGINT) AS score
+        |       FROM qt JOIN sterm USING (term) GROUP BY 1, 2),
+        | lex AS (SELECT query_id, doc_id,
+        |          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        |         FROM p QUALIFY rnk <= 10),
+        | v AS (SELECT vec_id, embedding,
+        |        sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+        | dn AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY ${dot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+        |             c.vec_id) AS rnk
+        |        FROM v q JOIN v c ON q.vec_id IN (1, 2) AND q.vec_id <> c.vec_id
+        |        QUALIFY rnk <= 10),
+        | terms AS (SELECT query_id, doc_id, 1000000000000 // (60 + rnk) AS t FROM lex
+        |           UNION ALL
+        |           SELECT query_id, doc_id, 1000000000000 // (60 + rnk) FROM dn),
+        | f AS (SELECT query_id, doc_id, CAST(sum(t) AS BIGINT) AS fused_score
+        |       FROM terms GROUP BY 1, 2),
+        | rr AS (SELECT query_id, doc_id, fused_score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY fused_score DESC, doc_id) AS BIGINT) AS rnk
+        |        FROM f)
+        |SELECT query_id, doc_id, fused_score, rnk FROM rr WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      import graft.llm.Similarity
+      val qt = Seq((1L, "join"), (1L, "hash"),
+        (2L, "vector"), (2L, "stream"), (2L, "window")).toDF("query_id", "term")
+      val lex = Corpus.bm25TopK(Tables(s, dir, "documents"), qt, k = 10)
+        .select("query_id", "doc_id", "rnk")
+      val emb = Tables(s, dir, "embeddings")
+      val dense = Similarity.bruteForceKnn(emb,
+          emb.filter(col("vec_id").isin(1L, 2L)), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+      Similarity.rrfFuse(Seq(lex, dense), kConst = 60, topK = 10)
+        .orderBy("query_id", "rnk")
+    },
+
     // BPE-style merge learning (tokenizer training): 5 rounds of
     // global-argmax pair fusion over word-level segments. The oracle
     // statically unrolls the same loop — per-round pair counts,
