@@ -51,10 +51,27 @@ object MergeOps {
     val takeSource = col("t_" + key).isNull ||
       (col("s_" + key).isNotNull &&
         (col("t_" + tsCol).isNull || col("s_" + tsCol) > col("t_" + tsCol)))
-    val cols = target.columns.map { c =>
-      when(takeSource, col("s_" + c)).otherwise(col("t_" + c)).as(c)
+    // SCHEMA EVOLUTION across a migration window, with Postgres
+    // `DO UPDATE SET <listed cols>` semantics (the reference updates
+    // exactly the columns its projection lists, postgres.ts:181-204):
+    //   - a column only the SOURCE carries (migration just added it)
+    //     widens the table — existing rows read null;
+    //   - a column only the TARGET carries (an old-format batch after
+    //     the migration) is PRESERVED even when the source row wins —
+    //     a delivery cannot update a column it didn't carry. The
+    //     previous behavior silently dropped new columns and crashed on
+    //     old-format batches.
+    val tCols = target.columns.toIndexedSeq
+    val sCols = source.columns.toSet
+    val all = tCols ++ source.columns.filterNot(tCols.contains)
+    val cols = all.map { c =>
+      val tVal =
+        if (tCols.contains(c)) col("t_" + c)
+        else lit(null).cast(source.schema(c).dataType)
+      val sVal = if (sCols.contains(c)) col("s_" + c) else tVal
+      when(takeSource, sVal).otherwise(tVal).as(c)
     }
-    joined.select(cols.toIndexedSeq: _*)
+    joined.select(cols: _*)
   }
 
   /** Missing-FK anti-join (reference J1, `findMissingEntries`,
@@ -176,9 +193,15 @@ object MergeOps {
     val untouched = history.join(affected, keys, "left_anti")
     val replayed = history.drop(derived: _*)
       .join(affected, keys, "left_semi")
-      .unionByName(batch)
+      // allowMissingColumns: a batch carrying a migration-added column
+      // (or an old-format replay missing one) null-fills the other side
+      // — for SCD2 the null IS the honest content (change detection is
+      // null-safe), unlike the latest-state merge's preserve semantics
+      .unionByName(batch, allowMissingColumns = true)
       .dropDuplicates(keys ++ (tsCol +: tieCols))
-    untouched.unionByName(scd2HistoryFlagged(replayed, keys, tsCol, tieCols))
+    untouched.unionByName(
+      scd2HistoryFlagged(replayed, keys, tsCol, tieCols),
+      allowMissingColumns = true)
   }
 
   /** Child-table normalization (reference A4/A5/A6): explode a nested

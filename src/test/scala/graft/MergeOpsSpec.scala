@@ -127,6 +127,50 @@ class MergeOpsSpec extends SparkSpec {
         .orderBy(key.map(col): _*).collect().toSeq)
   }
 
+  test("mergeGuarded evolves schema across a migration window (DO UPDATE semantics)") {
+    // pre-migration store: (id, ts, a). A migration adds column b.
+    val target = Seq((1L, 10L, "a1"), (2L, 10L, "a2")).toDF("id", "ts", "a")
+    val post = Seq((1L, 20L, "a1v2", "b1"), (3L, 5L, "a3", "b3"))
+      .toDF("id", "ts", "a", "b")
+    val m1 = MergeOps.mergeGuarded(target, post, "id", "ts")
+    val r1 = m1.orderBy("id").as[(Long, Long, String, Option[String])]
+      .collect().toSeq
+    // widened: winner carries its b, untouched old rows read null
+    assert(r1 == Seq((1L, 20L, "a1v2", Some("b1")),
+      (2L, 10L, "a2", None), (3L, 5L, "a3", Some("b3"))), r1.toString)
+    // an OLD-FORMAT batch after the migration: its newer row wins the
+    // columns it carries but CANNOT touch b (Postgres DO UPDATE updates
+    // only listed columns — postgres.ts:181-204)
+    val old = Seq((1L, 30L, "a1v3")).toDF("id", "ts", "a")
+    val m2 = MergeOps.mergeGuarded(m1, old, "id", "ts")
+    val row1 = m2.filter(col("id") === 1L)
+      .as[(Long, Long, String, Option[String])].head()
+    assert(row1 == ((1L, 30L, "a1v3", Some("b1"))),
+      s"old-format winner must preserve the column it didn't carry: $row1")
+    // a losing old-format row changes nothing
+    val m3 = MergeOps.mergeGuarded(m2, Seq((3L, 1L, "zzz")).toDF("id", "ts", "a"),
+      "id", "ts")
+    assert(m3.filter(col("id") === 3L)
+      .as[(Long, Long, String, Option[String])].head() ==
+      ((3L, 5L, "a3", Some("b3"))))
+  }
+
+  test("scd2Merge folds a migration-added column (null-filled history)") {
+    val h0 = MergeOps.scd2HistoryFlagged(
+      Seq((1L, 10L, "x")).toDF("id", "ts", "payload"),
+      Seq("id"), "ts", Seq("payload"))
+    // post-migration batch carries a new content column
+    val batch = Seq((1L, 20L, "y", "extra")).toDF("id", "ts", "payload", "b")
+    val merged = MergeOps.scd2Merge(h0, batch, Seq("id"), "ts",
+      Seq("payload", "b"))
+    val served = merged.filter(col("is_change")).orderBy("version")
+      .select("ts", "payload", "b").as[(Long, String, Option[String])]
+      .collect().toSeq
+    // the old version's b is null (honest content), the new one carries it
+    assert(served == Seq((10L, "x", None), (20L, "y", Some("extra"))),
+      served.toString)
+  }
+
   test("scd2Merge: late change between identical-content rows re-tiles (flagged store)") {
     // A@t1, then a refetch A@t3 with IDENTICAL content (collapsed,
     // is_change=false), then a LATE B@t2 lands between them: A@t3 must
