@@ -474,6 +474,51 @@ object VectorIngest {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** SemDeDup AT THE DOOR — the vector-store face of
+    * [[CorpusIngest]]'s dedup-on-admission: batch vectors whose best
+    * cosine against the EXISTING index reaches `minSimPpm` are semantic
+    * near-duplicates of already-admitted content. Returns
+    * (vec_id, dup_of, sim_ppm) for the rejects; compose with
+    * `batch.join(rejects, Seq("vec_id"), "left_anti")` before
+    * [[processBatch]] (or use [[processBatchDeduped]]). Probe cost is
+    * one partition-pruned [[annScored]] pass with the batch as queries —
+    * the index is never rescanned beyond the probed cells, so the gate
+    * is O(batch), like every admission guard in this engine. Contract
+    * is vs the STORE only: within-batch near-dups are the banded
+    * text-dedup family's job. An empty (never-written) index rejects
+    * nothing. */
+  def semanticRejects(spark: SparkSession, root: String, batch: DataFrame,
+                      minSimPpm: Long, nProbe: Int = 4): DataFrame = {
+    healRetrainSwap(spark, root)
+    graft.operators.MergeSink.healInterruptedSwap(spark, cellsPath(root))
+    if (!Files.exists(Paths.get(cellsPath(root))))
+      return batch.select(col("vec_id"), col("vec_id").as("dup_of"),
+        lit(0L).as("sim_ppm")).limit(0)
+    annScored(spark, root, batch, k = 1, nProbe = nProbe)
+      .withColumn("sim_ppm",
+        floor(col("sim") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .filter(col("sim_ppm") >= minSimPpm)
+      .select(col("query_id").as("vec_id"),
+        col("neighbor_id").as("dup_of"), col("sim_ppm"))
+  }
+
+  /** [[processBatch]] with the semantic near-dup gate applied first:
+    * admits only batch vectors novel vs the index at `minSimPpm`,
+    * returns (admitted count, rejected pairs — collected-size bounded
+    * by the batch). Rejections leave no guard ledger row, so a vector
+    * re-sent after the blocking original is removed can be admitted —
+    * the same contract as every quarantine in this engine. */
+  def processBatchDeduped(batch: DataFrame, root: String, minSimPpm: Long,
+                          nProbe: Int = 4,
+                          batchId: Long = 0L): (Long, DataFrame) = {
+    val spark = batch.sparkSession
+    val rejects = graft.llm.Stage(
+      semanticRejects(spark, root, batch, minSimPpm, nProbe))
+    val admitted = processBatch(
+      batch.join(rejects, Seq("vec_id"), "left_anti"), root, batchId)
+    (admitted, rejects)
+  }
+
   /** MAINTAINED top-k neighbor lists — the continuously-adaptive
     * similarity-search shape (EDBT'20 incremental top-k sessions,
     * SIGMOD'20 continuously adaptive search): for each REGISTERED

@@ -76,6 +76,39 @@ class Bm25IngestSpec extends SparkSpec {
     }
   }
 
+  test("hybrid retrieval entirely off maintained state: BM25 serve × index probe → RRF") {
+    import graft.llm.Similarity
+    import graft.streaming.VectorIngest
+    // two maintained indexes over the same id space: the BM25 inverted
+    // store over the texts, the vector store over aligned embeddings
+    val root = tmpDir("hybrid")
+    val bm25Dir = s"$root/bm25"; val annDir = s"$root/ann"
+    val emb = docs.as[(Long, String)].collect().toSeq.map { case (id, t) =>
+      // deterministic 4-d embedding from the text's bytes
+      val bs = t.getBytes("UTF-8")
+      (id, Array.tabulate(4)(d => bs.map(b => ((b & 0xFF) * (d + 1)) % 7).sum.toFloat + 1f))
+    }.toDF("vec_id", "embedding")
+    Bm25Ingest.processBatch(docs, bm25Dir, batchId = 0L)
+    VectorIngest.trainCentroids(emb, annDir, kCells = 2, iters = 3, dim = 4)
+    VectorIngest.processBatch(emb, annDir)
+    // the service path: both rankings read ONLY their stores
+    val lex = Bm25Ingest.serve(spark, bm25Dir, queries, k = 5).get
+      .select("query_id", "doc_id", "rnk")
+    val dense = VectorIngest.ann(spark, annDir,
+        emb.filter(col("vec_id").isin(1L, 2L)), k = 5, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+    val served = Similarity.rrfFuse(Seq(lex, dense), kConst = 60, topK = 5)
+      .orderBy("query_id", "rnk").collect().toSeq
+    // == the same fusion over one-shot rankings (full-probe ann is exact)
+    val oneShot = Similarity.rrfFuse(Seq(
+        Corpus.bm25TopK(docs, queries, k = 5).select("query_id", "doc_id", "rnk"),
+        Similarity.bruteForceKnn(emb, emb.filter(col("vec_id").isin(1L, 2L)), k = 5)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))),
+      kConst = 60, topK = 5).orderBy("query_id", "rnk").collect().toSeq
+    assert(served == oneShot,
+      "maintained-store hybrid must equal the one-shot fusion")
+  }
+
   test("compact rewrites the per-batch swamp; served ranking, replays and new batches intact") {
     val stateDir = tmpDir("bm25compact") + "/state"
     val b = (m: Long) => docs.filter(col("doc_id") % 3 === m)

@@ -352,6 +352,39 @@ class VectorIngestSpec extends SparkSpec {
     assert(spark.read.parquet(cbDir).collect().toSet == cbAfter)
   }
 
+  test("semantic admission gate rejects near-dups of indexed vectors, admits novelty") {
+    val root = tmpDir("vindex_sem")
+    val base = (rows(0 until 8, 0) ++ rows(100 until 108, 1))
+      .toDF("vec_id", "embedding")
+    VectorIngest.trainCentroids(base, root, kCells = 2, iters = 3, dim = 4)
+    // empty index: the gate rejects nothing (first batch always admits)
+    assert(VectorIngest.semanticRejects(spark, root, base, 990000L).count() == 0L)
+    assert(VectorIngest.processBatch(base, root, batchId = 0L) == 16L)
+    // batch 2: an EXACT copy of vector 3 under a new id (cos = 1), plus
+    // a genuinely novel vector between the two clusters (the rows()
+    // family repeats mod 5 within a cluster, so any generated index
+    // would collide — cos ≈ 0.70 against both cluster bases here)
+    val batch2 = Seq((500L, vec(0, 3)), (200L, Array(5f, 5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val (admitted, rejects) = VectorIngest.processBatchDeduped(
+      batch2, root, minSimPpm = 999000L, nProbe = 2, batchId = 1L)
+    val rej = rejects.as[(Long, Long, Long)].collect().toSeq
+    assert(rej.map(r => (r._1, r._2)) == Seq((500L, 3L)),
+      s"the exact copy must reject against its original: $rej")
+    assert(rej.head._3 == 1000000L, s"exact copy scores 1e6 ppm: $rej")
+    assert(admitted == 1L, "the novel vector must still be admitted")
+    assert(spark.read.parquet(s"$root/cells")
+      .filter(col("vec_id") === 500L).count() == 0L)
+    assert(spark.read.parquet(s"$root/cells")
+      .filter(col("vec_id") === 200L).count() == 1L)
+    // the reject left no ledger row: once the blocker is gone (here:
+    // re-send after raising the bar is moot — assert via replay instead)
+    // a replay of batch2 is a no-op for the admitted id
+    val (again, _) = VectorIngest.processBatchDeduped(
+      batch2, root, minSimPpm = 999000L, nProbe = 2, batchId = 2L)
+    assert(again == 0L)
+  }
+
   test("an index probe feeds MMR directly: full-coverage annScored == exact mmrRerank") {
     val root = tmpDir("vindex_mmr")
     val all = (rows(0 until 12, 0) ++ rows(100 until 112, 1))
