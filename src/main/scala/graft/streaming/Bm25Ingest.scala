@@ -184,6 +184,31 @@ object Bm25Ingest {
         tfDl, spark.read.parquet(s"$p/globals"), queries, k)
     }
 
+  /** Quiesced repair sweep — the crash-garbage case the per-batch
+    * replay CANNOT fix: postings are written before doclen, so a batch
+    * that crashed between the two and was then ABANDONED (checkpoint
+    * deleted, stream re-keyed) leaves a postings subdir whose docs are
+    * invisible to the freshness store — a later redelivery would admit
+    * them again and double-count df/tf. A postings `batch_id=` subdir
+    * with no doclen counterpart is exactly that orphan; delete it and
+    * return the ids. Run before [[compact]] (compact calls it) — a
+    * compaction would otherwise bake the orphans into batch 0. Assumes
+    * quiesced ingest like every repair here. */
+  def reconcile(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val fs = fsOf(spark, stateDir)
+    def batchIds(dir: String): Set[Long] =
+      if (!fs.exists(new Path(dir))) Set.empty
+      else fs.listStatus(new Path(dir)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
+    val orphans =
+      (batchIds(postingsDir(stateDir)) -- batchIds(doclenDir(stateDir)))
+        .toSeq.sorted
+    orphans.foreach { id =>
+      fs.delete(new Path(s"${postingsDir(stateDir)}/batch_id=$id"), true) }
+    orphans
+  }
+
   /** Rewrite the per-batch append swamp into a single `batch_id=0` tree
     * per store — months of micro-batches otherwise leave one subdir per
     * batch and file-count-bound every scan (the [[VectorIngest
@@ -195,6 +220,7 @@ object Bm25Ingest {
     * (stage + rename; readers heal). Assumes quiesced ingest, like
     * every sibling compactor. Returns (files before, files after). */
   def compact(spark: SparkSession, stateDir: String): (Int, Int) = {
+    reconcile(spark, stateDir) // never bake crash orphans into batch 0
     val fs = fsOf(spark, stateDir)
     def files(dir: String): Int =
       if (!fs.exists(new Path(dir))) 0

@@ -76,6 +76,29 @@ class Bm25IngestSpec extends SparkSpec {
     }
   }
 
+  test("reconcile deletes abandoned-batch postings orphans that would skew df/tf") {
+    val stateDir = tmpDir("bm25rec") + "/state"
+    assert(Bm25Ingest.processBatch(docs, stateDir, batchId = 0L) == 6L)
+    val clean = served(stateDir)
+    // an abandoned crashed batch: postings landed, doclen never did —
+    // its rows are invisible to the freshness store but VISIBLE to
+    // serving, so df/tf skew until repaired
+    val orphan = Seq((9L, "join join join hash")).toDF("doc_id", "text")
+    Bm25Ingest.postingsState(orphan, 64).repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$stateDir/postings/batch_id=7")
+    assert(served(stateDir) != clean, "orphan must actually skew the ranking")
+    assert(Bm25Ingest.reconcile(spark, stateDir) == Seq(7L))
+    assert(served(stateDir) == clean, "reconcile must restore the ranking")
+    // a healthy store reconciles to nothing; compact starts with the sweep
+    assert(Bm25Ingest.reconcile(spark, stateDir).isEmpty)
+    Bm25Ingest.postingsState(orphan, 64).repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$stateDir/postings/batch_id=8")
+    val (_, _) = Bm25Ingest.compact(spark, stateDir)
+    assert(served(stateDir) == clean, "compact must not bake orphans into batch 0")
+  }
+
   test("hybrid retrieval entirely off maintained state: BM25 serve × index probe → RRF") {
     import graft.llm.Similarity
     import graft.streaming.VectorIngest
