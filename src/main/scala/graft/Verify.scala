@@ -14,7 +14,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce collapses the WHOLE
+      // upstream computation into one task (a single sf0.1 text query
+      // burned 20+ CPU-minutes single-threaded); repartition keeps the
+      // compute parallel and only the one-file write single-task. Row
+      // order changes, which is fine — the driver compare sorts rows.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
