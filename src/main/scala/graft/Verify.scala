@@ -19,8 +19,11 @@ object Verify {
       // burned 20+ CPU-minutes single-threaded); repartition keeps the
       // compute parallel and only the one-file write single-task. Row
       // order changes, which is fine — the driver compare sorts rows.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        System.err.println(s"[verify] running $name")
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

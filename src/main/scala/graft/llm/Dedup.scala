@@ -218,8 +218,27 @@ object Dedup {
     docs.join(starts, Seq("doc_id"), "left")
       .withColumn("l", split(col("text"), " "))
       .withColumn("s", coalesce(col("starts"), array().cast("array<int>")))
+      // MERGE the ascending fixed-length spans into disjoint intervals
+      // first (one O(|starts|) fold), then test tokens against the
+      // merged set: a boilerplate-heavy doc's spans collapse to a few
+      // intervals, where the previous exists-over-every-start was
+      // O(tokens·starts) INTERPRETED per doc — CPU-minutes on one
+      // degenerate row. Union of spans is unchanged by merging, so the
+      // kept set is bit-identical.
+      .withColumn("iv", aggregate(col("s"),
+        array().cast("array<struct<b:long,e:long>>"),
+        (acc, st) => {
+          val b = st.cast("long"); val e = b + lit(k.toLong)
+          val last = element_at(acc, -1)
+          when(size(acc) === 0 || b > last.getField("e"),
+            concat(acc, array(struct(b.as("b"), e.as("e")))))
+            .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(last.getField("b").as("b"),
+                greatest(last.getField("e"), e).as("e")))))
+        }))
       .withColumn("kept", filter(col("l"),
-        (_, i) => !exists(col("s"), st => st <= i && i < st + k)))
+        (_, i) => !exists(col("iv"),
+          v => v.getField("b") <= i && i < v.getField("e"))))
       .select(col("doc_id"),
         size(col("l")).cast("long").as("n_tokens"),
         (size(col("l")) - size(col("kept"))).cast("long").as("n_removed"),

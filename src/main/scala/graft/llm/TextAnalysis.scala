@@ -192,8 +192,24 @@ object TextAnalysis {
       val dupset = duplicatedValues(g)
       val starts = filter(sequence(lit(0), size(g) - 1),
         p => array_contains(dupset, element_at(g, p + 1)))
-      val covered = size(filter(words(col("text")),
-        (_, i) => exists(starts, s => s <= i && i < s + n))).cast("long")
+      // coverage = |∪ [s, s+n)| over the ASCENDING starts, as one
+      // interval-merge fold — O(|starts|). The previous form tested
+      // every token against every start (exists-in-filter), O(T·S)
+      // INTERPRETED per doc: a degenerate sf0.1 document burned
+      // CPU-minutes in a single task. Same value exactly: each fold
+      // step adds the interval's uncovered suffix.
+      val covered = aggregate(starts,
+        struct(lit(0L).as("cov"), lit(-1L).as("end")),
+        (acc, s) => {
+          val sL = s.cast("long"); val e = sL + lit(n.toLong)
+          struct(
+            (acc.getField("cov") + when(sL >= acc.getField("end"),
+              lit(n.toLong))
+              .otherwise(greatest(e - acc.getField("end"), lit(0L))))
+              .as("cov"),
+            greatest(acc.getField("end"), e).as("end"))
+        },
+        acc => acc.getField("cov"))
       d = d.withColumn(s"dup${n}_cov",
         when(size(g) === 0, lit(-1L)).otherwise(covered))
       d = d.withColumn(s"dup${n}_ppm",
