@@ -321,7 +321,11 @@ object PipelineQueries {
     // example selection a training pipeline runs for few-shot pools and
     // eval picking. Composes q108's exact integer arithmetic with q148's
     // statically-unrolled rounds; every double on both sides is the same
-    // fold, so the selection is hash-exact.
+    // fold, so the selection is hash-exact. A lexical candidate WITHOUT
+    // an embedding row drops from the candidate set after the top-6 cut
+    // (MMR cannot diversity-rank a vectorless doc) — both sides apply
+    // the same rule; the sf0.1 hardening sweep caught the oracle keeping
+    // such candidates in its relevance-only first step.
     Q("q153_hybrid_retrieval", {
       val dot = (a: String, b: String) =>
         s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), " +
@@ -346,11 +350,12 @@ object PipelineQueries {
         | r AS (SELECT query_id, doc_id, score,
         |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
         |       FROM p),
-        | cand AS (SELECT query_id, doc_id AS cand_id,
-        |           CAST(score AS DOUBLE) / 1000000.0 AS sim_q
-        |          FROM r WHERE rnk <= 6),
         | v AS (SELECT vec_id, embedding,
         |        sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+        | cand AS (SELECT query_id, doc_id AS cand_id,
+        |           CAST(score AS DOUBLE) / 1000000.0 AS sim_q
+        |          FROM r JOIN v ON v.vec_id = r.doc_id AND v.nrm > 0
+        |          WHERE rnk <= 6),
         | pair AS (SELECT x.query_id, x.cand_id AS a_id, y.cand_id AS b_id,
         |           ${dot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS sim_ab
         |          FROM cand x JOIN cand y ON x.query_id = y.query_id
