@@ -263,7 +263,16 @@ object Bench {
       val group = s"bench-$tag-${q.name}"
       val runner = new Thread(() => {
         spark.sparkContext.setJobGroup(group, q.name, interruptOnCancel = true)
-        try { q.run(spark, sfDir).count() } catch { case _: Throwable => () }
+        // noop WRITE, not count(): count() lets Catalyst prune every
+        // projected column, so a narrow query whose cost IS its
+        // projection (the per-row text/array operators) measured as a
+        // bare scan — q127's real work was invisible until the sf0.1
+        // verify sweep hit it. The noop sink computes every output
+        // column and discards rows at the sink, measuring what a
+        // consumer would actually pay.
+        try {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case _: Throwable => () }
         finally spark.sparkContext.clearJobGroup()
       })
       runner.setDaemon(true)

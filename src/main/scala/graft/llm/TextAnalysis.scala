@@ -81,35 +81,20 @@ object TextAnalysis {
     * expressions, all linear/linearithmic in the token count — a
     * per-distinct-token rescan would be O(distinct·n) and melt on
     * exactly the long degenerate documents this filter targets. */
-  /** most frequent element's count = longest equal-run of the SORTED
-    * array: one sort + one linear fold (state: current run, best). */
+  /** most frequent element's count — NATIVE one-pass hash count
+    * ([[graft.functions.GramCounts]]). Was an array_sort + interpreted
+    * fold: HOFs are CodegenFallback and interpreted subtrees get no
+    * CSE, so every projection referencing one re-ran the sort — the
+    * honest-bench sweep measured q127 at 73 s over 5,000 hundred-token
+    * docs before this. Same value exactly (a count, order-free). */
   private def longestRun(arr: Column): Column =
-    aggregate(
-      array_sort(arr),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    graft.functions.GramCounts.max_multiplicity(arr)
 
-  /** the distinct values occurring ≥2 times in `arr`: sort + linear
-    * fold appending each value exactly when its run hits 2. */
+  /** the distinct values occurring ≥2 times in `arr` — NATIVE one-pass
+    * hash count, emitted in the ascending order the old sorted-fold
+    * produced. */
   private def duplicatedValues(arr: Column): Column =
-    aggregate(
-      array_sort(arr),
-      struct(lit("").as("prev"), lit(0L).as("run"),
-        array().cast("array<string>").as("d")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          when(run === 2L, concat(acc.getField("d"), array(x)))
-            .otherwise(acc.getField("d")).as("d"))
-      },
-      acc => acc.getField("d"))
+    graft.functions.GramCounts.duplicated_strings(arr)
 
   def repetitionStats(docs: DataFrame, maxRepPpmFlag: Long = 300000L): DataFrame = {
     val w = words(col("text"))
@@ -188,30 +173,16 @@ object TextAnalysis {
       d = d.withColumn(s"top${n}_ppm", topGramSharePpm(col("text"), n))
     }
     dupNs.foreach { n =>
-      val g = graft.functions.TokenNgrams.token_ngrams(col("text"), n)
-      val dupset = duplicatedValues(g)
-      val starts = filter(sequence(lit(0), size(g) - 1),
-        p => array_contains(dupset, element_at(g, p + 1)))
-      // coverage = |∪ [s, s+n)| over the ASCENDING starts, as one
-      // interval-merge fold — O(|starts|). The previous form tested
-      // every token against every start (exists-in-filter), O(T·S)
-      // INTERPRETED per doc: a degenerate sf0.1 document burned
-      // CPU-minutes in a single task. Same value exactly: each fold
-      // step adds the interval's uncovered suffix.
-      val covered = aggregate(starts,
-        struct(lit(0L).as("cov"), lit(-1L).as("end")),
-        (acc, s) => {
-          val sL = s.cast("long"); val e = sL + lit(n.toLong)
-          struct(
-            (acc.getField("cov") + when(sL >= acc.getField("end"),
-              lit(n.toLong))
-              .otherwise(greatest(e - acc.getField("end"), lit(0L))))
-              .as("cov"),
-            greatest(acc.getField("end"), e).as("end"))
-        },
-        acc => acc.getField("cov"))
+      // the whole dup signal (gram counts + duplicated-gram detection +
+      // ascending interval merge, −1 sentinel for too-short docs) is ONE
+      // native pass — [[graft.functions.GramCounts.dupSpanCoverage]].
+      // The HOF pipeline it replaces (filter-over-sequence with an
+      // array_contains probe feeding an exists-coverage lambda) was
+      // interpreted AND re-evaluated per referencing projection (no CSE
+      // outside codegen): q127 measured 73 s over 5,000 hundred-token
+      // docs under the honest bench sink before this, scan-speed after.
       d = d.withColumn(s"dup${n}_cov",
-        when(size(g) === 0, lit(-1L)).otherwise(covered))
+        graft.functions.GramCounts.dup_span_coverage(col("text"), n))
       d = d.withColumn(s"dup${n}_ppm",
         when(col(s"dup${n}_cov") < 0L, lit(-1L))
           .otherwise(expr(s"(dup${n}_cov * 1000000) DIV n_tokens")))
