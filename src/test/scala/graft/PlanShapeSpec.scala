@@ -93,7 +93,8 @@ class PlanShapeSpec extends SparkSpec {
         "q31_jaccard_pairs",           // ShingleHashes scan
         "q34_cosine_knn",              // DotProduct in the BNLJ
         "q24_signature",               // HmacSha256
-        "q117_heavy_hitters"))  {      // sketch-cell lookup filter
+        "q117_heavy_hitters",          // sketch-cell lookup filter
+        "q127_gopher_repetition"))  {  // GramCounts natives (round 10)
       // AQE only annotates codegen spans on the FINAL plan — and only
       // THIS df's own execution finalizes it (count() builds a separate
       // plan and proves nothing), so collect() first
@@ -102,6 +103,14 @@ class PlanShapeSpec extends SparkSpec {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("*("), s"$q plan has no WholeStageCodegen span")
     }
+    // the round-10 regression this guards: the repetition family's
+    // per-doc signals must never fall back to interpreted HOF folds —
+    // an aggregate/array_sort in q127's plan means the native
+    // GramCounts path was lost (the 73-seconds-at-sf0.1 failure mode)
+    val p127 = SparkEntry.queries("q127_gopher_repetition")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p127.contains("aggregate(") && !p127.contains("array_sort("),
+      s"q127 regressed to interpreted HOF folds:\n$p127")
   }
 
   test("round-5 guard/candidate operators keep equi-join shapes") {
