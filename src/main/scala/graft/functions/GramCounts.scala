@@ -93,12 +93,66 @@ object GramCounts {
 
   private val Space = UTF8String.fromString(" ")
 
+  /** tokens of `text` NOT covered by any [s, s+k) span, rejoined with
+    * single spaces — the rebuild step of
+    * [[graft.llm.Dedup.removeDuplicateSpans]] in one native pass over
+    * (tokens + ascending starts), replacing a per-token interpreted
+    * exists lambda. Starts must be ascending (the caller sorts). */
+  def removeCoveredTokens(text: UTF8String, starts: ArrayData,
+                          k: Int): UTF8String = {
+    val toks = text.split(Space, -1)
+    val s = starts.numElements()
+    val kept = new java.util.ArrayList[UTF8String](toks.length)
+    var si = 0
+    var end = -1L
+    var i = 0
+    while (i < toks.length) {
+      // advance the span cursor: any span starting at or before i
+      // extends the covered horizon
+      while (si < s && starts.getInt(si) <= i) {
+        val e = starts.getInt(si).toLong + k
+        if (e > end) end = e
+        si += 1
+      }
+      if (i >= end) kept.add(toks(i))
+      i += 1
+    }
+    UTF8String.concatWs(Space, kept.toArray(new Array[UTF8String](0)): _*)
+  }
+
   def max_multiplicity(arr: Column): Column =
     GraftFunctions.toColumn(MaxMultiplicity(GraftFunctions.toExpression(arr)))
 
   def dup_span_coverage(text: Column, n: Int): Column =
     GraftFunctions.toColumn(
       DupSpanCoverage(GraftFunctions.toExpression(text), n))
+
+  def remove_covered_tokens(text: Column, starts: Column, k: Int): Column =
+    GraftFunctions.toColumn(RemoveCoveredTokens(
+      GraftFunctions.toExpression(text), GraftFunctions.toExpression(starts), k))
+
+  /** |∪ [s, s+k)| over ascending starts — the removed-token count
+    * companion of [[removeCoveredTokens]] (gram starts never exceed
+    * T − k, so no clipping is needed). */
+  def coveredCount(starts: ArrayData, k: Int): Long = {
+    val n = starts.numElements()
+    var covered = 0L
+    var end = -1L
+    var i = 0
+    while (i < n) {
+      val b = starts.getInt(i).toLong
+      val e = b + k
+      if (b >= end) covered += k
+      else if (e > end) covered += e - end
+      if (e > end) end = e
+      i += 1
+    }
+    covered
+  }
+
+  def covered_count(starts: Column, k: Int): Column =
+    GraftFunctions.toColumn(
+      CoveredCount(GraftFunctions.toExpression(starts), k))
 
   def duplicated_strings(arr: Column): Column =
     GraftFunctions.toColumn(DuplicatedStrings(GraftFunctions.toExpression(arr)))
@@ -125,6 +179,33 @@ case class DupSpanCoverage(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.GramCounts.dupSpanCoverage($c, $n)")
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
+}
+
+case class CoveredCount(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"span length k=$k must be >= 1")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "covered_count"
+  override protected def nullSafeEval(s: Any): Any =
+    GramCounts.coveredCount(s.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramCounts.coveredCount($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+case class RemoveCoveredTokens(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(k >= 1, s"span length k=$k must be >= 1")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "remove_covered_tokens"
+  override protected def nullSafeEval(t: Any, s: Any): Any =
+    GramCounts.removeCoveredTokens(
+      t.asInstanceOf[UTF8String], s.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, s) => s"graft.functions.GramCounts.removeCoveredTokens($t, $s, $k)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression) = copy(left = newLeft, right = newRight)
 }
 
 case class DuplicatedStrings(child: Expression) extends UnaryExpression {

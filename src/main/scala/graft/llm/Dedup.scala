@@ -216,33 +216,20 @@ object Dedup {
     val starts = grams.join(dup, Seq("gram"), "left_semi")
       .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
     docs.join(starts, Seq("doc_id"), "left")
-      .withColumn("l", split(col("text"), " "))
       .withColumn("s", coalesce(col("starts"), array().cast("array<int>")))
-      // MERGE the ascending fixed-length spans into disjoint intervals
-      // first (one O(|starts|) fold), then test tokens against the
-      // merged set: a boilerplate-heavy doc's spans collapse to a few
-      // intervals, where the previous exists-over-every-start was
-      // O(tokens·starts) INTERPRETED per doc — CPU-minutes on one
-      // degenerate row. Union of spans is unchanged by merging, so the
-      // kept set is bit-identical.
-      .withColumn("iv", aggregate(col("s"),
-        array().cast("array<struct<b:long,e:long>>"),
-        (acc, st) => {
-          val b = st.cast("long"); val e = b + lit(k.toLong)
-          val last = element_at(acc, -1)
-          when(size(acc) === 0 || b > last.getField("e"),
-            concat(acc, array(struct(b.as("b"), e.as("e")))))
-            .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
-              array(struct(last.getField("b").as("b"),
-                greatest(last.getField("e"), e).as("e")))))
-        }))
-      .withColumn("kept", filter(col("l"),
-        (_, i) => !exists(col("iv"),
-          v => v.getField("b") <= i && i < v.getField("e"))))
+      // NATIVE rebuild ([[graft.functions.GramCounts]]): one merged
+      // sweep over (tokens, ascending starts) keeps uncovered tokens,
+      // and the removed count is the interval-union size over the same
+      // starts (gram starts never exceed T−k, so the union needs no
+      // clipping and n_removed = tokens − kept exactly). The previous
+      // per-token exists lambda was interpreted HOF eval —
+      // O(tokens·spans) per doc on exactly the boilerplate-heavy
+      // documents this operator exists to clean.
       .select(col("doc_id"),
-        size(col("l")).cast("long").as("n_tokens"),
-        (size(col("l")) - size(col("kept"))).cast("long").as("n_removed"),
-        concat_ws(" ", col("kept")).as("text_clean"))
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        graft.functions.GramCounts.covered_count(col("s"), k).as("n_removed"),
+        graft.functions.GramCounts.remove_covered_tokens(
+          col("text"), col("s"), k).as("text_clean"))
   }
 
   /** Remove corpus-duplicate BLOCKS — the C4 "line dedup" stage (Raffel
