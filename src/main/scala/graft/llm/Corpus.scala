@@ -928,6 +928,56 @@ object Corpus {
       .select("benchmark", "n_contaminated", "total_shared", "max_shared")
   }
 
+  /** [[contaminationMatrix]]'s sufficient statistics as MERGEABLE state
+    * — the maintained form for a corpus that arrives in batches (the
+    * q93/q110/q142/q152 discipline): per (benchmark, doc_id), the
+    * distinct-shared-shingle count of every flagged document in THIS
+    * batch. A document's overlap with a fixed benchmark set depends
+    * only on its own text, so for doc-disjoint batches
+    * merge(state(A), state(B)) == state(A ∪ B) exactly, and a replayed
+    * batch's identical rows collapse on (benchmark, doc_id) identity —
+    * the matrix is maintained per batch without ever rescanning corpus
+    * history. Cost per batch = one [[decontaminate]] pass per benchmark
+    * over the BATCH (broadcast benchmark shingle sets). */
+  def contaminationState(corpusBatch: DataFrame,
+                         benchmarks: Seq[(String, DataFrame)],
+                         k: Int = 5): DataFrame = {
+    require(benchmarks.nonEmpty,
+      "contaminationState needs at least one (name, benchmark) pair")
+    benchmarks.map { case (name, b) =>
+      decontaminate(corpusBatch, b, k).withColumn("benchmark", lit(name))
+    }.reduce(_ unionByName _)
+      .select("benchmark", "doc_id", "n_shared")
+  }
+
+  /** Fold two contamination states — union + identity dedup (replays
+    * and overlapping re-sends of identical docs collapse; genuinely
+    * doc-disjoint batches just concatenate). */
+  def mergeContaminationState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).dropDuplicates("benchmark", "doc_id")
+
+  /** Serve the release matrix off maintained state — one aggregate over
+    * the (small) flagged-doc table, never the corpus. `benchmarkNames`
+    * pins the output universe so a benchmark with zero flagged docs
+    * still reads an explicit all-zero row, exactly as
+    * [[contaminationMatrix]] emits it. */
+  def matrixFromState(state: DataFrame, benchmarkNames: Seq[String],
+                      maxShared: Long = 0L): DataFrame = {
+    require(benchmarkNames.nonEmpty,
+      "matrixFromState needs at least one benchmark name")
+    val spark = state.sparkSession
+    import spark.implicits._
+    val agg = state.groupBy("benchmark")
+      .agg(count(when(col("n_shared") > maxShared, 1)).as("n_contaminated"),
+        sum("n_shared").as("total_shared"),
+        max("n_shared").as("max_shared"))
+    benchmarkNames.toDF("benchmark").join(agg, Seq("benchmark"), "left")
+      .select(col("benchmark"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("total_shared"), lit(0L)).as("total_shared"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+  }
+
   /** Distribution DRIFT between two corpus snapshots — the ops monitor
     * for composition regressions between releases (a source whose share
     * moved is a recipe change, intended or not): per key, each

@@ -732,4 +732,43 @@ object Dedup {
     chunkBandPairs(Stage(simHash64(docs)), "simhash64",
       nChunks = 4, chunkBits = 16, maxHamming = maxHamming,
       maxBandDf = maxBandDf)
+
+  /** SOFT dedup — duplicate-aware loss REWEIGHTING instead of dropping
+    * (the SoftDeDup observation: hard removal throws away the signal
+    * that popular content carries, while keeping every copy at weight 1
+    * over-trains on it; down-weighting each copy of an n-way duplicate
+    * family to 1/n keeps the family's TOTAL gradient mass equal to one
+    * document's). Every document gets a row:
+    * (doc_id, cluster_id, n_copies, weight_ppm) with
+    * weight_ppm = 10⁶ DIV n_copies — singletons read 10⁶, a 4-copy
+    * family reads 250000 per copy. The weights multiply straight into a
+    * per-example loss scale or a sampling probability.
+    *
+    * Composition of scalable stages only: near-dup pairs from the
+    * inverted index ([[ngramJaccardPairs]] with the stop-shingle cut),
+    * [[Clusters.connectedComponents]] over the edge list, one
+    * cluster-keyed count broadcast back by equi-join. The corpus is
+    * never self-joined; at 100 TB swap the pair source for LSH-band
+    * candidates ([[minHashLshPairs]]) — any (id_a, id_b) table works
+    * via the `pairs` overload. */
+  def softDedupWeights(docs: DataFrame, k: Int = 3,
+                       thresholdPpm: Long = 500000L,
+                       maxShingleDf: Long = Long.MaxValue): DataFrame =
+    softDedupWeightsFromPairs(docs,
+      ngramJaccardPairs(docs, k, maxShingleDf)
+        .filter(col("jaccard_ppm") >= thresholdPpm))
+
+  /** [[softDedupWeights]] over ANY near-dup pair table (id_a, id_b) —
+    * the candidate-fed form LSH banding / SimHash chunks feed at
+    * corpus scale. */
+  def softDedupWeightsFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = Clusters.connectedComponents(pairs.select("id_a", "id_b"))
+    val lab = docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("n_copies"))
+    lab.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_copies"),
+        expr("1000000 DIV n_copies").as("weight_ppm"))
+  }
 }

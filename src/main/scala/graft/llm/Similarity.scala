@@ -769,4 +769,79 @@ object Similarity {
       .select(col("vec_id"), col("grp").as(groupCol), col("n"),
         col("dist2m"), col("rank_far"), col("is_outlier"), col("is_prototype"))
   }
+
+  /** k-CENTER GREEDY coreset selection (farthest-point traversal —
+    * Gonzalez's 2-approximation as the data-selection pass of Sener &
+    * Savarese, ICLR 2018): seed with the minimum vec_id, then
+    * repeatedly select the vector whose squared Euclidean distance to
+    * its NEAREST already-selected center is largest — the k points that
+    * COVER the embedding space, where top-k / prototype sampling
+    * concentrates picks inside dense regions and never reaches the
+    * tails. Returns (step, vec_id, far_d2): far_d2 is the pick's
+    * distance to the prior center set — the k-center coverage-radius
+    * sequence, non-increasing under the exact greedy (the seed reads
+    * −1, having no prior set).
+    *
+    * Exactness: per-dim micros (the [[centroidOutliers]] convention);
+    * pair dist² = Σ_d (v_d − c_d)² ≤ dim·(2·10⁶)² ≈ 2.6e14 at dim 64,
+    * so the whole computation is exact BIGINT and ties break on vec_id
+    * — q155 statically unrolls the rounds (the q111/q148 discipline).
+    *
+    * Shape at 100 TB: the greedy is inherently sequential (pick i+1
+    * depends on pick i), so the operator is rounds of: one NARROW
+    * per-row update — `least` of the running min-distance and the
+    * distance to each newly-added center, centers riding as LITERAL
+    * arrays (no join, no shuffle) — plus one top-`perRound` reduce
+    * (orderBy.limit — per-partition partial top-k, never a global
+    * sort), with a lineage-truncating [[Stage]] per round so round i
+    * never replays rounds 0..i−1. `perRound` is the standard batched
+    * amortization for large k (take the B farthest per round, accepting
+    * intra-batch redundancy — the recorded far_d2 of picks 2..B in a
+    * round is relative to the round-START set); perRound=1 is the exact
+    * greedy the oracle replays. */
+  def kCenterGreedy(emb: DataFrame, k: Int, dim: Int = 64,
+                    perRound: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(perRound >= 1, s"perRound must be >= 1, got $perRound")
+    val spark = emb.sparkSession
+    val m = (0 until dim).map(i =>
+      round(element_at(col("embedding"), i + 1).cast("double") * lit(1000000.0))
+        .cast("long"))
+    def d2To(center: Array[Long]): Column =
+      aggregate(
+        zip_with(col("vm"), array(center.map(lit): _*), (v, c) => v - c),
+        lit(0L), (acc, x) => acc + x * x)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var state = Stage(emb.select(col("vec_id").cast("long").as("vec_id"),
+      array(m: _*).as("vm")))
+    val seedRows = state.orderBy("vec_id").limit(1).collect()
+    if (seedRows.isEmpty) {
+      import spark.implicits._
+      return picks.toSeq.toDF("step", "vec_id", "far_d2")
+    }
+    val seed = seedRows(0)
+    picks += ((1L, seed.getLong(0), -1L))
+    state = Stage(state.filter(col("vec_id") =!= seed.getLong(0))
+      .withColumn("min_d2", d2To(seed.getSeq[Long](1).toArray)))
+    var step = 1L
+    var exhausted = false
+    while (picks.size < k && !exhausted) {
+      val take = math.min(perRound, k - picks.size)
+      val rows = state.orderBy(col("min_d2").desc, col("vec_id"))
+        .limit(take).select("vec_id", "min_d2", "vm").collect()
+      if (rows.isEmpty) exhausted = true
+      else {
+        rows.foreach { r =>
+          step += 1; picks += ((step, r.getLong(0), r.getLong(1)))
+        }
+        val ids = rows.map(_.getLong(0))
+        val newMin = rows.map(r => d2To(r.getSeq[Long](2).toArray))
+          .foldLeft(col("min_d2"))((acc, d) => least(acc, d))
+        state = Stage(state.filter(!col("vec_id").isin(ids: _*))
+          .withColumn("min_d2", newMin))
+      }
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("step", "vec_id", "far_d2")
+  }
 }

@@ -10,6 +10,13 @@ import graft.llm.{Classifier, Dedup, TextAnalysis}
   * the heuristic + dedup suites did not yet cover. */
 object CurationQueries {
 
+  /** Exact BIGINT squared distance between two per-dim-micros list
+    * columns (the q155 k-center arithmetic): bounded by 64·(2·10⁶)², so
+    * BIGINT never wraps and the fold needs no HUGEINT. */
+  private def kcDistSql(v: String, c: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), " +
+      s"di -> ($v.m[di] - $c.m[di]) * ($v.m[di] - $c.m[di]))) AS BIGINT)"
+
   val all: Seq[Q] = Seq(
 
     // C4 "line dedup" (Raffel et al. §2.2) under the corpus single-space
@@ -982,6 +989,131 @@ object CurationQueries {
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1), "source")
         .orderBy("source")
+    },
+
+    // k-center greedy coreset selection (Gonzalez / Sener & Savarese):
+    // 5 farthest-point picks over the embedding table, every distance an
+    // exact BIGINT over per-dim micros. The oracle statically UNROLLS
+    // the greedy rounds (the q111/q148 discipline): seed = min vec_id,
+    // then 4 rounds of argmax-of-min-distance with the state shrinking
+    // by the picked row each round; ties break on the lower vec_id,
+    // far_d2 is the coverage-radius sequence.
+    Q("q155_kcenter_coreset",
+      s"""WITH vm AS (SELECT vec_id, list_transform(range(1, 65),
+        |        di -> CAST(round(CAST(embedding[di] AS DOUBLE) * 1000000.0) AS BIGINT)) AS m
+        |      FROM embeddings),
+        | c1 AS (SELECT vec_id, m FROM vm ORDER BY vec_id LIMIT 1),
+        | d1 AS (SELECT v.vec_id, v.m, ${kcDistSql("v", "c")} AS d2
+        |        FROM vm v CROSS JOIN c1 c WHERE v.vec_id <> c.vec_id),
+        | c2 AS (SELECT vec_id, m, d2 FROM d1 ORDER BY d2 DESC, vec_id LIMIT 1),
+        | d2s AS (SELECT v.vec_id, v.m, least(v.d2, ${kcDistSql("v", "c")}) AS d2
+        |         FROM d1 v CROSS JOIN c2 c WHERE v.vec_id <> c.vec_id),
+        | c3 AS (SELECT vec_id, m, d2 FROM d2s ORDER BY d2 DESC, vec_id LIMIT 1),
+        | d3s AS (SELECT v.vec_id, v.m, least(v.d2, ${kcDistSql("v", "c")}) AS d2
+        |         FROM d2s v CROSS JOIN c3 c WHERE v.vec_id <> c.vec_id),
+        | c4 AS (SELECT vec_id, m, d2 FROM d3s ORDER BY d2 DESC, vec_id LIMIT 1),
+        | d4s AS (SELECT v.vec_id, v.m, least(v.d2, ${kcDistSql("v", "c")}) AS d2
+        |         FROM d3s v CROSS JOIN c4 c WHERE v.vec_id <> c.vec_id),
+        | c5 AS (SELECT vec_id, m, d2 FROM d4s ORDER BY d2 DESC, vec_id LIMIT 1)
+        |SELECT step, CAST(vec_id AS BIGINT) AS vec_id, far_d2 FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, vec_id, CAST(-1 AS BIGINT) AS far_d2 FROM c1
+        |  UNION ALL SELECT 2, vec_id, d2 FROM c2
+        |  UNION ALL SELECT 3, vec_id, d2 FROM c3
+        |  UNION ALL SELECT 4, vec_id, d2 FROM c4
+        |  UNION ALL SELECT 5, vec_id, d2 FROM c5)
+        |ORDER BY step""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.Similarity
+      Similarity.kCenterGreedy(Tables(s, dir, "embeddings"), k = 5, dim = 64)
+        .orderBy("step")
+    },
+
+    // Soft dedup (duplicate-aware loss reweighting): every doc keeps a
+    // row, each copy of an n-way near-dup family weighted 10⁶ DIV n —
+    // the family's total gradient mass equals one document's. Pairs /
+    // CC replay exactly as q145 (inverted-index Jaccard ≥ 0.5,
+    // recursive-CTE components), then one cluster-size count.
+    Q("q156_soft_dedup_weights",
+      """WITH RECURSIVE
+        | w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle
+        |        FROM w WHERE len(l) >= 3),
+        | df AS (SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM sh)
+        |        GROUP BY shingle HAVING count(*) <= 64),
+        | shf AS (SELECT s.doc_id, s.shingle FROM sh s JOIN df USING (shingle)),
+        | nsh AS (SELECT doc_id, count(DISTINCT shingle) AS n FROM shf GROUP BY 1),
+        | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |            count(DISTINCT a.shingle) AS n_common
+        |           FROM shf a JOIN shf b ON a.shingle = b.shingle
+        |            AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        | pairs AS (SELECT id_a, id_b FROM inter
+        |           JOIN nsh na ON na.doc_id = id_a
+        |           JOIN nsh nb ON nb.doc_id = id_b
+        |           WHERE n_common * 1000000 >=
+        |             (na.n + nb.n - n_common) * 500000),
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |           UNION SELECT id_b, id_a FROM pairs),
+        | reach AS (SELECT src AS id, dst AS r FROM edges
+        |           UNION
+        |           SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        | cl AS (SELECT id AS doc_id, min(least(id, r)) AS cluster_id
+        |        FROM reach GROUP BY id),
+        | lab AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+        |         FROM documents d LEFT JOIN cl USING (doc_id)),
+        | sz AS (SELECT cluster_id, count(*) AS n_copies FROM lab GROUP BY 1)
+        |SELECT l.doc_id, l.cluster_id, CAST(sz.n_copies AS BIGINT) AS n_copies,
+        | CAST(1000000 // sz.n_copies AS BIGINT) AS weight_ppm
+        |FROM lab l JOIN sz USING (cluster_id)
+        |ORDER BY l.doc_id""".stripMargin
+    ) { (s, dir) =>
+      Dedup.softDedupWeights(Tables(s, dir, "documents"), k = 3,
+          thresholdPpm = 500000L, maxShingleDf = 64L)
+        .orderBy("doc_id")
+    },
+
+    // Maintained contamination state: q143's matrix served off a
+    // MERGEABLE per-doc overlap state folded over three doc-disjoint
+    // corpus batches — with one batch REPLAYED into the fold (identity
+    // dedup makes the redelivery a no-op). Hash-equals the one-shot
+    // oracle, which is exactly q143's statement: the maintained path
+    // must be indistinguishable from the rescan.
+    Q("q157_contamination_fold",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+        |               || ' ' || l[i+4]))) AS shingle
+        |        FROM w WHERE len(l) >= 5),
+        | b0 AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+        | b1 AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 1),
+        | corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 >= 2),
+        | s0 AS (SELECT c.doc_id, count(DISTINCT c.shingle) AS n_shared
+        |        FROM corp c JOIN b0 USING (shingle) GROUP BY 1),
+        | s1 AS (SELECT c.doc_id, count(DISTINCT c.shingle) AS n_shared
+        |        FROM corp c JOIN b1 USING (shingle) GROUP BY 1),
+        | r0 AS (SELECT 'holdout_a' AS benchmark,
+        |         CAST(count(*) AS BIGINT) AS n_contaminated,
+        |         CAST(COALESCE(sum(n_shared), 0) AS BIGINT) AS total_shared,
+        |         CAST(COALESCE(max(n_shared), 0) AS BIGINT) AS max_shared FROM s0),
+        | r1 AS (SELECT 'holdout_b', CAST(count(*) AS BIGINT),
+        |         CAST(COALESCE(sum(n_shared), 0) AS BIGINT),
+        |         CAST(COALESCE(max(n_shared), 0) AS BIGINT) FROM s1)
+        |SELECT * FROM r0 UNION ALL SELECT * FROM r1 ORDER BY benchmark""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.Corpus
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 >= 2)
+      val benches = Seq(
+        "holdout_a" -> docs.filter(col("doc_id") % 10 === 0),
+        "holdout_b" -> docs.filter(col("doc_id") % 10 === 1))
+      val parts = (0 until 3).map(i => corpus.filter(col("doc_id") % 3 === i))
+      val folded = parts.map(p => Corpus.contaminationState(p, benches, k = 5))
+        .reduce(Corpus.mergeContaminationState)
+      val withReplay = Corpus.mergeContaminationState(folded,
+        Corpus.contaminationState(parts(1), benches, k = 5))
+      Corpus.matrixFromState(withReplay, Seq("holdout_a", "holdout_b"))
+        .orderBy("benchmark")
     }
   )
 }

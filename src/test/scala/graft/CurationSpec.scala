@@ -434,4 +434,101 @@ class CurationSpec extends SparkSpec {
     val kept = (1L to 6L).toSet -- dropped
     assert(kept == Set(1L, 3L, 6L))
   }
+
+  // ---- k-center greedy coreset (q155) ----
+
+  // three well-separated groups in 2-d: the greedy must COVER all of
+  // them before densifying any (top-k/prototype sampling would not)
+  private def kcEmb = {
+    import graft.llm.Similarity
+    Seq(
+      (1L, Array(0.00f, 0.00f)), (2L, Array(0.01f, 0.00f)),   // group A
+      (3L, Array(1.00f, 0.00f)), (4L, Array(1.00f, 0.01f)),   // group B
+      (5L, Array(0.00f, 1.00f))                                // outlier C
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("kCenterGreedy covers every group before densifying; radius non-increasing") {
+    import graft.llm.Similarity
+    val picks = Similarity.kCenterGreedy(kcEmb, k = 3, dim = 2)
+      .orderBy("step").as[(Long, Long, Long)].collect()
+    // seed = min id (group A); then id 4 — (1, 0.01) is EXACTLY
+    // (10⁶)² + (10⁴)² from the seed, a hair beyond id 3's (10⁶)² —
+    // then the outlier: one pick per group, never two in one
+    assert(picks.map(_._2).toSeq == Seq(1L, 4L, 5L), picks.toSeq.toString)
+    assert(picks(0)._3 == -1L)
+    assert(picks(1)._3 == 1000000L * 1000000L + 10000L * 10000L)
+    assert(picks(2)._3 == 1000000L * 1000000L)
+    // the coverage radius never grows as centers are added
+    val radii = picks.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("kCenterGreedy: batched rounds and corpus exhaustion") {
+    import graft.llm.Similarity
+    // perRound=2 demonstrates the documented approximation: the round
+    // ranks by distance to the round-START set, so it takes BOTH group-B
+    // points (4, then the 3-vs-5 tie at (10⁶)² breaking to 3) and the
+    // outlier at 5 is missed — the intra-batch redundancy exact greedy
+    // (above) avoids by re-ranking after every pick
+    val batched = Similarity.kCenterGreedy(kcEmb, k = 3, dim = 2, perRound = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(batched == Set(1L, 4L, 3L))
+    // k beyond the corpus: every vector selected exactly once, then stop
+    val all = Similarity.kCenterGreedy(kcEmb, k = 10, dim = 2)
+      .select("vec_id").as[Long].collect()
+    assert(all.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(all.length == all.distinct.length)
+  }
+
+  // ---- soft dedup weights (q156) ----
+
+  test("softDedupWeights: copies of an n-way family each read 1e6/n, singletons 1e6") {
+    val fam = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, fam), (2L, fam), (3L, fam + " extra"),               // 3-copy family
+      (4L, "unique penguin quartz violin meadow oak river")     // singleton
+    ).toDF("doc_id", "text")
+    val w = Dedup.softDedupWeights(docs, k = 3, thresholdPpm = 500000L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(w.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // family {1,2,3} → cluster 1, n=3, weight 333333; singleton keeps 1e6
+    assert(w.take(3).forall(r => r._2 == 1L && r._3 == 3L && r._4 == 333333L),
+      w.toSeq.toString)
+    assert(w(3) == ((4L, 4L, 1L, 1000000L)))
+    // total mass: the family sums to ≈ one doc (floor division), not three
+    assert(w.take(3).map(_._4).sum == 999999L)
+  }
+
+  // ---- maintained contamination state (q157) ----
+
+  test("contamination state: random fold + replay == one-shot matrix") {
+    import graft.llm.Corpus
+    val bench = Seq((100L, "held out evaluation prompt tokens one two three four"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "held out evaluation prompt tokens one two aardvark baseline"),
+      (2L, "completely unrelated content with no benchmark overlap at all"),
+      (3L, "prompt tokens one two three four shared tail here yes"),
+      (4L, "more clean text nothing shared with anything held elsewhere")
+    ).toDF("doc_id", "text")
+    val benches = Seq("bench_x" -> bench)
+    val oneShot = Corpus.matrixFromState(
+      Corpus.contaminationState(docs, benches, k = 5), Seq("bench_x"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // 3-way uneven fold with batch 0 replayed
+    val parts = Seq(docs.filter($"doc_id" <= 1), docs.filter($"doc_id" === 2),
+      docs.filter($"doc_id" >= 3))
+    val folded = parts.map(p => Corpus.contaminationState(p, benches, k = 5))
+      .reduce(Corpus.mergeContaminationState)
+    val replayed = Corpus.mergeContaminationState(folded,
+      Corpus.contaminationState(parts(0), benches, k = 5))
+    val fromState = Corpus.matrixFromState(replayed, Seq("bench_x"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(fromState == oneShot, s"$fromState vs $oneShot")
+    // and the zero-overlap benchmark still gets its explicit row
+    val zero = Corpus.matrixFromState(replayed, Seq("bench_x", "bench_empty"))
+      .orderBy("benchmark").as[(String, Long, Long, Long)].collect()
+    assert(zero(0) == (("bench_empty", 0L, 0L, 0L)))
+  }
 }
