@@ -1394,6 +1394,61 @@ object PipelineQueries {
         |FROM c ORDER BY doc_id""".stripMargin
     ) { (s, dir) =>
       Corpus.seqPacking(Tables(s, dir, "documents"), 4096).orderBy("doc_id")
+    },
+
+    // Cross-encoder re-ranking (round 10) — the second stage of the
+    // production retrieve-then-rerank stack, hash-green end to end:
+    // a cheap first-stage retriever (top-6 by shared-distinct-token
+    // count — one corpus token scan semi-joined against the broadcast
+    // query tokens, the q108 shape) hands its candidates to
+    // Inference.rerankCrossEncoder, whose deterministic stub scores
+    // exact integer-ppm token-set Jaccard — the normalization penalizes
+    // long documents, so the rerank genuinely REORDERS the count-ranked
+    // candidates and the oracle replays both stages. The model seam is
+    // mapPartitions + grouped forward passes over candidate-bounded
+    // pairs only (|queries|·6 scores, never a corpus pair).
+    Q("q158_cross_encoder_rerank",
+      """WITH toks AS (SELECT doc_id,
+        |        list_distinct(list_filter(string_split(text, ' '),
+        |          tk -> tk <> '')) AS ts
+        |       FROM documents),
+        | qt AS (SELECT doc_id AS query_id, unnest(ts) AS tok FROM toks
+        |        WHERE doc_id < 8),
+        | dt AS (SELECT doc_id AS cand_id, unnest(ts) AS tok FROM toks),
+        | ov AS (SELECT query_id, cand_id, count(*) AS n_common
+        |        FROM qt JOIN dt USING (tok) WHERE query_id <> cand_id
+        |        GROUP BY 1, 2),
+        | cand AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY n_common DESC, cand_id) AS r0 FROM ov)
+        |          WHERE r0 <= 6),
+        | ce AS (SELECT c.query_id, c.cand_id,
+        |         CAST(len(list_intersect(tq.ts, td.ts)) * 1000000 //
+        |              len(list_distinct(list_concat(tq.ts, td.ts))) AS BIGINT)
+        |           AS ce_ppm
+        |        FROM cand c JOIN toks tq ON tq.doc_id = c.query_id
+        |          JOIN toks td ON td.doc_id = c.cand_id)
+        |SELECT query_id, cand_id, ce_ppm,
+        | CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY ce_ppm DESC, cand_id) AS BIGINT) AS rnk
+        |FROM ce ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.llm.Inference
+      val docs = Tables(s, dir, "documents")
+      def toks(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.select(col("doc_id").as(as),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .filter(col("tok") =!= "")
+      val overlap = toks(docs.filter(col("doc_id") < 8), "query_id")
+        .join(toks(docs, "cand_id"), "tok")
+        .filter(col("query_id") =!= col("cand_id"))
+        .groupBy("query_id", "cand_id").agg(count(lit(1)).as("n_common"))
+      val w0 = Window.partitionBy("query_id")
+        .orderBy(col("n_common").desc, col("cand_id"))
+      val cands = overlap.withColumn("r0", row_number().over(w0))
+        .filter(col("r0") <= 6)
+      Inference.rerankCrossEncoder(cands, docs).orderBy("query_id", "rnk")
     }
   )
 }

@@ -55,4 +55,25 @@ class InferenceSpec extends SparkSpec {
     VectorIngest.trainCentroids(vecs, root, kCells = 2, iters = 3, dim = 16)
     assert(VectorIngest.processBatch(vecs, root) == 5L)
   }
+
+  test("cross-encoder rerank: exact stub scores, invariant to batching, candidate-bounded") {
+    // query 1's first-stage candidates in a deliberate WRONG order for
+    // the CE metric: doc 5 is an exact copy (jaccard 1e6), doc 2 a
+    // near-copy, docs 3/4 unrelated
+    val cands = Seq((1L, 3L), (1L, 5L), (1L, 2L), (1L, 4L))
+      .toDF("query_id", "cand_id")
+    def run(bs: Int, parts: Int) =
+      Inference.rerankCrossEncoder(cands.repartition(parts), docs, batchSize = bs)
+        .orderBy("rnk").as[(Long, Long, Long, Long)].collect().toSeq
+    val base = run(32, 1)
+    // rank order: exact copy, near-copy, then the unrelated tail
+    assert(base.map(_._2) == Seq(5L, 2L, 3L, 4L), base.toString)
+    assert(base.head._3 == 1000000L, "exact copy must score 1e6 ppm")
+    assert(base(1)._3 > base(2)._3)
+    // batching and partition layout are implementation details
+    assert(run(1, 1) == base)
+    assert(run(3, 4) == base)
+    // candidate-bounded: only listed pairs are scored
+    assert(base.length == 4)
+  }
 }
