@@ -1036,4 +1036,71 @@ object Corpus {
           "DIV n_r AS BIGINT), 0)")
           .as("gt_star_ppm"))
   }
+
+  /** Deterministic unigram-tokenizer VOCABULARY from the corpus itself:
+    * every character substring (length 1..`maxPieceLen`) of every word,
+    * occurrence-weighted, kept at `minFreq`+, scored
+    * floor(log2(freq)) + 1 − 64 via exact `length(bin(freq))` (the DSIR
+    * bin()-trick — a frequent piece is a cheap piece, and every piece
+    * costs ≤ −43, so the [[unigramSegmentWords]] DP prefers FEW,
+    * FREQUENT pieces exactly like a unigram LM's Σ log p). Real
+    * SentencePiece trains this table by EM — the derivation here is the
+    * deterministic stand-in that keeps the whole tokenizer oracle-
+    * replayable; swap any (piece, score) table in, the DP doesn't care.
+    *
+    * Shape: the substring explode runs over the DISTINCT-word table
+    * (occurrence counts ride along), so its row count is
+    * |word vocab|·len·maxPieceLen, not the token stream; one
+    * map-side-combined piece count. */
+  def unigramVocab(docs: DataFrame, maxPieceLen: Int = 4,
+                   minFreq: Long = 8L): DataFrame = {
+    val wcnt = docs.select(explode(split(col("text"), " ")).as("wd"))
+      .filter(col("wd") =!= "")
+      .groupBy("wd").agg(count(lit(1)).as("cnt"))
+    wcnt.select(col("wd"), col("cnt"),
+        explode(sequence(lit(1), length(col("wd")))).as("st"))
+      .select(col("wd"), col("cnt"), col("st"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("ln"))
+      .filter(col("st") + col("ln") - 1 <= length(col("wd")))
+      .select(expr("substring(wd, st, ln)").as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("freq"))
+      .filter(col("freq") >= minFreq)
+      .select(col("piece"),
+        (length(bin(col("freq"))) - 64).cast("long").as("score"))
+  }
+
+  /** Unigram-LM Viterbi segmentation of a word table — the
+    * SentencePiece APPLY step ([[graft.functions.UnigramViterbi]], a
+    * codegen'd native expression; q111's BPE is the TRAIN-side
+    * counterpart). `words` needs a `wd` column; `vocab` is any
+    * (piece, score) table — [[unigramVocab]] or an externally-trained
+    * model. Returns (wd, score, n_pieces, pieces): the optimal
+    * (max Σ score, then fewest pieces) segmentation, single unknown
+    * characters falling back to `unkScore`.
+    *
+    * Scale shape: the vocab COLLECTS driver-side (tokenizer vocabs are
+    * ~10⁴–10⁵ rows by construction — the KMeans/threshold-table collect
+    * pattern) and rides the generated code as a sorted reference array;
+    * segmentation is then a narrow per-row expression — no join, no
+    * shuffle. Call it on DISTINCT words and equi-join the result back
+    * to the token stream: at 100 TB the DP runs |word vocab| times,
+    * never per token. */
+  def unigramSegmentWords(words: DataFrame, vocab: DataFrame,
+                          maxPieceLen: Int = 4,
+                          unkScore: Long = -1000L): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val entries = vocab.select(col("piece").cast("string"),
+        col("score").cast("long")).collect()
+      .map(r => (UTF8String.fromString(r.getString(0)), r.getLong(1)))
+      .sortBy(_._1) // UTF8String binary order — the lookup's search order
+    val seg = graft.functions.UnigramViterbi.unigram_viterbi(
+      col("wd"), entries.map(_._1), entries.map(_._2), maxPieceLen, unkScore)
+    // decode the additive DP key (sign-safe: pmod, then an exact DIV)
+    words.withColumn("seg", seg)
+      .withColumn("m", pmod(col("seg.key"), lit(1024L)))
+      .select(col("wd"),
+        expr("CAST((seg.key - m) DIV 1024 AS BIGINT)").as("score"),
+        (lit(1023L) - col("m")).cast("long").as("n_pieces"),
+        col("seg.pieces").as("pieces"))
+  }
 }

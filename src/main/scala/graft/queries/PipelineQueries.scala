@@ -1449,6 +1449,65 @@ object PipelineQueries {
       val cands = overlap.withColumn("r0", row_number().over(w0))
         .filter(col("r0") <= 6)
       Inference.rerankCrossEncoder(cands, docs).orderBy("query_id", "rnk")
+    },
+
+    // Unigram-LM Viterbi tokenization (round 10; Kudo 2018 — the
+    // SentencePiece APPLY step, q111's BPE being the train-side
+    // counterpart): per distinct corpus word, the optimal segmentation
+    // into vocabulary pieces under (max Σ score, then fewest pieces),
+    // vocab derived deterministically from the corpus (substring freq ≥
+    // 8, score = exact bin()-length log2 floor − 64) and unknown chars
+    // falling back to −1000. Both engines run the IDENTICAL additive
+    // DP key (1024·Σscore − n + 1023): Spark as a codegen'd native
+    // expression over the driver-collected sorted vocab, DuckDB as a
+    // recursive CTE carrying the 4-cell sliding window — decoded with
+    // sign-safe modular arithmetic, every value an exact BIGINT.
+    Q("q159_unigram_tokenizer",
+      """WITH RECURSIVE
+        | w AS (SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+        | wn AS (SELECT wd, count(*) AS cnt FROM w WHERE wd <> '' GROUP BY wd),
+        | s1 AS (SELECT wd, cnt, unnest(range(1, len(wd) + 1)) AS st FROM wn),
+        | s2 AS (SELECT wd, cnt, st, unnest([1, 2, 3, 4]) AS ln FROM s1),
+        | sub AS (SELECT substr(wd, st, ln) AS piece,
+        |          CAST(sum(cnt) AS BIGINT) AS freq
+        |         FROM s2 WHERE st + ln - 1 <= len(wd)
+        |         GROUP BY 1),
+        | vocab AS (SELECT piece, CAST(length(bin(freq)) - 64 AS BIGINT) AS score
+        |           FROM sub WHERE freq >= 8),
+        | dp AS (
+        |   SELECT wd, 0 AS pos, CAST(1023 AS BIGINT) AS b0,
+        |          CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+        |          CAST(NULL AS BIGINT) AS b3
+        |   FROM wn
+        |   UNION ALL
+        |   SELECT d.wd, d.pos + 1,
+        |     greatest(
+        |       d.b0 + COALESCE(v1.score, -1000) * 1024 - 1,
+        |       COALESCE(d.b1 + v2.score * 1024 - 1, -4611686018427387904),
+        |       COALESCE(d.b2 + v3.score * 1024 - 1, -4611686018427387904),
+        |       COALESCE(d.b3 + v4.score * 1024 - 1, -4611686018427387904)),
+        |     d.b0, d.b1, d.b2
+        |   FROM dp d
+        |   LEFT JOIN vocab v1 ON v1.piece = substr(d.wd, d.pos + 1, 1)
+        |   LEFT JOIN vocab v2 ON d.pos >= 1 AND v2.piece = substr(d.wd, d.pos, 2)
+        |   LEFT JOIN vocab v3 ON d.pos >= 2 AND v3.piece = substr(d.wd, d.pos - 1, 3)
+        |   LEFT JOIN vocab v4 ON d.pos >= 3 AND v4.piece = substr(d.wd, d.pos - 2, 4)
+        |   WHERE d.pos < len(d.wd)),
+        | fin AS (SELECT wd, b0 AS key FROM dp WHERE pos = len(wd)),
+        | dec AS (SELECT wd, key, ((key % 1024) + 1024) % 1024 AS m FROM fin)
+        |SELECT wd, CAST((key - m) // 1024 AS BIGINT) AS score,
+        | CAST(1023 - m AS BIGINT) AS n_pieces
+        |FROM dec ORDER BY wd""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.Corpus
+      val docs = Tables(s, dir, "documents")
+      val vocab = Corpus.unigramVocab(docs, maxPieceLen = 4, minFreq = 8L)
+      val words = docs.select(explode(split(col("text"), " ")).as("wd"))
+        .filter(col("wd") =!= "").distinct()
+      Corpus.unigramSegmentWords(words, vocab, maxPieceLen = 4,
+          unkScore = -1000L)
+        .select("wd", "score", "n_pieces")
+        .orderBy("wd")
     }
   )
 }

@@ -769,4 +769,44 @@ class CorpusOpsSpec extends SparkSpec {
     val aTail = got.filter(t => t._1 == "A" && t._3 == 2L).map(_._2).max
     assert(bHead > aTail)
   }
+
+  // ---- unigram-LM Viterbi segmentation (q159) ----
+
+  test("unigramSegmentWords: optimal pieces, unk fallback, fewest-pieces preference") {
+    val vocab = Seq(("lo", -10L), ("low", -12L), ("er", -9L), ("w", -20L),
+      ("l", -30L), ("o", -30L), ("e", -30L), ("r", -30L), ("aa", -10L),
+      ("a", -5L)).toDF("piece", "score")
+    val words = Seq("lower", "xyz", "aa").toDF("wd")
+    val got = Corpus.unigramSegmentWords(words, vocab, maxPieceLen = 4,
+        unkScore = -1000L)
+      .orderBy("wd").as[(String, Long, Long, Seq[String])].collect()
+    // "aa": one piece at -10 beats a+a at the SAME score (fewer pieces)
+    assert(got(0) == (("aa", -10L, 1L, Seq("aa"))), got(0).toString)
+    // "lower": low+er = -21 beats lo+w+er = -39 and the char spell-out
+    assert(got(1) == (("lower", -21L, 2L, Seq("low", "er"))), got(1).toString)
+    // "xyz": nothing in vocab — three unk single chars
+    assert(got(2) == (("xyz", -3000L, 3L, Seq("x", "y", "z"))), got(2).toString)
+  }
+
+  test("unigramSegmentWords: equal-key piece ties break to the longer piece") {
+    // ab+c and a+bc both score -15 in 2 pieces — identical DP key; the
+    // emitted pieces must deterministically prefer the longer LAST piece
+    val vocab = Seq(("ab", -10L), ("c", -5L), ("a", -5L), ("bc", -10L))
+      .toDF("piece", "score")
+    val got = Corpus.unigramSegmentWords(Seq("abc").toDF("wd"), vocab)
+      .as[(String, Long, Long, Seq[String])].collect()
+    assert(got(0) == (("abc", -15L, 2L, Seq("a", "bc"))), got(0).toString)
+  }
+
+  test("unigramVocab scores are the exact bin-length log2 floor") {
+    val docs = Seq((1L, "aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa"))
+      .toDF("doc_id", "text")
+    // "a" occurs 4 per word × 8 words = 32 → binlen 6 → score -58;
+    // "aa" occurs 3×8 = 24 → binlen 5 → score -59
+    val v = Corpus.unigramVocab(docs, maxPieceLen = 4, minFreq = 8L)
+      .as[(String, Long)].collect().toMap
+    assert(v("a") == -58L, v.toString)
+    assert(v("aa") == -59L, v.toString)
+    assert(v("aaaa") == -60L, v.toString) // 1×8 = 8 → binlen 4 → -60
+  }
 }
