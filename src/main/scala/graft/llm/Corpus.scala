@@ -1103,4 +1103,29 @@ object Corpus {
         (lit(1023L) - col("m")).cast("long").as("n_pieces"),
         col("seg.pieces").as("pieces"))
   }
+
+  /** Per-document token counts under the unigram tokenizer — the
+    * REAL-tokenizer replacement for the whitespace token counts the
+    * budget/packing operators default to (a token budget measured in
+    * whitespace words misprices code, CJK, and URL-heavy documents).
+    * Exactly the documented scale pattern: Viterbi runs ONCE per
+    * distinct word ([[unigramSegmentWords]] — |word vocab| DP calls),
+    * then one equi-join back onto the word-occurrence stream and a
+    * doc-keyed sum. Returns (doc_id, n_tokens): Σ over the doc's word
+    * occurrences of the word's optimal piece count. Empty/whitespace
+    * docs read 0. */
+  def unigramTokenCount(docs: DataFrame, vocab: DataFrame,
+                        maxPieceLen: Int = 4,
+                        unkScore: Long = -1000L): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("wd"))
+      .filter(col("wd") =!= "")
+    val perWord = unigramSegmentWords(occ.select("wd").distinct(), vocab,
+      maxPieceLen, unkScore).select("wd", "n_pieces")
+    docs.select("doc_id")
+      .join(occ.join(perWord, Seq("wd"))
+          .groupBy("doc_id").agg(sum("n_pieces").as("n_tokens")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
 }

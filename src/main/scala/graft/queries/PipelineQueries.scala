@@ -1508,6 +1508,60 @@ object PipelineQueries {
           unkScore = -1000L)
         .select("wd", "score", "n_pieces")
         .orderBy("wd")
+    },
+
+    // Per-document REAL-tokenizer token counts (round 10): q159's DP
+    // run once per DISTINCT word, joined back onto the word-occurrence
+    // stream, summed per doc — the scale pattern (|word vocab| Viterbi
+    // calls, never per-token) proven hash-green end to end. These are
+    // the counts a token-budget mix or packing pass should price with
+    // when whitespace words misprice the corpus.
+    Q("q160_unigram_token_counts",
+      """WITH RECURSIVE
+        | w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+        |       FROM documents),
+        | occ AS (SELECT doc_id, wd FROM w WHERE wd <> ''),
+        | wn AS (SELECT wd, count(*) AS cnt FROM occ GROUP BY wd),
+        | s1 AS (SELECT wd, cnt, unnest(range(1, len(wd) + 1)) AS st FROM wn),
+        | s2 AS (SELECT wd, cnt, st, unnest([1, 2, 3, 4]) AS ln FROM s1),
+        | sub AS (SELECT substr(wd, st, ln) AS piece,
+        |          CAST(sum(cnt) AS BIGINT) AS freq
+        |         FROM s2 WHERE st + ln - 1 <= len(wd)
+        |         GROUP BY 1),
+        | vocab AS (SELECT piece, CAST(length(bin(freq)) - 64 AS BIGINT) AS score
+        |           FROM sub WHERE freq >= 8),
+        | dp AS (
+        |   SELECT wd, 0 AS pos, CAST(1023 AS BIGINT) AS b0,
+        |          CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+        |          CAST(NULL AS BIGINT) AS b3
+        |   FROM wn
+        |   UNION ALL
+        |   SELECT d.wd, d.pos + 1,
+        |     greatest(
+        |       d.b0 + COALESCE(v1.score, -1000) * 1024 - 1,
+        |       COALESCE(d.b1 + v2.score * 1024 - 1, -4611686018427387904),
+        |       COALESCE(d.b2 + v3.score * 1024 - 1, -4611686018427387904),
+        |       COALESCE(d.b3 + v4.score * 1024 - 1, -4611686018427387904)),
+        |     d.b0, d.b1, d.b2
+        |   FROM dp d
+        |   LEFT JOIN vocab v1 ON v1.piece = substr(d.wd, d.pos + 1, 1)
+        |   LEFT JOIN vocab v2 ON d.pos >= 1 AND v2.piece = substr(d.wd, d.pos, 2)
+        |   LEFT JOIN vocab v3 ON d.pos >= 2 AND v3.piece = substr(d.wd, d.pos - 1, 3)
+        |   LEFT JOIN vocab v4 ON d.pos >= 3 AND v4.piece = substr(d.wd, d.pos - 2, 4)
+        |   WHERE d.pos < len(d.wd)),
+        | np AS (SELECT wd, 1023 - ((b0 % 1024) + 1024) % 1024 AS n_pieces
+        |        FROM dp WHERE pos = len(wd))
+        |SELECT d.doc_id, CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens
+        |FROM documents d LEFT JOIN (
+        |  SELECT o.doc_id, sum(np.n_pieces) AS n_tokens
+        |  FROM occ o JOIN np USING (wd) GROUP BY 1) s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.Corpus
+      val docs = Tables(s, dir, "documents")
+      Corpus.unigramTokenCount(docs,
+          Corpus.unigramVocab(docs, maxPieceLen = 4, minFreq = 8L))
+        .orderBy("doc_id")
     }
   )
 }

@@ -336,4 +336,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       s"q96 histogram state lost map-side combine")
   }
+
+  test("unigram Viterbi segmentation stays codegen'd and joins back by word") {
+    // the q127 lesson applied to the tokenizer: the DP is a native
+    // expression (unigram_viterbi) — an interpreted fallback would put
+    // a per-word DP outside every fused stage
+    val df = SparkEntry.queries("q159_unigram_tokenizer")(spark, sfDir)
+    df.collect()
+    // the physical plan prints the aggregate's result projection by
+    // alias only — the native expression is asserted on the optimized
+    // logical plan, its codegen containment on the executed one
+    assert(df.queryExecution.optimizedPlan.toString.contains("unigram_viterbi"),
+      "q159 lost the native DP expression")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), "q159 plan has no WholeStageCodegen span")
+    // the doc-level count must run the DP on the DISTINCT word table and
+    // equi-join back — never a cartesian, never per-occurrence DP
+    val p160 = planOf("q160_unigram_token_counts")
+    assert(!p160.contains("CartesianProduct") &&
+      !p160.contains("BroadcastNestedLoopJoin"),
+      s"q160 lost its keyed join-back shape")
+  }
 }
