@@ -1208,6 +1208,57 @@ object LlmQueries {
           emb.filter(col("vec_id") % 2 =!= 0 && col("vec_id") < 64),
           kAvg = 4, planes = 6, dim = 64, tables = 1, probeHamming = 1)
         .orderBy("src_id")
+    },
+
+    // Embed-and-retrieve, value-checked end to end (round 10): the
+    // inference seam was spec-proven only — here the oracle REPLAYS the
+    // deterministic embedder itself (per-token char fold
+    // h = (131·h + c) mod 4294967291 via list_reduce, dim-bucketed
+    // weight sums, float-rounded L2-ish normalization — every step the
+    // same IEEE op on both engines) and then runs the q34 brute-force
+    // retrieval over the embeddings IT built. Documents go in, ranked
+    // neighbors come out, hash-green — the corpus-embedding pipeline's
+    // arithmetic is pinned, not just its plumbing.
+    Q("q161_embed_retrieve",
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents),
+        | th AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(regexp_extract_all(tok, '.'),
+        |            ch -> CAST(ascii(ch) AS BIGINT))),
+        |          (a, b) -> (a * 131 + b) % 4294967291) AS h
+        |        FROM toks),
+        | dims AS (SELECT doc_id, h % 64 AS d,
+        |           CAST(sum(h % 1000 + 1) AS BIGINT) AS v
+        |          FROM th GROUP BY 1, 2),
+        | ids AS (SELECT DISTINCT doc_id FROM dims),
+        | grid AS (SELECT ids.doc_id, gd.range AS d
+        |          FROM ids CROSS JOIN range(0, 64) gd),
+        | cell AS (SELECT g.doc_id, g.d, COALESCE(dims.v, 0) AS v
+        |          FROM grid g LEFT JOIN dims
+        |            ON dims.doc_id = g.doc_id AND dims.d = g.d),
+        | nrm AS (SELECT doc_id, greatest(1, CAST(sum(v * v) AS BIGINT)) AS n2
+        |         FROM cell GROUP BY 1),
+        | vec AS (SELECT c.doc_id,
+        |          list(CAST(c.v / sqrt(n.n2) AS REAL) ORDER BY c.d) AS embedding
+        |         FROM cell c JOIN nrm n USING (doc_id) GROUP BY c.doc_id),
+        | vv AS (SELECT doc_id, embedding,
+        |         sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM vec),
+        | scored AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |             ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sim
+        |            FROM vv q JOIN vv c ON q.doc_id < 8 AND q.doc_id <> c.doc_id
+        |            WHERE q.nrm > 0 AND c.nrm > 0)
+        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM scored) WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.Inference
+      val emb = Inference.embedDocuments(Tables(s, dir, "documents"),
+          dim = 64, batchSize = 32)
+        .withColumnRenamed("doc_id", "vec_id")
+      Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .orderBy("query_id", "rnk")
     }
   )
 }
