@@ -33,6 +33,12 @@ object PipelineQueries {
       |           WHERE (CAST(common AS BIGINT) * 1000000)
       |                 // (sa.n_sh + sb.n_sh - common) >= 300000)""".stripMargin
 
+  /** The codegen'd dot product as an ascending-index double fold (the
+    * LlmQueries.dotSql convention) — q162's chunk-retrieval stage. */
+  private def ragDotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
   val all: Seq[Q] = Seq(
 
     // Connected components over the near-duplicate pair graph — the
@@ -1562,6 +1568,76 @@ object PipelineQueries {
       Corpus.unigramTokenCount(docs,
           Corpus.unigramVocab(docs, maxPieceLen = 4, minFreq = 8L))
         .orderBy("doc_id")
+    },
+
+    // RAG chunk-index capstone (round 10): the ingestion-to-retrieval
+    // pipeline every retrieval-augmented stack runs — sliding-window
+    // chunking (q79), per-chunk embedding (q161's replayable embedder),
+    // exact retrieval of the 5 nearest chunks per query chunk — every
+    // stage's ARITHMETIC replayed by the oracle in one statement.
+    // Chunk key = doc_id·1000 + chunk_no (stride-24 chunks: safe to
+    // 24k-token documents). Queries are each of docs 0–7's first
+    // chunks; same-doc sibling chunks may legitimately rank as
+    // neighbors (overlap makes them near-duplicates — the RAG dedup
+    // motivation, and exactly what MMR downstream would prune).
+    Q("q162_rag_chunk_retrieve",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | n AS (SELECT doc_id, l,
+        |        greatest(1, CAST(ceil((len(l) - 8) / 24.0) AS BIGINT)) AS nc
+        |       FROM w),
+        | ch AS (SELECT doc_id * 1000 + unnest(range(0, nc)) AS cid, doc_id, l
+        |        FROM n),
+        | chunks AS (SELECT cid AS doc_id,
+        |        array_to_string(l[CAST((cid % 1000)*24 + 1 AS INTEGER) :
+        |                         CAST((cid % 1000)*24 + 32 AS INTEGER)], ' ')
+        |          AS text
+        |       FROM ch),
+        | toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM chunks),
+        | th AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(regexp_extract_all(tok, '.'),
+        |            chx -> CAST(ascii(chx) AS BIGINT))),
+        |          (a, b) -> (a * 131 + b) % 4294967291) AS h
+        |        FROM toks),
+        | dims AS (SELECT doc_id, h % 64 AS d,
+        |           CAST(sum(h % 1000 + 1) AS BIGINT) AS v
+        |          FROM th GROUP BY 1, 2),
+        | ids AS (SELECT DISTINCT doc_id FROM dims),
+        | grid AS (SELECT ids.doc_id, gd.range AS d
+        |          FROM ids CROSS JOIN range(0, 64) gd),
+        | cell AS (SELECT g.doc_id, g.d, COALESCE(dims.v, 0) AS v
+        |          FROM grid g LEFT JOIN dims
+        |            ON dims.doc_id = g.doc_id AND dims.d = g.d),
+        | nrm AS (SELECT doc_id, greatest(1, CAST(sum(v * v) AS BIGINT)) AS n2
+        |         FROM cell GROUP BY 1),
+        | vec AS (SELECT c.doc_id,
+        |          list(CAST(c.v / sqrt(n.n2) AS REAL) ORDER BY c.d) AS embedding
+        |         FROM cell c JOIN nrm n USING (doc_id) GROUP BY c.doc_id),
+        | vv AS (SELECT doc_id, embedding,
+        |         sqrt(${ragDotSql("embedding", "embedding")}) AS nrm FROM vec),
+        | scored AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |             ${ragDotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sim
+        |            FROM vv q JOIN vv c
+        |              ON q.doc_id < 8000 AND q.doc_id % 1000 = 0
+        |               AND q.doc_id <> c.doc_id
+        |            WHERE q.nrm > 0 AND c.nrm > 0)
+        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM scored) WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.{Corpus, Inference, Similarity}
+      val chunks = Corpus.chunkDocuments(Tables(s, dir, "documents"),
+          chunkTokens = 32, overlap = 8)
+        .select((col("doc_id") * 1000 + col("chunk_no")).as("doc_id"),
+          col("chunk_text").as("text"))
+      val emb = Inference.embedDocuments(chunks, dim = 64, batchSize = 32)
+        .withColumnRenamed("doc_id", "vec_id")
+      Similarity.bruteForceKnn(emb,
+          emb.filter(col("vec_id") < 8000 && col("vec_id") % 1000 === 0),
+          k = 5)
+        .orderBy("query_id", "rnk")
     }
   )
 }
