@@ -424,6 +424,65 @@ object SinkQueries {
             ("check_recall_floor", if (hits * 100L >= 60L * total) 1L else 0L))
           .toDF("key", "n").orderBy("key")
       } finally rm(new java.io.File(root))
+    },
+
+    /* qs8 — embed-at-the-door vector ingest (round 10): the corpus-to-
+     * index pipeline a vector store actually runs, composed from the
+     * engine's own stages: documents through the INFERENCE SEAM
+     * (q161-pinned embedder arithmetic) → two odd/even batches into the
+     * streaming IVF index, batch 2 through the SEMANTIC admission gate
+     * (exact re-embeds of already-indexed content reject at the door,
+     * un-ledgered) → a batch-1 redelivery that must no-op under the
+     * replay guard → a full-coverage probe that must EQUAL brute force
+     * over the admitted vectors. In-query gates: check_semantic_gate
+     * (all 25 injected re-crawls rejected), check_replay_noop, and
+     * check_exact_probe (bidirectional exceptAll) — a silently-wrong
+     * sink cannot bench green. Rows-only for the driver;
+     * VectorIngestSpec + InferenceSpec value-check the same stages. */
+    Q.noOracle("qs8_embed_ingest") { (s, dir) =>
+      import s.implicits._
+      val docs = graft.Tables(s, dir, "documents")
+      val emb = graft.llm.Stage(
+        graft.llm.Inference.embedDocuments(docs, dim = 64, batchSize = 32)
+          .withColumnRenamed("doc_id", "vec_id"))
+      val root = Files.createTempDirectory("graft_embedingest").toString
+      try {
+        val b1 = emb.filter(col("vec_id") % 2 === 0)
+        // the corpus has no exact text duplicates, so batch 2 carries 25
+        // INJECTED re-crawls: batch-1 content under fresh ids (the
+        // re-crawled-identical-content case semantic dedup exists for)
+        val injected = emb.filter(col("vec_id") < 50 && col("vec_id") % 2 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L)
+        val b2 = emb.filter(col("vec_id") % 2 =!= 0).unionByName(injected)
+        graft.streaming.VectorIngest.trainCentroids(b1, root, kCells = 8,
+          iters = 2)
+        val n1 = graft.streaming.VectorIngest.processBatch(b1, root,
+          batchId = 0L)
+        // 999998 ppm: exact-copy gate with float-ulp slack (an identical
+        // vector's cosine is 1.0 up to the norm sqrt rounding)
+        val (n2, rej) = graft.streaming.VectorIngest.processBatchDeduped(
+          b2, root, minSimPpm = 999998L, nProbe = 8, batchId = 1L)
+        val nRejected = rej.count()
+        val nInjRejected = rej.filter(col("vec_id") >= 1000000L).count()
+        val nReplay = graft.streaming.VectorIngest.processBatch(b1, root,
+          batchId = 0L)
+        val queries = emb.filter(col("vec_id") < 8)
+        val served = graft.streaming.VectorIngest.ann(s, root, queries,
+          k = 5, nProbe = 8)
+        val admitted = emb.unionByName(injected)
+          .join(rej.select("vec_id"), Seq("vec_id"), "left_anti")
+        val exact = graft.llm.Similarity.bruteForceKnn(admitted, queries, k = 5)
+        // collected eagerly: the index dir dies in the finally
+        val onlyServed = served.exceptAll(exact).count()
+        val onlyExact = exact.exceptAll(served).count()
+        Seq(("indexed_b1", n1), ("indexed_b2", n2),
+            ("rejected_semantic", nRejected),
+            ("check_semantic_gate", if (nInjRejected == 25L) 1L else 0L),
+            ("check_replay_noop", if (nReplay == 0L) 1L else 0L),
+            ("check_exact_probe",
+              if (onlyServed == 0L && onlyExact == 0L) 1L else 0L))
+          .toDF("key", "n").orderBy("key")
+      } finally rm(new java.io.File(root))
     }
   )
 }
