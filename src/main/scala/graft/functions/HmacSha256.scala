@@ -58,4 +58,21 @@ object HmacSha256 {
     import org.apache.spark.sql.functions._
     hmac_sha256(concat(ts.cast("string"), lit("."), body), lit(secret)) === v1
   }
+
+  /** [[signatureValid]] plus the REPLAY-WINDOW check the reference's
+    * verifier actually performs: `stripe.webhooks.constructEventAsync`
+    * (stripeSync.ts:98) delegates to stripe-node, whose
+    * `DEFAULT_TOLERANCE` rejects signatures whose header timestamp is
+    * more than 300 s from now — a captured valid delivery cannot be
+    * replayed outside the window even with a correct HMAC. `nowTs` is a
+    * column (epoch seconds) so batch replays/tests can pin "now"
+    * deterministically; both past AND future skew reject, as in
+    * stripe-node. */
+  def signatureValidWithin(body: Column, ts: Column, v1: Column,
+                           secret: String, nowTs: Column,
+                           toleranceSec: Long = 300L): Column = {
+    import org.apache.spark.sql.functions._
+    signatureValid(body, ts, v1, secret) &&
+      abs(nowTs.cast("long") - ts.cast("long")) <= toleranceSec
+  }
 }

@@ -32,6 +32,22 @@ class FunctionsSpec extends SparkSpec {
     assert(out.toSeq == Seq(true, false))
   }
 
+  test("signatureValidWithin rejects replays outside the 300s window (S2)") {
+    val body = """{"id":"evt_1","type":"charge.succeeded"}"""
+    val t = 1620000000L
+    val sig = HmacSha256.hex(s"$t.$body".getBytes, "whsec_k".getBytes)
+    // same valid signature at now = t, t+300 (edge, accepted), t+301
+    // (stale replay), and t-301 (future skew) — stripe-node's
+    // DEFAULT_TOLERANCE semantics
+    val df = Seq((body, t, sig, t), (body, t, sig, t + 300L),
+        (body, t, sig, t + 301L), (body, t, sig, t - 301L))
+      .toDF("body", "t", "v1", "now")
+    val out = df.withColumn("ok", HmacSha256.signatureValidWithin(
+        col("body"), col("t"), col("v1"), "whsec_k", col("now")))
+      .select("ok").as[Boolean].collect()
+    assert(out.toSeq == Seq(true, true, false, false))
+  }
+
   test("TableDef.project: unknown fields dropped, missing null, objects kept as raw JSON (P1/P2)") {
     val payload =
       """{"id":"ch_1","object":"charge","amount":42,"paid":true,
