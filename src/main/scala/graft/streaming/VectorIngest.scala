@@ -382,8 +382,19 @@ object VectorIngest {
     * [[graft.llm.Similarity.marginFromSims]] after the analogous rename)
     * runs directly over an index probe — no corpus rescan anywhere in
     * the chain (VectorIngestSpec drives the composition). */
+  /** `allowed`: FILTERED vector search — the metadata-constrained probe
+    * every vector store serves ("nearest chunks from source X / lang Y
+    * / after date Z"): a pre-resolved (vec_id) allowlist semi-joins the
+    * probed candidates BEFORE the rank cut, so the result is the exact
+    * filtered top-k over the probed cells (and exactly brute force over
+    * the allowed corpus at full coverage — VectorIngestSpec). Resolving
+    * the predicate to ids stays the caller's join against its metadata
+    * table — the index stores vectors, not attributes, and a semi-join
+    * composes with any predicate shape. Post-filtering the UNfiltered
+    * top-k would instead return < k rows whenever the filter is
+    * selective — the classic filtered-ANN failure this avoids. */
   def annScored(spark: SparkSession, root: String, queries: DataFrame, k: Int,
-                nProbe: Int = 4): DataFrame = {
+                nProbe: Int = 4, allowed: Option[DataFrame] = None): DataFrame = {
     healRetrainSwap(spark, root)
     graft.operators.MergeSink.healInterruptedSwap(spark, cellsPath(root))
     val qs = Similarity.assignToCells(
@@ -394,10 +405,16 @@ object VectorIngest {
     // predicate is a literal IN list the scan can partition-prune on
     val probed = qs.select("list_id").distinct()
       .collect().map(_.getLong(0)).sorted
-    val cells = spark.read.parquet(cellsPath(root))
+    val cellsBase = spark.read.parquet(cellsPath(root))
       .filter(col("list_id").isin(probed.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         col("v_norm").as("c_norm"), col("list_id"))
+    val cells = allowed match {
+      case Some(a) => cellsBase.join(
+        a.select(col("vec_id").as("neighbor_id")).distinct(),
+        Seq("neighbor_id"), "left_semi")
+      case None => cellsBase
+    }
     val scored = qs.join(cells, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",

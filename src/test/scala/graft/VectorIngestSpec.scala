@@ -406,6 +406,29 @@ class VectorIngestSpec extends SparkSpec {
     assert(fed == exact, s"probe-fed MMR diverged: $fed vs $exact")
   }
 
+  test("filtered probe: allowed-set semi-join equals brute force over the allowed corpus") {
+    val root = tmpDir("vindex_filtered")
+    val all = (rows(0 until 12, 0) ++ rows(100 until 112, 1))
+      .toDF("vec_id", "embedding")
+    VectorIngest.trainCentroids(all, root, kCells = 2, iters = 3, dim = 4)
+    assert(VectorIngest.processBatch(all, root) == 24L)
+    val queries = all.filter($"vec_id" < 2)
+    val allowed = all.filter($"vec_id" % 2 === 0).select("vec_id")
+    // full coverage → the filtered probe is EXACT filtered search, and
+    // it returns a full k rows where post-filtering unfiltered top-k
+    // would come up short under a selective predicate
+    val served = VectorIngest.annScored(spark, root, queries, k = 5,
+        nProbe = 2, allowed = Some(allowed))
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceKnn(
+        all.join(allowed, Seq("vec_id"), "left_semi"), queries, k = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served == exact, s"filtered probe diverged: $served vs $exact")
+    assert(served.count(_._1 == 0L) == 5, "filtered probe must fill k")
+    assert(served.forall(r => r._2 % 2 == 0), "disallowed id served")
+  }
+
   test("maintainTopK: per-batch folds equal one-shot brute force; replays are no-ops") {
     val topkDir = tmpDir("vtopk") + "/state"
     val all = (rows(0 until 12, 0) ++ rows(100 until 112, 1))
