@@ -770,6 +770,50 @@ object Similarity {
         col("dist2m"), col("rank_far"), col("is_outlier"), col("is_prototype"))
   }
 
+  /** LATE-INTERACTION retrieval (the ColBERT MaxSim shape, Khattab &
+    * Zaharia 2020): documents and queries are BAGS of vectors (chunk /
+    * token embeddings), scored
+    * score(q, d) = Σ_{qc ∈ q} max_{dc ∈ d} cos(qc, dc) — each query
+    * chunk finds its best-matching document chunk, so multi-topic
+    * documents match on the RIGHT part where single-vector retrieval
+    * averages the topics away. Exactness: max over doubles is
+    * order-free; each per-query-chunk max floors to micros BEFORE the
+    * sum, so the final score is an order-free integer sum — q163
+    * replays it term for term.
+    *
+    * Shape: broadcast query chunks (query sets are bounded) against one
+    * corpus-chunk scan — the q34 discipline per chunk pair; then two
+    * keyed aggregates (max per (query, cand, q_chunk), sum per
+    * (query, cand)) and a rank window. The corpus is never
+    * self-joined; at 100 TB feed `corpusChunks` from an ANN candidate
+    * fetch (probe the chunk index, semi-join the touched docs' chunks)
+    * — the scoring stages are candidate-bounded either way.
+    * Inputs: (doc_id, embedding) per chunk row on both sides; query
+    * rows additionally carry `chunk_id` (any per-chunk discriminator).
+    * Returns (query_id, cand_id, maxsim_micros, rnk). */
+  def lateInteractionTopK(corpusChunks: DataFrame, queryChunks: DataFrame,
+                          k: Int): DataFrame = {
+    val q = broadcast(queryChunks.select(col("doc_id").as("query_id"),
+        col("chunk_id").as("q_chunk"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_norm"))
+      .filter(col("q_norm") > 0))
+    val c = corpusChunks.select(col("doc_id").as("cand_id"),
+        col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+      .filter(col("c_norm") > 0)
+    val sims = q.join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("sim",
+        dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    val best = sims.groupBy("query_id", "cand_id", "q_chunk")
+      .agg(max("sim").as("mx"))
+    val scored = best.groupBy("query_id", "cand_id")
+      .agg(sum(floor(col("mx") * 1000000).cast("long")).as("maxsim_micros"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("maxsim_micros").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "cand_id", "maxsim_micros", "rnk")
+  }
+
   /** k-CENTER GREEDY coreset selection (farthest-point traversal —
     * Gonzalez's 2-approximation as the data-selection pass of Sener &
     * Savarese, ICLR 2018): seed with the minimum vec_id, then

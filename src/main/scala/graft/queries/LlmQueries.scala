@@ -1259,6 +1259,79 @@ object LlmQueries {
         .withColumnRenamed("doc_id", "vec_id")
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 8), k = 5)
         .orderBy("query_id", "rnk")
+    },
+
+    // Late-interaction retrieval (round 10; ColBERT MaxSim — Khattab &
+    // Zaharia 2020): docs and queries as BAGS of chunk vectors, scored
+    // Σ per query chunk of the max cosine over the candidate's chunks —
+    // multi-topic documents match on the right PART where single-vector
+    // retrieval averages topics away. Chunks and embeddings replay via
+    // the q162 machinery; each per-chunk max floors to micros BEFORE
+    // the sum, so scores are order-free integers. Queries = docs 0–7's
+    // chunk sets; top-5 candidates per query doc.
+    Q("q163_late_interaction",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | n AS (SELECT doc_id, l,
+        |        greatest(1, CAST(ceil((len(l) - 8) / 24.0) AS BIGINT)) AS nc
+        |       FROM w),
+        | ch AS (SELECT doc_id * 1000 + unnest(range(0, nc)) AS cid, doc_id, l
+        |        FROM n),
+        | chunks AS (SELECT cid AS doc_id,
+        |        array_to_string(l[CAST((cid % 1000)*24 + 1 AS INTEGER) :
+        |                         CAST((cid % 1000)*24 + 32 AS INTEGER)], ' ')
+        |          AS text
+        |       FROM ch),
+        | toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM chunks),
+        | th AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(regexp_extract_all(tok, '.'),
+        |            chx -> CAST(ascii(chx) AS BIGINT))),
+        |          (a, b) -> (a * 131 + b) % 4294967291) AS h
+        |        FROM toks),
+        | dims AS (SELECT doc_id, h % 64 AS d,
+        |           CAST(sum(h % 1000 + 1) AS BIGINT) AS v
+        |          FROM th GROUP BY 1, 2),
+        | ids AS (SELECT DISTINCT doc_id FROM dims),
+        | grid AS (SELECT ids.doc_id, gd.range AS d
+        |          FROM ids CROSS JOIN range(0, 64) gd),
+        | cell AS (SELECT g.doc_id, g.d, COALESCE(dims.v, 0) AS v
+        |          FROM grid g LEFT JOIN dims
+        |            ON dims.doc_id = g.doc_id AND dims.d = g.d),
+        | nrm AS (SELECT doc_id, greatest(1, CAST(sum(v * v) AS BIGINT)) AS n2
+        |         FROM cell GROUP BY 1),
+        | vec AS (SELECT c.doc_id,
+        |          list(CAST(c.v / sqrt(n.n2) AS REAL) ORDER BY c.d) AS embedding
+        |         FROM cell c JOIN nrm n USING (doc_id) GROUP BY c.doc_id),
+        | vv AS (SELECT doc_id // 1000 AS owner, doc_id AS cid, embedding,
+        |         sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM vec),
+        | sims AS (SELECT q.owner AS query_id, q.cid AS q_chunk,
+        |           c.owner AS cand_id,
+        |           ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sim
+        |          FROM vv q JOIN vv c
+        |            ON q.owner < 8 AND q.owner <> c.owner
+        |          WHERE q.nrm > 0 AND c.nrm > 0),
+        | best AS (SELECT query_id, cand_id, q_chunk,
+        |           CAST(floor(max(sim) * 1000000) AS BIGINT) AS mx
+        |          FROM sims GROUP BY 1, 2, 3),
+        | sc AS (SELECT query_id, cand_id, CAST(sum(mx) AS BIGINT) AS maxsim_micros
+        |        FROM best GROUP BY 1, 2)
+        |SELECT query_id, cand_id, maxsim_micros, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT query_id, cand_id, maxsim_micros,
+        |       row_number() OVER (PARTITION BY query_id
+        |         ORDER BY maxsim_micros DESC, cand_id) AS rnk FROM sc)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.{Corpus, Inference}
+      val chunks = Corpus.chunkDocuments(Tables(s, dir, "documents"),
+          chunkTokens = 32, overlap = 8)
+        .select((col("doc_id") * 1000 + col("chunk_no")).as("doc_id"),
+          col("chunk_text").as("text"))
+      val cemb = Inference.embedDocuments(chunks, dim = 64, batchSize = 32)
+        .select(expr("doc_id DIV 1000").as("doc_id"),
+          col("doc_id").as("chunk_id"), col("embedding"))
+      Similarity.lateInteractionTopK(cemb,
+          cemb.filter(col("doc_id") < 8), k = 5)
+        .orderBy("query_id", "rnk")
     }
   )
 }

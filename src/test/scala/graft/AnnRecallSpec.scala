@@ -232,4 +232,26 @@ class AnnRecallSpec extends SparkSpec {
         s"query $q: ANN-fed MMR $annSel diverged from exact despite full coverage")
     }
   }
+
+  test("lateInteractionTopK: per-chunk MaxSim matches multi-topic docs part-by-part") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.llm.Similarity
+    // query doc 100 spans two topics (unit vectors e1, e2); candidate 1
+    // covers BOTH, candidate 2 covers one, candidate 3 neither — the
+    // MaxSim sum separates them exactly (2e6 / 1e6 / 0), which a single
+    // mean vector for doc 100 would blur
+    val q = Seq((100L, 1000L, Array(1f, 0f, 0f, 0f)),
+      (100L, 1001L, Array(0f, 1f, 0f, 0f)))
+      .toDF("doc_id", "chunk_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 0f, 1f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f))
+    ).toDF("doc_id", "embedding")
+    val got = Similarity.lateInteractionTopK(corpus, q, k = 3)
+      .orderBy("rnk").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((100L, 1L, 2000000L, 1L), (100L, 2L, 1000000L, 2L),
+      (100L, 3L, 0L, 3L)), got.toString)
+  }
 }
