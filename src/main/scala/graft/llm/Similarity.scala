@@ -803,6 +803,24 @@ object Similarity {
     val sims = q.join(c, col("query_id") =!= col("cand_id"))
       .withColumn("sim",
         dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    lateInteractionFromSims(
+      sims.select("query_id", "q_chunk", "cand_id", "sim"), k)
+  }
+
+  /** MaxSim aggregation over ANY per-chunk-pair sim table — the
+    * [[marginFromSims]]/[[mmrRerankFromCandidates]] discipline applied
+    * to late interaction, and the 100 TB entry point: probe a CHUNK
+    * index for each query chunk ([[graft.streaming.VectorIngest]]
+    * `annScored` over a chunk store — its output renames straight into
+    * this), semi-join the touched documents' chunks, and aggregate —
+    * the full corpus-chunk scan of [[lateInteractionTopK]] becomes the
+    * caller-bounded baseline. `sims` is (query_id, q_chunk, cand_id,
+    * sim); a (query chunk, candidate) pair ABSENT from the table
+    * contributes 0 to that candidate's sum (the retrieved-candidate
+    * convention: unprobed chunk pairs score as no-match — equal to the
+    * exact operator whenever the candidate fetch covers each scored
+    * pair's best chunk, AnnRecallSpec). */
+  def lateInteractionFromSims(sims: DataFrame, k: Int): DataFrame = {
     val best = sims.groupBy("query_id", "cand_id", "q_chunk")
       .agg(max("sim").as("mx"))
     val scored = best.groupBy("query_id", "cand_id")

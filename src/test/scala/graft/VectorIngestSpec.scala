@@ -429,6 +429,34 @@ class VectorIngestSpec extends SparkSpec {
     assert(served.forall(r => r._2 % 2 == 0), "disallowed id served")
   }
 
+  test("a chunk-index probe feeds MaxSim: full-coverage probe == exact late interaction") {
+    val root = tmpDir("vindex_maxsim")
+    // chunk ids: owner = vec_id DIV 100 — doc 0 has chunks 0..11, doc 1
+    // has chunks 100..111
+    val all = (rows(0 until 12, 0) ++ rows(100 until 112, 1))
+      .toDF("vec_id", "embedding")
+    VectorIngest.trainCentroids(all, root, kCells = 2, iters = 3, dim = 4)
+    assert(VectorIngest.processBatch(all, root) == 24L)
+    val qChunks = all.filter($"vec_id" < 100)
+    // exact operator over (owner, chunk) framing
+    val exact = Similarity.lateInteractionTopK(
+        all.select(expr("vec_id DIV 100").as("doc_id"), $"embedding"),
+        qChunks.select(expr("vec_id DIV 100").as("doc_id"),
+          $"vec_id".as("chunk_id"), $"embedding"),
+        k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // probe the CHUNK index per query chunk (full coverage), re-key to
+    // owners, aggregate through the candidate-fed form
+    val probe = VectorIngest.annScored(spark, root, qChunks, k = 23, nProbe = 2)
+      .select(expr("query_id DIV 100").as("query_id"),
+        col("query_id").as("q_chunk"),
+        expr("neighbor_id DIV 100").as("cand_id"), col("sim"))
+      .filter($"query_id" =!= $"cand_id")
+    val fed = Similarity.lateInteractionFromSims(probe, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fed == exact, s"probe-fed MaxSim diverged: $fed vs $exact")
+  }
+
   test("maintainTopK: per-batch folds equal one-shot brute force; replays are no-ops") {
     val topkDir = tmpDir("vtopk") + "/state"
     val all = (rows(0 until 12, 0) ++ rows(100 until 112, 1))
