@@ -43,8 +43,10 @@ object Bench {
     * whose "tail" field carries the line with escaped quotes). Takes
     * the LAST "queries" object — the line is emitted twice and the
     * tail may be front-truncated, so only the last copy is guaranteed
-    * complete. Forgiving by design: any malformed input → empty map →
-    * the regression gate silently disarms. */
+    * complete. When truncation ate the marker itself, falls back to a
+    * by-shape salvage of intact `"qNN":secs` pairs (partial prior >
+    * disarmed gate). Forgiving by design: genuinely malformed input →
+    * empty map → the regression gate silently disarms. */
   /** Newest prior-bench artifact by NUMERIC round (pure; spec-tested):
     * lexicographic picks BENCH_r9 over BENCH_r10 once padding slips. */
   private[graft] def newestPrior(names: Seq[String]): Option[String] =
@@ -55,19 +57,36 @@ object Bench {
     val t = text.replace("\\\"", "\"")
     val marker = "\"queries\":{"
     val qIdx = t.lastIndexOf(marker)
-    if (qIdx < 0) return Map.empty
-    val start = qIdx + marker.length
-    val end = t.indexOf('}', start)
-    if (end < 0) return Map.empty
-    t.substring(start, end).split(",").iterator.flatMap { kv =>
-      kv.split(":") match {
-        case Array(k, v) =>
-          val key = k.trim.stripPrefix("\"").stripSuffix("\"")
-          scala.util.Try(v.trim.toDouble).toOption
-            .filter(_ => key.nonEmpty).map(key -> _)
-        case _ => None
-      }
-    }.toMap
+    if (qIdx >= 0) {
+      val start = qIdx + marker.length
+      val end = t.indexOf('}', start)
+      if (end < 0) return salvageQueries(t.substring(start))
+      t.substring(start, end).split(",").iterator.flatMap { kv =>
+        kv.split(":") match {
+          case Array(k, v) =>
+            val key = k.trim.stripPrefix("\"").stripSuffix("\"")
+            scala.util.Try(v.trim.toDouble).toOption
+              .filter(_ => key.nonEmpty).map(key -> _)
+          case _ => None
+        }
+      }.toMap
+    } else salvageQueries(t)
+  }
+
+  /** Salvage pass for a front-truncated artifact: the driver keeps only
+    * the last 2,000 chars of stdout, which in round 9 cut the tail PAST
+    * the `"queries":{` marker — the map's head (and the marker) were
+    * gone, so the gate silently disarmed for a whole round. Query keys
+    * are unambiguous (`q<digits>` / `qs<digits>` — no other numeric
+    * field in the artifact matches), so intact `"qNN":secs` pairs are
+    * recoverable by shape even with no marker. A PARTIAL prior is
+    * strictly better than a disarmed gate: absent keys simply never
+    * flag (regressedKeys only compares present ones). The first pair
+    * after a truncation boundary may be cut mid-key (`30,"q04":...`) —
+    * the strict key anchor rejects exactly that fragment. */
+  private[graft] def salvageQueries(t: String): Map[String, Double] = {
+    val pair = "\"(qs?\\d+)\":([0-9]+(?:\\.[0-9]+)?)".r
+    pair.findAllMatchIn(t).map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
   /** Keys whose current min regressed more than `factor` vs the prior

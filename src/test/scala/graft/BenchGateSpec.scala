@@ -32,6 +32,25 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.parsePriorQueries("\"queries\":{\"q1\":not_a_number}").isEmpty)
   }
 
+  test("salvage: a tail truncated PAST the queries marker still yields a partial prior") {
+    // round 10 read exactly this shape: the driver's 2,000-char stdout
+    // tail started mid-map — no "queries":{ marker anywhere — and the
+    // gate silently disarmed for the whole round. Intact "qNN":secs
+    // pairs are recoverable by shape; the leading fragment cut mid-key
+    // ("30," below) must NOT produce a bogus entry.
+    val tail = """{"n": 9, "rc": 0, "tail": "30,\"q04\":0.443,\"q05\":0.252,""" +
+      """\"qs1\":3.210,\"q06\":0.115},\"sf\":\"/x\"}"}"""
+    assert(Bench.parsePriorQueries(tail) ==
+      Map("q04" -> 0.443, "q05" -> 0.252, "qs1" -> 3.210, "q06" -> 0.115))
+    // non-query numeric fields ("n", "rc", "value") never salvage as keys
+    val noisy = """"value":9.9,"cpus":32,\"q92\":2.602"""
+    assert(Bench.parsePriorQueries(noisy) == Map("q92" -> 2.602))
+    // marker present but map head truncated away the closing brace:
+    // salvage what's intact after the marker
+    assert(Bench.parsePriorQueries("\"queries\":{\"q7\":1.25,\"q8\":0.5") ==
+      Map("q7" -> 1.25, "q8" -> 0.5))
+  }
+
   test("newestPrior sorts rounds numerically, not lexicographically") {
     assert(Bench.newestPrior(Seq("BENCH_r09.json", "BENCH_r10.json"))
       .contains("BENCH_r10.json"))
