@@ -48,9 +48,17 @@ object VectorIngest {
   def trainCentroids(sample: DataFrame, root: String, kCells: Int = 16,
                      iters: Int = 5, dim: Int = 64): Unit = {
     val cents = KMeans.train(sample, kCells, iters, dim)
-    Similarity.centroidTable(sample.sparkSession, cents)
-      .coalesce(1)
+    val centDf = Similarity.centroidTable(sample.sparkSession, cents)
+    centDf.coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/centroids")
+    // quantization baseline for [[quantizationDrift]]: how well these
+    // centroids fit the data they were trained on — the reference the
+    // retrain trigger compares live batches against
+    cellErrAgg(sample, centDf)
+      .select(when(col("n") > 0, expr("sum_err DIV n")).otherwise(lit(0L))
+          .as("base_err_micros"),
+        col("n").as("n_sample"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(qbasePath(root))
     dimCache.put(root, dim)
   }
 
@@ -86,7 +94,8 @@ object VectorIngest {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(markerPath(root))) return
-    Seq(s"$root/centroids", cellsPath(root), codebookPath(root)).foreach { dir =>
+    Seq(s"$root/centroids", cellsPath(root), codebookPath(root),
+        qbasePath(root)).foreach { dir =>
       val cur = new Path(dir); val nw = new Path(dir + "__new")
       val old = new Path(dir + "__old")
       if (fs.exists(nw)) {
@@ -123,11 +132,20 @@ object VectorIngest {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val centNew = s"$root/centroids__new"; val cellsNew = cellsPath(root) + "__new"
     val cbNew = codebookPath(root) + "__new"
+    val qbNew = qbasePath(root) + "__new"
     // stale staging from a crashed pre-commit attempt: rebuild from scratch
-    Seq(centNew, cellsNew, cbNew).foreach(d => fs.delete(new Path(d), true))
+    Seq(centNew, cellsNew, cbNew, qbNew).foreach(d => fs.delete(new Path(d), true))
     val cents = KMeans.train(sample, kCells, iters, dim)
     Similarity.centroidTable(spark, cents)
       .coalesce(1).write.parquet(centNew)
+    // re-baseline the drift trigger against the RETRAINED fit, staged
+    // through the same marker: a drift check must never compare live
+    // batches to a retired quantizer's training error
+    cellErrAgg(sample, spark.read.parquet(centNew))
+      .select(when(col("n") > 0, expr("sum_err DIV n")).otherwise(lit(0L))
+          .as("base_err_micros"),
+        col("n").as("n_sample"))
+      .coalesce(1).write.parquet(qbNew)
     val reassigned0 = Similarity.assignToCells(
       spark.read.parquet(cellsPath(root)).select("vec_id", "embedding"),
       spark.read.parquet(centNew), "vec_id", keep = 1)
@@ -360,6 +378,101 @@ object VectorIngest {
     graft.operators.MergeSink.writeAtomic(
       df.repartition(col("list_id")), path, partitionBy = Seq("list_id"))
     (before, countFiles)
+  }
+
+  // ── index health / drift observability ─────────────────────────────
+
+  private def qbasePath(root: String): String = s"$root/qbase"
+
+  /** (n, sum_err) of `df`'s angular quantization error against `cents`:
+    * per vector err_micros = 1e6 − floor(1e6 · best cosine to any
+    * centroid) — the assignment metric the index itself probes by.
+    * Broadcast BNLJ over ≤ kCells rows + one keyed max, O(|df|); the
+    * floored per-row longs sum order-free, so the result is
+    * deterministic under any partitioning. Zero-norm rows are excluded
+    * (no direction, rejected at ingest too). */
+  private def cellErrAgg(df: DataFrame, cents: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("v_norm"))
+      .filter(col("v_norm") > 0)
+      .join(broadcast(cents), expr("true"))
+      .withColumn("c_sim", Similarity.dot(col("embedding"), col("cent")) /
+        (col("v_norm") * col("cent_norm")))
+      .groupBy("vec_id").agg(max("c_sim").as("best"))
+      .agg(count(lit(1)).as("n"),
+        sum(lit(1000000L) - floor(col("best") * 1e6).cast("long"))
+          .as("sum_err"))
+
+  /** One-row health report of the live index — the numbers an operator
+    * watches to schedule [[compactCells]] / [[retrainAndSwap]]:
+    * trained vs used cell counts, vector total, per-cell min/max/mean,
+    * `imbalance_ppm` (max cell over the mean, ppm — 1e6 = perfectly
+    * balanced; a hot cell inflates every probe that hits it), coded
+    * flag, quarantine total. The per-cell counts scan ONLY the
+    * partition column (column-pruned to zero data bytes — parquet
+    * answers it from footers), so the report is metadata-cheap at any
+    * index size. */
+  def indexStats(spark: SparkSession, root: String): DataFrame = {
+    healRetrainSwap(spark, root)
+    graft.operators.MergeSink.healInterruptedSwap(spark, cellsPath(root))
+    val nCells = centroids(spark, root).count()
+    val coded = if (Files.exists(Paths.get(codebookPath(root)))) 1L else 0L
+    val quarDir = s"$root/_quarantine"
+    val nQuar = if (Files.exists(Paths.get(quarDir)))
+      spark.read.parquet(quarDir).count() else 0L
+    val perCell =
+      if (Files.exists(Paths.get(cellsPath(root))))
+        spark.read.parquet(cellsPath(root))
+          .groupBy("list_id").agg(count(lit(1)).as("n"))
+      else {
+        import spark.implicits._
+        spark.emptyDataset[(Long, Long)].toDF("list_id", "n")
+      }
+    perCell.agg(count(lit(1)).as("n_cells_used"),
+        coalesce(sum("n"), lit(0L)).as("n_vectors"),
+        coalesce(min("n"), lit(0L)).as("min_cell"),
+        coalesce(max("n"), lit(0L)).as("max_cell"))
+      .select(lit(nCells).as("n_cells"), col("n_cells_used"),
+        col("n_vectors"), col("min_cell"), col("max_cell"),
+        when(col("n_cells_used") > 0,
+          expr("n_vectors DIV n_cells_used")).otherwise(lit(0L))
+          .as("avg_cell"),
+        when(col("n_vectors") > 0,
+          expr("max_cell * n_cells_used * 1000000 DIV n_vectors"))
+          .otherwise(lit(0L)).as("imbalance_ppm"),
+        lit(coded).as("coded"), lit(nQuar).as("n_quarantined"))
+  }
+
+  /** Quantization-drift check — the RETRAIN TRIGGER for
+    * [[retrainAndSwap]]: compares a batch's mean angular quantization
+    * error against the baseline recorded when the centroids were
+    * trained (`root/qbase`, written by [[trainCentroids]] and restaged
+    * through the retrain swap's commit marker). Under distribution
+    * drift the frozen centroids fit new data worse, probes touch
+    * wronger cells, and (on a coded store) ADC error grows — this
+    * surfaces that as `drift_ppm` = batch error / baseline error,
+    * O(batch) per check, no store scan. `retrain_suggested` = 1 once
+    * the ratio clears `thresholdPpm` (default: batch error 2x the
+    * training fit). An empty / all-malformed batch carries no signal:
+    * null errs, suggestion 0. */
+  def quantizationDrift(spark: SparkSession, root: String, batch: DataFrame,
+                        thresholdPpm: Long = 2000000L): DataFrame = {
+    healRetrainSwap(spark, root)
+    require(Files.exists(Paths.get(qbasePath(root))),
+      s"no quantization baseline under $root/qbase — (re)train the " +
+        "centroids with this round's trainCentroids/retrainAndSwap first")
+    val base = spark.read.parquet(qbasePath(root))
+      .select(col("base_err_micros").as("__base"))
+    cellErrAgg(batch, centroids(spark, root))
+      .crossJoin(broadcast(base))
+      .select(col("n").as("n_batch"),
+        when(col("n") > 0, expr("sum_err DIV n")).as("batch_err_micros"),
+        col("__base").as("base_err_micros"),
+        when(col("n") > 0,
+          expr("(sum_err DIV n) * 1000000 DIV greatest(__base, 1)"))
+          .as("drift_ppm"))
+      .withColumn("retrain_suggested",
+        coalesce((col("drift_ppm") > thresholdPpm).cast("long"), lit(0L)))
   }
 
   /** Top-k cosine neighbors for each query vector, served entirely off

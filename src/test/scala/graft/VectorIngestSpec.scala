@@ -477,4 +477,70 @@ class VectorIngestSpec extends SparkSpec {
     VectorIngest.maintainTopK(spark, topkDir, queries, batches.head, k = 4)
     assert(spark.read.parquet(topkDir).collect().toSet == before)
   }
+
+  test("indexStats: cell balance, quarantine and coded flags off metadata") {
+    val root = tmpDir("vindex_stats")
+    val all = (rows(0 until 6, 0) ++ rows(100 until 104, 1))
+      .toDF("vec_id", "embedding")
+    VectorIngest.trainCentroids(all, root, kCells = 2, iters = 5, dim = 4)
+    // empty store: zeros, never a FileNotFoundException
+    val empty = VectorIngest.indexStats(spark, root).collect().head
+    assert(empty.getAs[Long]("n_cells") == 2L)
+    assert(empty.getAs[Long]("n_vectors") == 0L)
+    assert(empty.getAs[Long]("imbalance_ppm") == 0L)
+    // 10 valid vectors (6 vs 4 per cluster) + 1 malformed (quarantined)
+    val bad = Seq((999L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    assert(VectorIngest.processBatch(all.unionByName(bad), root) == 10L)
+    val st = VectorIngest.indexStats(spark, root).collect().head
+    assert(st.getAs[Long]("n_cells") == 2L)
+    assert(st.getAs[Long]("n_cells_used") == 2L)
+    assert(st.getAs[Long]("n_vectors") == 10L)
+    assert(st.getAs[Long]("min_cell") == 4L)
+    assert(st.getAs[Long]("max_cell") == 6L)
+    assert(st.getAs[Long]("avg_cell") == 5L)
+    // max/avg = 6/5 in ppm
+    assert(st.getAs[Long]("imbalance_ppm") == 1200000L)
+    assert(st.getAs[Long]("coded") == 0L)
+    assert(st.getAs[Long]("n_quarantined") == 1L)
+  }
+
+  test("quantizationDrift: in-distribution batches stay calm, drifted data trips the retrain trigger, a retrain re-baselines") {
+    val root = tmpDir("vindex_drift")
+    val boot = rows(0 until 8, 0).toDF("vec_id", "embedding")
+    VectorIngest.trainCentroids(boot, root, kCells = 2, iters = 5, dim = 4)
+    assert(spark.read.parquet(s"$root/qbase").count() == 1L)
+    // same-distribution batch: error comparable to the training fit
+    val calm = VectorIngest.quantizationDrift(spark, root,
+      rows(8 until 16, 0).toDF("vec_id", "embedding")).collect().head
+    assert(calm.getAs[Long]("n_batch") == 8L)
+    assert(calm.getAs[Long]("retrain_suggested") == 0L)
+    // drifted batch (the OTHER cluster, never seen in training): the
+    // frozen centroids fit it badly — err explodes past the threshold
+    val drifted = rows(100 until 108, 1).toDF("vec_id", "embedding")
+    val hot = VectorIngest.quantizationDrift(spark, root, drifted)
+      .collect().head
+    assert(hot.getAs[Long]("batch_err_micros") >
+      calm.getAs[Long]("batch_err_micros"))
+    assert(hot.getAs[Long]("retrain_suggested") == 1L)
+    // empty / all-malformed batch: no signal, never a suggestion
+    val none = VectorIngest.quantizationDrift(spark, root,
+      Seq((1L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
+      .collect().head
+    assert(none.getAs[Long]("n_batch") == 0L)
+    assert(none.isNullAt(none.fieldIndex("drift_ppm")))
+    assert(none.getAs[Long]("retrain_suggested") == 0L)
+    // act on the trigger: index the drifted data, retrain on a sample
+    // covering both clusters — the staged qbase commits with the swap
+    // and the same drifted batch now reads calm
+    assert(VectorIngest.processBatch(boot.unionByName(drifted), root) == 16L)
+    VectorIngest.retrainAndSwap(spark, root,
+      boot.unionByName(drifted), kCells = 2, iters = 5, dim = 4)
+    val after = VectorIngest.quantizationDrift(spark, root, drifted)
+      .collect().head
+    assert(after.getAs[Long]("batch_err_micros") <
+      hot.getAs[Long]("batch_err_micros"))
+    assert(after.getAs[Long]("retrain_suggested") == 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/qbase__new")))
+  }
 }
