@@ -1332,6 +1332,46 @@ object LlmQueries {
       Similarity.lateInteractionTopK(cemb,
           cemb.filter(col("doc_id") < 8), k = 5)
         .orderBy("query_id", "rnk")
+    },
+
+    // Quantization-drift report — the vector store's retrain trigger
+    // (VectorIngest.quantizationDrift) value-checked end to end via its
+    // pure form: 16 deterministic centroids (q42's discipline), per-
+    // vector angular err = 1e6 − floor(1e6·best cosine), integer-DIV
+    // means for the train ("baseline") and batch legs, ppm ratio with a
+    // greatest() zero-guard, threshold verdict. The oracle replays the
+    // identical double fold and every integer step.
+    Q("q164_quantization_drift",
+      s"""WITH v AS (SELECT vec_id, embedding,
+        |        sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        |       FROM embeddings),
+        | cents AS (SELECT embedding AS cent, nrm AS cn
+        |           FROM v WHERE vec_id < 16 AND nrm > 0),
+        | best AS (SELECT v.vec_id,
+        |           max(${dotSql("v.embedding", "c.cent")} / (v.nrm * c.cn)) AS best
+        |          FROM v CROSS JOIN cents c WHERE v.nrm > 0 GROUP BY v.vec_id),
+        | err AS (SELECT vec_id,
+        |          1000000 - CAST(floor(best * 1000000) AS BIGINT) AS e
+        |         FROM best),
+        | tr AS (SELECT sum(e) // count(*) AS base FROM err),
+        | ba AS (SELECT count(*) AS n, sum(e) // count(*) AS berr
+        |        FROM err WHERE vec_id % 5 = 0)
+        |SELECT CAST(ba.n AS BIGINT) AS n_batch,
+        | CAST(ba.berr AS BIGINT) AS batch_err_micros,
+        | CAST(tr.base AS BIGINT) AS base_err_micros,
+        | CAST(ba.berr * 1000000 // greatest(tr.base, 1) AS BIGINT) AS drift_ppm,
+        | CAST(CASE WHEN ba.berr * 1000000 // greatest(tr.base, 1) > 2000000
+        |      THEN 1 ELSE 0 END AS BIGINT) AS retrain_suggested
+        |FROM ba CROSS JOIN tr""".stripMargin
+    ) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("embedding").as("cent"),
+          Similarity.norm(col("embedding")).as("cent_norm"))
+        .filter(col("cent_norm") > 0)
+      graft.streaming.VectorIngest.driftReport(
+        batch = emb.filter(col("vec_id") % 5 === 0),
+        train = emb, cents = cents)
     }
   )
 }

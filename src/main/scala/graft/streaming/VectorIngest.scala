@@ -461,10 +461,30 @@ object VectorIngest {
     require(Files.exists(Paths.get(qbasePath(root))),
       s"no quantization baseline under $root/qbase — (re)train the " +
         "centroids with this round's trainCentroids/retrainAndSwap first")
-    val base = spark.read.parquet(qbasePath(root))
-      .select(col("base_err_micros").as("__base"))
-    cellErrAgg(batch, centroids(spark, root))
-      .crossJoin(broadcast(base))
+    driftFrom(
+      cellErrAgg(batch, centroids(spark, root)),
+      spark.read.parquet(qbasePath(root))
+        .select(col("base_err_micros").as("__base")),
+      thresholdPpm)
+  }
+
+  /** Pure form of [[quantizationDrift]] — explicit centroids and an
+    * explicit train set instead of a store: the oracle-checkable core
+    * (q164 replays the whole integer pipeline — floored angular errs,
+    * DIV means, the ppm ratio — against DuckDB). The store-based form
+    * is this with the train leg precomputed into `root/qbase`. */
+  def driftReport(batch: DataFrame, train: DataFrame, cents: DataFrame,
+                  thresholdPpm: Long = 2000000L): DataFrame =
+    driftFrom(
+      cellErrAgg(batch, cents),
+      cellErrAgg(train, cents)
+        .select(when(col("n") > 0, expr("sum_err DIV n")).otherwise(lit(0L))
+          .as("__base")),
+      thresholdPpm)
+
+  private def driftFrom(batchAgg: DataFrame, base: DataFrame,
+                        thresholdPpm: Long): DataFrame =
+    batchAgg.crossJoin(broadcast(base))
       .select(col("n").as("n_batch"),
         when(col("n") > 0, expr("sum_err DIV n")).as("batch_err_micros"),
         col("__base").as("base_err_micros"),
@@ -473,7 +493,6 @@ object VectorIngest {
           .as("drift_ppm"))
       .withColumn("retrain_suggested",
         coalesce((col("drift_ppm") > thresholdPpm).cast("long"), lit(0L)))
-  }
 
   /** Top-k cosine neighbors for each query vector, served entirely off
     * the index: queries assign to their `nProbe` nearest frozen
