@@ -718,11 +718,34 @@ object VectorIngest {
   /** Structured Streaming driver: fold a stream of embeddings into the
     * index. Centroids must already be trained. */
   def start(spark: SparkSession, stream: DataFrame, root: String,
-            checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+            checkpoint: String, driftDir: Option[String] = None,
+            driftThresholdPpm: Long = 2000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        processBatch(batch, root, id); ()
+        processBatch(batch, root, id)
+        driftDir.foreach(d =>
+          recordDrift(spark, root, batch, d, id, driftThresholdPpm))
+        ()
       }
       .start()
+
+  /** Continuous drift monitoring riding the ingest loop: one
+    * [[quantizationDrift]] verdict row per micro-batch appended under
+    * `monitorDir/batch_id=N` — per-batch subdir OVERWRITE, so an
+    * at-least-once replay rewrites the same row instead of
+    * double-counting. The monitor table is what an operator (or a
+    * maintenance cron) reads to schedule [[retrainAndSwap]]: a run of
+    * `retrain_suggested = 1` rows is the signal, and because each check
+    * is O(batch) the monitoring cost scales with the stream, never the
+    * index. Measured on the RAW batch (pre-guard), so a replayed batch
+    * still reports — drift is a property of what ARRIVES, not of what
+    * was admitted. */
+  def recordDrift(spark: SparkSession, root: String, batch: DataFrame,
+                  monitorDir: String, batchId: Long,
+                  thresholdPpm: Long = 2000000L): Unit =
+    quantizationDrift(spark, root, batch, thresholdPpm)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$monitorDir/batch_id=$batchId")
 }

@@ -543,4 +543,21 @@ class VectorIngestSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$root/qbase__new")))
   }
+
+  test("recordDrift: one monitor row per batch, replays overwrite instead of double-counting") {
+    val root = tmpDir("vindex_mon")
+    val mon = tmpDir("vindex_mon_tbl")
+    VectorIngest.trainCentroids(rows(0 until 8, 0).toDF("vec_id", "embedding"),
+      root, kCells = 2, iters = 5, dim = 4)
+    val calm = rows(8 until 12, 0).toDF("vec_id", "embedding")
+    val hot = rows(100 until 104, 1).toDF("vec_id", "embedding")
+    VectorIngest.recordDrift(spark, root, calm, mon, batchId = 0L)
+    VectorIngest.recordDrift(spark, root, hot, mon, batchId = 1L)
+    // an at-least-once redelivery of batch 1 rewrites its subdir
+    VectorIngest.recordDrift(spark, root, hot, mon, batchId = 1L)
+    val rowsOut = spark.read.parquet(mon)
+      .select("batch_id", "retrain_suggested")
+      .as[(Long, Long)].collect().sorted
+    assert(rowsOut.toSeq == Seq((0L, 0L), (1L, 1L)))
+  }
 }
