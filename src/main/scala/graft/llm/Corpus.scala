@@ -881,6 +881,60 @@ object Corpus {
       .select("doc_id", groupCol, "n_docs", "mean_chars", "dup_ppm", "src_kept")
   }
 
+  /** CCNet-style per-source quality tiers (Wenzek et al. 2020 §4.4:
+    * per-LANGUAGE perplexity terciles — each domain judged against its
+    * OWN score distribution, because a fixed global cut keeps only the
+    * easy languages/domains and guts the rest): every doc gets its
+    * within-source rank over `scores` (higher score = better, doc_id
+    * tiebreak), the rank's position as exact ppm, and a
+    * head/middle/tail label at the caller's cut points. A source with
+    * one doc ranks 0 ppm = head.
+    *
+    * Shape: one shuffle on the source key + a within-source sort — the
+    * EXACT form, right for calibration runs and the oracle. At 100 TB
+    * with a handful of sources the per-source sort is the skew
+    * bottleneck; the serving path is [[tiersFromThresholds]]: derive
+    * per-source SCORE cutoffs once (from this form on a sample, or
+    * from [[graft.operators.IncrementalAgg.quantilesFromState]]'s
+    * maintained histograms), then label with a broadcast join + narrow
+    * CASE — no sort anywhere near the corpus. */
+  def perSourceTiers(docs: DataFrame, scores: DataFrame,
+                     keyCol: String = "source",
+                     headPpm: Long = 300000L,
+                     midPpm: Long = 650000L): DataFrame = {
+    val j = scores.select("doc_id", "score_ppm")
+      .join(docs.select(col("doc_id"), col(keyCol)), "doc_id")
+    val byScore = Window.partitionBy(keyCol)
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    j.withColumn("rnk", row_number().over(byScore).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(keyCol)))
+      .withColumn("rank_ppm", expr("(rnk - 1) * 1000000 DIV n_src"))
+      .withColumn("tier", when(col("rank_ppm") < headPpm, "head")
+        .when(col("rank_ppm") < midPpm, "middle").otherwise("tail"))
+      .select("doc_id", keyCol, "score_ppm", "rnk", "n_src", "rank_ppm", "tier")
+  }
+
+  /** [[perSourceTiers]]'s serving form: label against PRECOMPUTED
+    * per-source score cutoffs — `thresholds` rows are (key,
+    * head_min, mid_min) with tier = head when score_ppm ≥ head_min,
+    * middle when ≥ mid_min, else tail. Broadcast join + narrow CASE:
+    * no sort, no skew, scan-bound — cutoffs move to a calibration
+    * pass that runs on a sample or off maintained histogram state.
+    * Equals the exact form whenever the cutoffs are the exact tier
+    * boundaries and no tie straddles one (a tie ACROSS a rank cut is
+    * unresolvable by score alone — rank forms split it arbitrarily,
+    * threshold forms keep the whole tie on one side). */
+  def tiersFromThresholds(docs: DataFrame, scores: DataFrame,
+                          thresholds: DataFrame,
+                          keyCol: String = "source"): DataFrame =
+    scores.select("doc_id", "score_ppm")
+      .join(docs.select(col("doc_id"), col(keyCol)), "doc_id")
+      .join(broadcast(thresholds), Seq(keyCol))
+      .withColumn("tier", when(col("score_ppm") >= col("head_min"), "head")
+        .when(col("score_ppm") >= col("mid_min"), "middle")
+        .otherwise("tail"))
+      .select("doc_id", keyCol, "score_ppm", "tier")
+
   /** Corpus COMPOSITION REPORT — the "data card" table every corpus
     * release publishes (The Pile / ROOTS / Dolma composition tables):
     * per (source, language): document count, token count, and the

@@ -1372,6 +1372,39 @@ object LlmQueries {
       graft.streaming.VectorIngest.driftReport(
         batch = emb.filter(col("vec_id") % 5 === 0),
         train = emb, cents = cents)
+    },
+
+    // CCNet per-source quality tiers (Wenzek et al. §4.4): every doc's
+    // within-source rank over the q94 bigram-LM score (desc, doc_id
+    // tiebreak), exact rank ppm, head/middle/tail at 30%/65%. The
+    // oracle retrains the same LM counts and replays rank + division.
+    Q("q165_source_tiers",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | bg AS (SELECT doc_id, s.w1 AS w1, s.gram AS gram
+        |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |            i -> {'w1': l[i], 'gram': l[i] || ' ' || l[i+1]})) AS s
+        |          FROM t WHERE len(l) >= 2)),
+        | cb AS (SELECT gram, count(*) AS cb FROM bg GROUP BY 1),
+        | cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+        | terms AS (SELECT b.doc_id, (cb.cb * 1000000) // cu.cu AS term
+        |           FROM bg b JOIN cb USING (gram) JOIN cu USING (w1)),
+        | scores AS (SELECT doc_id, CAST(sum(term) // count(*) AS BIGINT) AS score_ppm
+        |            FROM terms GROUP BY doc_id),
+        | r AS (SELECT s.doc_id, d.source, s.score_ppm,
+        |        CAST(row_number() OVER (PARTITION BY d.source
+        |          ORDER BY s.score_ppm DESC, s.doc_id) AS BIGINT) AS rnk,
+        |        CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT) AS n_src
+        |       FROM scores s JOIN documents d USING (doc_id))
+        |SELECT doc_id, source, score_ppm, rnk, n_src,
+        | CAST((rnk - 1) * 1000000 // n_src AS BIGINT) AS rank_ppm,
+        | CASE WHEN (rnk - 1) * 1000000 // n_src < 300000 THEN 'head'
+        |      WHEN (rnk - 1) * 1000000 // n_src < 650000 THEN 'middle'
+        |      ELSE 'tail' END AS tier
+        |FROM r ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Corpus.perSourceTiers(docs, TextAnalysis.bigramLmScore(docs))
+        .orderBy("doc_id")
     }
   )
 }

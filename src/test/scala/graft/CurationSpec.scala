@@ -531,4 +531,32 @@ class CurationSpec extends SparkSpec {
       .orderBy("benchmark").as[(String, Long, Long, Long)].collect()
     assert(zero(0) == (("bench_empty", 0L, 0L, 0L)))
   }
+
+  test("perSourceTiers: within-source ranks, singleton sources rank head; threshold form equals the exact form off derived cutoffs") {
+    import graft.llm.Corpus
+    // src_a: 4 tie-free scores -> ranks 1..4 at 0/250k/500k/750k ppm =
+    // head/head/middle/tail at the 30%/65% cuts; src_b: a singleton
+    val docs = Seq((1L, "src_a"), (2L, "src_a"), (3L, "src_a"),
+      (4L, "src_a"), (5L, "src_b")).toDF("doc_id", "source")
+    val scores = Seq((1L, 900L), (2L, 700L), (3L, 500L), (4L, 300L),
+      (5L, 42L)).toDF("doc_id", "score_ppm")
+    val exact = Corpus.perSourceTiers(docs, scores)
+    val got = exact.select("doc_id", "tier").as[(Long, String)]
+      .collect().toMap
+    assert(got == Map(1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "tail", 5L -> "head"))
+    // rank_ppm arithmetic: (rnk-1)*1e6 DIV n
+    assert(exact.filter($"doc_id" === 3L).select("rank_ppm")
+      .as[Long].head() == 500000L)
+    // the serving form: cutoffs = the exact form's per-source minimum
+    // score of each tier (tie-free data, so the boundaries are clean)
+    val thr = exact.groupBy("source").agg(
+      coalesce(min(when($"tier" === "head", $"score_ppm")), lit(Long.MaxValue))
+        .as("head_min"),
+      coalesce(min(when($"tier" =!= "tail", $"score_ppm")), lit(Long.MaxValue))
+        .as("mid_min"))
+    val served = Corpus.tiersFromThresholds(docs, scores, thr)
+      .select("doc_id", "tier").as[(Long, String)].collect().toMap
+    assert(served == got)
+  }
 }
