@@ -357,4 +357,44 @@ class PlanShapeSpec extends SparkSpec {
       !p160.contains("BroadcastNestedLoopJoin"),
       s"q160 lost its keyed join-back shape")
   }
+
+  test("indexStats' per-cell counts read zero data columns off the cell store") {
+    // the "metadata-cheap at any index size" claim made concrete: the
+    // cell-store scan in the stats plan must project NO data columns —
+    // list_id is the partition key, so ReadSchema is the empty struct
+    // and parquet answers the count from footers alone
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = tmpDir("stats_prune")
+    val emb = (0L until 32L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 2.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.streaming.VectorIngest.trainCentroids(emb, root, kCells = 2, iters = 2, dim = 8)
+    graft.streaming.VectorIngest.processBatch(emb, root)
+    val st = graft.streaming.VectorIngest.indexStats(spark, root)
+    val plan = st.queryExecution.executedPlan.toString
+    val cellScans = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(cellScans.contains("ReadSchema: struct<>"),
+      s"stats scan reads data columns: $cellScans")
+    assert(st.select("n_vectors").as[Long].head() == 32L)
+  }
+
+  test("tiersFromThresholds plans no sort and no window near the corpus") {
+    // the serving-form claim: per-source cutoffs broadcast into a
+    // narrow CASE — a Sort or Window in this plan means the exact
+    // form's skew bottleneck leaked into the 100 TB path
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    val scores = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("doc_id", "score_ppm")
+    val thr = Seq(("a", 15L, 5L), ("b", 40L, 20L))
+      .toDF("source", "head_min", "mid_min")
+    val served = graft.llm.Corpus.tiersFromThresholds(docs, scores, thr)
+    val p = served.queryExecution.executedPlan.toString
+    assert(!p.contains("Sort") && !p.contains("Window"),
+      s"serving form plans a sort/window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "threshold lookup is not a broadcast join")
+  }
 }
