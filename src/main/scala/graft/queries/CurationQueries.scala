@@ -1114,6 +1114,59 @@ object CurationQueries {
         Corpus.contaminationState(parts(1), benches, k = 5))
       Corpus.matrixFromState(withReplay, Seq("holdout_a", "holdout_b"))
         .orderBy("benchmark")
+    },
+
+    // Maintained per-source tier thresholds (round 10): the q165 tier
+    // SERVING path end to end off mergeable state — per-source score
+    // histograms fold across two batches (the q96 machinery), the
+    // 750/500-permille upper edges become (head_min, mid_min), and
+    // tiersFromThresholds labels the corpus with a broadcast CASE.
+    // The oracle computes the one-shot histogram + quantile + label —
+    // so the Spark-side two-batch FOLD is proven equal to one-shot,
+    // the maintained-state claim, by the hash itself.
+    Q("q166_maintained_tiers",
+      """WITH s AS (SELECT doc_id, source,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS score_ppm
+        |       FROM documents),
+        | h AS (SELECT source, score_ppm // 4 AS bucket, count(*) AS n
+        |       FROM s GROUP BY 1, 2),
+        | c AS (SELECT source, bucket,
+        |         CAST(sum(n) OVER (PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum,
+        |         CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_total
+        |       FROM h),
+        | qq AS (SELECT unnest([750, 500]) AS q),
+        | thr0 AS (SELECT source, qq.q AS q, min((bucket + 1) * 4 - 1) AS est
+        |          FROM c CROSS JOIN qq WHERE cum * 1000 >= n_total * qq.q
+        |          GROUP BY 1, 2),
+        | thr AS (SELECT source,
+        |          max(CASE WHEN q = 750 THEN est END) AS head_min,
+        |          max(CASE WHEN q = 500 THEN est END) AS mid_min
+        |         FROM thr0 GROUP BY 1)
+        |SELECT s.doc_id, s.source, s.score_ppm,
+        | CASE WHEN s.score_ppm >= t.head_min THEN 'head'
+        |      WHEN s.score_ppm >= t.mid_min THEN 'middle'
+        |      ELSE 'tail' END AS tier
+        |FROM s JOIN thr t USING (source) ORDER BY s.doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.IncrementalAgg
+      val docs = Tables(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("score_ppm"))
+      val keys = Seq("source")
+      val folded = IncrementalAgg.mergeHistogram(keys,
+        IncrementalAgg.histogramState(
+          scored.filter(col("doc_id") % 2 === 0), keys, "score_ppm", 4L),
+        IncrementalAgg.histogramState(
+          scored.filter(col("doc_id") % 2 =!= 0), keys, "score_ppm", 4L))
+      val thr = IncrementalAgg.quantilesFromState(folded, keys, 4L,
+          Seq(750, 500))
+        .groupBy("source").agg(
+          max(when(col("quantile_permille") === 750, col("est_upper")))
+            .as("head_min"),
+          max(when(col("quantile_permille") === 500, col("est_upper")))
+            .as("mid_min"))
+      graft.llm.Corpus.tiersFromThresholds(docs, scored, thr)
+        .orderBy("doc_id")
     }
   )
 }
