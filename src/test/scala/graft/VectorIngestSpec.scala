@@ -544,6 +544,38 @@ class VectorIngestSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$root/qbase__new")))
   }
 
+  test("streaming start: checkpointed file-drop folds batches across a restart; drift monitor rows ride along") {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("vstream"); val cp = tmpDir("vstream_cp")
+    val in = tmpDir("vstream_in"); val mon = tmpDir("vstream_mon")
+    val all = rows(0 until 8, 0) ++ rows(100 until 108, 1)
+    VectorIngest.trainCentroids(all.toDF("vec_id", "embedding"), root,
+      kCells = 2, iters = 5, dim = 4)
+    def drop(name: String, rs: Seq[(Long, Array[Float])]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$in/$name"),
+        rs.map { case (id, e) =>
+          s"""{"vec_id":$id,"embedding":[${e.mkString(",")}]}"""
+        }.mkString("\n"))
+    def mkStream = spark.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .json(in)
+    drop("a.jsonl", all.take(8))
+    val q1 = VectorIngest.start(spark, mkStream, root, cp, driftDir = Some(mon))
+    try q1.processAllAvailable() finally q1.stop()
+    drop("b.jsonl", all.drop(8))
+    // restart from the checkpoint: a.jsonl must not re-fold
+    val q2 = VectorIngest.start(spark, mkStream, root, cp, driftDir = Some(mon))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$root/cells")
+      .select("vec_id").distinct().count() == 16L)
+    // one monitor row per checkpointed batch, measured on what arrived
+    val m = spark.read.parquet(mon).select("batch_id", "n_batch")
+      .as[(Long, Long)].collect().toSet
+    assert(m == Set((0L, 8L), (1L, 8L)))
+  }
+
   test("recordDrift: one monitor row per batch, replays overwrite instead of double-counting") {
     val root = tmpDir("vindex_mon")
     val mon = tmpDir("vindex_mon_tbl")
