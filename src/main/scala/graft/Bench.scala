@@ -38,6 +38,12 @@ import scala.collection.mutable
   */
 object Bench {
 
+  /** Newest prior-bench artifact by NUMERIC round (pure; spec-tested):
+    * lexicographic picks BENCH_r9 over BENCH_r10 once padding slips. */
+  private[graft] def newestPrior(names: Seq[String]): Option[String] =
+    names.filter(_.matches("BENCH_r\\d+\\.json"))
+      .sortBy(_.replaceAll("\\D", "").toInt).lastOption
+
   /** Extract the per-query seconds map from a prior round's bench
     * artifact (either the raw one-line JSON or the driver's wrapper,
     * whose "tail" field carries the line with escaped quotes). Takes
@@ -47,12 +53,6 @@ object Bench {
     * by-shape salvage of intact `"qNN":secs` pairs (partial prior >
     * disarmed gate). Forgiving by design: genuinely malformed input →
     * empty map → the regression gate silently disarms. */
-  /** Newest prior-bench artifact by NUMERIC round (pure; spec-tested):
-    * lexicographic picks BENCH_r9 over BENCH_r10 once padding slips. */
-  private[graft] def newestPrior(names: Seq[String]): Option[String] =
-    names.filter(_.matches("BENCH_r\\d+\\.json"))
-      .sortBy(_.replaceAll("\\D", "").toInt).lastOption
-
   private[graft] def parsePriorQueries(text: String): Map[String, Double] = {
     val t = text.replace("\\\"", "\"")
     val marker = "\"queries\":{"
@@ -370,7 +370,21 @@ object Bench {
       .flatMap(p => scala.util.Try(new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
         java.nio.charset.StandardCharsets.UTF_8)).toOption)
-    val prior = priorText.map(parsePriorQueries).getOrElse(Map.empty)
+    // the driver artifact's truncation can leave the gate covering only
+    // the BACK of the map (salvage) or nothing; the prior round's
+    // committed BENCH_LOCAL.json is the COMPLETE line — read BEFORE
+    // this run's emit overwrites it — so let it fill the keys the
+    // artifact lost. Artifact keys win on conflict; the local line is
+    // trusted only at THIS run's SF (a dev subset run at another scale
+    // must not arm the gate with incomparable numbers).
+    val localPrior: Map[String, Double] =
+      scala.util.Try(new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_LOCAL.json")),
+        java.nio.charset.StandardCharsets.UTF_8)).toOption
+        .filter(_.contains(s""""sf":"$sfDir""""))
+        .map(parsePriorQueries).getOrElse(Map.empty)
+    val prior = localPrior ++ priorText.map(parsePriorQueries).getOrElse(Map.empty)
     if (prior.nonEmpty) {
       def mins: Map[String, Double] = inventory.flatMap(q =>
         if (best.containsKey(q.name))

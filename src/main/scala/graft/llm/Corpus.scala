@@ -923,14 +923,25 @@ object Corpus {
     * Equals the exact form whenever the cutoffs are the exact tier
     * boundaries and no tie straddles one (a tie ACROSS a rank cut is
     * unresolvable by score alone — rank forms split it arbitrarily,
-    * threshold forms keep the whole tie on one side). */
+    * threshold forms keep the whole tie on one side).
+    *
+    * A source with NO cutoff row (it appeared after calibration) is
+    * labeled `defaultTier` ('uncalibrated') — never silently dropped:
+    * an inner join here would make a new source vanish from the
+    * labeled corpus with no signal, the worst failure mode a serving
+    * path can have. Callers route 'uncalibrated' to the next
+    * calibration pass (or gate on it). */
   def tiersFromThresholds(docs: DataFrame, scores: DataFrame,
                           thresholds: DataFrame,
-                          keyCol: String = "source"): DataFrame =
+                          keyCol: String = "source",
+                          defaultTier: String = "uncalibrated"): DataFrame =
     scores.select("doc_id", "score_ppm")
       .join(docs.select(col("doc_id"), col(keyCol)), "doc_id")
-      .join(broadcast(thresholds), Seq(keyCol))
-      .withColumn("tier", when(col("score_ppm") >= col("head_min"), "head")
+      .join(broadcast(thresholds), Seq(keyCol), "left")
+      .withColumn("tier",
+        when(col("head_min").isNull && col("mid_min").isNull,
+          lit(defaultTier))
+        .when(col("score_ppm") >= col("head_min"), "head")
         .when(col("score_ppm") >= col("mid_min"), "middle")
         .otherwise("tail"))
       .select("doc_id", keyCol, "score_ppm", "tier")

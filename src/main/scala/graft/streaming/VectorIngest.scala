@@ -54,10 +54,7 @@ object VectorIngest {
     // quantization baseline for [[quantizationDrift]]: how well these
     // centroids fit the data they were trained on — the reference the
     // retrain trigger compares live batches against
-    cellErrAgg(sample, centDf)
-      .select(when(col("n") > 0, expr("sum_err DIV n")).otherwise(lit(0L))
-          .as("base_err_micros"),
-        col("n").as("n_sample"))
+    qbaseRows(sample, centDf)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(qbasePath(root))
     dimCache.put(root, dim)
   }
@@ -141,10 +138,7 @@ object VectorIngest {
     // re-baseline the drift trigger against the RETRAINED fit, staged
     // through the same marker: a drift check must never compare live
     // batches to a retired quantizer's training error
-    cellErrAgg(sample, spark.read.parquet(centNew))
-      .select(when(col("n") > 0, expr("sum_err DIV n")).otherwise(lit(0L))
-          .as("base_err_micros"),
-        col("n").as("n_sample"))
+    qbaseRows(sample, spark.read.parquet(centNew))
       .coalesce(1).write.parquet(qbNew)
     val reassigned0 = Similarity.assignToCells(
       spark.read.parquet(cellsPath(root)).select("vec_id", "embedding"),
@@ -389,19 +383,35 @@ object VectorIngest {
     * centroid) — the assignment metric the index itself probes by.
     * Broadcast BNLJ over ≤ kCells rows + one keyed max, O(|df|); the
     * floored per-row longs sum order-free, so the result is
-    * deterministic under any partitioning. Zero-norm rows are excluded
-    * (no direction, rejected at ingest too). */
+    * deterministic under any partitioning. Malformed rows are excluded
+    * exactly as ingest rejects them — null id, null/zero-norm
+    * embedding, AND wrong dimension (the per-row size-vs-cent check:
+    * without it a model-version switch scores silently
+    * length-truncated dot products and fires a pointless retrain on a
+    * batch ingest fully quarantines). */
   private def cellErrAgg(df: DataFrame, cents: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("v_norm"))
-      .filter(col("v_norm") > 0)
+      .filter(col("vec_id").isNotNull && col("v_norm") > 0)
       .join(broadcast(cents), expr("true"))
+      .filter(size(col("embedding")) === size(col("cent")))
       .withColumn("c_sim", Similarity.dot(col("embedding"), col("cent")) /
         (col("v_norm") * col("cent_norm")))
       .groupBy("vec_id").agg(max("c_sim").as("best"))
       .agg(count(lit(1)).as("n"),
         sum(lit(1000000L) - floor(col("best") * 1e6).cast("long"))
           .as("sum_err"))
+
+  /** The one definition of the drift baseline — (base_err_micros,
+    * n_sample) of `sample` against `cents` — shared by
+    * [[trainCentroids]], [[retrainAndSwap]] and [[driftReport]] so the
+    * store-based trigger can never desynchronize from the
+    * oracle-proven pure form (q164). */
+  private def qbaseRows(sample: DataFrame, cents: DataFrame): DataFrame =
+    cellErrAgg(sample, cents)
+      .select(when(col("n") > 0, expr("sum_err DIV n")).otherwise(lit(0L))
+          .as("base_err_micros"),
+        col("n").as("n_sample"))
 
   /** One-row health report of the live index — the numbers an operator
     * watches to schedule [[compactCells]] / [[retrainAndSwap]]:
@@ -436,11 +446,17 @@ object VectorIngest {
         col("n_vectors"), col("min_cell"), col("max_cell"),
         when(col("n_cells_used") > 0,
           expr("n_vectors DIV n_cells_used")).otherwise(lit(0L))
-          .as("avg_cell"),
+          .as("avg_cell"))
+      // max/avg, NOT max·used·1e6/total: the latter's intermediate
+      // wraps Long past ~9e12 max-cell·used products — a negative
+      // "better than balanced" on exactly the pathological index this
+      // metric exists to flag. avg ≥ 1 whenever any cell is used.
+      .withColumn("imbalance_ppm",
         when(col("n_vectors") > 0,
-          expr("max_cell * n_cells_used * 1000000 DIV n_vectors"))
-          .otherwise(lit(0L)).as("imbalance_ppm"),
-        lit(coded).as("coded"), lit(nQuar).as("n_quarantined"))
+          expr("max_cell * 1000000 DIV greatest(avg_cell, 1)"))
+          .otherwise(lit(0L)))
+      .withColumn("coded", lit(coded))
+      .withColumn("n_quarantined", lit(nQuar))
   }
 
   /** Quantization-drift check — the RETRAIN TRIGGER for
@@ -477,9 +493,7 @@ object VectorIngest {
                   thresholdPpm: Long = 2000000L): DataFrame =
     driftFrom(
       cellErrAgg(batch, cents),
-      cellErrAgg(train, cents)
-        .select(when(col("n") > 0, expr("sum_err DIV n")).otherwise(lit(0L))
-          .as("__base")),
+      qbaseRows(train, cents).select(col("base_err_micros").as("__base")),
       thresholdPpm)
 
   private def driftFrom(batchAgg: DataFrame, base: DataFrame,
@@ -744,8 +758,17 @@ object VectorIngest {
     * was admitted. */
   def recordDrift(spark: SparkSession, root: String, batch: DataFrame,
                   monitorDir: String, batchId: Long,
-                  thresholdPpm: Long = 2000000L): Unit =
-    quantizationDrift(spark, root, batch, thresholdPpm)
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$monitorDir/batch_id=$batchId")
+                  thresholdPpm: Long = 2000000L): Unit = {
+    // a MONITOR must never kill the ingest it watches: a store trained
+    // before baselines existed has no qbase, and quantizationDrift's
+    // require would throw inside foreachBatch on every batch — a
+    // crash-loop bought by turning monitoring ON. Skip (the next
+    // retrainAndSwap records a baseline and checks resume); the direct
+    // quantizationDrift call keeps its loud require for explicit use.
+    healRetrainSwap(spark, root)
+    if (Files.exists(Paths.get(qbasePath(root))))
+      quantizationDrift(spark, root, batch, thresholdPpm)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$monitorDir/batch_id=$batchId")
+  }
 }

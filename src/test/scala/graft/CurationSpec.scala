@@ -558,5 +558,13 @@ class CurationSpec extends SparkSpec {
     val served = Corpus.tiersFromThresholds(docs, scores, thr)
       .select("doc_id", "tier").as[(Long, String)].collect().toMap
     assert(served == got)
+    // a source that appeared AFTER calibration must surface as
+    // 'uncalibrated', never silently vanish from the labeled corpus
+    val grown = docs.unionByName(Seq((9L, "src_new")).toDF("doc_id", "source"))
+    val grownScores = scores.unionByName(
+      Seq((9L, 123L)).toDF("doc_id", "score_ppm"))
+    val late = Corpus.tiersFromThresholds(grown, grownScores, thr)
+      .select("doc_id", "tier").as[(Long, String)].collect().toMap
+    assert(late(9L) == "uncalibrated" && late.size == 6)
   }
 }

@@ -522,9 +522,12 @@ class VectorIngestSpec extends SparkSpec {
     assert(hot.getAs[Long]("batch_err_micros") >
       calm.getAs[Long]("batch_err_micros"))
     assert(hot.getAs[Long]("retrain_suggested") == 1L)
-    // empty / all-malformed batch: no signal, never a suggestion
+    // empty / all-malformed batch: no signal, never a suggestion —
+    // wrong-DIM rows excluded too (a model-version switch must not
+    // score length-truncated dots and fire a pointless retrain)
     val none = VectorIngest.quantizationDrift(spark, root,
-      Seq((1L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
+      Seq((1L, Array(0f, 0f, 0f, 0f)), (2L, Array(1f, 2f)))
+        .toDF("vec_id", "embedding"))
       .collect().head
     assert(none.getAs[Long]("n_batch") == 0L)
     assert(none.isNullAt(none.fieldIndex("drift_ppm")))
@@ -591,5 +594,17 @@ class VectorIngestSpec extends SparkSpec {
       .select("batch_id", "retrain_suggested")
       .as[(Long, Long)].collect().sorted
     assert(rowsOut.toSeq == Seq((0L, 0L), (1L, 1L)))
+    // a store trained before baselines existed (no qbase): the monitor
+    // must SKIP, never throw — a crash-looping ingest bought by turning
+    // monitoring on is worse than no monitor
+    val preQbase = tmpDir("vindex_mon_old")
+    VectorIngest.trainCentroids(rows(0 until 8, 0).toDF("vec_id", "embedding"),
+      preQbase, kCells = 2, iters = 3, dim = 4)
+    val qb = new java.io.File(s"$preQbase/qbase")
+    qb.listFiles().foreach(_.delete()); qb.delete()
+    val mon2 = tmpDir("vindex_mon_old_tbl")
+    VectorIngest.recordDrift(spark, preQbase, calm, mon2, batchId = 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$mon2/batch_id=0")))
   }
 }
