@@ -621,6 +621,43 @@ object Corpus {
       .drop("__rnd")
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    * denoising-objective TRAINING-PAIR constructor: tokens partition
+    * into fixed `blockLen` blocks, a deterministic integer hash masks
+    * ~1/`rateMod` of them, the input replaces each masked block with an
+    * ordinal sentinel (`<extra_id_k>`, T5's convention) and the target
+    * is the sentinel-delimited concatenation of exactly the masked
+    * spans. Deterministic by construction — (doc_id, block) decides the
+    * mask, so the same corpus yields the same pairs on any cluster, any
+    * partitioning, and the whole constructor is SQL-replayable (q168)
+    * where a rand()-based masker could never be.
+    *
+    * Shape at 100 TB: narrow per-row array expressions, no shuffle, no
+    * UDF — pair construction runs at scan speed and composes downstream
+    * of the curation/packing stages (q64/q79). */
+  def spanCorruptionPairs(docs: DataFrame, blockLen: Int = 8,
+                          rateMod: Int = 5): DataFrame = {
+    val sent =
+      "concat('<extra_id_', CAST(array_position(mb, b) - 1 AS STRING), '>')"
+    docs.select(col("doc_id"), words(col("text")).as("l"))
+      .withColumn("n_blocks",
+        expr(s"CAST((size(l) + ${blockLen - 1}) DIV $blockLen AS BIGINT)"))
+      .withColumn("mb", expr(
+        s"filter(sequence(0, n_blocks - 1), b -> " +
+          s"((doc_id * 1021 + b * 2039 + 17) * 2654435761 " +
+          s"% 1000000007) % $rateMod = 0)"))
+      .select(col("doc_id"), col("n_blocks"),
+        size(col("mb")).cast("long").as("n_masked"),
+        expr(s"array_join(flatten(transform(sequence(0, n_blocks - 1), b -> " +
+          s"CASE WHEN array_position(mb, b) > 0 THEN array($sent) " +
+          s"ELSE slice(l, CAST(b * $blockLen + 1 AS INT), $blockLen) END)), ' ')")
+          .as("input_text"),
+        expr(s"array_join(flatten(transform(mb, b -> " +
+          s"concat(array($sent), " +
+          s"slice(l, CAST(b * $blockLen + 1 AS INT), $blockLen)))), ' ')")
+          .as("target_text"))
+  }
+
   /** Length histogram: bucket documents by n_chars DIV width; per bucket
     * doc count and total tokens. Single map-side-combined aggregate. */
   def lengthHistogram(docs: DataFrame, width: Int = 50): DataFrame =

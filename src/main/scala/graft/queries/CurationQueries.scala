@@ -1167,6 +1167,84 @@ object CurationQueries {
             .as("mid_min"))
       graft.llm.Corpus.tiersFromThresholds(docs, scored, thr)
         .orderBy("doc_id")
+    },
+
+    // ROUND-10 CAPSTONE — the CCNet recipe end to end (Wenzek et al.:
+    // LM-score the corpus, bucket per source, train on head+middle,
+    // mix under a token budget): q94's bigram-LM scores → q165's
+    // within-source tiers → tail dropped → q84's per-language
+    // token-budget windows over the SURVIVORS (budget cumsum computed
+    // after filtering, so a tail doc never eats budget). Every stage
+    // the library operator at its exact shape; one oracle statement
+    // replays the whole composition.
+    Q("q167_ccnet_mix",
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | bg AS (SELECT doc_id, s.w1 AS w1, s.gram AS gram
+        |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |            i -> {'w1': l[i], 'gram': l[i] || ' ' || l[i+1]})) AS s
+        |          FROM t0 WHERE len(l) >= 2)),
+        | cb AS (SELECT gram, count(*) AS cb FROM bg GROUP BY 1),
+        | cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+        | terms AS (SELECT b.doc_id, (cb.cb * 1000000) // cu.cu AS term
+        |           FROM bg b JOIN cb USING (gram) JOIN cu USING (w1)),
+        | scores AS (SELECT doc_id, CAST(sum(term) // count(*) AS BIGINT) AS score_ppm
+        |            FROM terms GROUP BY doc_id),
+        | r AS (SELECT s.doc_id,
+        |        CAST(row_number() OVER (PARTITION BY d.source
+        |          ORDER BY s.score_ppm DESC, s.doc_id) AS BIGINT) AS rnk,
+        |        CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT) AS n_src
+        |       FROM scores s JOIN documents d USING (doc_id)),
+        | keep AS (SELECT doc_id FROM r
+        |          WHERE (rnk - 1) * 1000000 // n_src < 650000),
+        | sv AS (SELECT d.doc_id, d.lang,
+        |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |         ((d.doc_id % 1000000007) * 2654435761) % 1000000007 AS rnd
+        |        FROM documents d JOIN keep USING (doc_id)),
+        | c AS (SELECT doc_id, lang, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY rnd, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |       FROM sv)
+        |SELECT doc_id, lang, n_tokens, cum FROM c
+        |WHERE cum - n_tokens < 3000 ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.Corpus
+      val docs = Tables(s, dir, "documents")
+      val keep = Corpus.perSourceTiers(docs,
+          TextAnalysis.bigramLmScore(docs))
+        .filter(col("tier") =!= "tail").select("doc_id")
+      Corpus.tokenBudgetMix(docs.join(keep, Seq("doc_id"), "left_semi"),
+          "lang", 3000L)
+        .orderBy("doc_id")
+    },
+
+    // T5 span corruption (Raffel et al. §3.1.4): the denoising
+    // training-pair constructor — 8-token blocks, a deterministic
+    // (doc_id, block) hash masks ~20%, input swaps masked blocks for
+    // ordinal <extra_id_k> sentinels, target concatenates exactly the
+    // masked spans behind their sentinels. The mask is modular integer
+    // arithmetic (never rand()), so the oracle rebuilds every pair
+    // string-for-string.
+    Q("q168_span_corruption",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | b0 AS (SELECT doc_id, l, (len(l) + 7) // 8 AS n_blocks FROM w),
+        | m AS (SELECT doc_id, l, n_blocks,
+        |        list_filter(range(0, n_blocks), b ->
+        |          ((doc_id*1021 + b*2039 + 17) * 2654435761 % 1000000007) % 5 = 0) AS mb
+        |       FROM b0)
+        |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+        | CAST(len(mb) AS BIGINT) AS n_masked,
+        | array_to_string(flatten(list_transform(range(0, n_blocks), b ->
+        |   CASE WHEN list_position(mb, b) > 0
+        |        THEN ['<extra_id_' || CAST(list_position(mb, b) - 1 AS VARCHAR) || '>']
+        |        ELSE l[b*8+1 : b*8+8] END)), ' ') AS input_text,
+        | coalesce(array_to_string(flatten(list_transform(mb, b ->
+        |   list_prepend('<extra_id_' || CAST(list_position(mb, b) - 1 AS VARCHAR) || '>',
+        |     l[b*8+1 : b*8+8]))), ' '), '') AS target_text
+        |FROM m ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      graft.llm.Corpus.spanCorruptionPairs(Tables(s, dir, "documents"),
+          blockLen = 8, rateMod = 5)
+        .orderBy("doc_id")
     }
   )
 }
