@@ -809,4 +809,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(v("aa") == -59L, v.toString)
     assert(v("aaaa") == -60L, v.toString) // 1×8 = 8 → binlen 4 → -60
   }
+
+  test("spanCorruptionPairs: reconstruction invariants on forced masks") {
+    import graft.llm.Corpus
+    // rateMod = 1 masks EVERY block: input is all sentinels, target
+    // carries the whole doc; rateMod huge masks nothing: input == text,
+    // target empty. A 3-token doc is one short block either way.
+    val docs = Seq((7L, "a b c d e f g h i j"), (8L, "x y z"))
+      .toDF("doc_id", "text")
+    val all = Corpus.spanCorruptionPairs(docs, blockLen = 8, rateMod = 1)
+      .orderBy("doc_id")
+      .select("n_blocks", "n_masked", "input_text", "target_text")
+      .as[(Long, Long, String, String)].collect()
+    assert(all(0) == ((2L, 2L, "<extra_id_0> <extra_id_1>",
+      "<extra_id_0> a b c d e f g h <extra_id_1> i j")))
+    assert(all(1) == ((1L, 1L, "<extra_id_0>", "<extra_id_0> x y z")))
+    val none = Corpus.spanCorruptionPairs(docs, blockLen = 8,
+        rateMod = 1000000009).orderBy("doc_id")
+      .select("n_masked", "input_text", "target_text")
+      .as[(Long, String, String)].collect()
+    assert(none(0) == ((0L, "a b c d e f g h i j", "")))
+    assert(none(1) == ((0L, "x y z", "")))
+    // masked tokens + kept tokens reconstruct the doc exactly: strip
+    // sentinels from input+target, re-tile by block order
+    val one = Corpus.spanCorruptionPairs(docs, blockLen = 4, rateMod = 2)
+    val check = one.select(
+        expr("size(filter(split(input_text, ' '), t -> t != '' AND t NOT LIKE '<extra_id_%')) + " +
+          "size(filter(split(target_text, ' '), t -> t != '' AND t NOT LIKE '<extra_id_%'))")
+          .as("n_content"),
+        expr("size(split(input_text, ' ')) - size(filter(split(input_text, ' '), " +
+          "t -> t NOT LIKE '<extra_id_%'))").as("n_sent_in"),
+        col("n_masked"), col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect()
+    for ((nContent, nSentIn, nMasked, id) <- check) {
+      val nTok = if (id == 7L) 10L else 3L
+      assert(nContent == nTok, s"doc $id lost tokens: $nContent != $nTok")
+      assert(nSentIn == nMasked, s"doc $id sentinel count mismatch")
+    }
+  }
 }
