@@ -373,10 +373,13 @@ object Bench {
     // the driver artifact's truncation can leave the gate covering only
     // the BACK of the map (salvage) or nothing; the prior round's
     // committed BENCH_LOCAL.json is the COMPLETE line — read BEFORE
-    // this run's emit overwrites it — so let it fill the keys the
-    // artifact lost. Artifact keys win on conflict; the local line is
-    // trusted only at THIS run's SF (a dev subset run at another scale
-    // must not arm the gate with incomparable numbers).
+    // this run's emit overwrites it — so it both fills the keys the
+    // artifact lost AND WINS on conflict: the local line came from this
+    // same code, so its numbers share the current sink methodology,
+    // where an older round's artifact may not (the round-10 precedence
+    // bug: count()-sink r9 numbers flagged 39 honest-sink entries as
+    // "regressed"). Trusted only at THIS run's SF — a dev subset run at
+    // another scale must not arm the gate with incomparable numbers.
     val localPrior: Map[String, Double] =
       scala.util.Try(new String(
         java.nio.file.Files.readAllBytes(
@@ -384,7 +387,7 @@ object Bench {
         java.nio.charset.StandardCharsets.UTF_8)).toOption
         .filter(_.contains(s""""sf":"$sfDir""""))
         .map(parsePriorQueries).getOrElse(Map.empty)
-    val prior = localPrior ++ priorText.map(parsePriorQueries).getOrElse(Map.empty)
+    val prior = priorText.map(parsePriorQueries).getOrElse(Map.empty) ++ localPrior
     if (prior.nonEmpty) {
       def mins: Map[String, Double] = inventory.flatMap(q =>
         if (best.containsKey(q.name))
