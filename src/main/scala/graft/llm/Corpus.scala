@@ -634,7 +634,10 @@ object Corpus {
     *
     * Shape at 100 TB: narrow per-row array expressions, no shuffle, no
     * UDF — pair construction runs at scan speed and composes downstream
-    * of the curation/packing stages (q64/q79). */
+    * of the curation/packing stages (q64/q79). Per-row cost is
+    * O(blocks · masked) from the ordinal lookups (≈ B²/rateMod): fine
+    * for chunked corpora (B ≤ ~10³); chunk ultra-long documents first
+    * (chunkDocuments) rather than masking megatoken rows whole. */
   def spanCorruptionPairs(docs: DataFrame, blockLen: Int = 8,
                           rateMod: Int = 5): DataFrame = {
     val sent =

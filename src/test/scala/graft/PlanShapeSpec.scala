@@ -379,6 +379,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(st.select("n_vectors").as[Long].head() == 32L)
   }
 
+  test("spanCorruptionPairs is one narrow pass: no exchange, no join") {
+    // the "pair construction at scan speed" claim: a shuffle or join in
+    // this plan means the constructor stopped being a per-row map
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val p = graft.llm.Corpus.spanCorruptionPairs(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"span corruption is no longer a narrow pass:\n$p")
+  }
+
   test("tiersFromThresholds plans no sort and no window near the corpus") {
     // the serving-form claim: per-source cutoffs broadcast into a
     // narrow CASE — a Sort or Window in this plan means the exact
