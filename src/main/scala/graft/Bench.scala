@@ -89,15 +89,38 @@ object Bench {
     pair.findAllMatchIn(t).map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
+  /** Median current/prior ratio over the keys both maps carry — the
+    * gate's estimate of BOX-LEVEL drift. This box swings uniformly
+    * (round-10 afternoon: every entry 1.3–2.5× on unchanged bits after
+    * the host dropped the page cache); a per-entry threshold against an
+    * absolute prior floods "regressed" with the whole inventory on such
+    * a run. The median is per-entry-regression-proof by construction:
+    * a handful of genuinely slower entries cannot move it, only a
+    * fleet-wide shift can. Floored at 1.0 — a globally FASTER run must
+    * never loosen the per-entry gate. */
+  private[graft] def boxDrift(current: Map[String, Double],
+                              prior: Map[String, Double]): Double = {
+    val ratios = current.iterator.flatMap { case (k, v) =>
+      prior.get(k).filter(_ > 0).map(v / _)
+    }.toIndexedSeq.sorted
+    if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+  }
+
   /** Keys whose current min regressed more than `factor` vs the prior
-    * artifact — the calm-box gate's comparator (pure; spec-tested).
-    * Keys absent from the prior round (new entries) never flag. */
+    * artifact AFTER normalizing out [[boxDrift]] — the calm-box gate's
+    * comparator (pure; spec-tested): an entry flags only when it is
+    * slower RELATIVE TO THE FLEET, so a uniform box-state swing names
+    * nobody while a real per-entry regression still stands out on a
+    * slow box. Keys absent from the prior round (new entries) never
+    * flag. */
   private[graft] def regressedKeys(current: Map[String, Double],
                                    prior: Map[String, Double],
-                                   factor: Double = 1.5): Seq[String] =
+                                   factor: Double = 1.5): Seq[String] = {
+    val norm = boxDrift(current, prior)
     current.iterator.collect {
-      case (k, v) if prior.get(k).exists(p => p > 0 && v > p * factor) => k
+      case (k, v) if prior.get(k).exists(p => p > 0 && v > p * factor * norm) => k
     }.toSeq.sorted
+  }
 
   /** Prefault heap by touching one long per 4 KiB page across many
     * threads, bounded by `capSec` — replaces -XX:+AlwaysPreTouch, whose

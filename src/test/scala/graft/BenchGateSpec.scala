@@ -68,18 +68,27 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.parsePriorQueries(line) == Map("q1" -> 0.5, "qs1" -> 3.4))
   }
 
-  test("regressedKeys flags >factor regressions only, sorted; new keys never flag") {
-    val prior = Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> 0.5, "qz" -> 0.0)
-    val current = Map(
-      "q1" -> 1.49,  // within 1.5x: fine
-      "q2" -> 3.01,  // just over 1.5x: flag
-      "q3" -> 5.0,   // 10x: flag
-      "q9" -> 99.0,  // new entry, no prior: never flags
-      "qz" -> 1.0)   // zero prior: never flags (division guard)
-    assert(Bench.regressedKeys(current, prior) == Seq("q2", "q3"))
-    // a looser factor clears the marginal one
-    assert(Bench.regressedKeys(current, prior, factor = 4.0) == Seq("q3"))
+  test("regressedKeys flags fleet-relative regressions; uniform box swings never flag") {
+    // calm fleet at ~1.05x with two genuine regressions
+    val prior = (1 to 10).map(i => s"q$i" -> 1.0).toMap + ("qz" -> 0.0)
+    val calm = (1 to 10).map(i => s"q$i" ->
+        (if (i == 2) 3.01 else if (i == 3) 5.0 else 1.05)).toMap ++
+      Map("q99" -> 99.0, "qz" -> 1.0) // new entry / zero prior: never flag
+    assert(Bench.regressedKeys(calm, prior) == Seq("q2", "q3"))
+    assert(Bench.regressedKeys(calm, prior, factor = 4.0) == Seq("q3"))
+    // a uniform 2x box-state swing (the round-10 afternoon shape) names
+    // NOBODY: every entry moved with the fleet
+    val swung = (1 to 10).map(i => s"q$i" -> 2.0).toMap
+    assert(Bench.boxDrift(swung, prior) == 2.0)
+    assert(Bench.regressedKeys(swung, prior).isEmpty)
+    // ...but a genuine outlier still stands out ON the slow box
+    assert(Bench.regressedKeys(swung + ("q7" -> 7.0), prior) == Seq("q7"))
+    // a globally FASTER run never loosens the per-entry gate
+    val fast = (1 to 10).map(i => s"q$i" ->
+      (if (i == 4) 1.8 else 0.5)).toMap
+    assert(Bench.boxDrift(fast, prior) == 1.0)
+    assert(Bench.regressedKeys(fast, prior) == Seq("q4"))
     // empty prior disarms
-    assert(Bench.regressedKeys(current, Map.empty).isEmpty)
+    assert(Bench.regressedKeys(calm, Map.empty).isEmpty)
   }
 }
