@@ -1570,6 +1570,79 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source tokenizer FERTILITY (round 10): the multilingual-
+    // equity metric every tokenizer eval reports — tokens per word and
+    // chars per token, per source, off the REAL unigram-LM tokenizer
+    // (q159/q160), not whitespace counts. A source whose text costs 2x
+    // the tokens per word pays 2x the context budget; this is the table
+    // that decision reads from. Exact-ppm integer ratios over the q160
+    // DP replay + one keyed rollup.
+    Q("q169_tokenizer_fertility",
+      """WITH RECURSIVE
+        | w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+        |       FROM documents),
+        | occ AS (SELECT doc_id, wd FROM w WHERE wd <> ''),
+        | wn AS (SELECT wd, count(*) AS cnt FROM occ GROUP BY wd),
+        | s1 AS (SELECT wd, cnt, unnest(range(1, len(wd) + 1)) AS st FROM wn),
+        | s2 AS (SELECT wd, cnt, st, unnest([1, 2, 3, 4]) AS ln FROM s1),
+        | sub AS (SELECT substr(wd, st, ln) AS piece,
+        |          CAST(sum(cnt) AS BIGINT) AS freq
+        |         FROM s2 WHERE st + ln - 1 <= len(wd)
+        |         GROUP BY 1),
+        | vocab AS (SELECT piece, CAST(length(bin(freq)) - 64 AS BIGINT) AS score
+        |           FROM sub WHERE freq >= 8),
+        | dp AS (
+        |   SELECT wd, 0 AS pos, CAST(1023 AS BIGINT) AS b0,
+        |          CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+        |          CAST(NULL AS BIGINT) AS b3
+        |   FROM wn
+        |   UNION ALL
+        |   SELECT d.wd, d.pos + 1,
+        |     greatest(
+        |       d.b0 + COALESCE(v1.score, -1000) * 1024 - 1,
+        |       COALESCE(d.b1 + v2.score * 1024 - 1, -4611686018427387904),
+        |       COALESCE(d.b2 + v3.score * 1024 - 1, -4611686018427387904),
+        |       COALESCE(d.b3 + v4.score * 1024 - 1, -4611686018427387904)),
+        |     d.b0, d.b1, d.b2
+        |   FROM dp d
+        |   LEFT JOIN vocab v1 ON v1.piece = substr(d.wd, d.pos + 1, 1)
+        |   LEFT JOIN vocab v2 ON d.pos >= 1 AND v2.piece = substr(d.wd, d.pos, 2)
+        |   LEFT JOIN vocab v3 ON d.pos >= 2 AND v3.piece = substr(d.wd, d.pos - 1, 3)
+        |   LEFT JOIN vocab v4 ON d.pos >= 3 AND v4.piece = substr(d.wd, d.pos - 2, 4)
+        |   WHERE d.pos < len(d.wd)),
+        | np AS (SELECT wd, 1023 - ((b0 % 1024) + 1024) % 1024 AS n_pieces
+        |        FROM dp WHERE pos = len(wd)),
+        | per_doc AS (SELECT o.doc_id, sum(np.n_pieces) AS n_tokens
+        |             FROM occ o JOIN np USING (wd) GROUP BY 1)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_words,
+        | CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+        | CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+        | CAST(sum(p.n_tokens) * 1000000 // sum(len(string_split(d.text, ' '))) AS BIGINT)
+        |   AS toks_per_word_ppm,
+        | CAST(sum(length(d.text)) * 1000000 // sum(p.n_tokens) AS BIGINT)
+        |   AS chars_per_tok_ppm
+        |FROM documents d JOIN per_doc p USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.Corpus
+      val docs = Tables(s, dir, "documents")
+      val counts = Corpus.unigramTokenCount(docs,
+        Corpus.unigramVocab(docs, maxPieceLen = 4, minFreq = 8L))
+      docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("nw"),
+          length(col("text")).cast("long").as("nc"))
+        .join(counts, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_words"),
+          sum("nc").as("n_chars"), sum("n_tokens").as("n_tokens"))
+        .withColumn("toks_per_word_ppm",
+          expr("n_tokens * 1000000 DIV n_words"))
+        .withColumn("chars_per_tok_ppm",
+          expr("n_chars * 1000000 DIV n_tokens"))
+        .orderBy("source")
+    },
+
     // RAG chunk-index capstone (round 10): the ingestion-to-retrieval
     // pipeline every retrieval-augmented stack runs — sliding-window
     // chunking (q79), per-chunk embedding (q161's replayable embedder),
