@@ -661,6 +661,40 @@ object Corpus {
           .as("target_text"))
   }
 
+  /** BERT-style MLM masking (Devlin et al. 2019 §3.1) — the masked-LM
+    * TRAINING-PAIR constructor, [[spanCorruptionPairs]]'s sibling:
+    * ~15% of token positions select (position hash mod 20 < 3), and a
+    * selected position masks to `[MASK]` (8/10), swaps for another
+    * token (1/10), or stays unchanged (1/10) — the 80/10/10 rule that
+    * stops the model from only ever seeing `[MASK]` at prediction
+    * slots. Labels carry `position:original` pairs for exactly the
+    * selected slots. The swap draws the DOCUMENT's own token at a
+    * hashed position — corpus-global draws need a vocab join; the
+    * doc-local draw keeps the whole constructor one narrow pass, and
+    * for MLM the distributional difference is negligible. Deterministic
+    * throughout (the q168 argument): same corpus ⇒ same pairs on any
+    * cluster, SQL-replayable string-for-string. */
+  def mlmMaskPairs(docs: DataFrame): DataFrame = {
+    val h = "((doc_id * 1021 + p * 2039 + 23) * 2654435761 % 1000000007)"
+    docs.select(col("doc_id"), words(col("text")).as("l"))
+      .withColumn("nt", size(col("l")).cast("long"))
+      .withColumn("sel",
+        expr(s"filter(sequence(1, nt), p -> $h % 20 < 3)"))
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        size(col("sel")).cast("long").as("n_selected"),
+        expr(s"CAST(size(filter(sel, p -> ($h DIV 20) % 10 < 8)) AS BIGINT)")
+          .as("n_mask"),
+        expr(s"array_join(transform(sequence(1, nt), p -> " +
+          s"CASE WHEN NOT array_contains(sel, p) THEN element_at(l, CAST(p AS INT)) " +
+          s"WHEN ($h DIV 20) % 10 < 8 THEN '[MASK]' " +
+          s"WHEN ($h DIV 20) % 10 = 8 " +
+          s"THEN element_at(l, CAST(($h DIV 200) % nt AS INT) + 1) " +
+          s"ELSE element_at(l, CAST(p AS INT)) END), ' ')").as("masked_text"),
+        expr(s"array_join(transform(sel, p -> " +
+          s"concat(CAST(p AS STRING), ':', element_at(l, CAST(p AS INT)))), ' ')")
+          .as("labels_text"))
+  }
+
   /** Length histogram: bucket documents by n_chars DIV width; per bucket
     * doc count and total tokens. Single map-side-combined aggregate. */
   def lengthHistogram(docs: DataFrame, width: Int = 50): DataFrame =

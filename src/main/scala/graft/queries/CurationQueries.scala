@@ -1245,6 +1245,37 @@ object CurationQueries {
       graft.llm.Corpus.spanCorruptionPairs(Tables(s, dir, "documents"),
           blockLen = 8, rateMod = 5)
         .orderBy("doc_id")
+    },
+
+    // BERT MLM masking (Devlin et al. §3.1): q168's sibling for
+    // encoder pretraining — ~15% positions select by hash, 80/10/10
+    // mask/swap/keep, labels = position:original pairs. Deterministic
+    // modular arithmetic throughout; the oracle rebuilds every masked
+    // string and label list.
+    Q("q170_mlm_mask",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | m AS (SELECT doc_id, l, len(l) AS nt,
+        |        list_filter(range(1, len(l) + 1), p ->
+        |          ((doc_id*1021 + p*2039 + 23) * 2654435761 % 1000000007) % 20 < 3) AS sel
+        |       FROM t)
+        |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        | CAST(len(sel) AS BIGINT) AS n_selected,
+        | CAST(len(list_filter(sel, p ->
+        |   ((((doc_id*1021 + p*2039 + 23) * 2654435761 % 1000000007) // 20) % 10) < 8))
+        |   AS BIGINT) AS n_mask,
+        | array_to_string(list_transform(range(1, nt + 1), p ->
+        |   CASE WHEN NOT list_contains(sel, p) THEN l[p]
+        |        WHEN ((((doc_id*1021 + p*2039 + 23) * 2654435761 % 1000000007) // 20) % 10) < 8
+        |          THEN '[MASK]'
+        |        WHEN ((((doc_id*1021 + p*2039 + 23) * 2654435761 % 1000000007) // 20) % 10) = 8
+        |          THEN l[CAST((((doc_id*1021 + p*2039 + 23) * 2654435761 % 1000000007) // 200) % nt AS INTEGER) + 1]
+        |        ELSE l[p] END), ' ') AS masked_text,
+        | coalesce(array_to_string(list_transform(sel, p ->
+        |   CAST(p AS VARCHAR) || ':' || l[p]), ' '), '') AS labels_text
+        |FROM m ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      graft.llm.Corpus.mlmMaskPairs(Tables(s, dir, "documents"))
+        .orderBy("doc_id")
     }
   )
 }
