@@ -113,10 +113,20 @@ object Bench {
     * nobody while a real per-entry regression still stands out on a
     * slow box. Keys absent from the prior round (new entries) never
     * flag. */
+  /** Normalization ceiling for [[boxDrift]] inside [[regressedKeys]]: a
+    * genuine regression touching ≥ half the shared keys sets the median
+    * ratio to the regression itself, and an uncapped norm would divide
+    * it away — the gate would miss exactly the fleet-wide real slowdowns
+    * it exists to catch. Box-state swings on this host measured 1.3–2.5×
+    * (round 10), so 2.0 absorbs most box noise while a uniform ≥3×
+    * slowdown still flags every key; drift beyond the cap is ALSO
+    * surfaced as the `boxdrift` JSON field for human triage. */
+  private[graft] val MaxDriftNorm = 2.0
+
   private[graft] def regressedKeys(current: Map[String, Double],
                                    prior: Map[String, Double],
                                    factor: Double = 1.5): Seq[String] = {
-    val norm = boxDrift(current, prior)
+    val norm = math.min(boxDrift(current, prior), MaxDriftNorm)
     current.iterator.collect {
       case (k, v) if prior.get(k).exists(p => p > 0 && v > p * factor * norm) => k
     }.toSeq.sorted
@@ -187,6 +197,10 @@ object Bench {
     val rerunsDone = new java.util.concurrent.atomic.AtomicInteger(0)
     val stillRegressed =
       new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+    // observed (uncapped) box drift vs the prior artifact — emitted so a
+    // uniform fleet-wide slowdown the capped norm no longer hides is
+    // still visible to a human reading the line (round-10 ADVICE)
+    val driftSeen = new java.util.concurrent.atomic.AtomicReference[Option[Double]](None)
 
     // Local-iteration knob: BENCH_ONLY=q55,q92 times just those queries
     // (exact name or prefix). Unset (the driver's case) → full inventory.
@@ -270,7 +284,9 @@ object Bench {
       val regressedField = if (regressed.isEmpty) ""
         else regressed.map("\"" + _ + "\"")
           .mkString(",\"regressed\":[", ",", "]")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":${passesDone.get},"reruns":${rerunsDone.get},"singles":$singles,"settled":${settledNames.size},"queries":$qs$cancelledField$regressedField,"sf":"$sfDir"}"""
+      val driftField = driftSeen.get
+        .map(d => s""","boxdrift":${num(d)}""").getOrElse("")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":${passesDone.get},"reruns":${rerunsDone.get},"singles":$singles,"settled":${settledNames.size}$driftField,"queries":$qs$cancelledField$regressedField,"sf":"$sfDir"}"""
     }
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def emitJson(): Unit = {
@@ -374,6 +390,30 @@ object Bench {
       pool.awaitTermination(1, TimeUnit.DAYS)
     }
 
+    // Minimum-quality gate (round-10 judge): a closing artifact must
+    // never stamp single-run minima — "passes: 1, singles: 33" is by
+    // the repo's own SURVEY §6 an upper-bound artifact, yet round 10
+    // shipped one as its closing number and adjudicated a regression on
+    // it. If the deadline ate pass 2, spend a bounded extra budget
+    // giving exactly the runs==1 entries their second completed run,
+    // CHEAPEST-FIRST: the noise-prone cheap tail (where a cold pass is
+    // decisive) settles before any long entry (where ±s is immaterial)
+    // can eat the budget. A top-up that clears every single counts as a
+    // completed pass — "passes ≥ 2" certifies min-of-2 coverage, which
+    // is exactly what this sweep restores.
+    val min2Budget = sys.env.getOrElse("BENCH_MIN2_BUDGET_SEC", "240").toDouble
+    if (passesDone.get < 2) {
+      val min2Deadline = elapsed + min2Budget
+      inventory.filter(q => runs.getOrDefault(q.name, 0) == 1)
+        .sortBy(q => best.getOrDefault(q.name, Double.MaxValue))
+        .foreach { q =>
+          if (elapsed < min2Deadline && runs.getOrDefault(q.name, 0) == 1)
+            timeOne(q, "min2", math.min(queryTimeoutSec, min2Deadline - elapsed))
+        }
+      if (inventory.forall(q => runs.getOrDefault(q.name, 0) >= 2))
+        passesDone.incrementAndGet()
+    }
+
     // Calm-box regression gate (round-8 lesson: BENCH_r08 shipped q92 at
     // 11.8 s off a noisy passes=2 artifact — a min-of-3 re-run read
     // 4.25 s): any completed entry whose min regressed >1.5x vs the
@@ -396,13 +436,16 @@ object Bench {
     // the driver artifact's truncation can leave the gate covering only
     // the BACK of the map (salvage) or nothing; the prior round's
     // committed BENCH_LOCAL.json is the COMPLETE line — read BEFORE
-    // this run's emit overwrites it — so it both fills the keys the
-    // artifact lost AND WINS on conflict: the local line came from this
-    // same code, so its numbers share the current sink methodology,
-    // where an older round's artifact may not (the round-10 precedence
-    // bug: count()-sink r9 numbers flagged 39 honest-sink entries as
-    // "regressed"). Trusted only at THIS run's SF — a dev subset run at
-    // another scale must not arm the gate with incomparable numbers.
+    // this run's emit overwrites it — and it FILLS the keys the
+    // artifact lost, but the ROUND ARTIFACT wins on conflict: local is
+    // overwritten on every emit, so local-wins would ratchet the
+    // baseline to the most recent dev run and a cumulative regression
+    // creeping <1.5x per run would never flag against the round's
+    // committed numbers (round-10 ADVICE). The sink methodology is
+    // stable since round 10 (noop, permanent per VERDICT), so
+    // same-round-artifact comparability holds. Local trusted only at
+    // THIS run's SF — a dev subset run at another scale must not arm
+    // the gate with incomparable numbers.
     val localPrior: Map[String, Double] =
       scala.util.Try(new String(
         java.nio.file.Files.readAllBytes(
@@ -410,7 +453,7 @@ object Bench {
         java.nio.charset.StandardCharsets.UTF_8)).toOption
         .filter(_.contains(s""""sf":"$sfDir""""))
         .map(parsePriorQueries).getOrElse(Map.empty)
-    val prior = priorText.map(parsePriorQueries).getOrElse(Map.empty) ++ localPrior
+    val prior = localPrior ++ priorText.map(parsePriorQueries).getOrElse(Map.empty)
     if (prior.nonEmpty) {
       def mins: Map[String, Double] = inventory.flatMap(q =>
         if (best.containsKey(q.name))
@@ -429,6 +472,7 @@ object Bench {
         }
       }
       stillRegressed.set(regressedKeys(mins, prior))
+      driftSeen.set(Some(boxDrift(mins, prior)))
     }
 
     // Emit once before stop (in case stop hangs and the harness kills us),

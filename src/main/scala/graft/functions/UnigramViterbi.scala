@@ -55,11 +55,28 @@ object UnigramViterbi {
     Long.MinValue
   }
 
-  /** The DP. Returns struct(key LONG, pieces ARRAY<STRING>). */
+  /** The DP. Returns struct(key LONG, pieces ARRAY<STRING>).
+    *
+    * Index space is Unicode CODE POINTS, not UTF-16 code units — the
+    * q159/q160/q169 DuckDB oracles segment with codepoint-based
+    * len()/substr(), so non-BMP characters (emoji, rare CJK) must
+    * occupy ONE DP cell on both engines, and the 1-char unk fallback
+    * must emit a whole codepoint (a lone surrogate would be an invalid
+    * UTF-8 string on the Spark side). `off` maps codepoint index →
+    * UTF-16 offset so piece extraction stays O(1) per candidate. */
   def segment(word: UTF8String, pieces: Array[UTF8String],
               scores: Array[Long], maxLen: Int, unkScore: Long): InternalRow = {
     val s = word.toString
-    val n = s.length
+    val off = new Array[Int](s.codePointCount(0, s.length) + 1)
+    var u = 0
+    var k = 0
+    while (u < s.length) {
+      off(k) = u
+      u += Character.charCount(s.codePointAt(u))
+      k += 1
+    }
+    off(k) = s.length
+    val n = k
     val key = new Array[Long](n + 1)
     val bp = new Array[Int](n + 1)
     key(0) = 1023L
@@ -71,7 +88,7 @@ object UnigramViterbi {
       var ln = 1
       while (ln <= top) {
         val sc = lookup(pieces, scores,
-          UTF8String.fromString(s.substring(j - ln, j)))
+          UTF8String.fromString(s.substring(off(j - ln), off(j))))
         val eff = if (sc == Long.MinValue) {
           if (ln == 1) unkScore else Long.MinValue
         } else sc
@@ -90,7 +107,7 @@ object UnigramViterbi {
     var p = n
     var i = out.length - 1
     while (p > 0) {
-      out(i) = UTF8String.fromString(s.substring(p - bp(p), p))
+      out(i) = UTF8String.fromString(s.substring(off(p - bp(p)), off(p)))
       p -= bp(p)
       i -= 1
     }

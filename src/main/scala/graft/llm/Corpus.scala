@@ -647,8 +647,8 @@ object Corpus {
         expr(s"CAST((size(l) + ${blockLen - 1}) DIV $blockLen AS BIGINT)"))
       .withColumn("mb", expr(
         s"filter(sequence(0, n_blocks - 1), b -> " +
-          s"((doc_id * 1021 + b * 2039 + 17) * 2654435761 " +
-          s"% 1000000007) % $rateMod = 0)"))
+          s"(pmod(pmod(doc_id, 1000000007) * 1021 + b * 2039 + 17, " +
+          s"1000000007) * 2654435761 % 1000000007) % $rateMod = 0)"))
       .select(col("doc_id"), col("n_blocks"),
         size(col("mb")).cast("long").as("n_masked"),
         expr(s"array_join(flatten(transform(sequence(0, n_blocks - 1), b -> " +
@@ -675,7 +675,12 @@ object Corpus {
     * throughout (the q168 argument): same corpus ⇒ same pairs on any
     * cluster, SQL-replayable string-for-string. */
   def mlmMaskPairs(docs: DataFrame): DataFrame = {
-    val h = "((doc_id * 1021 + p * 2039 + 23) * 2654435761 % 1000000007)"
+    // pmod-first (the portableFold discipline): reduce BEFORE the
+    // 2654435761 multiply so 2^63-range doc_ids can't wrap the Long —
+    // a silent negative h would make `h % 20 < 3` true for every
+    // position (all 20 negative residues) and degenerate the 80/10/10.
+    val h = "(pmod(pmod(doc_id, 1000000007) * 1021 + p * 2039 + 23, " +
+      "1000000007) * 2654435761 % 1000000007)"
     docs.select(col("doc_id"), words(col("text")).as("l"))
       .withColumn("nt", size(col("l")).cast("long"))
       .withColumn("sel",

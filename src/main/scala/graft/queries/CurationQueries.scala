@@ -1229,7 +1229,8 @@ object CurationQueries {
         | b0 AS (SELECT doc_id, l, (len(l) + 7) // 8 AS n_blocks FROM w),
         | m AS (SELECT doc_id, l, n_blocks,
         |        list_filter(range(0, n_blocks), b ->
-        |          ((doc_id*1021 + b*2039 + 17) * 2654435761 % 1000000007) % 5 = 0) AS mb
+        |          ((((doc_id % 1000000007 * 1021 + b*2039 + 17) % 1000000007 + 1000000007) % 1000000007)
+        |           * 2654435761 % 1000000007) % 5 = 0) AS mb
         |       FROM b0)
         |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
         | CAST(len(mb) AS BIGINT) AS n_masked,
@@ -1256,19 +1257,19 @@ object CurationQueries {
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         | m AS (SELECT doc_id, l, len(l) AS nt,
         |        list_filter(range(1, len(l) + 1), p ->
-        |          ((doc_id*1021 + p*2039 + 23) * 2654435761 % 1000000007) % 20 < 3) AS sel
+        |          (((doc_id % 1000000007 * 1021 + p*2039 + 23) % 1000000007 + 1000000007) % 1000000007 * 2654435761 % 1000000007) % 20 < 3) AS sel
         |       FROM t)
         |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
         | CAST(len(sel) AS BIGINT) AS n_selected,
         | CAST(len(list_filter(sel, p ->
-        |   ((((doc_id*1021 + p*2039 + 23) * 2654435761 % 1000000007) // 20) % 10) < 8))
+        |   (((((doc_id % 1000000007 * 1021 + p*2039 + 23) % 1000000007 + 1000000007) % 1000000007 * 2654435761 % 1000000007) // 20) % 10) < 8))
         |   AS BIGINT) AS n_mask,
         | array_to_string(list_transform(range(1, nt + 1), p ->
         |   CASE WHEN NOT list_contains(sel, p) THEN l[p]
-        |        WHEN ((((doc_id*1021 + p*2039 + 23) * 2654435761 % 1000000007) // 20) % 10) < 8
+        |        WHEN (((((doc_id % 1000000007 * 1021 + p*2039 + 23) % 1000000007 + 1000000007) % 1000000007 * 2654435761 % 1000000007) // 20) % 10) < 8
         |          THEN '[MASK]'
-        |        WHEN ((((doc_id*1021 + p*2039 + 23) * 2654435761 % 1000000007) // 20) % 10) = 8
-        |          THEN l[CAST((((doc_id*1021 + p*2039 + 23) * 2654435761 % 1000000007) // 200) % nt AS INTEGER) + 1]
+        |        WHEN (((((doc_id % 1000000007 * 1021 + p*2039 + 23) % 1000000007 + 1000000007) % 1000000007 * 2654435761 % 1000000007) // 20) % 10) = 8
+        |          THEN l[CAST(((((doc_id % 1000000007 * 1021 + p*2039 + 23) % 1000000007 + 1000000007) % 1000000007 * 2654435761 % 1000000007) // 200) % nt AS INTEGER) + 1]
         |        ELSE l[p] END), ' ') AS masked_text,
         | coalesce(array_to_string(list_transform(sel, p ->
         |   CAST(p AS VARCHAR) || ':' || l[p]), ' '), '') AS labels_text

@@ -91,4 +91,18 @@ class BenchGateSpec extends AnyFunSuite {
     // empty prior disarms
     assert(Bench.regressedKeys(calm, Map.empty).isEmpty)
   }
+
+  test("capped drift norm: a fleet-wide REAL slowdown beyond the cap still flags") {
+    // round-10 ADVICE: uncapped, a regression hitting >= half the keys
+    // set norm to the regression ratio itself and the gate went blind.
+    // A uniform 4x slowdown exceeds MaxDriftNorm (2.0) and must flag
+    // every key (4.0 > 1.0 * 1.5 * 2.0).
+    val prior = (1 to 10).map(i => s"q$i" -> 1.0).toMap
+    val slow4x = (1 to 10).map(i => s"q$i" -> 4.0).toMap
+    assert(Bench.boxDrift(slow4x, prior) == 4.0) // uncapped observable
+    assert(Bench.regressedKeys(slow4x, prior) == (1 to 10).map(i => s"q$i").sorted)
+    // at exactly the cap nothing flags — 2x stays attributed to the box
+    val slow2x = (1 to 10).map(i => s"q$i" -> 2.0).toMap
+    assert(Bench.regressedKeys(slow2x, prior).isEmpty)
+  }
 }
