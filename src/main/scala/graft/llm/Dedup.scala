@@ -11,6 +11,37 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Sentinel default for every hot-key cap (`maxShingleDf` /
+    * `maxBandDf`): DERIVE the cap from the corpus itself —
+    * max([[DerivedCapFloor]], n DIV 1000), the ~0.1%-of-corpus
+    * stop-key rule the scaladocs recommend. The 100 TB-safe default is
+    * a cap that ENGAGES without being asked: a user calling the public
+    * API with defaults on a duplicate-heavy corpus must not get the
+    * Σdf² candidate blowup (one 10⁴-copy boilerplate class = 5·10⁷
+    * pairs from a single bucket). `Long.MaxValue` is the explicit
+    * opt-out — the oracle-checked query forms pass it (or a literal
+    * cap) so their DuckDB replays stay uncut.
+    *
+    * Resolving the sentinel costs one count() job over an
+    * already-staged frame — O(metadata) next to the pair join it
+    * bounds. The floor keeps small corpora exact: below ~128k docs the
+    * derived cap is the floor, far above any honest df there. */
+  val CorpusDerivedCap: Long = -1L
+
+  /** Floor for the derived cap: buckets this small emit ≤ floor²/2 ≈
+    * 8k candidate pairs each — harmless — and every SF of the test
+    * corpus stays far below it (max observed 3-shingle df at sf0.1 is
+    * 25), so deriving never changes small-corpus results. */
+  private[graft] val DerivedCapFloor: Long = 128L
+
+  private[graft] def deriveCap(n: Long): Long =
+    math.max(DerivedCapFloor, n / 1000L)
+
+  /** Resolve a cap argument: the sentinel counts `perDoc` (one row per
+    * document — pass the STAGED frame so the count replays cheap). */
+  private def resolveCap(perDoc: DataFrame, cap: Long): Long =
+    if (cap == CorpusDerivedCap) deriveCap(perDoc.count()) else cap
+
   /** Exact dedup: hash-groupBy on the full text, keep min doc_id as the
     * representative. One shuffle on the (hashed) text. At 100 TB you
     * group on xxhash64(text) first and only compare texts within a hash
@@ -77,11 +108,13 @@ object Dedup {
     * contribution is zero. The stop set is vocabulary-scale-tiny
     * (only shingles with df > cap), so it broadcasts.
     *
-    * Pick `maxShingleDf` ≈ 0.1% of corpus size at scale; the default
-    * Long.MaxValue disables the cut (exact all-shingle Jaccard).
+    * The DEFAULT is [[CorpusDerivedCap]] — max(128, n DIV 1000), the
+    * ~0.1% rule, derived from one count of `docs`; pass Long.MaxValue
+    * to explicitly disable the cut (exact all-shingle Jaccard — the
+    * oracle-checked forms do).
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3,
-                        maxShingleDf: Long = Long.MaxValue): DataFrame =
+                        maxShingleDf: Long = CorpusDerivedCap): DataFrame =
     shinglePairCounts(docs, k, maxShingleDf)
       .withColumn("jaccard_ppm",
         expr("(common * 1000000) DIV (n_a + n_b - common)"))
@@ -94,14 +127,18 @@ object Dedup {
     * the longer side. Same cost and scale shape as
     * [[ngramJaccardPairs]].
     *
-    * The stop-shingle cut defaults OFF here, deliberately: containment
-    * hunts boilerplate, and the cut removes exactly the highest-df
-    * shingles such templates are made of. At corpus scale either set
-    * `maxShingleDf` high (bounding only the pathological tail) or
-    * restrict the input to a candidate set from LSH banding first. */
+    * Tension to know: containment hunts boilerplate, and the stop cut
+    * removes exactly the highest-df shingles such templates are made
+    * of — but an UNCAPPED default is the Σdf² blowup by construction
+    * on precisely the corpora containment targets, so the default is
+    * still [[CorpusDerivedCap]] (scale-safe first). To keep the
+    * boilerplate shingles in the universe, pass Long.MaxValue
+    * explicitly AND restrict the input to an LSH candidate set via
+    * [[containmentPairsFromCandidates]] — linear in |cand|, full
+    * shingle universe, no cut. */
   def containmentPairs(docs: DataFrame, k: Int = 3,
                        minContainPpm: Long = 800000L,
-                       maxShingleDf: Long = Long.MaxValue): DataFrame =
+                       maxShingleDf: Long = CorpusDerivedCap): DataFrame =
     shinglePairCounts(docs, k, maxShingleDf)
       .withColumn("contain_ppm",
         expr("(common * 1000000) DIV least(n_a, n_b)"))
@@ -288,7 +325,8 @@ object Dedup {
     * compiled scan per doc instead of the interpreted HOF chain
     * (measured 1.7× on the sf0.1 inverted-index build, identical distinct counts). */
   private def shinglePairCounts(docs: DataFrame, k: Int,
-                                maxShingleDf: Long): DataFrame = {
+                                maxShingleDf0: Long): DataFrame = {
+    val maxShingleDf = resolveCap(docs, maxShingleDf0)
     val base = docs.select(col("doc_id"),
         graft.functions.ShingleHashes.shingle_hashes(col("text"), k).as("hs"))
       .filter(size(col("hs")) > 0)
@@ -425,11 +463,14 @@ object Dedup {
     * band). Pairs connected ONLY through a dropped bucket are missed,
     * so [[exactReps]] first (collapsing the classes the cap would
     * otherwise blind the join to), then size `cap` around the largest
-    * near-dup class you still want resolved pairwise. Off
-    * (Long.MaxValue) by default — the oracle-checked forms run uncut.
-    * The over-cap key set is tiny by construction → broadcast anti-join. */
+    * near-dup class you still want resolved pairwise. Public callers
+    * default to [[CorpusDerivedCap]]; Long.MaxValue (the explicit
+    * opt-out the oracle-checked forms pass) runs uncut. The over-cap
+    * key set is tiny by construction → broadcast anti-join. */
   private def capBucketDf(banded: DataFrame, cap: Long,
-                          keys: Seq[String]): DataFrame =
+                          keys: Seq[String]): DataFrame = {
+    // a leaked sentinel would read as "df > -1" and drop EVERY bucket
+    require(cap > 0, s"bucket-df cap must be resolved and positive, got $cap")
     if (cap == Long.MaxValue) Stage(banded)
     else {
       val b = Stage(banded)
@@ -438,6 +479,7 @@ object Dedup {
         .select(keys.map(col): _*)
       b.join(broadcast(hot), keys, "left_anti")
     }
+  }
 
   /** LSH banding: split the signature into `bands` bands of
     * numPerms/bands values each; band hash = polynomial fold of the
@@ -466,11 +508,11 @@ object Dedup {
     * the hot-bucket guard for duplicate-heavy corpora. */
   def minHashLshPairs(docs: DataFrame, k: Int = 3, numPerms: Int = 32,
                       bands: Int = 8, minJaccardPpm: Long = 500000L,
-                      maxShingleDf: Long = Long.MaxValue,
-                      maxBandDf: Long = Long.MaxValue): DataFrame = {
+                      maxShingleDf: Long = CorpusDerivedCap,
+                      maxBandDf: Long = CorpusDerivedCap): DataFrame = {
     // self-joined below — materialize the band table once.
     val bh = capBucketDf(minHashBands(docs, k, numPerms, bands),
-      maxBandDf, Seq("band", "band_hash"))
+      resolveCap(docs, maxBandDf), Seq("band", "band_hash"))
     val cand = bandCandidates(bh)
     val verified = ngramJaccardPairs(docs, k, maxShingleDf)
     cand.join(verified, Seq("id_a", "id_b"))
@@ -539,7 +581,7 @@ object Dedup {
   def dedupIncremental(newDocs: DataFrame, existingSigs: DataFrame,
                        k: Int = 3, numPerms: Int = 32, bands: Int = 8,
                        minEstPpm: Long = 500000L,
-                       maxBandDf: Long = Long.MaxValue): DataFrame =
+                       maxBandDf: Long = CorpusDerivedCap): DataFrame =
     dedupIncrementalSigs(newDocs, Stage(minHashSignatures(newDocs, k, numPerms)),
       existingSigs, numPerms, bands, minEstPpm, maxBandDf)
 
@@ -555,10 +597,15 @@ object Dedup {
                            existingSigs: DataFrame,
                            numPerms: Int = 32, bands: Int = 8,
                            minEstPpm: Long = 500000L,
-                           maxBandDf: Long = Long.MaxValue): DataFrame = {
+                           maxBandDf: Long = CorpusDerivedCap): DataFrame = {
+    // derived cap spans the JOINT population (a duplicate class is part
+    // persisted, part incoming) — one count per signature table, each
+    // one row per doc
+    val cap = if (maxBandDf == CorpusDerivedCap)
+      deriveCap(newSigs.count() + existingSigs.count()) else maxBandDf
     val nb0 = bandsFromSignatures(newSigs, numPerms, bands)
     val eb0 = bandsFromSignatures(existingSigs, numPerms, bands)
-    val (nb, eb) = capJointBuckets(nb0, eb0, maxBandDf)
+    val (nb, eb) = capJointBuckets(nb0, eb0, cap)
     // candidates: (new, existing) on any shared band; (new, earlier new)
     val cand = crossSideCandidates(nb, eb)
       .union(withinBatchCandidates(nb)).distinct()
@@ -581,7 +628,9 @@ object Dedup {
     * unchanged — every store row sharing a batch band hash lives in a
     * touched bucket by construction. */
   private[graft] def capJointBuckets(nb0: DataFrame, eb0: DataFrame,
-                                     maxBandDf: Long): (DataFrame, DataFrame) =
+                                     maxBandDf: Long): (DataFrame, DataFrame) = {
+    require(maxBandDf > 0,
+      s"bucket-df cap must be resolved and positive, got $maxBandDf")
     if (maxBandDf == Long.MaxValue) (nb0, eb0)
     else {
       val hot = Stage(
@@ -591,6 +640,7 @@ object Dedup {
       (nb0.join(broadcast(hot), Seq("band", "band_hash"), "left_anti"),
        eb0.join(broadcast(hot), Seq("band", "band_hash"), "left_anti"))
     }
+  }
 
   /** (new_id, other_id) candidates: a new doc sharing any (band,
     * band_hash) bucket with a stored doc. NOT distinct — multi-band
@@ -668,9 +718,11 @@ object Dedup {
     * tail. `maxBandDf` caps any one (chunk, value) bucket — identical
     * SimHashes (exact-dup classes) share all chunks, the same hot-bucket
     * blowup the MinHash band join has (see [[capBucketDf]]). */
-  private def chunkBandPairs(sh: DataFrame, sigCol: String, nChunks: Int,
-                             chunkBits: Int, maxHamming: Int,
-                             maxBandDf: Long = Long.MaxValue): DataFrame = {
+  private[llm] def chunkBandPairs(sh: DataFrame, sigCol: String, nChunks: Int,
+                                  chunkBits: Int, maxHamming: Int,
+                                  maxBandDf: Long = Long.MaxValue): DataFrame = {
+    require(maxBandDf != CorpusDerivedCap,
+      "resolve CorpusDerivedCap before chunkBandPairs (pass a staged per-doc frame to resolveCap)")
     val mask = (1L << chunkBits) - 1
     val chunked = capBucketDf(
       sh.select(col("doc_id"), col(sigCol),
@@ -695,11 +747,13 @@ object Dedup {
     * chunks mean only 256 buckets per position, an n²/256 candidate
     * tail: at corpus scale use [[simHashPairs64]]. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   maxBandDf: Long = Long.MaxValue): DataFrame =
+                   maxBandDf: Long = CorpusDerivedCap): DataFrame = {
     // chunked self-joins inside — materialize the simhash aggregate once.
-    chunkBandPairs(Stage(simHash(docs)), "simhash",
+    val sh = Stage(simHash(docs))
+    chunkBandPairs(sh, "simhash",
       nChunks = 4, chunkBits = 8, maxHamming = maxHamming,
-      maxBandDf = maxBandDf)
+      maxBandDf = resolveCap(sh, maxBandDf))
+  }
 
   /** 64-bit SimHash over xxhash64 token hashes — the SCALE variant of
     * [[simHash]]: twice the signature entropy and (via
@@ -728,10 +782,12 @@ object Dedup {
     * for maxHamming ≤ 3), 65,536 buckets per chunk position — the
     * corpus-scale banding. */
   def simHashPairs64(docs: DataFrame, maxHamming: Int = 3,
-                     maxBandDf: Long = Long.MaxValue): DataFrame =
-    chunkBandPairs(Stage(simHash64(docs)), "simhash64",
+                     maxBandDf: Long = CorpusDerivedCap): DataFrame = {
+    val sh = Stage(simHash64(docs))
+    chunkBandPairs(sh, "simhash64",
       nChunks = 4, chunkBits = 16, maxHamming = maxHamming,
-      maxBandDf = maxBandDf)
+      maxBandDf = resolveCap(sh, maxBandDf))
+  }
 
   /** SOFT dedup — duplicate-aware loss REWEIGHTING instead of dropping
     * (the SoftDeDup observation: hard removal throws away the signal
@@ -753,7 +809,7 @@ object Dedup {
     * via the `pairs` overload. */
   def softDedupWeights(docs: DataFrame, k: Int = 3,
                        thresholdPpm: Long = 500000L,
-                       maxShingleDf: Long = Long.MaxValue): DataFrame =
+                       maxShingleDf: Long = CorpusDerivedCap): DataFrame =
     softDedupWeightsFromPairs(docs,
       ngramJaccardPairs(docs, k, maxShingleDf)
         .filter(col("jaccard_ppm") >= thresholdPpm))

@@ -141,20 +141,19 @@ object Multimodal {
     * shares at least one chunk, so the candidate join is EXACT for the
     * default radius), then a popcount verify. One hash scan, one
     * chunk-keyed equi-join — never all-pairs. */
-  def perceptualNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def perceptualNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+                             maxBandDf: Long = Dedup.CorpusDerivedCap): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole is exact only to hamming 3")
     val ph = graft.llm.Stage(perceptualHash(docs))
-    val chunks = ph.select(col("doc_id"), col("phash"),
-      posexplode(array((0 until 4).map(k =>
-        expr(s"shiftright(phash, ${k * 16}) & 65535")): _*)).as(Seq("k", "cv")))
-    val a = chunks.as("a"); val b = chunks.as("b")
-    a.join(b, col("a.k") === col("b.k") && col("a.cv") === col("b.cv") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long")
-          .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    // shared chunk-band core with the text SimHash family — one owner
+    // for the candidate join, the popcount verify AND the hot-bucket
+    // cap (an exact-dup asset class shares all 4 chunks, the same
+    // bucket blowup; [[Dedup.CorpusDerivedCap]] bounds it by default,
+    // Long.MaxValue opts out for the oracle-checked uncut forms).
+    val cap = if (maxBandDf == Dedup.CorpusDerivedCap)
+      Dedup.deriveCap(ph.count()) else maxBandDf
+    Dedup.chunkBandPairs(ph, "phash", nChunks = 4, chunkBits = 16,
+      maxHamming = maxHamming, maxBandDf = cap)
   }
 
   /** Per-asset quality stats + gates — the LAION-style filter stage next

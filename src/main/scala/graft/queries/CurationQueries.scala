@@ -383,7 +383,7 @@ object CurationQueries {
     ) { (s, dir) =>
       import graft.llm.Multimodal
       Multimodal.perceptualNearDupPairs(Tables(s, dir, "documents"),
-          maxHamming = 3)
+          maxHamming = 3, maxBandDf = Long.MaxValue)
         .orderBy("id_a", "id_b")
     },
 
@@ -729,9 +729,11 @@ object CurationQueries {
     ) { (s, dir) =>
       import graft.llm.{Clusters, Multimodal}
       val docs = Tables(s, dir, "documents")
-      val img = Multimodal.perceptualNearDupPairs(docs, maxHamming = 3)
+      val img = Multimodal.perceptualNearDupPairs(docs, maxHamming = 3,
+          maxBandDf = Long.MaxValue)
         .select("id_a", "id_b")
-      val txt = Dedup.simHashPairs(docs, maxHamming = 3)
+      val txt = Dedup.simHashPairs(docs, maxHamming = 3,
+          maxBandDf = Long.MaxValue)
         .select("id_a", "id_b")
       val dropped = Clusters.connectedComponents(img.union(txt))
         .filter(col("doc_id") =!= col("cluster_id"))

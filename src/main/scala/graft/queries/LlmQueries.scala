@@ -168,7 +168,7 @@ object LlmQueries {
         |ORDER BY id_a, id_b""".stripMargin
     ) { (s, dir) =>
       Dedup.containmentPairs(Tables(s, dir, "documents"), 3,
-          minContainPpm = 800000L)
+          minContainPpm = 800000L, maxShingleDf = Long.MaxValue)
         .orderBy("id_a", "id_b")
     },
 
@@ -245,7 +245,8 @@ object LlmQueries {
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         |ORDER BY id_a, id_b""".stripMargin
     ) { (s, dir) =>
-      Dedup.simHashPairs(Tables(s, dir, "documents"), maxHamming = 3)
+      Dedup.simHashPairs(Tables(s, dir, "documents"), maxHamming = 3,
+          maxBandDf = Long.MaxValue)
         .orderBy("id_a", "id_b")
     },
 

@@ -993,7 +993,8 @@ object PipelineQueries {
       val existingSigs = Dedup.minHashSignatures(
         docs.filter(col("doc_id") % 2 === 0), k = 3, numPerms = 32)
       Dedup.dedupIncremental(docs.filter(col("doc_id") % 2 === 1), existingSigs,
-          k = 3, numPerms = 32, bands = 8, minEstPpm = 500000L)
+          k = 3, numPerms = 32, bands = 8, minEstPpm = 500000L,
+          maxBandDf = Long.MaxValue)
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },

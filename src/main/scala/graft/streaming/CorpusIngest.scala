@@ -72,7 +72,10 @@ object CorpusIngest {
     *     store + batch ([[Dedup.dedupIncrementalSigs]]) — the store is
     *     deduped by construction, but families of just-below-threshold
     *     documents can still pile into shared buckets over months of
-    *     ingest; the cap bounds that tail.
+    *     ingest; the cap bounds that tail. Defaults to
+    *     [[Dedup.CorpusDerivedCap]] (≈0.1% of batch + touched-store
+    *     docs, floor 128) — the scale-safe default; Long.MaxValue is
+    *     the explicit exactness opt-out.
     *   - `benchmark` (doc_id, text) enables DECONTAMINATION AT THE
     *     DOOR: batch docs sharing more than `maxBenchShared` distinct
     *     `decontamK`-gram shingles with the benchmark set are rejected
@@ -91,7 +94,7 @@ object CorpusIngest {
   def processBatch(batch: DataFrame, corpusDir: String, sigDir: String,
                    k: Int = 3, numPerms: Int = 32, bands: Int = 8,
                    minEstPpm: Long = 500000L,
-                   maxBandDf: Long = Long.MaxValue,
+                   maxBandDf: Long = Dedup.CorpusDerivedCap,
                    benchmark: Option[DataFrame] = None,
                    decontamK: Int = 8, maxBenchShared: Long = 0L,
                    batchId: Long = 0L, nBuckets: Int = 64,
@@ -291,13 +294,22 @@ object CorpusIngest {
       .filter(col("band_hash").isNotNull)
     BandStore.prunedFor(spark, bandsDir, nb0) match {
       case None => // no store overlap: within-batch dedup only
-        val (nb, _) = Dedup.capJointBuckets(nb0, nb0.limit(0), maxBandDf)
+        val cap = if (maxBandDf == Dedup.CorpusDerivedCap)
+          Dedup.deriveCap(freshSigs.count()) else maxBandDf
+        val (nb, _) = Dedup.capJointBuckets(nb0, nb0.limit(0), cap)
         val cand = Dedup.withinBatchCandidates(nb).distinct()
         val drop = Dedup.sigAgreementDrops(cand, freshSigs, freshSigs,
           numPerms, minEstPpm)
         fresh.join(drop, Seq("doc_id"), "left_anti")
       case Some(storeBands) =>
-        val (nb, eb) = Dedup.capJointBuckets(nb0, storeBands, maxBandDf)
+        // derived cap spans the JOINT local population of this band
+        // join: batch docs + touched-store band rows (÷ bands ≈ docs).
+        // Both frames are staged/pruned — the counts are O(batch +
+        // touched buckets), never a store scan.
+        val cap = if (maxBandDf == Dedup.CorpusDerivedCap)
+          Dedup.deriveCap(freshSigs.count() + storeBands.count() / bands)
+          else maxBandDf
+        val (nb, eb) = Dedup.capJointBuckets(nb0, storeBands, cap)
         // staged: feeds the id-bucket collect AND the verify join
         val candOld = graft.llm.Stage(
           Dedup.crossSideCandidates(nb, eb).distinct())
