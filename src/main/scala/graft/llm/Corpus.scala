@@ -205,6 +205,123 @@ object Corpus {
     out.toSeq.toDF("rank", "lhs", "rhs", "pair_cnt")
   }
 
+  /** MULTI-MERGE BPE training (the SentencePiece/YouTokenToMe batching):
+    * per corpus scan, select up to `batchSize` NON-CONFLICTING merges —
+    * greedy by (cnt DESC, pair ASC), skipping any pair sharing a token
+    * (lhs or rhs) with an earlier pick in the batch — and apply them in
+    * ONE staged pass. Token-disjoint merges have INVARIANT pair counts
+    * under each other (merging "a b" elsewhere can neither create nor
+    * destroy a "c d" adjacency when {a,b} ∩ {c,d} = ∅ and the product
+    * "a~b" is a token no counted pair can contain), so within a batch
+    * each pick is exactly what a re-count would have ranked first among
+    * token-disjoint candidates. Training cost drops from nMerges corpus
+    * scans ([[mergeTrain]]'s one job chain per merge) to
+    * ceil(nMerges/batchSize) — the per-batch argmax re-reads the SMALL
+    * staged pair-count table, not the corpus.
+    *
+    * Equality contract vs the sequential trainer: identical merge
+    * tables whenever no batch-applied merge creates a NEW pair whose
+    * count beats the batch's next pick (CorpusOpsSpec asserts equality
+    * on such corpora and pins the documented divergence case).
+    *
+    * Ranks are SLOT ids (round·batchSize + pick) so the DuckDB oracle
+    * ([[mergeTrainBatchedSql]]) can replay them with a static unroll;
+    * a round that finds fewer than batchSize disjoint pairs leaves a
+    * rank gap (degenerate corpora only — every remaining pair shares a
+    * token with a pick). */
+  def mergeTrainBatched(segs: DataFrame, nMerges: Int, batchSize: Int = 4,
+                        sep: String = "~"): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val spark = segs.sparkSession
+    import spark.implicits._
+    var cur = segs
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val rounds = (nMerges + batchSize - 1) / batchSize
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      // ONE corpus-scale job per round; the per-pick argmaxes below
+      // re-read this staged vocabulary-sized table.
+      val counts = Stage(cur
+        .select(explode(adjacentPairs(col("seg"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .select(col("pair"), col("cnt"),
+          expr("split_part(pair, ' ', 1)").as("lhs"),
+          expr("split_part(pair, ' ', 2)").as("rhs")))
+      val slots = math.min(batchSize, nMerges - r * batchSize)
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var more = true
+      while (more && picked.size < slots) {
+        val used = picked.iterator.flatMap(p => Seq(p._1, p._2)).toSeq
+        val cand = if (used.isEmpty) counts
+          else counts.filter(!col("lhs").isin(used: _*) &&
+            !col("rhs").isin(used: _*))
+        cand.orderBy(col("cnt").desc, col("pair")).limit(1)
+          .select("lhs", "rhs", "cnt").as[(String, String, Long)]
+          .collect().headOption match {
+          case None => more = false // no disjoint pair left this round
+          case Some(t) =>
+            out += ((r.toLong * batchSize + picked.size, t._1, t._2, t._3))
+            picked += t
+        }
+      }
+      if (picked.isEmpty) exhausted = true // counts empty: fully merged
+      else cur = Stage(picked.foldLeft(cur) { case (df, (l, rr, _)) =>
+        df.withColumn("seg", applyMerge(col("seg"), l, rr, sep))
+      })
+      r += 1
+    }
+    out.toSeq.toDF("rank", "lhs", "rhs", "pair_cnt")
+  }
+
+  /** [[mergeTrainBatched]] as DuckDB SQL — statically unrolled rounds ×
+    * picks. Each pick k excludes the tokens of picks 0..k−1 via NOT IN
+    * (empty-safe: NOT IN over an empty set is TRUE); each applied merge
+    * rides a 1-row coalesced placeholder table ('' when the pick is
+    * empty — '' equals no real pair, so the fold is a no-op and the
+    * CROSS JOIN never zeroes the corpus). */
+  def mergeTrainBatchedSql(segExpr: String, from: String, nMerges: Int,
+                           batchSize: Int = 4, sep: String = "~"): String = {
+    val rounds = (nMerges + batchSize - 1) / batchSize
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    val emits = new scala.collection.mutable.ArrayBuffer[String]
+    (0 until rounds).foreach { r =>
+      val slots = math.min(batchSize, nMerges - r * batchSize)
+      ctes += s""" c$r AS (SELECT pair, cnt, split_part(pair, ' ', 1) AS lhs,
+         |   split_part(pair, ' ', 2) AS rhs
+         |  FROM (SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM (SELECT unnest(list_transform(range(1, len(seg)),
+         |                j -> seg[j] || ' ' || seg[j+1])) AS pair FROM seg$r) p
+         |        GROUP BY pair) g)""".stripMargin
+      (0 until slots).foreach { k =>
+        val excl = if (k == 0) "" else {
+          val toks = (0 until k).map(j =>
+            s"SELECT lhs AS t FROM b${r}_$j UNION SELECT rhs FROM b${r}_$j")
+            .mkString(" UNION ")
+          s"WHERE lhs NOT IN ($toks) AND rhs NOT IN ($toks)\n  "
+        }
+        ctes += s""" b${r}_$k AS (SELECT pair, lhs, rhs, cnt FROM c$r
+           |  ${excl}ORDER BY cnt DESC, pair LIMIT 1),
+           | m${r}_$k AS (SELECT coalesce((SELECT pair FROM b${r}_$k), '') AS pair)""".stripMargin
+        emits += s"""SELECT CAST(${r.toLong * batchSize + k} AS BIGINT) AS rank,
+           | lhs, rhs, cnt AS pair_cnt FROM b${r}_$k""".stripMargin
+      }
+      val folds = (0 until slots).map { k =>
+        val src = if (k == 0) s"seg$r" else s"s${r}_${k - 1}"
+        val dst = if (k == slots - 1) s"seg${r + 1}" else s"s${r}_$k"
+        s""" $dst AS (SELECT doc_id, list_reduce(list_transform(seg, t -> [t]),
+           |   (acc, x) -> CASE WHEN len(acc) > 0 AND (acc[-1] || ' ' || x[1]) = m.pair
+           |               THEN acc[1:len(acc)-1] || [acc[-1] || '$sep' || x[1]]
+           |               ELSE acc || x END) AS seg
+           |   FROM $src CROSS JOIN m${r}_$k m)""".stripMargin
+      }
+      ctes ++= folds
+    }
+    s"""(WITH seg0 AS (SELECT doc_id, $segExpr AS seg FROM $from),
+       |${ctes.mkString(",\n")}
+       |SELECT * FROM (${emits.mkString("\nUNION ALL ")}))""".stripMargin
+  }
+
   /** Apply a trained merge table in rank order: one narrow fold per
     * rank, no shuffle — the full-corpus tokenization pass. */
   def mergeApply(segs: DataFrame, merges: Seq[(String, String)],

@@ -489,6 +489,23 @@ object PipelineQueries {
         nMerges = 5).orderBy("rank")
     },
 
+    // Multi-merge BPE training (SentencePiece/YouTokenToMe batching):
+    // 6 merges in 3 corpus scans — each round picks the top-2
+    // TOKEN-DISJOINT pairs (greedy by cnt DESC, pair ASC; disjointness
+    // makes their counts invariant under each other) and applies both
+    // in one pass. The oracle statically unrolls rounds × picks,
+    // mirroring the exclusion NOT-INs and the greedy folds, so the
+    // merge table matches slot for slot.
+    Q("q171_bpe_batched",
+      Corpus.mergeTrainBatchedSql("string_split(text, ' ')", "documents",
+        nMerges = 6, batchSize = 2) + " ORDER BY rank"
+    ) { (s, dir) =>
+      Corpus.mergeTrainBatched(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("seg")),
+        nMerges = 6, batchSize = 2).orderBy("rank")
+    },
+
     Q("q57_hash_sample",
       """SELECT doc_id, lang FROM documents
         |WHERE list_reduce(list_prepend(CAST(7 AS BIGINT),

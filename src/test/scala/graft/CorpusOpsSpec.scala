@@ -65,6 +65,50 @@ class CorpusOpsSpec extends SparkSpec {
   test("mergeTrain stops early when no adjacent pairs remain") {
     val segs = Seq((1L, Seq("a")), (2L, Seq("b"))).toDF("doc_id", "seg")
     assert(graft.llm.Corpus.mergeTrain(segs, nMerges = 4).count() == 0L)
+    assert(graft.llm.Corpus
+      .mergeTrainBatched(segs, nMerges = 4, batchSize = 2).count() == 0L)
+  }
+
+  test("mergeTrainBatched equals the sequential trainer when merges don't conflict") {
+    // three token-disjoint frequent pairs: batching them into one scan
+    // must learn the same table rank for rank (counts are invariant
+    // under token-disjoint merges, and no batch product creates a pair
+    // that outranks the next pick — single-pair docs fuse to 1 token).
+    val words = Seq.fill(5)(Seq("a", "b")) ++ Seq.fill(4)(Seq("c", "d")) ++
+      Seq.fill(3)(Seq("e", "f"))
+    val segs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "seg")
+    val seqT = graft.llm.Corpus.mergeTrain(segs, nMerges = 3)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val batT = graft.llm.Corpus.mergeTrainBatched(segs, nMerges = 3, batchSize = 3)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(seqT == batT)
+    assert(seqT == Seq((0L, "a", "b", 5L), (1L, "c", "d", 4L), (2L, "e", "f", 3L)))
+    // on the Sennrich corpus with batchSize=1 batched IS sequential
+    val sWords = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val sSegs = sWords.zipWithIndex
+      .map { case (w, i) => (i.toLong, w.map(_.toString)) }
+      .toDF("doc_id", "seg")
+    assert(graft.llm.Corpus.mergeTrainBatched(sSegs, nMerges = 3, batchSize = 1)
+        .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1) ==
+      graft.llm.Corpus.mergeTrain(sSegs, nMerges = 3)
+        .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1))
+  }
+
+  test("mergeTrainBatched: conflicting round leaves a slot gap (documented divergence)") {
+    // "a b c" x10: picks (a b) first (tie breaks on pair asc), (b c)
+    // shares b -> the round yields ONE merge and slot 1 stays empty;
+    // round 1 then learns (a~b, c) at SLOT rank 2. The sequential
+    // trainer learns the same merges at compact ranks 0,1.
+    val segs = (0L until 10L).map(i => (i, Seq("a", "b", "c")))
+      .toDF("doc_id", "seg")
+    val bat = graft.llm.Corpus.mergeTrainBatched(segs, nMerges = 4, batchSize = 2)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(bat == Seq((0L, "a", "b", 10L), (2L, "a~b", "c", 10L)))
+    val sq = graft.llm.Corpus.mergeTrain(segs, nMerges = 2)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(sq == Seq((0L, "a", "b", 10L), (1L, "a~b", "c", 10L)))
   }
 
   test("connectedComponents of an empty edge list is empty, not a crash") {
