@@ -269,6 +269,72 @@ object SyncQueries {
         .select(col("event_id"),
           sha2(concat(col("event_id").cast("string"), lit("."), col("props")), 256).as("sig"))
         .orderBy("event_id")
+    },
+
+    // POINT-IN-TIME REBUILD from the events ledger (round-10 judge
+    // task: promote WebhookPipeline.rebuildAsOf from spec-only to an
+    // oracle entry). The query synthesizes customer.updated webhook
+    // JSON from the events table (created = sec·8 + within-second rank,
+    // unique per customer so the LWW window is tie-free on ANY SF),
+    // runs the REAL pipeline with the ledger enabled, then calls
+    // rebuildAsOf at three sampled instants and returns the rebuilt
+    // customers tables. The oracle replays ledger-filter(created <= T)
+    // → LWW-by-created → projection straight off the parquet — so the
+    // whole ledger write + JSON reconstruction + reparse + route +
+    // merge round trip must be semantics-preserving to hash-match.
+    Q("q172_pit_rebuild",
+      """WITH e0 AS (SELECT event_id, user_id, event_type,
+        |        CAST(round(value * 100.0) AS BIGINT) AS cents,
+        |        epoch_ns(ts) // 1000000000 AS sec FROM events),
+        | e AS (SELECT *, sec * 8 + row_number() OVER (
+        |         PARTITION BY user_id, sec ORDER BY event_id) - 1 AS created
+        |       FROM e0),
+        | b AS (SELECT min(created) AS mn, max(created) AS mx FROM e),
+        | ts AS (SELECT q, mn + (mx - mn) * q // 4 AS t
+        |        FROM b CROSS JOIN (SELECT unnest([1, 2, 3]) AS q)),
+        | r AS (SELECT ts.q, e.*, row_number() OVER (
+        |         PARTITION BY ts.q, e.user_id ORDER BY e.created DESC) AS rn
+        |       FROM e JOIN ts ON e.created <= ts.t)
+        |SELECT CAST(q AS BIGINT) AS sample, 'cus_' || user_id AS id,
+        | user_id || '@example.test' AS email, event_type AS name,
+        | cents AS balance, created, created * 1000000 AS synced_us
+        |FROM r WHERE rn = 1 ORDER BY sample, id""".stripMargin
+    ) { (s, dir) =>
+      import graft.streaming.{SyncConfig, WebhookPipeline}
+      val w = Window.partitionBy("user_id", "sec").orderBy("event_id")
+      val e = Tables.events(s, dir)
+        .withColumn("sec", expr("ts_ns DIV 1000000000"))
+        .withColumn("created",
+          col("sec") * 8 + row_number().over(w).cast("long") - 1)
+        .withColumn("cents", expr("CAST(round(value * 100.0) AS BIGINT)"))
+      val raw = e.select(concat(
+        lit("{\"id\":\"evt_"), col("event_id").cast("string"),
+        lit("\",\"type\":\"customer.updated\",\"created\":"),
+        col("created").cast("string"),
+        lit(",\"livemode\":false,\"api_version\":\"2024-01-01\","),
+        lit("\"data\":{\"object\":{\"id\":\"cus_"),
+        col("user_id").cast("string"),
+        lit("\",\"email\":\""), col("user_id").cast("string"),
+        lit("@example.test\",\"name\":\""), col("event_type"),
+        lit("\",\"balance\":"), col("cents").cast("string"),
+        lit(",\"created\":"), col("created").cast("string"),
+        lit("}}}")).as("value"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q172_pit").toString
+      new WebhookPipeline(s"$base/store",
+        config = SyncConfig(eventsLedger = true)).processBatch(raw, 0L)
+      val bounds = s.read.parquet(s"$base/store/events")
+        .agg(min("created").as("mn"), max("created").as("mx")).head()
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      (1L to 3L).map { q =>
+        val out = s"$base/rebuild_$q"
+        WebhookPipeline.rebuildAsOf(s, s"$base/store", out,
+          mn + (mx - mn) * q / 4)
+        s.read.parquet(s"$out/customers").select(
+          lit(q).as("sample"), col("id"), col("email"), col("name"),
+          col("balance"), col("created"),
+          unix_micros(col("last_synced_at")).as("synced_us"))
+      }.reduce(_.unionByName(_)).orderBy("sample", "id")
     }
   )
 }
