@@ -500,6 +500,141 @@ object SinkQueries {
               if (onlyServed == 0L && onlyExact == 0L) 1L else 0L))
           .toDF("key", "n").orderBy("key")
       } finally rm(new java.io.File(root))
+    },
+
+    /* qs9 — ONE-DRIVER MULTI-STORE capstone (round-10 judge task 8):
+     * webhook-style document stream → corpus store (dedup + admission
+     * ledger) → embed-at-the-door vector index → maintained BM25, all
+     * behind ONE Structured Streaming driver with ONE shared
+     * checkpoint. Downstream stores are fed the batch's ADMITTED slice
+     * (batch ∖ corpus-guard-fresh, an O(batch) bloom probe) and each
+     * store's own idempotence machinery (vector replay guard, BM25
+     * doclen anti-join + batch watermark) makes the composition
+     * self-reconciling: a replayed batch re-offers the admitted docs
+     * and exactly the stores that missed them catch up.
+     *
+     * The lifecycle PLANTS A CRASH between the corpus commit and the
+     * downstream commits of batch 2 (the foreachBatch body throws, the
+     * streaming query dies, the checkpoint has NOT committed), then
+     * restarts the driver on the same checkpoint: batch 2 replays, the
+     * corpus guard no-ops, the delta heals the vector + BM25 stores.
+     * In-query gates: check_crash_planted (the divergence was real),
+     * check_stores_agree (corpus == vector == BM25 ids after restart,
+     * bidirectional), check_replay_noop (a batch-1 content redelivery
+     * changes no store), check_serve (both indexes answer queries),
+     * check_quarantine_empty. Rows-only for the driver; the component
+     * stores are value-checked by their own specs and oracle entries. */
+    Q.noOracle("qs9_multi_store") { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.{Bm25Ingest, CorpusIngest, ReplayGuard, VectorIngest}
+      import graft.llm.Inference
+      val docs = graft.Tables(s, dir, "documents").select("doc_id", "text")
+      val base = Files.createTempDirectory("graft_multistore").toString
+      val inDir = s"$base/in"; val ckpt = s"$base/ckpt"
+      val corpusDir = s"$base/corpus"; val sigDir = s"$base/sigs"
+      val vroot = s"$base/vec"; val broot = s"$base/bm25"
+      Files.createDirectories(Paths.get(inDir))
+      try {
+        // frozen IVF centroids from the batch-1 slice (the qs2 shape)
+        VectorIngest.trainCentroids(
+          Inference.embedDocuments(docs.filter(col("doc_id") % 2 === 0)
+              .filter(col("doc_id") < 2048), dim = 64, batchSize = 32)
+            .withColumnRenamed("doc_id", "vec_id"),
+          vroot, kCells = 8, iters = 2)
+        @volatile var plantCrash = false
+        def composed(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+          val b = batch.select(col("doc_id"), col("text"))
+          CorpusIngest.processBatch(b, corpusDir, sigDir, batchId = batchId)
+          if (plantCrash) throw new RuntimeException("planted crash: corpus committed, downstream not")
+          // admitted-ever slice of THIS batch: O(batch) bloom probe
+          val admitted = b.join(
+            ReplayGuard.filterFresh(b, "doc_id", CorpusIngest.guardDirOf(sigDir))
+              .select("doc_id"), Seq("doc_id"), "left_anti")
+          // embed-at-the-door ORDER: pre-filter through the vector
+          // guard so a redelivered batch pays a bloom probe, never a
+          // re-embed, for rows the ingest would drop anyway
+          val vectorFresh =
+            if (!ReplayGuard.exists(b.sparkSession, VectorIngest.guardDirOf(vroot)))
+              admitted
+            else ReplayGuard.filterFresh(admitted, "doc_id",
+              VectorIngest.guardDirOf(vroot))
+          VectorIngest.processBatch(
+            Inference.embedDocuments(vectorFresh, dim = 64, batchSize = 32)
+              .withColumnRenamed("doc_id", "vec_id"), vroot, batchId = batchId)
+          Bm25Ingest.processBatch(admitted, broot, batchId = batchId)
+          ()
+        }
+        def drop(slice: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val tmp = s"$base/stage_$name"
+          slice.select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+            .coalesce(1).write.mode("overwrite").text(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.startsWith("part-")).head
+          Files.move(part.toPath, Paths.get(s"$inDir/$name.json"))
+        }
+        def startDriver() = s.readStream
+          .schema("doc_id LONG, text STRING").json(inDir)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+            composed(df, id))
+          .start()
+        def ids(path: String, c: String) =
+          s.read.parquet(path).select(col(c).as("doc_id")).distinct()
+        def disagree(a: org.apache.spark.sql.DataFrame,
+                     b: org.apache.spark.sql.DataFrame): Long =
+          a.join(b, Seq("doc_id"), "left_anti").count() +
+            b.join(a, Seq("doc_id"), "left_anti").count()
+        // batch 1 (even ids) — clean pass through all three stores
+        drop(docs.filter(col("doc_id") % 2 === 0), "b1")
+        val q1 = startDriver(); q1.processAllAvailable(); q1.stop()
+        // batch 2 (odd ids) — crash between corpus and downstream
+        plantCrash = true
+        drop(docs.filter(col("doc_id") % 2 === 1), "b2")
+        val q2 = startDriver()
+        val crashed = scala.util.Try(q2.processAllAvailable()).isFailure ||
+          scala.util.Try(q2.awaitTermination(1000)).isFailure
+        scala.util.Try(q2.stop())
+        val missDuringCrash = disagree(ids(corpusDir, "doc_id"),
+          ids(s"$vroot/cells", "vec_id"))
+        // restart on the SAME checkpoint: batch 2 replays, corpus
+        // no-ops under its guard, the admitted delta heals downstream
+        plantCrash = false
+        val q3 = startDriver(); q3.processAllAvailable()
+        val healedVec = disagree(ids(corpusDir, "doc_id"), ids(s"$vroot/cells", "vec_id"))
+        val healedBm = disagree(ids(corpusDir, "doc_id"), ids(s"$broot/doclen", "doc_id"))
+        val countsAfterHeal = (ids(corpusDir, "doc_id").count(),
+          ids(s"$vroot/cells", "vec_id").count(), ids(s"$broot/doclen", "doc_id").count())
+        // batch-1 content REDELIVERED as a new file: every store no-ops
+        drop(docs.filter(col("doc_id") % 2 === 0), "b3_redelivery")
+        q3.processAllAvailable(); q3.stop()
+        val countsAfterReplay = (ids(corpusDir, "doc_id").count(),
+          ids(s"$vroot/cells", "vec_id").count(), ids(s"$broot/doclen", "doc_id").count())
+        // both indexes must answer off the healed stores
+        val qDocs = docs.filter(col("doc_id") < 8)
+        val annRows = VectorIngest.ann(s,
+          vroot, Inference.embedDocuments(qDocs, dim = 64, batchSize = 32)
+            .withColumnRenamed("doc_id", "vec_id"), k = 5, nProbe = 8).count()
+        val qTerms = qDocs.limit(1)
+          .select(explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+          .withColumn("query_id", lit(0L))
+        val bmRows = Bm25Ingest.serve(s, broot, qTerms, k = 5)
+          .map(_.count()).getOrElse(0L)
+        val quarEmpty = !Files.exists(Paths.get(s"$vroot/_quarantine")) &&
+          !Files.exists(Paths.get(s"${sigDir}_quarantine"))
+        Seq(("corpus_docs", countsAfterHeal._1),
+            ("vec_docs", countsAfterHeal._2),
+            ("bm25_docs", countsAfterHeal._3),
+            ("crash_missing", missDuringCrash),
+            ("check_crash_planted",
+              if (crashed && missDuringCrash > 0L) 1L else 0L),
+            ("check_stores_agree",
+              if (healedVec == 0L && healedBm == 0L) 1L else 0L),
+            ("check_replay_noop",
+              if (countsAfterReplay == countsAfterHeal) 1L else 0L),
+            ("check_serve", if (annRows > 0L && bmRows > 0L) 1L else 0L),
+            ("check_quarantine_empty", if (quarEmpty) 1L else 0L))
+          .toDF("key", "n").orderBy("key")
+      } finally rm(new java.io.File(base))
     }
   )
 }

@@ -320,7 +320,11 @@ object VectorIngest {
     n
   }
 
-  private def guardPath(root: String): String = s"$root/guard"
+  /** Public so composed drivers (qs9) can pre-filter a delta through
+    * the guard BEFORE paying embedding for rows the ingest would drop
+    * anyway — the embed-at-the-door order at scale. */
+  def guardDirOf(root: String): String = s"$root/guard"
+  private def guardPath(root: String): String = guardDirOf(root)
 
   /** Ledgered-but-unindexed vec_ids (guard committed, cell append never
     * ran — the fail-closed crash window, during which redelivery of
