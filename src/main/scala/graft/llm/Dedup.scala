@@ -327,7 +327,25 @@ object Dedup {
   private def shinglePairCounts(docs: DataFrame, k: Int,
                                 maxShingleDf0: Long): DataFrame = {
     val maxShingleDf = resolveCap(docs, maxShingleDf0)
-    val base = docs.select(col("doc_id"),
+    // EXACT-DUP PRE-COLLAPSE, result-preserving (round 11 — the sf1
+    // sweep's q80 pathology): members of an exact-duplicate class have
+    // IDENTICAL shingle sets, so every pair statistic involving a
+    // member replicates its representative's. The inverted index and
+    // the quadratic self-join therefore run over DISTINCT TEXTS only —
+    // a 10-way replicated corpus pays class-count df², not member-count
+    // df² (100× less join work; measured 257 s → seconds at sf1) — and
+    // member pairs are re-expanded afterwards: cross-class pairs by a
+    // two-sided membership join (output-sized), within-class pairs
+    // directly from the membership table (identical sets ⇒ common =
+    // n_a = n_b = the class's post-cut set size). The stop-shingle df
+    // stays MEMBER-counted (sum of class sizes per shingle), so capped
+    // results are bit-identical to the uncollapsed form too.
+    val reps = Stage(docs.groupBy(col("text"))
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_copies")))
+    val members = Stage(docs.select(col("doc_id"), col("text"))
+      .join(reps, Seq("text")).select(col("doc_id"), col("rep_id")))
+    val base = reps
+      .select(col("rep_id").as("doc_id"), col("n_copies"),
         graft.functions.ShingleHashes.shingle_hashes(col("text"), k).as("hs"))
       .filter(size(col("hs")) > 0)
     val shRows =
@@ -338,13 +356,15 @@ object Dedup {
       else {
         // staged: sh0 feeds BOTH the stop aggregate and the anti-join —
         // unstaged it would re-run the scan + shingle hash twice
-        val sh0 = Stage(base.select(col("doc_id"), explode(col("hs")).as("h")))
-        val stop = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+        val sh0 = Stage(base.select(col("doc_id"), col("n_copies"),
+          explode(col("hs")).as("h")))
+        val stop = sh0.groupBy("h").agg(sum("n_copies").as("df"))
           .filter(col("df") > maxShingleDf).select("h")
         // post-cut set size: count over the doc's surviving shingles
         sh0.join(broadcast(stop), Seq("h"), "left_anti")
           .withColumn("n_sh",
             count(lit(1)).over(Window.partitionBy("doc_id")).cast("long"))
+          .drop("n_copies")
       }
     // Materialize the shingle table once: both self-join sides would
     // otherwise re-run the scan + split + shingle-hash + explode
@@ -352,10 +372,33 @@ object Dedup {
     // Stage() honors the reliable-checkpoint switch for cluster runs.
     val sh = Stage(shRows)
     val a = sh.as("a"); val b = sh.as("b")
-    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+    val repPairs = a.join(b,
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("common"))
+    // cross-class expansion: (id_a, id_b) order by MEMBER id — the set
+    // sizes follow the swap
+    val ma = members.select(col("rep_id").as("rep_a"), col("doc_id").as("da"))
+    val mb = members.select(col("rep_id").as("rep_b"), col("doc_id").as("db"))
+    val cross = repPairs.join(ma, Seq("rep_a")).join(mb, Seq("rep_b"))
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"),
+        when(col("da") < col("db"), col("na")).otherwise(col("nb")).as("n_a"),
+        when(col("da") < col("db"), col("nb")).otherwise(col("na")).as("n_b"),
+        col("common"))
+    // within-class pairs: classes whose post-cut set is empty have no
+    // sizes row and correctly emit nothing (matching the uncollapsed
+    // form, where such docs vanish from the index entirely)
+    val sizes = sh.select(col("doc_id").as("rep_id"), col("n_sh")).distinct()
+    val wm = members.join(sizes, Seq("rep_id"))
+    val within = wm.as("x").join(wm.as("y"),
+        col("x.rep_id") === col("y.rep_id") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.n_sh").as("n_a"), col("y.n_sh").as("n_b"),
+        col("x.n_sh").as("common"))
+    cross.unionByName(within)
   }
 
   // --- MinHash + LSH ------------------------------------------------------
