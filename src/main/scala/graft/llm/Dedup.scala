@@ -378,10 +378,14 @@ object Dedup {
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("common"))
     // cross-class expansion: (id_a, id_b) order by MEMBER id — the set
-    // sizes follow the swap
+    // sizes follow the swap. The membership map broadcasts (one narrow
+    // row per doc, far under the pair stream it expands; at 10⁹+ docs
+    // swap for a rep-bucketed shuffle join) so the pair rows stream
+    // through with no shuffle.
     val ma = members.select(col("rep_id").as("rep_a"), col("doc_id").as("da"))
     val mb = members.select(col("rep_id").as("rep_b"), col("doc_id").as("db"))
-    val cross = repPairs.join(ma, Seq("rep_a")).join(mb, Seq("rep_b"))
+    val cross = repPairs.join(broadcast(ma), Seq("rep_a"))
+      .join(broadcast(mb), Seq("rep_b"))
       .select(least(col("da"), col("db")).as("id_a"),
         greatest(col("da"), col("db")).as("id_b"),
         when(col("da") < col("db"), col("na")).otherwise(col("nb")).as("n_a"),
@@ -510,15 +514,21 @@ object Dedup {
     * default to [[CorpusDerivedCap]]; Long.MaxValue (the explicit
     * opt-out the oracle-checked forms pass) runs uncut. The over-cap
     * key set is tiny by construction → broadcast anti-join. */
-  private def capBucketDf(banded: DataFrame, cap: Long,
-                          keys: Seq[String]): DataFrame = {
+  private def capBucketDf(banded: DataFrame, cap: Long, keys: Seq[String],
+                          weightCol: Option[String] = None): DataFrame = {
     // a leaked sentinel would read as "df > -1" and drop EVERY bucket
     require(cap > 0, s"bucket-df cap must be resolved and positive, got $cap")
     if (cap == Long.MaxValue) Stage(banded)
     else {
       val b = Stage(banded)
+      // weightCol: when the banded rows are COLLAPSED representatives
+      // (one row per distinct signature), the df must still count
+      // MEMBERS — sum of class sizes — to stay bit-identical to the
+      // uncollapsed cap semantics
       val hot = b.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+        .agg(weightCol.map(w => sum(col(w)).as("df"))
+          .getOrElse(count(lit(1)).as("df")))
+        .filter(col("df") > cap)
         .select(keys.map(col): _*)
       b.join(broadcast(hot), keys, "left_anti")
     }
@@ -766,22 +776,55 @@ object Dedup {
                                   maxBandDf: Long = Long.MaxValue): DataFrame = {
     require(maxBandDf != CorpusDerivedCap,
       "resolve CorpusDerivedCap before chunkBandPairs (pass a staged per-doc frame to resolveCap)")
+    // IDENTICAL-SIGNATURE PRE-COLLAPSE, result-preserving (the
+    // shinglePairCounts discipline): pairs depend only on signatures,
+    // so the chunk join runs over DISTINCT SIGNATURES — a duplicate-
+    // heavy corpus pays class-count df², not member-count df² (q71 at
+    // the sf1 sweep: 79 s → seconds). Bit-identical under caps too:
+    // the bucket df sums class sizes (member-counted), and within-class
+    // pairs emit only for classes retaining ≥1 surviving chunk bucket
+    // — exactly when the uncollapsed join would have connected them.
+    val s0 = Stage(sh.select(col("doc_id"), col(sigCol)))
+    val reps = Stage(s0.groupBy(sigCol)
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies")))
+    val members = s0
+      .join(reps.select(col(sigCol), col("doc_id").as("rep_id")), Seq(sigCol))
+      .select(col("doc_id"), col("rep_id"))
     val mask = (1L << chunkBits) - 1
     val chunked = capBucketDf(
-      sh.select(col("doc_id"), col(sigCol),
+      reps.select(col("doc_id"), col(sigCol), col("n_copies"),
         posexplode(array((0 until nChunks).map(c =>
           shiftrightunsigned(col(sigCol), c * chunkBits).bitwiseAND(lit(mask))): _*))
           .as(Seq("chunk", "ch"))),
-      maxBandDf, Seq("chunk", "ch"))
-    val cand = chunked.as("x").join(chunked.as("y"),
+      maxBandDf, Seq("chunk", "ch"), weightCol = Some("n_copies"))
+    val repPairs = chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+      .select(col("x.doc_id").as("rep_a"), col("y.doc_id").as("rep_b"),
         col(s"x.$sigCol").as("sh_a"), col(s"y.$sigCol").as("sh_b"))
       .distinct()
-    cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    // broadcast the membership map: one narrow row per doc, orders of
+    // magnitude under the pair stream it expands — the expansion then
+    // streams through two broadcast joins with NO shuffle of the pair
+    // rows (at 10⁹+ docs swap for a rep-bucketed shuffle join)
+    val ma = members.select(col("rep_id").as("rep_a"), col("doc_id").as("da"))
+    val mb = members.select(col("rep_id").as("rep_b"), col("doc_id").as("db"))
+    val cross = repPairs.join(broadcast(ma), Seq("rep_a"))
+      .join(broadcast(mb), Seq("rep_b"))
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("hamming"))
+    // classes whose every chunk bucket was capped away pair with nobody
+    // — including their own members (the uncollapsed behavior)
+    val surviving = chunked.select(col("doc_id").as("rep_id")).distinct()
+    val wm = members.join(surviving, Seq("rep_id"))
+    val within = wm.as("x").join(wm.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within).select("id_a", "id_b", "hamming")
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, found via
