@@ -18,7 +18,7 @@ def canon(df):
     return df
 
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -26,35 +26,53 @@ def main(sfdir, outdir):
     ok, bad, noracle = [], [], []
     qdirs = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(os.path.join(outdir, d)))
+    if only:
+        sel = set(only.split(","))
+        qdirs = [d for d in qdirs if d in sel]
+    import time
+
+    def verdict(kind, name, t0, msg=""):
+        print(f"[compare] {kind} {name} ({time.time() - t0:.1f}s) {msg}",
+              file=sys.stderr, flush=True)
+
     for name in qdirs:
+        t0 = time.time()
+        print(f"[compare] {name} ...", file=sys.stderr, flush=True)
         files = glob.glob(os.path.join(outdir, name, "*.parquet"))
         if not files:
             bad.append((name, "no spark output"))
+            verdict("FAIL", name, t0, "no spark output")
             continue
         got = con.sql(f"SELECT * FROM '{os.path.join(outdir, name)}/*.parquet'").df()
         if name not in oracle:
             noracle.append((name, len(got)))
+            verdict("ROWS", name, t0)
             continue
         try:
             exp = con.sql(oracle[name]).df()
         except Exception as e:
             bad.append((name, f"oracle SQL error: {e}"))
+            verdict("FAIL", name, t0, f"oracle SQL error: {e}")
             continue
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             bad.append((name, f"columns differ: spark={list(g.columns)} oracle={list(e.columns)}"))
+            verdict("FAIL", name, t0, "columns differ")
             continue
         if len(g) != len(e):
             bad.append((name, f"row count differs: spark={len(g)} oracle={len(e)}"))
+            verdict("FAIL", name, t0, f"rows {len(g)} vs {len(e)}")
             continue
         if g.equals(e):
             ok.append(name)
+            verdict("OK", name, t0)
         else:
             diff = (g != e) & ~(g.isna() & e.isna())
             cols = [c for c in g.columns if diff[c].any()]
             i = diff.any(axis=1).idxmax()
             bad.append((name, f"values differ in {cols}; first row {i}: "
                               f"spark={g.iloc[i].to_dict()} oracle={e.iloc[i].to_dict()}"))
+            verdict("FAIL", name, t0, f"values differ in {cols}")
     print(f"== MATCH   ({len(ok)}): {' '.join(ok)}")
     for n, rows in noracle:
         print(f"== NOORACLE {n}: {rows} rows")
@@ -65,4 +83,5 @@ def main(sfdir, outdir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
