@@ -390,6 +390,27 @@ class PlanShapeSpec extends SparkSpec {
       s"span corruption is no longer a narrow pass:\n$p")
   }
 
+  test("pair generators collapse to distinct texts/signatures before the quadratic join") {
+    // the round-11 sf1 guard: the inverted-index/chunk-band self-join
+    // must run over exact-dup CLASS representatives (q80's 257 s
+    // pathology was the member-level join), with the member expansion
+    // as broadcast joins. The collapse is a hash aggregate keyed by
+    // text (shingles) / the signature (chunks) upstream of the
+    // self-join; losing it reintroduces member-count df^2 silently.
+    // the collapse itself sits behind Stage() materialization, so the
+    // guard reads the rep-level attribute names that only exist in the
+    // collapsed implementation: the quadratic join emits rep_a/rep_b
+    // and the within-class expansion joins on rep_id
+    for (q <- Seq("q31_jaccard_pairs", "q80_containment_pairs",
+        "q71_simhash_pairs")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q lost the broadcast member expansion:\n$p")
+      assert(p.contains("rep_a") && p.contains("rep_id"),
+        s"$q lost the class-level pre-collapse (no rep attributes):\n$p")
+    }
+  }
+
   test("tiersFromThresholds plans no sort and no window near the corpus") {
     // the serving-form claim: per-source cutoffs broadcast into a
     // narrow CASE — a Sort or Window in this plan means the exact
