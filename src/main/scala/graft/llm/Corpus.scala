@@ -861,6 +861,62 @@ object Corpus {
       .withColumn("batch_in_shard", expr(s"(cum_tokens - n_tokens) DIV $capacity"))
   }
 
+  /** COMPETENCE-BASED CURRICULUM schedule (Platanios et al. 2019): the
+    * data-ORDERING op between sampling (balanced/temperature mixes) and
+    * packing — training proceeds in `buckets` phases, and phase b
+    * admits exactly the documents whose difficulty percentile is within
+    * the model's competence c(b) = b/buckets (linear pacing): early
+    * phases train on the easiest slice, the full corpus unlocks by the
+    * final phase. Emits one row per (phase, admitted doc):
+    * (bucket, doc_id, difficulty, rank_ppm) — each phase's training set
+    * is a direct filter, and rank_ppm (exact integer permille-of-a-
+    * thousand rank, rnk·10⁶ DIV n) makes the whole schedule
+    * SQL-replayable: same corpus ⇒ same curriculum on any cluster.
+    * Ties break on doc_id, so the rank is total and deterministic.
+    *
+    * This EXACT-RANK form is the calibration/oracle shape — one global
+    * window (single-reducer sort, the honest cost of an exact global
+    * percentile; fine at calibration-sample scale). The 100 TB serving
+    * form is [[curriculumFromThresholds]]: difficulty CUTOFFS (from
+    * this form over a sample, or q96's maintained histogram quantiles)
+    * broadcast into a narrow comparison — no sort anywhere near the
+    * corpus, the [[perSourceTiers]]/tiersFromThresholds discipline. */
+  def curriculumSchedule(docs: DataFrame, difficulty: Column,
+                         buckets: Int = 4): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val w = Window.orderBy(col("__diff"), col("doc_id"))
+    val all = Window.partitionBy(lit(1))
+    val ranked = docs.select(col("doc_id"), difficulty.cast("long").as("__diff"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("rank_ppm", expr("rnk * 1000000 DIV n"))
+    val phases = docs.sparkSession.range(1, buckets + 1).toDF("bucket")
+    ranked.join(broadcast(phases),
+        col("rank_ppm") <= expr(s"bucket * 1000000 DIV $buckets"))
+      .select(col("bucket"), col("doc_id"), col("__diff").as("difficulty"),
+        col("rank_ppm"))
+  }
+
+  /** The 100 TB serving form of [[curriculumSchedule]]: per-phase
+    * difficulty CUTOFFS (bucket → max admitted difficulty, from a
+    * calibration sample's exact ranks or maintained histograms)
+    * broadcast against the corpus — phase b admits difficulty ≤
+    * cutoff(b). One narrow comparison per phase, no global sort, no
+    * window. Equal to the exact form whenever the cutoffs are the
+    * exact form's per-phase difficulty maxima and difficulty values
+    * are distinct at the phase boundaries (ties straddling a cutoff
+    * admit by VALUE here, by rank there — the standard
+    * threshold-serving caveat, same as tiersFromThresholds). */
+  def curriculumFromThresholds(docs: DataFrame, difficulty: Column,
+                               cutoffs: Seq[(Long, Long)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cuts = cutoffs.toDF("bucket", "cutoff")
+    docs.select(col("doc_id"), difficulty.cast("long").as("difficulty"))
+      .join(broadcast(cuts), col("difficulty") <= col("cutoff"))
+      .select(col("bucket"), col("doc_id"), col("difficulty"))
+  }
+
   /** Multi-epoch training-order manifest — the deterministic global
     * shuffle a DataLoader needs: for each epoch, every document gets a
     * (shard, pos) slot from a seed-free hash permutation, so epoch e's

@@ -506,6 +506,29 @@ object PipelineQueries {
         nMerges = 6, batchSize = 2).orderBy("rank")
     },
 
+    // Competence-based curriculum (Platanios et al. 2019): 4 linear
+    // phases, phase b admits the docs whose exact difficulty-percentile
+    // rank (tokens-per-doc as the difficulty proxy; ties on doc_id) is
+    // within b/4. The oracle replays the rank window and the integer
+    // competence gate row for row.
+    Q("q173_curriculum",
+      """WITH s AS (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS diff
+        |       FROM documents),
+        | r AS (SELECT doc_id, diff,
+        |        CAST(row_number() OVER (ORDER BY diff, doc_id) AS BIGINT) AS rnk,
+        |        CAST(count(*) OVER () AS BIGINT) AS n FROM s),
+        | b AS (SELECT unnest(range(1, 5)) AS bucket)
+        |SELECT CAST(b.bucket AS BIGINT) AS bucket, r.doc_id,
+        | r.diff AS difficulty, rnk * 1000000 // n AS rank_ppm
+        |FROM r JOIN b ON rnk * 1000000 // n <= b.bucket * 1000000 // 4
+        |ORDER BY bucket, doc_id""".stripMargin
+    ) { (s, dir) =>
+      Corpus.curriculumSchedule(Tables(s, dir, "documents"),
+          size(split(col("text"), " ")), buckets = 4)
+        .orderBy("bucket", "doc_id")
+    },
+
     Q("q57_hash_sample",
       """SELECT doc_id, lang FROM documents
         |WHERE list_reduce(list_prepend(CAST(7 AS BIGINT),

@@ -69,6 +69,31 @@ class CorpusOpsSpec extends SparkSpec {
       .mergeTrainBatched(segs, nMerges = 4, batchSize = 2).count() == 0L)
   }
 
+  test("curriculum: phases nest, final phase is the corpus, thresholds match exact form") {
+    import org.apache.spark.sql.functions._
+    // 8 docs, difficulty = doc_id (distinct, so the threshold caveat
+    // never bites); 4 linear phases admit 2/4/6/8 docs
+    val docs = (1L to 8L).map(i => (i, ("w " * i.toInt).trim))
+      .toDF("doc_id", "text")
+    val sched = graft.llm.Corpus.curriculumSchedule(docs,
+      size(split(col("text"), " ")), buckets = 4)
+    val byPhase = sched.groupBy("bucket").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byPhase == Map(1L -> 2L, 2L -> 4L, 3L -> 6L, 4L -> 8L))
+    // phases NEST: phase b's set contains phase b-1's
+    val p2 = sched.filter(col("bucket") === 2).select("doc_id").as[Long].collect().toSet
+    val p1 = sched.filter(col("bucket") === 1).select("doc_id").as[Long].collect().toSet
+    assert(p1.subsetOf(p2) && p1 == Set(1L, 2L))
+    // threshold serving form == exact form when cutoffs are the exact
+    // form's per-phase difficulty maxima
+    val cutoffs = sched.groupBy("bucket").agg(max("difficulty").as("c"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val thr = graft.llm.Corpus.curriculumFromThresholds(docs,
+        size(split(col("text"), " ")), cutoffs)
+      .select("bucket", "doc_id").as[(Long, Long)].collect().toSet
+    assert(thr == sched.select("bucket", "doc_id").as[(Long, Long)].collect().toSet)
+  }
+
   test("mergeTrainBatched equals the sequential trainer when merges don't conflict") {
     // three token-disjoint frequent pairs: batching them into one scan
     // must learn the same table rank for rank (counts are invariant
