@@ -917,6 +917,37 @@ object Corpus {
       .select(col("bucket"), col("doc_id"), col("difficulty"))
   }
 
+  /** PREFERENCE PAIRS from weak quality supervision — the DPO/RLHF
+    * training-pair constructor (Rafailov et al. 2023 consume exactly
+    * this shape): near-duplicate documents are two renderings of the
+    * same underlying content, so a significant quality gap between
+    * them is a (chosen, rejected) comparison no human had to label —
+    * the standard weak-supervision recipe for bootstrapping preference
+    * data from a crawl. `pairs` is ANY candidate generator's (id_a,
+    * id_b) output (inverted-index Jaccard, LSH bands, SimHash — all
+    * hot-key-capped); `scores` any per-doc integer quality score (the
+    * q94 bigram-LM score, Gopher composite, a classifier). chosen =
+    * higher score, ties broken to the lower id (gap 0 only survives a
+    * zero threshold); pairs below `minGapPpm` are dropped — a small
+    * gap is noise, not preference signal.
+    *
+    * Shape: two keyed joins of the (bounded) candidate set against the
+    * score table and a narrow select — no new quadratic surface, the
+    * pair generator owns the candidate bound. */
+  def preferencePairs(pairs: DataFrame, scores: DataFrame,
+                      minGapPpm: Long = 100000L): DataFrame = {
+    val sa = scores.select(col("doc_id").as("id_a"), col("score_ppm").as("s_a"))
+    val sb = scores.select(col("doc_id").as("id_b"), col("score_ppm").as("s_b"))
+    val aWins = col("s_a") > col("s_b") ||
+      (col("s_a") === col("s_b") && col("id_a") < col("id_b"))
+    pairs.select("id_a", "id_b").join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("gap_ppm", abs(col("s_a") - col("s_b")))
+      .filter(col("gap_ppm") >= minGapPpm)
+      .select(when(aWins, col("id_a")).otherwise(col("id_b")).as("chosen_id"),
+        when(aWins, col("id_b")).otherwise(col("id_a")).as("rejected_id"),
+        col("gap_ppm"))
+  }
+
   /** Multi-epoch training-order manifest — the deterministic global
     * shuffle a DataLoader needs: for each epoch, every document gets a
     * (shard, pos) slot from a seed-free hash permutation, so epoch e's

@@ -506,6 +506,46 @@ object PipelineQueries {
         nMerges = 6, batchSize = 2).orderBy("rank")
     },
 
+    // DPO-style preference pairs from weak quality supervision:
+    // near-duplicate docs (q31's capped Jaccard pairs at >= 300000 ppm)
+    // are two renderings of the same content, so a bigram-LM quality
+    // gap >= 100000 ppm between them is a (chosen, rejected)
+    // comparison nobody had to label. The oracle replays the pair
+    // pipeline, the LM retrain, and the gap/tie arithmetic.
+    Q("q174_preference_pairs",
+      s"""WITH $pairCtes,
+        | t2 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | bg2 AS (SELECT doc_id, s.w1 AS w1, s.gram AS gram
+        |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |            i -> {'w1': l[i], 'gram': l[i] || ' ' || l[i+1]})) AS s
+        |          FROM t2 WHERE len(l) >= 2)),
+        | cb2 AS (SELECT gram, count(*) AS cb FROM bg2 GROUP BY 1),
+        | cu2 AS (SELECT w1, count(*) AS cu FROM bg2 GROUP BY 1),
+        | sc AS (SELECT b.doc_id,
+        |         CAST(sum((cb2.cb * 1000000) // cu2.cu) // count(*) AS BIGINT) AS s
+        |        FROM bg2 b JOIN cb2 USING (gram) JOIN cu2 USING (w1)
+        |        GROUP BY b.doc_id),
+        | g AS (SELECT p.id_a, p.id_b, a.s AS s_a, c.s AS s_b,
+        |        abs(a.s - c.s) AS gap_ppm
+        |       FROM pairs p JOIN sc a ON a.doc_id = p.id_a
+        |        JOIN sc c ON c.doc_id = p.id_b)
+        |SELECT CASE WHEN s_a > s_b OR (s_a = s_b AND id_a < id_b)
+        |            THEN id_a ELSE id_b END AS chosen_id,
+        | CASE WHEN s_a > s_b OR (s_a = s_b AND id_a < id_b)
+        |      THEN id_b ELSE id_a END AS rejected_id,
+        | gap_ppm
+        |FROM g WHERE gap_ppm >= 100000
+        |ORDER BY chosen_id, rejected_id""".stripMargin
+    ) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, 3, maxShingleDf = 64L)
+        .filter(col("jaccard_ppm") >= 300000L)
+      Corpus.preferencePairs(pairs,
+          TextAnalysis.bigramLmScore(docs).select("doc_id", "score_ppm"),
+          minGapPpm = 100000L)
+        .orderBy("chosen_id", "rejected_id")
+    },
+
     // Competence-based curriculum (Platanios et al. 2019): 4 linear
     // phases, phase b admits the docs whose exact difficulty-percentile
     // rank (tokens-per-doc as the difficulty proxy; ties on doc_id) is

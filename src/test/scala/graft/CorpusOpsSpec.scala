@@ -69,6 +69,24 @@ class CorpusOpsSpec extends SparkSpec {
       .mergeTrainBatched(segs, nMerges = 4, batchSize = 2).count() == 0L)
   }
 
+  test("preferencePairs: higher score wins, ties break to lower id, small gaps drop") {
+    import org.apache.spark.sql.functions._
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val scores = Seq((1L, 100000L), (2L, 900000L), // clear winner: 2
+      (3L, 500000L), (4L, 500000L),                // tie: lower id wins
+      (5L, 500000L), (6L, 550000L))                // gap 50000 < threshold
+      .toDF("doc_id", "score_ppm")
+    val out = graft.llm.Corpus.preferencePairs(pairs, scores,
+        minGapPpm = 100000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((2L, 1L, 800000L)))
+    // zero threshold admits the tie, broken to the lower id as chosen
+    val withTies = graft.llm.Corpus.preferencePairs(pairs, scores,
+        minGapPpm = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(withTies == Set((2L, 1L, 800000L), (3L, 4L, 0L), (6L, 5L, 50000L)))
+  }
+
   test("curriculum: phases nest, final phase is the corpus, thresholds match exact form") {
     import org.apache.spark.sql.functions._
     // 8 docs, difficulty = doc_id (distinct, so the threshold caveat
