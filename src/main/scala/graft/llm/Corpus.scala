@@ -917,6 +917,42 @@ object Corpus {
       .select(col("bucket"), col("doc_id"), col("difficulty"))
   }
 
+  /** SFT PROMPT-MASKED training pairs — the supervised-fine-tuning
+    * sibling of [[spanCorruptionPairs]]/[[mlmMaskPairs]]: instruction
+    * tuning trains ONLY on completion tokens (loss on the prompt would
+    * teach the model to parrot inputs), so each document splits at a
+    * deterministic boundary — prompt_len = clamp(1, n−1,
+    * n·promptPermille DIV 1000) — into a zero-loss prompt slice and a
+    * trained completion slice, with the per-token 0/1 `loss_mask`
+    * emitted alongside (the exact column a packed trainer multiplies
+    * into its per-token loss). One-token documents carry prompt_len 0:
+    * an SFT pair needs at least one trained token. Integer arithmetic
+    * end to end — same corpus ⇒ same masks on any cluster, and the
+    * whole constructor is SQL-replayable string-for-string (q175).
+    *
+    * Shape at 100 TB: narrow per-row array expressions, no shuffle, no
+    * UDF — like its siblings it composes downstream of curation and
+    * upstream of packing (q64) at scan speed. */
+  def sftLossMaskPairs(docs: DataFrame, promptPermille: Int = 500): DataFrame = {
+    require(promptPermille >= 0 && promptPermille <= 1000,
+      s"promptPermille must be in [0, 1000], got $promptPermille")
+    docs.select(col("doc_id"), words(col("text")).as("l"))
+      .withColumn("n_tokens", size(col("l")).cast("long"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("prompt_len", expr(
+        s"CASE WHEN n_tokens = 1 THEN CAST(0 AS BIGINT) " +
+          s"ELSE greatest(CAST(1 AS BIGINT), least(n_tokens - 1, " +
+          s"n_tokens * $promptPermille DIV 1000)) END"))
+      .select(col("doc_id"), col("n_tokens"), col("prompt_len"),
+        expr("array_join(slice(l, 1, CAST(prompt_len AS INT)), ' ')")
+          .as("prompt_text"),
+        expr("array_join(slice(l, CAST(prompt_len AS INT) + 1, " +
+          "CAST(n_tokens - prompt_len AS INT)), ' ')").as("target_text"),
+        expr("array_join(transform(sequence(1, CAST(n_tokens AS INT)), " +
+          "p -> CASE WHEN p <= prompt_len THEN '0' ELSE '1' END), ' ')")
+          .as("loss_mask"))
+  }
+
   /** PREFERENCE PAIRS from weak quality supervision — the DPO/RLHF
     * training-pair constructor (Rafailov et al. 2023 consume exactly
     * this shape): near-duplicate documents are two renderings of the

@@ -506,6 +506,32 @@ object PipelineQueries {
         nMerges = 6, batchSize = 2).orderBy("rank")
     },
 
+    // SFT prompt-masked training pairs: instruction tuning trains only
+    // on completion tokens, so each doc splits at the deterministic
+    // clamp(1, n-1, n/2) boundary into a zero-loss prompt and a
+    // trained completion, with the per-token 0/1 loss mask emitted
+    // alongside. The oracle rebuilds every slice and mask string.
+    Q("q175_sft_mask",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | m AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n_tokens,
+        |        CASE WHEN len(l) = 1 THEN CAST(0 AS BIGINT)
+        |             ELSE greatest(CAST(1 AS BIGINT),
+        |               least(CAST(len(l) - 1 AS BIGINT),
+        |                 CAST(len(l) AS BIGINT) * 500 // 1000)) END AS prompt_len
+        |       FROM t WHERE len(l) >= 1)
+        |SELECT doc_id, n_tokens, prompt_len,
+        | coalesce(array_to_string(l[1:CAST(prompt_len AS INTEGER)], ' '), '')
+        |   AS prompt_text,
+        | array_to_string(l[CAST(prompt_len + 1 AS INTEGER):CAST(n_tokens AS INTEGER)], ' ')
+        |   AS target_text,
+        | array_to_string(list_transform(range(1, CAST(n_tokens + 1 AS INTEGER)),
+        |   p -> CASE WHEN p <= prompt_len THEN '0' ELSE '1' END), ' ') AS loss_mask
+        |FROM m ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Corpus.sftLossMaskPairs(Tables(s, dir, "documents"), promptPermille = 500)
+        .orderBy("doc_id")
+    },
+
     // DPO-style preference pairs from weak quality supervision:
     // near-duplicate docs (q31's capped Jaccard pairs at >= 300000 ppm)
     // are two renderings of the same content, so a bigram-LM quality

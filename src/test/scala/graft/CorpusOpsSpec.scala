@@ -69,6 +69,22 @@ class CorpusOpsSpec extends SparkSpec {
       .mergeTrainBatched(segs, nMerges = 4, batchSize = 2).count() == 0L)
   }
 
+  test("sftLossMaskPairs: boundary clamps, one-token docs train fully") {
+    val docs = Seq((1L, "a"), (2L, "a b"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Corpus.sftLossMaskPairs(docs)
+      .select("doc_id", "n_tokens", "prompt_len", "prompt_text",
+        "target_text", "loss_mask")
+      .as[(Long, Long, Long, String, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // 1 token: prompt empty, the whole doc trains
+    assert(out(1L) == ((1L, 1L, 0L, "", "a", "1")))
+    // 2 tokens: n/2 = 1, clamped into [1, n-1] -> 1 prompt, 1 target
+    assert(out(2L) == ((2L, 2L, 1L, "a", "b", "0 1")))
+    // 5 tokens: 5*500/1000 = 2 prompt, 3 target
+    assert(out(3L) == ((3L, 5L, 2L, "a b", "c d e", "0 0 1 1 1")))
+  }
+
   test("preferencePairs: higher score wins, ties break to lower id, small gaps drop") {
     import org.apache.spark.sql.functions._
     val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")

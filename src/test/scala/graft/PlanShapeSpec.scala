@@ -388,6 +388,11 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange") && !p.contains("Join"),
       s"span corruption is no longer a narrow pass:\n$p")
+    // same contract for the SFT constructor (q175)
+    val p2 = graft.llm.Corpus.sftLossMaskPairs(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange") && !p2.contains("Join"),
+      s"sft mask constructor is no longer a narrow pass:\n$p2")
   }
 
   test("pair generators collapse to distinct texts/signatures before the quadratic join") {
