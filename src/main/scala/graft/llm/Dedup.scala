@@ -42,6 +42,57 @@ object Dedup {
   private def resolveCap(perDoc: DataFrame, cap: Long): Long =
     if (cap == CorpusDerivedCap) deriveCap(perDoc.count()) else cap
 
+  /** Session override for [[DupBroadcastMaxRowsDefault]] — the member-
+    * row count above which pair re-expansion stops broadcasting the
+    * duplicate-class membership and falls back to a rep-keyed shuffle
+    * join. Tests set it tiny to exercise the fallback on small corpora. */
+  private[graft] val DupBroadcastMaxRowsConf = "spark.graft.dedup.dupBroadcastMaxRows"
+
+  /** Default gate for the membership broadcast: 2M (rep_id, doc_id)
+    * rows ≈ 32 MB serialized — comfortably inside executor broadcast
+    * budgets, far under Spark's 8 GB broadcast hard limit. Above it the
+    * expansion joins shuffle on rep_id instead (correct either way —
+    * the hint is the only difference). */
+  private[graft] val DupBroadcastMaxRowsDefault = 2000000L
+
+  /** Duplicate-class membership for the pair-core re-expansion, plus
+    * whether it is small enough to broadcast. `members` is the full
+    * (doc_id, rep_id) map; only rows whose class has n_copies > 1
+    * survive — a singleton's rep IS its only member, so its side of a
+    * rep pair needs no expansion row at all ([[expandMemberPairs]]'
+    * left join + coalesce covers it). The joined table is therefore
+    * bounded by DUPLICATE MASS, not corpus size, and the broadcast
+    * decision is COUNT-GATED on that mass (one count over the staged
+    * frame), not a scaladoc caveat: above the gate the same plan runs
+    * as a rep-keyed shuffle join automatically. */
+  private def dupMembership(members: DataFrame,
+                            dupRepIds: DataFrame): (DataFrame, Boolean) = {
+    val dm = Stage(members.join(dupRepIds, Seq("rep_id"), "left_semi"))
+    val gate = dm.sparkSession.conf.getOption(DupBroadcastMaxRowsConf)
+      .map(_.toLong).getOrElse(DupBroadcastMaxRowsDefault)
+    (dm, dm.count() <= gate)
+  }
+
+  /** Re-expand collapsed representative pairs to member pairs — the
+    * shared tail of both exact-dup-pre-collapsed pair cores. Each side
+    * left-joins the dup-class membership on its rep id; a null means
+    * the rep is a singleton and stands for itself (coalesce). With
+    * `broadcastOk` the dup membership (bounded by duplicate mass, see
+    * [[dupMembership]]) is broadcast and the pair stream flows through
+    * with no shuffle; without it both joins shuffle on rep id.
+    * Output: the input columns plus resolved member ids `da`, `db`. */
+  private def expandMemberPairs(repPairs: DataFrame, dupMembers: DataFrame,
+                                broadcastOk: Boolean): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (broadcastOk) broadcast else identity[DataFrame]
+    val ma = hint(dupMembers.select(col("rep_id").as("rep_a"), col("doc_id").as("mda")))
+    val mb = hint(dupMembers.select(col("rep_id").as("rep_b"), col("doc_id").as("mdb")))
+    repPairs.join(ma, Seq("rep_a"), "left").join(mb, Seq("rep_b"), "left")
+      .withColumn("da", coalesce(col("mda"), col("rep_a")))
+      .withColumn("db", coalesce(col("mdb"), col("rep_b")))
+      .drop("mda", "mdb")
+  }
+
   /** Exact dedup: hash-groupBy on the full text, keep min doc_id as the
     * representative. One shuffle on the (hashed) text. At 100 TB you
     * group on xxhash64(text) first and only compare texts within a hash
@@ -378,14 +429,14 @@ object Dedup {
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("common"))
     // cross-class expansion: (id_a, id_b) order by MEMBER id — the set
-    // sizes follow the swap. The membership map broadcasts (one narrow
-    // row per doc, far under the pair stream it expands; at 10⁹+ docs
-    // swap for a rep-bucketed shuffle join) so the pair rows stream
-    // through with no shuffle.
-    val ma = members.select(col("rep_id").as("rep_a"), col("doc_id").as("da"))
-    val mb = members.select(col("rep_id").as("rep_b"), col("doc_id").as("db"))
-    val cross = repPairs.join(broadcast(ma), Seq("rep_a"))
-      .join(broadcast(mb), Seq("rep_b"))
+    // sizes follow the swap. Only DUP-CLASS membership joins in
+    // (singleton reps pass through the left joins unexpanded), so the
+    // broadcast is bounded by duplicate mass and count-gated — above
+    // [[DupBroadcastMaxRowsDefault]] the expansion shuffle-joins on
+    // rep id instead of broadcasting.
+    val (dupMembers, bcastOk) = dupMembership(members,
+      reps.filter(col("n_copies") > 1L).select("rep_id"))
+    val cross = expandMemberPairs(repPairs, dupMembers, bcastOk)
       .select(least(col("da"), col("db")).as("id_a"),
         greatest(col("da"), col("db")).as("id_b"),
         when(col("da") < col("db"), col("na")).otherwise(col("nb")).as("n_a"),
@@ -393,9 +444,11 @@ object Dedup {
         col("common"))
     // within-class pairs: classes whose post-cut set is empty have no
     // sizes row and correctly emit nothing (matching the uncollapsed
-    // form, where such docs vanish from the index entirely)
+    // form, where such docs vanish from the index entirely). Only dup
+    // members can pair within a class — singletons would self-join to
+    // nothing anyway, so the join runs over duplicate mass, not corpus.
     val sizes = sh.select(col("doc_id").as("rep_id"), col("n_sh")).distinct()
-    val wm = members.join(sizes, Seq("rep_id"))
+    val wm = dupMembers.join(sizes, Seq("rep_id"))
     val within = wm.as("x").join(wm.as("y"),
         col("x.rep_id") === col("y.rep_id") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -806,20 +859,21 @@ object Dedup {
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-    // broadcast the membership map: one narrow row per doc, orders of
-    // magnitude under the pair stream it expands — the expansion then
-    // streams through two broadcast joins with NO shuffle of the pair
-    // rows (at 10⁹+ docs swap for a rep-bucketed shuffle join)
-    val ma = members.select(col("rep_id").as("rep_a"), col("doc_id").as("da"))
-    val mb = members.select(col("rep_id").as("rep_b"), col("doc_id").as("db"))
-    val cross = repPairs.join(broadcast(ma), Seq("rep_a"))
-      .join(broadcast(mb), Seq("rep_b"))
+    // dup-class membership only (singleton reps flow through the left
+    // joins unexpanded): the broadcast is bounded by duplicate mass and
+    // count-gated — above the gate the expansion shuffle-joins on rep
+    // id automatically instead of broadcasting a corpus-sized map.
+    val (dupMembers, bcastOk) = dupMembership(members,
+      reps.filter(col("n_copies") > 1L).select(col("doc_id").as("rep_id")))
+    val cross = expandMemberPairs(repPairs, dupMembers, bcastOk)
       .select(least(col("da"), col("db")).as("id_a"),
         greatest(col("da"), col("db")).as("id_b"), col("hamming"))
     // classes whose every chunk bucket was capped away pair with nobody
-    // — including their own members (the uncollapsed behavior)
+    // — including their own members (the uncollapsed behavior); only
+    // dup members can pair within a class, so singletons stay out of
+    // the join entirely
     val surviving = chunked.select(col("doc_id").as("rep_id")).distinct()
-    val wm = members.join(surviving, Seq("rep_id"))
+    val wm = dupMembers.join(surviving, Seq("rep_id"))
     val within = wm.as("x").join(wm.as("y"),
         col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
