@@ -512,6 +512,19 @@ object VectorIngest {
       .withColumn("retrain_suggested",
         coalesce((col("drift_ppm") > thresholdPpm).cast("long"), lit(0L)))
 
+  /** The maintained store's full vector surface (vec_id, embedding) —
+    * for retrieval paths OTHER than the IVF probe ([[ann]]): a
+    * composite-LSH serving layer ([[graft.llm.Similarity.lshKnnComposite]])
+    * or a re-ranker builds its own index over exactly what incremental
+    * ingest admitted. Heals interrupted swaps first, like every other
+    * read path. One scan, no shuffle — bucket/index construction is the
+    * consumer's. */
+  def storedVectors(spark: SparkSession, root: String): DataFrame = {
+    healRetrainSwap(spark, root)
+    graft.operators.MergeSink.healInterruptedSwap(spark, cellsPath(root))
+    spark.read.parquet(cellsPath(root)).select("vec_id", "embedding")
+  }
+
   /** Top-k cosine neighbors for each query vector, served entirely off
     * the index: queries assign to their `nProbe` nearest frozen
     * centroids, the probed cell ids (≤ kCells values) prune the cells
