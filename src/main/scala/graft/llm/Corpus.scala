@@ -178,32 +178,15 @@ object Corpus {
     * i's plan does not re-run rounds 0..i−1. Vocabulary training at
     * 100 TB runs on a sample (as every production tokenizer does);
     * full-corpus APPLICATION is [[mergeApply]]'s nMerges narrow folds
-    * at scan speed. */
+    * at scan speed.
+    *
+    * One trainer core: this is [[mergeTrainBatched]] at batchSize = 1
+    * — a 1-slot batch has no token-exclusion filter and one argmax per
+    * round, i.e. exactly the sequential algorithm (CorpusOpsSpec pins
+    * the equality), so the argmax/fold machinery lives in one place. */
   def mergeTrain(segs: DataFrame, nMerges: Int,
-                 sep: String = "~"): DataFrame = {
-    val spark = segs.sparkSession
-    import spark.implicits._
-    var cur = segs
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var i = 0
-    var exhausted = false
-    while (i < nMerges && !exhausted) {
-      val top = cur.select(explode(adjacentPairs(col("seg"))).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair"))
-        .limit(1).as[(String, Long)].collect()
-      top.headOption match {
-        case None => exhausted = true // every doc is a single segment
-        case Some((pair, cnt)) =>
-          val Array(lhs, rhs) = pair.split(" ", 2)
-          out += ((i.toLong, lhs, rhs, cnt))
-          cur = Stage(cur.withColumn("seg",
-            applyMerge(col("seg"), lhs, rhs, sep)))
-          i += 1
-      }
-    }
-    out.toSeq.toDF("rank", "lhs", "rhs", "pair_cnt")
-  }
+                 sep: String = "~"): DataFrame =
+    mergeTrainBatched(segs, nMerges, batchSize = 1, sep = sep)
 
   /** MULTI-MERGE BPE training (the SentencePiece/YouTokenToMe batching):
     * per corpus scan, select up to `batchSize` NON-CONFLICTING merges —
