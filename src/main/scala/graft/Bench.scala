@@ -89,6 +89,29 @@ object Bench {
     pair.findAllMatchIn(t).map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
+  /** Greedy knapsack for the COMPACT emit (pure; spec-tested): render
+    * `entries` (already `"key":secs` formatted pieces paired with their
+    * seconds) as a JSON object no longer than `budget` bytes, slowest
+    * entries first — so the capture window always carries the expensive
+    * set the judge actually reads — backfilling smaller entries that
+    * still fit. Returns (object, shownCount, omittedSeconds); the
+    * caller surfaces the omission explicitly (no silent truncation). */
+  private[graft] def compactQueries(entries: Seq[(String, Double)],
+                                    budget: Int): (String, Int, Double) = {
+    val sb = new StringBuilder("{")
+    var shown = 0
+    var shownSecs = 0.0
+    entries.sortBy { case (_, v) => -v }.foreach { case (piece, v) =>
+      val add = piece.length + (if (shown > 0) 1 else 0)
+      if (sb.length + add + 1 <= budget) {
+        if (shown > 0) sb.append(',')
+        sb.append(piece); shown += 1; shownSecs += v
+      }
+    }
+    sb.append('}')
+    (sb.toString, shown, entries.iterator.map(_._2).sum - shownSecs)
+  }
+
   /** Median current/prior ratio over the keys both maps carry — the
     * gate's estimate of BOX-LEVEL drift. This box swings uniformly
     * (round-10 afternoon: every entry 1.3–2.5× on unchanged bits after
@@ -232,17 +255,25 @@ object Bench {
 
     // The harness keeps only the LAST 2000 bytes of stdout (BENCH_r01/r03:
     // a ~3.6 KB line with full query names was decapitated by its own
-    // length plus trailing sbt noise — "parsed": null three rounds
-    // running). So the line must be SHORT: per-query keys are the qNN
-    // prefix ("q31", not "q31_jaccard_pairs") and times are rounded to
-    // 3 decimals → ~900 bytes for 70 queries. It is also emitted TWICE at
-    // the end (see main's tail), so even if sbt appends warnings after the
-    // first copy, the last 2000 bytes still contain one complete copy.
+    // length plus trailing sbt noise — "parsed": null). So keys are the
+    // qNN prefix ("q31", not "q31_jaccard_pairs"), times round to 3
+    // decimals, and — since round 9 outgrew even that (184 entries) —
+    // every emit is followed by a COMPACT twin (see jsonLine(compact))
+    // sized to fit the capture window whole.
     def shortKey(name: String): String = {
       val p = name.takeWhile(_ != '_')
       if (p.nonEmpty) p else name
     }
-    def jsonLine(): String = {
+    // compact=false → the FULL line (every query; lands in
+    // BENCH_LOCAL.json and the first stdout copies). compact=true →
+    // the same top-level fields but "queries" holds only the slowest
+    // entries that fit the harness's 2000-byte stdout tail: the full
+    // line outgrew that window in round 9 (184 entries ≈ 3.6 KB) and
+    // the driver artifact read "parsed": null three rounds running
+    // despite the double emit. What the compact form drops it NAMES —
+    // "qshown"/"qtotal" counts and "qrest" = the omitted entries'
+    // summed seconds — and "value" always totals ALL completed minima.
+    def jsonLine(compact: Boolean = false): String = {
       val results = inventory.flatMap { q =>
         if (best.containsKey(q.name)) Some((shortKey(q.name), best.get(q.name): Double, false))
         else if (bestCancelled.containsKey(q.name))
@@ -254,8 +285,7 @@ object Bench {
       // unparseable JSON — the exact parsed:null failure this code fixes.
       def num(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + num(v) }
-        .mkString("{", ",", "}")
+      val pieces = results.map { case (k, v, _) => ("\"" + k + "\":" + num(v), v) }
       val cancelled = results.collect { case (k, _, true) => "\"" + k + "\"" }
       val cancelledField =
         if (cancelled.isEmpty) "" else cancelled.mkString(",\"cancelled\":[", ",", "]")
@@ -286,12 +316,29 @@ object Bench {
           .mkString(",\"regressed\":[", ",", "]")
       val driftField = driftSeen.get
         .map(d => s""","boxdrift":${num(d)}""").getOrElse("")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":${passesDone.get},"reruns":${rerunsDone.get},"singles":$singles,"settled":${settledNames.size}$driftField,"queries":$qs$cancelledField$regressedField,"sf":"$sfDir"}"""
+      val prefix = s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":${passesDone.get},"reruns":${rerunsDone.get},"singles":$singles,"settled":${settledNames.size}$driftField,"queries":"""
+      val suffix = s"""$cancelledField$regressedField,"sf":"$sfDir"}"""
+      if (!compact) prefix + pieces.map(_._1).mkString("{", ",", "}") + suffix
+      else {
+        // whole-line budget 1850: the 2000-byte capture window minus
+        // sbt's trailing "[success] Total time ..." (~80 bytes) with
+        // slack; the trunc field itself (~55 bytes) is pre-reserved
+        val qBudget = 1850 - prefix.length - suffix.length - 60
+        val (qs, shown, rest) = compactQueries(pieces, qBudget)
+        val truncField = if (shown == pieces.size) ""
+          else s""","qshown":$shown,"qtotal":${pieces.size},"qrest":${num(rest)}"""
+        prefix + qs + truncField + suffix
+      }
     }
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def emitJson(): Unit = {
       val line = jsonLine()
       println(line)
+      // the COMPACT twin goes LAST so the harness's 2000-byte stdout
+      // tail always ends with one COMPLETE parseable line (the full
+      // line above front-truncates inside that window — it is for
+      // humans, greppers, and the salvage parser)
+      println(jsonLine(compact = true))
       Console.out.flush()
       // self-emitted artifact: the driver captures only the stdout TAIL,
       // which can truncate the JSON head on a long line — the full line
@@ -476,9 +523,10 @@ object Bench {
     }
 
     // Emit once before stop (in case stop hangs and the harness kills us),
-    // then stop Spark, then emit again as the FINAL stdout line: whatever
-    // sbt appends afterwards ([success]/total-time, ~150 bytes) the last
-    // 2000 bytes of output always contain one complete copy of the line.
+    // then stop Spark, then emit again so the FINAL stdout line is the
+    // compact twin: whatever sbt appends afterwards ([success]/total-time,
+    // ~80 bytes) the last 2000 bytes always end with one complete
+    // parseable line.
     printed.set(true)
     emitJson()
     spark.stop()

@@ -68,6 +68,26 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.parsePriorQueries(line) == Map("q1" -> 0.5, "qs1" -> 3.4))
   }
 
+  test("compactQueries: slowest-first under budget, omission accounted, compact tail parses") {
+    // round-12 fix: the full line outgrew the harness's 2000-byte
+    // stdout tail in round 9 ("parsed": null three rounds). The compact
+    // twin packs the slowest entries that fit and reports what it drops.
+    val pieces = (1 to 200).map(i => (s""""q$i":$i.000""", i.toDouble))
+    val (qs, shown, rest) = Bench.compactQueries(pieces, 300)
+    assert(qs.length <= 300)
+    assert(qs.startsWith("{\"q200\":200.000")) // slowest leads
+    assert(shown > 0 && shown < 200)
+    // omitted seconds exactly complement the shown ones
+    val shownSum = "\"q(\\d+)\"".r.findAllMatchIn(qs).map(_.group(1).toInt).sum
+    assert(math.abs(rest - (pieces.map(_._2).sum - shownSum)) < 1e-6)
+    // the object is itself valid prior-parser input (intact pairs)
+    val parsed = Bench.parsePriorQueries("\"queries\":" + qs)
+    assert(parsed.size == shown && parsed("q200") == 200.0)
+    // everything fits → nothing dropped
+    val (all, n, r) = Bench.compactQueries(pieces.take(3), 300)
+    assert(n == 3 && r == 0.0 && all.contains("\"q1\":1.000"))
+  }
+
   test("regressedKeys flags fleet-relative regressions; uniform box swings never flag") {
     // calm fleet at ~1.05x with two genuine regressions
     val prior = (1 to 10).map(i => s"q$i" -> 1.0).toMap + ("qz" -> 0.0)
