@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, CurationQueries, ExtendedQueries, LlmQueries, PipelineQueries, Q, SinkQueries, SyncQueries}
+import graft.queries.{AnalyticsQueries, CurationQueries, ExtendedQueries, LlmQueries, PipelineQueries, Q, RlhfQueries, SinkQueries, SyncQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 and TESTDATA.md.
   *
@@ -19,7 +19,7 @@ object SparkEntry {
   val inventory: Seq[Q] =
     AnalyticsQueries.all ++ SyncQueries.all ++ LlmQueries.all ++
       ExtendedQueries.all ++ PipelineQueries.all ++ CurationQueries.all ++
-      SinkQueries.all
+      RlhfQueries.all ++ SinkQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full join pipeline (5-table star join → agg → sort). */

@@ -1,0 +1,225 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** RLHF-stage data constructors: reward-model fitting from pairwise
+  * preferences, domain mixture reweighting, and the group-relative
+  * selection/normalization steps that turn sampled responses into
+  * training signal. Downstream of the curation/preference constructors
+  * in [[Corpus]] (q173-q175) the way a post-training pipeline sits
+  * downstream of pretraining curation; integer fixed-point throughout
+  * (the repo-wide determinism discipline - see graft.queries.Q). */
+object Rlhf {
+  /** BRADLEY–TERRY reward fitting from pairwise comparisons — the
+    * reward-modeling step of the RLHF data pipeline (a preference set
+    * like [[preferencePairs]]' output is exactly BT's sufficient
+    * statistic; fitting it yields the per-item scalar reward a best-of-n
+    * or rejection-sampling stage ranks by). Zermelo/MM iterations
+    * (Hunter 2004): s_i ← W_i / Σ_j n_ij/(s_i+s_j), here in BIGINT
+    * fixed-point (`scale` units, floor division at every step, max-
+    * normalized to `scale` per round) so the fixed `iters` rounds are
+    * bit-reproducible on any engine — no convergence test, no floats.
+    * Input: one row per game (winner_id, loser_id). Output:
+    * (item_id, bt_ppm) — the round-`iters` scores in `scale` units;
+    * all-losers read 0, the per-round max reads `scale`.
+    *
+    * Scale shape: games aggregate once to the unordered pair table
+    * (bounded by distinct pairs COMPARED — preference sets are
+    * candidate-generator outputs, orders of magnitude under the
+    * corpus); each round is two keyed joins + one groupBy over that
+    * table plus a scalar max, all shuffling on item id. Overflow-safe
+    * for Σgames ≤ ~9×10⁵·scale: games·scale² and wins·scale² stay
+    * under 2⁶³ (at scale 10⁶ that is ~9 million games; larger sets
+    * pass a smaller scale). */
+  def bradleyTerry(comparisons: DataFrame, iters: Int = 8,
+                   scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sc2 = scale * scale
+    val pairsAgg = Stage(comparisons
+      .select(least(col("winner_id"), col("loser_id")).as("id_lo"),
+        greatest(col("winner_id"), col("loser_id")).as("id_hi"),
+        (col("winner_id") < col("loser_id")).cast("long").as("lo_won"))
+      .groupBy("id_lo", "id_hi")
+      .agg(count(lit(1)).as("games"), sum("lo_won").as("wins_lo")))
+    val items = pairsAgg.select(col("id_lo").as("item_id"))
+      .union(pairsAgg.select(col("id_hi").as("item_id"))).distinct()
+    val winCounts = comparisons.groupBy(col("winner_id").as("item_id"))
+      .agg(count(lit(1)).as("wins"))
+    val w = Stage(items.join(winCounts, Seq("item_id"), "left")
+      .select(col("item_id"), coalesce(col("wins"), lit(0L)).as("wins")))
+    var s = items.withColumn("s", lit(scale))
+    for (_ <- 1 to iters) {
+      val pe = pairsAgg
+        .join(s.select(col("item_id").as("id_lo"), col("s").as("s_lo")), Seq("id_lo"))
+        .join(s.select(col("item_id").as("id_hi"), col("s").as("s_hi")), Seq("id_hi"))
+        .withColumn("den", greatest(col("s_lo") + col("s_hi"), lit(1L)))
+      val contribs = pe.select(col("id_lo").as("item_id"),
+          expr(s"games * ${sc2}L DIV den").as("c"))
+        .unionAll(pe.select(col("id_hi").as("item_id"),
+          expr(s"games * ${sc2}L DIV den").as("c")))
+      val d = contribs.groupBy("item_id").agg(sum("c").as("d"))
+      val raw = w.join(d, Seq("item_id"), "left")
+        .select(col("item_id"),
+          expr(s"wins * ${sc2}L DIV greatest(coalesce(d, 1L), 1L)").as("raw"))
+      val mx = raw.agg(greatest(max("raw"), lit(1L)).as("mx"))
+      s = Stage(raw.crossJoin(broadcast(mx))
+        .select(col("item_id"), expr(s"raw * ${scale}L DIV mx").as("s")))
+    }
+    s.select(col("item_id"), col("s").as("bt_ppm"))
+  }
+
+  /** DuckDB CTE chain replaying [[bradleyTerry]] round for round —
+    * the oracle generator (the ccLabelPropCtes discipline: fixed
+    * rounds unrolled, every multiply-referenced CTE MATERIALIZED so
+    * DuckDB does not re-derive the upstream pipeline per reference).
+    * Expects a `comp(winner_id, loser_id)` CTE in scope; emits
+    * `bt(item_id, bt_ppm)`. */
+  def bradleyTerrySql(iters: Int = 8): String = {
+    val sb = new StringBuilder
+    sb.append(" pairs_bt AS MATERIALIZED (SELECT least(winner_id, loser_id) AS id_lo,\n")
+    sb.append("    greatest(winner_id, loser_id) AS id_hi, count(*) AS games,\n")
+    sb.append("    sum(CASE WHEN winner_id < loser_id THEN 1 ELSE 0 END) AS wins_lo\n")
+    sb.append("   FROM comp GROUP BY 1, 2),\n")
+    sb.append(" bt_items AS MATERIALIZED (SELECT id_lo AS item_id FROM pairs_bt\n")
+    sb.append("   UNION SELECT id_hi FROM pairs_bt),\n")
+    sb.append(" bt_w AS MATERIALIZED (SELECT i.item_id,\n")
+    sb.append("    coalesce(w.wins, CAST(0 AS BIGINT)) AS wins FROM bt_items i\n")
+    sb.append("   LEFT JOIN (SELECT winner_id AS item_id, count(*) AS wins\n")
+    sb.append("     FROM comp GROUP BY 1) w USING (item_id)),\n")
+    sb.append(" bts0 AS MATERIALIZED (SELECT item_id, CAST(1000000 AS BIGINT) AS s FROM bt_items),\n")
+    (1 to iters).foreach { t =>
+      sb.append(s" btp$t AS MATERIALIZED (SELECT p.id_lo, p.id_hi, p.games,\n")
+      sb.append(s"    greatest(a.s + b.s, 1) AS den FROM pairs_bt p\n")
+      sb.append(s"   JOIN bts${t - 1} a ON a.item_id = p.id_lo\n")
+      sb.append(s"   JOIN bts${t - 1} b ON b.item_id = p.id_hi),\n")
+      sb.append(s" btd$t AS MATERIALIZED (SELECT item_id, sum(c) AS d FROM (\n")
+      sb.append(s"    SELECT id_lo AS item_id, games * 1000000 * 1000000 // den AS c FROM btp$t\n")
+      sb.append(s"    UNION ALL SELECT id_hi, games * 1000000 * 1000000 // den FROM btp$t)\n")
+      sb.append(s"   GROUP BY 1),\n")
+      sb.append(s" btr$t AS MATERIALIZED (SELECT w.item_id,\n")
+      // sum(c)/sum-derived values are HUGEINT in DuckDB (floats once
+      // pandas sees them) — CAST back to BIGINT at every round boundary
+      sb.append(s"    CAST(w.wins * 1000000 * 1000000 // greatest(coalesce(d.d, 1), 1) AS BIGINT) AS raw\n")
+      sb.append(s"   FROM bt_w w LEFT JOIN btd$t d USING (item_id)),\n")
+      sb.append(s" bts$t AS MATERIALIZED (SELECT item_id,\n")
+      sb.append(s"    CAST(raw * 1000000 // (SELECT greatest(max(raw), 1) FROM btr$t) AS BIGINT) AS s FROM btr$t),\n")
+    }
+    sb.append(s" bt AS (SELECT item_id, s AS bt_ppm FROM bts$iters)")
+    sb.toString
+  }
+
+  /** DoReMi-style DOMAIN REWEIGHTING by multiplicative weights (Xie et
+    * al. 2023's outer loop, linearized): domains whose proxy loss
+    * exceeds the current MIXTURE loss are upweighted each round —
+    * w ← w·(1 + η·excess), excess = max(0, loss_d − Σ w·loss/Σ w) — so
+    * the mixture shifts toward the hardest domains and the recursion is
+    * genuinely iterative (the mixture mean moves every round). The
+    * (1+ηm) update is the Arora–Hazan–Kale MW form, exact in BIGINT
+    * fixed-point (floor division throughout, max-normalized per round)
+    * — same corpus ⇒ same weights on any engine, no exp, no floats.
+    * Input: one row per domain (domain, loss_ppm). Output: (domain,
+    * loss_ppm, weight_ppm) — final shares summing to ≤ 10⁶.
+    *
+    * Scale shape: the domain table is bounded (sources/languages, not
+    * documents) — each round is a one-partition window over that tiny
+    * frame; the corpus-scale work (the per-domain loss aggregate) is
+    * the CALLER's single scan, this is the decision step after it. */
+  def domainMixtureMW(domainLoss: DataFrame, iters: Int = 10,
+                      etaPpm: Long = 300000L,
+                      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val all = Window.partitionBy(lit(1))
+    var cur = domainLoss.select(col("domain"), col("loss_ppm"))
+      .withColumn("w", lit(scale))
+    for (_ <- 1 to iters) {
+      cur = Stage(cur
+        .withColumn("swl", sum(col("w") * col("loss_ppm")).over(all))
+        .withColumn("sw", sum(col("w")).over(all))
+        .withColumn("m", expr("swl DIV greatest(sw, 1L)"))
+        .withColumn("wraw", expr(s"w * (${scale}L + ${etaPpm}L * " +
+          s"greatest(loss_ppm - m, 0L) DIV ${scale}L) DIV ${scale}L"))
+        .withColumn("mxw", max(col("wraw")).over(all))
+        .select(col("domain"), col("loss_ppm"),
+          expr(s"wraw * ${scale}L DIV greatest(mxw, 1L)").as("w")))
+    }
+    cur.withColumn("sw", sum(col("w")).over(all))
+      .select(col("domain"), col("loss_ppm"),
+        expr(s"w * ${scale}L DIV greatest(sw, 1L)").as("weight_ppm"))
+  }
+
+  /** DuckDB CTE chain replaying [[domainMixtureMW]] round for round.
+    * Expects a `dl(domain, loss_ppm)` CTE in scope; emits
+    * `mw(domain, loss_ppm, weight_ppm)`. */
+  def domainMixtureMWSql(iters: Int = 10, etaPpm: Long = 300000L): String = {
+    val sb = new StringBuilder
+    sb.append(" mw0 AS MATERIALIZED (SELECT domain, loss_ppm,\n")
+    sb.append("    CAST(1000000 AS BIGINT) AS w FROM dl),\n")
+    (1 to iters).foreach { t =>
+      // the mixture mean m flows from sum() (HUGEINT in DuckDB) — CAST
+      // every round's w back to BIGINT so the artifact stays integer
+      sb.append(s" mwa$t AS MATERIALIZED (SELECT domain, loss_ppm,\n")
+      sb.append(s"    CAST(w * (1000000 + $etaPpm * greatest(loss_ppm - mm.m, 0) // 1000000)\n")
+      sb.append(s"      // 1000000 AS BIGINT) AS w\n")
+      sb.append(s"   FROM mw${t - 1}, (SELECT sum(w * loss_ppm) // greatest(sum(w), 1) AS m\n")
+      sb.append(s"     FROM mw${t - 1}) mm),\n")
+      sb.append(s" mw$t AS MATERIALIZED (SELECT domain, loss_ppm,\n")
+      sb.append(s"    w * 1000000 // (SELECT greatest(max(w), 1) FROM mwa$t) AS w FROM mwa$t),\n")
+    }
+    sb.append(s" mw AS (SELECT domain, loss_ppm,\n")
+    sb.append(s"   CAST(w * 1000000 // (SELECT greatest(sum(w), 1) FROM mw$iters) AS BIGINT) AS weight_ppm\n")
+    sb.append(s"  FROM mw$iters)")
+    sb.toString
+  }
+
+  /** GROUP-RELATIVE ADVANTAGES (the GRPO normalization, Shao et al.
+    * 2024): within each group of sampled responses, a response's
+    * learning signal is its reward relative to the group mean.
+    * Emitted SCALED BY GROUP SIZE — adv_scaled = r·n − Σr = n·(r − μ)
+    * — so the statistic stays integer-exact (no mean division, no
+    * std sqrt); a trainer dividing by n·σ recovers the standard form,
+    * and sign/ordering (all GRPO needs for ranking) are identical.
+    * Zero-variance groups (every reward equal — the known GRPO
+    * degenerate batch) carry no signal and are dropped whole.
+    *
+    * Scale shape: one window partitioned by group_id — groups are
+    * per-prompt response sets (tens of rows), so partitions are tiny
+    * and uniformly sized; no global sort, no skew surface. */
+  def groupAdvantages(rows: DataFrame): DataFrame = {
+    val g = Window.partitionBy("group_id")
+    rows.select(col("group_id"), col("item_id"), col("reward_ppm"))
+      .withColumn("n", count(lit(1)).over(g))
+      .withColumn("sum_r", sum("reward_ppm").over(g))
+      .withColumn("mx", max("reward_ppm").over(g))
+      .withColumn("mn", min("reward_ppm").over(g))
+      .filter(col("mx") =!= col("mn"))
+      .select(col("group_id"), col("item_id"), col("reward_ppm"), col("n"),
+        (col("reward_ppm") * col("n") - col("sum_r")).as("adv_scaled"))
+  }
+
+  /** REJECTION-SAMPLING selection (the Llama-2 RFT data step): per
+    * group of sampled responses, keep the `k` highest-reward ones
+    * (ties to the lower item id — deterministic on any engine) and
+    * drop zero-variance groups entirely (no preference signal, same
+    * rule as [[groupAdvantages]]). Output keeps the selection rank so
+    * a downstream best-of-1 consumer filters rnk = 1 for free.
+    *
+    * Scale shape: one row_number window per group — WindowGroupLimit
+    * pushes the rank filter into the shuffle at k ≪ group size, and
+    * groups are per-prompt response sets, so no skew. */
+  def rejectionSample(rows: DataFrame, k: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = Window.partitionBy("group_id")
+    val o = Window.partitionBy("group_id")
+      .orderBy(col("reward_ppm").desc, col("item_id"))
+    rows.select(col("group_id"), col("item_id"), col("reward_ppm"))
+      .withColumn("mx", max("reward_ppm").over(g))
+      .withColumn("mn", min("reward_ppm").over(g))
+      .filter(col("mx") =!= col("mn"))
+      .withColumn("rnk", row_number().over(o).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("group_id", "item_id", "reward_ppm", "rnk")
+  }
+
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Corpus, Rlhf}
+
+/** Round-12 RLHF-stage data constructors ([[graft.llm.Rlhf]]): the
+  * post-training siblings of the q173-q175 pretraining constructors —
+  * reward-model fitting from pairwise comparisons (Bradley–Terry),
+  * DoReMi-style domain mixture reweighting, group-relative advantage
+  * normalization (GRPO), and rejection-sampling selection. Integer
+  * fixed-point throughout so fixed-iteration numerics replay
+  * bit-identically in the DuckDB oracle (the [[Q]] determinism rules);
+  * the iterative solvers' oracles are unrolled MATERIALIZED CTE chains
+  * (the ccLabelPropCtes discipline).
+  */
+object RlhfQueries {
+
+  /** q78's deterministic per-doc hash as DuckDB text (PolyHash over the
+    * decimal id string) — the selection key for bounded response sets. */
+  private val polyHashSql =
+    """list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |    list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+      |      i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), CAST(i AS INTEGER), 1)) AS BIGINT))),
+      |   (a, c) -> (a * 131 + c) % 4294967291)""".stripMargin
+
+  /** Per-doc integer type-token ratio — the cheap deterministic reward
+    * proxy these entries rank by (ppm of distinct whitespace tokens). */
+  private val ttrCtes =
+    """t AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+      | ttr AS (SELECT doc_id, source,
+      |          CAST(len(list_distinct(l)) AS BIGINT) * 1000000
+      |            // greatest(len(l), 1) AS reward_ppm FROM t)""".stripMargin
+
+  /** The same proxy on the Spark side. */
+  private def ttrDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("l"))
+      .withColumn("reward_ppm", expr(
+        "CAST(size(array_distinct(l)) AS BIGINT) * 1000000L DIV greatest(size(l), 1)"))
+
+  val all: Seq[Q] = Seq(
+
+    // BRADLEY-TERRY reward fitting (Zermelo/MM, 8 fixed integer
+    // rounds): comparisons are all within-language games among each
+    // language's 8 hash-smallest docs (the q78 deterministic
+    // selection), longer doc wins, ties to the lower id. The oracle
+    // replays the selection, the games, and every MM round's
+    // fixed-point arithmetic CTE for CTE.
+    Q("q176_bradley_terry",
+      s"""WITH h AS (SELECT doc_id, lang, text, $polyHashSql AS hv FROM documents),
+        | r AS (SELECT doc_id, lang, text,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rnk
+        |       FROM h),
+        | sel AS MATERIALIZED (SELECT doc_id, lang,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |       FROM r WHERE rnk <= 8),
+        | comp AS MATERIALIZED (SELECT
+        |        CASE WHEN x.nt > y.nt OR (x.nt = y.nt AND x.doc_id < y.doc_id)
+        |             THEN x.doc_id ELSE y.doc_id END AS winner_id,
+        |        CASE WHEN x.nt > y.nt OR (x.nt = y.nt AND x.doc_id < y.doc_id)
+        |             THEN y.doc_id ELSE x.doc_id END AS loser_id
+        |       FROM sel x JOIN sel y
+        |        ON x.lang = y.lang AND x.doc_id < y.doc_id),
+        |""".stripMargin + Rlhf.bradleyTerrySql(iters = 8) + """
+        |SELECT item_id, bt_ppm FROM bt ORDER BY item_id""".stripMargin
+    ) { (s, dir) =>
+      val sel = Corpus.balancedSample(Tables(s, dir, "documents"), "lang", 8)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+      val xWins = col("x.nt") > col("y.nt") ||
+        (col("x.nt") === col("y.nt") && col("x.doc_id") < col("y.doc_id"))
+      val comp = sel.as("x").join(sel.as("y"),
+          col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+        .select(
+          when(xWins, col("x.doc_id")).otherwise(col("y.doc_id")).as("winner_id"),
+          when(xWins, col("y.doc_id")).otherwise(col("x.doc_id")).as("loser_id"))
+      Rlhf.bradleyTerry(comp, iters = 8).orderBy("item_id")
+    },
+
+    // DoReMi-style domain reweighting (10 multiplicative-weights
+    // rounds): per-source proxy loss = 1e6 - mean doc type-token
+    // ratio; each round upweights sources whose loss exceeds the
+    // CURRENT mixture mean, so the recursion is genuinely iterative.
+    // The oracle unrolls all 10 rounds in fixed-point CTEs.
+    Q("q177_domain_mw",
+      s"""WITH $ttrCtes,
+        | dl AS MATERIALIZED (SELECT source AS domain,
+        |        CAST(1000000 - (sum(reward_ppm) // count(*)) AS BIGINT) AS loss_ppm
+        |       FROM ttr GROUP BY 1),
+        |""".stripMargin + Rlhf.domainMixtureMWSql(iters = 10, etaPpm = 300000L) + """
+        |SELECT domain AS source, loss_ppm, weight_ppm FROM mw
+        |ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      val dl = ttrDf(s, dir).groupBy(col("source").as("domain"))
+        .agg(expr("CAST(1000000L - (sum(reward_ppm) DIV count(1)) AS BIGINT)")
+          .as("loss_ppm"))
+      Rlhf.domainMixtureMW(dl, iters = 10, etaPpm = 300000L)
+        .select(col("domain").as("source"), col("loss_ppm"), col("weight_ppm"))
+        .orderBy("source")
+    },
+
+    // GRPO group-relative advantages: groups are (source, doc_id % 4)
+    // response sets, reward is the TTR proxy, advantage emitted as
+    // n*(r - mean) = r*n - sum_r (integer-exact; sign and ranking
+    // identical to the standard form), zero-variance groups dropped
+    // whole. The oracle replays the grouping and the scaled statistic.
+    Q("q178_grpo_advantage",
+      s"""WITH $ttrCtes,
+        | r AS (SELECT doc_id,
+        |        source || '_' || CAST(doc_id % 4 AS VARCHAR) AS group_id,
+        |        reward_ppm FROM ttr),
+        | g AS (SELECT group_id, count(*) AS n, CAST(sum(reward_ppm) AS BIGINT) AS sum_r,
+        |        max(reward_ppm) AS mx, min(reward_ppm) AS mn
+        |       FROM r GROUP BY 1)
+        |SELECT r.group_id, r.doc_id AS item_id, r.reward_ppm,
+        | CAST(g.n AS BIGINT) AS n,
+        | r.reward_ppm * CAST(g.n AS BIGINT) - g.sum_r AS adv_scaled
+        |FROM r JOIN g USING (group_id) WHERE g.mx <> g.mn
+        |ORDER BY group_id, item_id""".stripMargin
+    ) { (s, dir) =>
+      val rows = ttrDf(s, dir).select(
+        concat(col("source"), lit("_"), (col("doc_id") % 4).cast("string"))
+          .as("group_id"),
+        col("doc_id").as("item_id"), col("reward_ppm"))
+      Rlhf.groupAdvantages(rows).orderBy("group_id", "item_id")
+    },
+
+    // Rejection-sampling selection (Llama-2 RFT): per group keep the 2
+    // highest-reward responses (ties to the lower id), zero-variance
+    // groups dropped. The oracle replays the rank window and gates.
+    Q("q179_rejection_sampling",
+      s"""WITH $ttrCtes,
+        | r AS (SELECT doc_id,
+        |        source || '_' || CAST(doc_id % 4 AS VARCHAR) AS group_id,
+        |        reward_ppm FROM ttr),
+        | k AS (SELECT group_id, doc_id, reward_ppm,
+        |        CAST(row_number() OVER (PARTITION BY group_id
+        |          ORDER BY reward_ppm DESC, doc_id) AS BIGINT) AS rnk,
+        |        max(reward_ppm) OVER (PARTITION BY group_id) AS mx,
+        |        min(reward_ppm) OVER (PARTITION BY group_id) AS mn
+        |       FROM r)
+        |SELECT group_id, doc_id AS item_id, reward_ppm, rnk
+        |FROM k WHERE mx <> mn AND rnk <= 2
+        |ORDER BY group_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      val rows = ttrDf(s, dir).select(
+        concat(col("source"), lit("_"), (col("doc_id") % 4).cast("string"))
+          .as("group_id"),
+        col("doc_id").as("item_id"), col("reward_ppm"))
+      Rlhf.rejectionSample(rows, k = 2).orderBy("group_id", "rnk")
+    }
+  )
+}
