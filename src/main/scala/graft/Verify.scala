@@ -21,8 +21,13 @@ object Verify {
       // order changes, which is fine — the driver compare sorts rows.
       try {
         System.err.println(s"[verify] running $name")
+        val t0 = System.nanoTime()
         fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        // per-entry wall seconds: the cross-SF sweep's scaling tables
+        // (SWEEP_SF1/SF3) read these lines to spot super-linear entries
+        System.err.println(
+          f"[verify] done $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -714,19 +714,37 @@ object CurationQueries {
     // with bounded-round min-label propagation ([[ccLabelPropCtes]] —
     // O(E·rounds), sf1-checkable; the old reachability CTE was
     // O(Σ component²) and infeasible at 10× the correctness gate).
+    // The oracle runs ENTIRELY at the distinct-text representative
+    // level, which is exact here because (a) both fingerprint families
+    // are functions of `text` alone (the image payload seam derives
+    // from it), so identical text ⇒ identical phash AND simhash, and
+    // (b) this entry bands UNCAPPED (maxBandDf = ∞), so doc-level
+    // pairing is exactly "signatures share a chunk value AND hamming
+    // ≤ 3" — every same-text pair pairs (hamming 0), and cross-class
+    // doc pairs exist iff the class reps' signatures pair. Hence the
+    // member-level component structure is the rep-level structure
+    // expanded by text classes, the component MIN doc is the rep-level
+    // cluster label (reps are class minima), and a doc survives iff it
+    // IS its class rep and its rep's label is itself. The member-level
+    // replay (both quadratic band joins + CC in one query) OOM'd
+    // DuckDB at sf1; this form is rep-cardinality end to end.
     Q("q140_multimodal_joint_dedup",
       """WITH
+        | cls AS MATERIALIZED (SELECT doc_id,
+        |        min(doc_id) OVER (PARTITION BY text) AS rep_id FROM documents),
+        | rep AS MATERIALIZED (SELECT min(doc_id) AS doc_id, text
+        |       FROM documents GROUP BY text),
         | chars AS (SELECT doc_id, s.p AS p, s.c AS c
         |      FROM (SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
         |          i -> {'p': i, 'c': ascii(substr(text, CAST(i AS INTEGER), 1))})) AS s
-        |        FROM documents)),
+        |        FROM rep)),
         | slots AS (SELECT doc_id, (p - 1) % 64 AS slot, sum(c) AS sc
         |           FROM chars GROUP BY 1, 2),
         | tot AS (SELECT doc_id, sum(sc) AS t FROM slots GROUP BY 1),
         | pbits AS (SELECT s.doc_id, s.slot,
         |        CASE WHEN s.sc * 64 >= tot.t THEN 1 ELSE 0 END AS bit
         |       FROM slots s JOIN tot USING (doc_id)),
-        | ph AS (SELECT doc_id,
+        | ph AS MATERIALIZED (SELECT doc_id,
         |        CAST(sum(CASE WHEN slot = 63 AND bit = 1 THEN -9223372036854775808
         |                 WHEN bit = 1 THEN (CAST(1 AS BIGINT) << CAST(slot AS INTEGER))
         |                 ELSE 0 END) AS BIGINT) AS h
@@ -737,7 +755,7 @@ object CurationQueries {
         |       FROM ck a JOIN ck b ON a.k = b.k AND a.cv = b.cv
         |         AND a.doc_id < b.doc_id
         |       WHERE bit_count(xor(a.h, b.h)) <= 3),
-        | toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        | toks AS (SELECT r.doc_id, unnest(string_split(r.text, ' ')) AS tok FROM rep r),
         | hx AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
         |          list_transform(range(1, length(tok) + 1),
         |            i -> CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
@@ -745,7 +763,7 @@ object CurationQueries {
         |        FROM toks),
         | tbits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS tally
         |          FROM hx CROSS JOIN range(0, 32) t(b) GROUP BY doc_id, b),
-        | sims AS (SELECT doc_id, CAST(sum(CASE WHEN tally > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+        | sims AS MATERIALIZED (SELECT doc_id, CAST(sum(CASE WHEN tally > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
         |          FROM tbits GROUP BY doc_id),
         | sch AS (SELECT doc_id, simhash, c AS chunk,
         |          (simhash >> CAST(c * 8 AS INTEGER)) & 255 AS chv
@@ -760,7 +778,9 @@ object CurationQueries {
         |           UNION SELECT id_b, id_a FROM up),
         |""".stripMargin + ccLabelPropCtes() + """
         |SELECT d.doc_id FROM documents d
-        |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+        |JOIN cls c ON c.doc_id = d.doc_id
+        |WHERE d.doc_id = c.rep_id
+        |  AND c.rep_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
         |ORDER BY d.doc_id""".stripMargin
     ) { (s, dir) =>
       import graft.llm.{Clusters, Multimodal}
