@@ -783,19 +783,35 @@ object CurationQueries {
         |  AND c.rep_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
         |ORDER BY d.doc_id""".stripMargin
     ) { (s, dir) =>
-      import graft.llm.{Clusters, Multimodal}
+      import graft.llm.{Clusters, Multimodal, Stage}
       val docs = Tables(s, dir, "documents")
-      val img = Multimodal.perceptualNearDupPairs(docs, maxHamming = 3,
+      // Exact-dup pre-collapse BEFORE pair-gen + CC — the engine-side
+      // twin of the oracle's rep-level form, and the composition a
+      // production pipeline runs (exact dedup precedes near-dup):
+      // both fingerprints are functions of text and banding is
+      // uncapped, so the member-level components are the rep-level
+      // components expanded by text classes and the min-id keep-list
+      // is invariant. Pair-gen + CC cost becomes DISTINCT-TEXT
+      // cardinality — on a duplicate-heavy corpus (the x10/x30 sweep
+      // replicas) the member-level CC chewed ~10^8 expanded edges for
+      // an identical answer (x30: 1068 s -> seconds).
+      val reps = Stage(Dedup.exactReps(docs))
+      val img = Multimodal.perceptualNearDupPairs(reps, maxHamming = 3,
           maxBandDf = Long.MaxValue)
         .select("id_a", "id_b")
-      val txt = Dedup.simHashPairs(docs, maxHamming = 3,
+      val txt = Dedup.simHashPairs(reps, maxHamming = 3,
           maxBandDf = Long.MaxValue)
         .select("id_a", "id_b")
-      val dropped = Clusters.connectedComponents(img.union(txt))
+      // rep survives iff its component label is itself; non-rep class
+      // members always drop (their class rep is a smaller duplicate)
+      val droppedReps = Clusters.connectedComponents(img.union(txt))
         .filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
-      docs.join(dropped, Seq("doc_id"), "left_anti")
-        .select("doc_id").orderBy("doc_id")
+      val keptReps = reps.select("doc_id")
+        .join(droppedReps, Seq("doc_id"), "left_anti")
+      docs.select("doc_id")
+        .join(keptReps, Seq("doc_id"), "left_semi")
+        .orderBy("doc_id")
     },
 
     // Per-benchmark contamination matrix (round 9): the release
