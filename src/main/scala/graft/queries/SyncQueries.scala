@@ -274,24 +274,19 @@ object SyncQueries {
     // POINT-IN-TIME REBUILD from the events ledger (round-10 judge
     // task: promote WebhookPipeline.rebuildAsOf from spec-only to an
     // oracle entry). The query synthesizes customer.updated webhook
-    // JSON from the events table (created = sec·mult + within-second
-    // rank, where mult = max(8, max events per (user, sec)) is DERIVED
-    // from the data on both sides — so the per-customer created values
-    // never collide and the LWW window is tie-free on ANY density, not
-    // just corpora with ≤8 events per user-second), runs the REAL
-    // pipeline with the ledger enabled, then calls rebuildAsOf at three
-    // sampled instants and returns the rebuilt customers tables. The
-    // oracle replays ledger-filter(created <= T) → LWW-by-created →
-    // projection straight off the parquet — so the whole ledger write +
-    // JSON reconstruction + reparse + route + merge round trip must be
-    // semantics-preserving to hash-match.
+    // JSON from the events table (created = sec·8 + within-second rank,
+    // unique per customer so the LWW window is tie-free on ANY SF),
+    // runs the REAL pipeline with the ledger enabled, then calls
+    // rebuildAsOf at three sampled instants and returns the rebuilt
+    // customers tables. The oracle replays ledger-filter(created <= T)
+    // → LWW-by-created → projection straight off the parquet — so the
+    // whole ledger write + JSON reconstruction + reparse + route +
+    // merge round trip must be semantics-preserving to hash-match.
     Q("q172_pit_rebuild",
       """WITH e0 AS (SELECT event_id, user_id, event_type,
         |        CAST(round(value * 100.0) AS BIGINT) AS cents,
         |        epoch_ns(ts) // 1000000000 AS sec FROM events),
-        | m AS (SELECT greatest(8, max(cnt)) AS mult FROM
-        |       (SELECT count(*) AS cnt FROM e0 GROUP BY user_id, sec)),
-        | e AS (SELECT e0.*, sec * (SELECT mult FROM m) + row_number() OVER (
+        | e AS (SELECT *, sec * 8 + row_number() OVER (
         |         PARTITION BY user_id, sec ORDER BY event_id) - 1 AS created
         |       FROM e0),
         | b AS (SELECT min(created) AS mn, max(created) AS mx FROM e),
@@ -307,17 +302,10 @@ object SyncQueries {
     ) { (s, dir) =>
       import graft.streaming.{SyncConfig, WebhookPipeline}
       val w = Window.partitionBy("user_id", "sec").orderBy("event_id")
-      val e0 = Tables.events(s, dir)
+      val e = Tables.events(s, dir)
         .withColumn("sec", expr("ts_ns DIV 1000000000"))
-      // slot multiplier derived from the densest (user, sec) cell — a
-      // single scalar aggregate (never data-scale) matching the
-      // oracle's `m` CTE, so created stays collision-free per customer
-      // at any event density
-      val mult = math.max(8L, e0.groupBy("user_id", "sec")
-        .agg(count(lit(1)).as("cnt")).agg(max("cnt")).head().getLong(0))
-      val e = e0
         .withColumn("created",
-          col("sec") * mult + row_number().over(w).cast("long") - 1)
+          col("sec") * 8 + row_number().over(w).cast("long") - 1)
         .withColumn("cents", expr("CAST(round(value * 100.0) AS BIGINT)"))
       val raw = e.select(concat(
         lit("{\"id\":\"evt_"), col("event_id").cast("string"),
@@ -331,17 +319,8 @@ object SyncQueries {
         lit("\",\"balance\":"), col("cents").cast("string"),
         lit(",\"created\":"), col("created").cast("string"),
         lit("}}}")).as("value"))
-      // FIXED work dir, cleared on entry: the result is returned lazily
-      // (the driver materializes it after this closure), so a finally-
-      // delete would race the read and an eager collect would be
-      // customer-cardinality (data-scale). Reuse bounds disk at one
-      // run's state across repeated bench sweeps.
-      val base = sys.props("java.io.tmpdir") + "/graft_q172_pit"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(new java.io.File(base))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q172_pit").toString
       new WebhookPipeline(s"$base/store",
         config = SyncConfig(eventsLedger = true)).processBatch(raw, 0L)
       val bounds = s.read.parquet(s"$base/store/events")
