@@ -60,9 +60,13 @@ final case class TableDef(
       typed.as(c)
     }
 
-  /** Project a DataFrame bearing the raw entity JSON in `payloadCol`. */
-  def projectFrom(df: DataFrame, payloadCol: String, syncTs: Column): DataFrame =
-    df.select(project(payloadCol) :+
+  /** Project a DataFrame bearing the raw entity JSON in `payloadCol`.
+    * `passthrough` names input columns carried alongside the projected
+    * schema (e.g. the transient LWW tie-break [[MergeSink.EvtSeqCol]])
+    * — the caller owns dropping them before any schema-shaped sink. */
+  def projectFrom(df: DataFrame, payloadCol: String, syncTs: Column,
+                  passthrough: Seq[String] = Nil): DataFrame =
+    df.select(project(payloadCol) ++ passthrough.map(col) :+
       current_timestamp().as("updated_at") :+
       syncTs.as("last_synced_at"): _*)
 }

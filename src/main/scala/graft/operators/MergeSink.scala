@@ -28,6 +28,17 @@ import graft.model.TableDef
   */
 object MergeSink {
 
+  /** Transient tie-break column for intra-batch LWW: when a batch
+    * carries it (the webhook pipeline threads the envelope's event id
+    * through, WebhookPipeline.upsert), two same-key rows with EQUAL
+    * sync timestamps resolve deterministically to the lexicographically
+    * larger event id instead of whichever row the shuffle surfaced
+    * first. The reference never faces the tie (it processes deliveries
+    * serially, stripeSync.ts one-at-a-time); a set-oriented batch does,
+    * and a nondeterministic winner makes replays hash-flaky. Dropped
+    * before the merge — it never reaches the stored table. */
+  val EvtSeqCol = "__evt_seq"
+
   /** Guarded merge of `batch` into the parquet table at `dir`.
     * Strict `>` on `tsCol` (reference uses strict `<` on the stored side,
     * postgres.ts:203): same-timestamp replays are no-ops.
@@ -41,8 +52,11 @@ object MergeSink {
   def upsertParquet(batch: DataFrame, dir: String, tdef: TableDef,
                     tsCol: String = "last_synced_at"): Unit = {
     val spark = batch.sparkSession
+    val orderCols =
+      if (batch.columns.contains(EvtSeqCol)) Seq(tsCol, EvtSeqCol) else Seq(tsCol)
     val deduped = MergeOps.lwwLatest(
-      batch.filter(col(tdef.key).isNotNull), Seq(tdef.key), Seq(tsCol))
+        batch.filter(col(tdef.key).isNotNull), Seq(tdef.key), orderCols)
+      .drop(EvtSeqCol)
     val path = s"$dir/${tdef.table}"
     healInterruptedSwap(spark, path)
     val merged =

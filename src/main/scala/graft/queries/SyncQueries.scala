@@ -274,14 +274,20 @@ object SyncQueries {
     // POINT-IN-TIME REBUILD from the events ledger (round-10 judge
     // task: promote WebhookPipeline.rebuildAsOf from spec-only to an
     // oracle entry). The query synthesizes customer.updated webhook
-    // JSON from the events table (created = sec·8 + within-second rank,
-    // unique per customer so the LWW window is tie-free on ANY SF),
-    // runs the REAL pipeline with the ledger enabled, then calls
-    // rebuildAsOf at three sampled instants and returns the rebuilt
-    // customers tables. The oracle replays ledger-filter(created <= T)
-    // → LWW-by-created → projection straight off the parquet — so the
-    // whole ledger write + JSON reconstruction + reparse + route +
-    // merge round trip must be semantics-preserving to hash-match.
+    // JSON from the events table (created = sec·8 + within-second
+    // rank; a >8-events-per-(user,sec) corpus can collide two created
+    // values, so BOTH LWW windows carry the event id as the final
+    // tie-break — the pipeline via MergeSink.EvtSeqCol ('evt_<id>'
+    // lexicographic), the oracle via CAST(event_id AS VARCHAR) DESC,
+    // identical orders since the 'evt_' prefix is constant — making
+    // the compare deterministic at ANY event density with zero extra
+    // jobs), runs the REAL pipeline with the ledger enabled, then
+    // calls rebuildAsOf at three sampled instants and returns the
+    // rebuilt customers tables. The oracle replays
+    // ledger-filter(created <= T) → LWW-by-created → projection
+    // straight off the parquet — so the whole ledger write + JSON
+    // reconstruction + reparse + route + merge round trip must be
+    // semantics-preserving to hash-match.
     Q("q172_pit_rebuild",
       """WITH e0 AS (SELECT event_id, user_id, event_type,
         |        CAST(round(value * 100.0) AS BIGINT) AS cents,
@@ -293,7 +299,8 @@ object SyncQueries {
         | ts AS (SELECT q, mn + (mx - mn) * q // 4 AS t
         |        FROM b CROSS JOIN (SELECT unnest([1, 2, 3]) AS q)),
         | r AS (SELECT ts.q, e.*, row_number() OVER (
-        |         PARTITION BY ts.q, e.user_id ORDER BY e.created DESC) AS rn
+        |         PARTITION BY ts.q, e.user_id ORDER BY e.created DESC,
+        |           CAST(e.event_id AS VARCHAR) DESC) AS rn
         |       FROM e JOIN ts ON e.created <= ts.t)
         |SELECT CAST(q AS BIGINT) AS sample, 'cus_' || user_id AS id,
         | user_id || '@example.test' AS email, event_type AS name,
@@ -319,8 +326,17 @@ object SyncQueries {
         lit("\",\"balance\":"), col("cents").cast("string"),
         lit(",\"created\":"), col("created").cast("string"),
         lit("}}}")).as("value"))
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_q172_pit").toString
+      // FIXED work dir, cleared on entry: the result is returned lazily
+      // (the driver materializes it after this closure), so a finally-
+      // delete would race the read and an eager collect would be
+      // customer-cardinality (data-scale). Reuse bounds disk at one
+      // run's state across repeated bench sweeps.
+      val base = sys.props("java.io.tmpdir") + "/graft_q172_pit"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base))
       new WebhookPipeline(s"$base/store",
         config = SyncConfig(eventsLedger = true)).processBatch(raw, 0L)
       val bounds = s.read.parquet(s"$base/store/events")

@@ -200,17 +200,27 @@ class WebhookPipeline(tablesDir: String,
     * semantics), optional list expansion (A7), guarded merge, then child
     * normalization for subscriptions (A5+J3) and checkout sessions (A6). */
   private def upsert(tdef: TableDef, events: DataFrame): Unit = {
+    // the envelope's event id rides along as the LWW tie-break
+    // (MergeSink.EvtSeqCol): same-key rows with EQUAL created resolve
+    // deterministically instead of shuffle-order — the intra-batch
+    // analog of the reference's serial delivery processing. Null on
+    // the revalidate arm (refetched rows carry now() timestamps, which
+    // never tie) and for id-less deliveries (quarantine's concern).
     val enriched = fetcher match {
       case Some(f) if config.revalidateTables(tdef.table) =>
         Enrichment.revalidate(events.select("payload", "created"), tdef, f)
+          .withColumn(MergeSink.EvtSeqCol, lit(null).cast("string"))
       case _ =>
-        events.select("payload", "created").withColumn("refetched", lit(false))
+        events.select(col("payload"), col("created"),
+            col("event_id").as(MergeSink.EvtSeqCol))
+          .withColumn("refetched", lit(false))
     }
     // getSyncTimestamp (stripeSync.ts:580-582): event.created when the
     // webhook body is trusted, now() when the entity was re-fetched.
     val ts = when(col("refetched"), current_timestamp())
       .otherwise(timestamp_seconds(col("created")))
-    var rows = tdef.projectFrom(enriched, "payload", ts)
+    var rows = tdef.projectFrom(enriched, "payload", ts,
+      passthrough = Seq(MergeSink.EvtSeqCol))
     if (config.autoExpandLists)
       fetcher.foreach { f =>
         expandFields.getOrElse(tdef.table, Nil).foreach { field =>
@@ -219,7 +229,7 @@ class WebhookPipeline(tablesDir: String,
       }
     MergeSink.upsertParquet(rows, tablesDir, tdef)
     if (config.historyTables(tdef.table))
-      MergeSink.historyParquet(rows, tablesDir, tdef)
+      MergeSink.historyParquet(rows.drop(MergeSink.EvtSeqCol), tablesDir, tdef)
     if (tdef.table == "subscriptions") normalizeSubscriptionItems(events)
     if (tdef.table == "checkout_sessions")
       fetcher.foreach { f =>
@@ -243,11 +253,12 @@ class WebhookPipeline(tablesDir: String,
         to_json(struct(
           get_json_object(col("payload"), "$.id").as("id"),
           get_json_object(col("payload"), "$.object").as("object"),
-          lit(true).as("deleted")))),
-      "payload", syncTimestamp())
+          lit(true).as("deleted"))))
+        .withColumn(MergeSink.EvtSeqCol, col("event_id")),
+      "payload", syncTimestamp(), passthrough = Seq(MergeSink.EvtSeqCol))
     MergeSink.upsertParquet(rows, tablesDir, tdef)
     if (config.historyTables(tdef.table))
-      MergeSink.historyParquet(rows, tablesDir, tdef)
+      MergeSink.historyParquet(rows.drop(MergeSink.EvtSeqCol), tablesDir, tdef)
   }
 
   /** S10 hard delete. */

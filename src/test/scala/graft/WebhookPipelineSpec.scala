@@ -127,6 +127,25 @@ class WebhookPipelineSpec extends SparkSpec {
       .head().getAs[Long]("amount") == 100L)
   }
 
+  test("intra-batch created tie resolves to the lexicographically larger event id (deterministic LWW)") {
+    // Two same-key deliveries with EQUAL created in ONE batch: without
+    // the EvtSeqCol tie-break the winner is shuffle-order. 'evt_b' >
+    // 'evt_a' lexicographically, so amount must read 222 on every run.
+    def ev(id: String, amount: Long) =
+      s"""{"id":"evt_$id","type":"charge.succeeded","created":700,
+         |"data":{"object":{"id":"ch_tie","object":"charge","paid":true,"amount":$amount}}}"""
+        .stripMargin.replaceAll("\n", "")
+    (1 to 3).foreach { trial =>
+      val dir = tmpDir(s"graft_tie$trial")
+      new WebhookPipeline(dir)
+        .processBatch(Seq(ev("a", 111), ev("b", 222)).toDF("value")
+          .repartition(4))
+      assert(readTable(dir, "charges").filter(col("id") === "ch_tie")
+        .head().getAs[Long]("amount") == 222L,
+        s"trial $trial: created tie must resolve to evt_b")
+    }
+  }
+
   test("customer.deleted uses the 3-column deleted projection and nulls live columns (P3)") {
     val dir = tmpDir("graft_del")
     val pipeline = new WebhookPipeline(dir)
