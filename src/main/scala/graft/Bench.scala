@@ -146,6 +146,42 @@ object Bench {
     * surfaced as the `boxdrift` JSON field for human triage. */
   private[graft] val MaxDriftNorm = 2.0
 
+  /** A CLOSING artifact is stampable only from a calm box with the
+    * min-2 sweep complete (round-12 finding 2: the committed
+    * BENCH_r12.json read 5.9× from contention — passes 0, singles 21,
+    * boxdrift 1.52 — while identical code measured 1.23× clean the
+    * same morning, and the next round's regression gate would have
+    * been armed with the garbage). Above this drift vs the prior
+    * artifact, or with the min-2 sweep incomplete, the emitted line
+    * carries `"invalid": true` + a reason — it still emits (the driver
+    * contract wants ONE line no matter what), but no reader should
+    * treat it as the round's number and [[priorUsable]] keeps it from
+    * ever arming a future gate. */
+  private[graft] val MaxCleanDrift = 1.25
+
+  /** Why this run's artifact must not be stamped as a closing number —
+    * None when it is clean (pure; spec-tested). */
+  private[graft] def invalidReason(passes: Int, singles: Int,
+                                   drift: Option[Double]): Option[String] =
+    if (drift.exists(_ > MaxCleanDrift))
+      Some(f"boxdrift ${drift.get}%.3f exceeds $MaxCleanDrift%.2f")
+    else if (passes < 2) Some(s"min-2 sweep incomplete: passes=$passes")
+    else if (singles > 0) Some(s"min-2 sweep incomplete: singles=$singles")
+    else None
+
+  /** Is a prior artifact's text fit to arm the regression gate? A
+    * self-marked invalid artifact, or one whose (last-emitted) passes
+    * count shows an incomplete min-2 sweep, is contention garbage —
+    * comparing against it either floods "regressed" or (worse)
+    * normalizes a real regression away (pure; spec-tested). Artifacts
+    * predating the passes field (no match) are trusted. */
+  private[graft] def priorUsable(text: String): Boolean = {
+    val t = text.replace("\\\"", "\"")
+    if (t.contains("\"invalid\":true")) false
+    else "\"passes\":(\\d+)".r.findAllMatchIn(t).toSeq.lastOption
+      .forall(_.group(1).toInt >= 2)
+  }
+
   private[graft] def regressedKeys(current: Map[String, Double],
                                    prior: Map[String, Double],
                                    factor: Double = 1.5): Seq[String] = {
@@ -287,8 +323,14 @@ object Bench {
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val pieces = results.map { case (k, v, _) => ("\"" + k + "\":" + num(v), v) }
       val cancelled = results.collect { case (k, _, true) => "\"" + k + "\"" }
+      // compact twin: COUNTS, not arrays — a pathological round (mass
+      // cancellation + mass regression) has ~180-entry arrays that push
+      // the compact line itself past the 2000-byte capture window, the
+      // exact parsed:null failure the compact form exists to close
       val cancelledField =
-        if (cancelled.isEmpty) "" else cancelled.mkString(",\"cancelled\":[", ",", "]")
+        if (cancelled.isEmpty) ""
+        else if (compact) s""","ncancelled":${cancelled.size}"""
+        else cancelled.mkString(",\"cancelled\":[", ",", "]")
       // "value" sums COMPLETED minima only: a cancelled run's
       // elapsed-at-cancel measures the budget, not the query, and mixing
       // it in would make cross-round totals apples-to-oranges (round-4
@@ -312,11 +354,17 @@ object Bench {
       // after those reruns (empty field omitted to keep the line short)
       val regressed = stillRegressed.get
       val regressedField = if (regressed.isEmpty) ""
+        else if (compact) s""","nregressed":${regressed.size}"""
         else regressed.map("\"" + _ + "\"")
           .mkString(",\"regressed\":[", ",", "]")
       val driftField = driftSeen.get
         .map(d => s""","boxdrift":${num(d)}""").getOrElse("")
-      val prefix = s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":${passesDone.get},"reruns":${rerunsDone.get},"singles":$singles,"settled":${settledNames.size}$driftField,"queries":"""
+      // closing-artifact self-defense (round-12 finding 2): a drifted
+      // or min-2-incomplete run NAMES itself invalid so neither the
+      // judge nor a future gate ([[priorUsable]]) stamps it
+      val invalidField = invalidReason(passesDone.get, singles, driftSeen.get)
+        .map(r => s""","invalid":true,"invalid_reason":"$r"""").getOrElse("")
+      val prefix = s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":${passesDone.get},"reruns":${rerunsDone.get},"singles":$singles,"settled":${settledNames.size}$driftField$invalidField,"queries":"""
       val suffix = s"""$cancelledField$regressedField,"sf":"$sfDir"}"""
       if (!compact) prefix + pieces.map(_._1).mkString("{", ",", "}") + suffix
       else {
@@ -474,12 +522,23 @@ object Bench {
     // NUMERIC round sort: a lexicographic pick reads BENCH_r9 as newer
     // than BENCH_r10 the moment zero-padding slips (or rounds pass 99),
     // silently arming the gate against a stale prior
-    val priorText: Option[String] = sys.env.get("BENCH_PRIOR")
-      .orElse(Option(new java.io.File(".").listFiles()).flatMap(fs =>
-        newestPrior(fs.map(_.getName).toIndexedSeq)))
-      .flatMap(p => scala.util.Try(new String(
+    // newest USABLE prior: artifacts that self-marked invalid or whose
+    // min-2 sweep never completed (BENCH_r12: passes 0, boxdrift 1.52
+    // — pure contention) are skipped, newest-first, so the gate is
+    // armed with the last CLEAN round's numbers instead of garbage.
+    // BENCH_PRIOR overrides unconditionally (operator knows best).
+    def readFile(p: String): Option[String] =
+      scala.util.Try(new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
-        java.nio.charset.StandardCharsets.UTF_8)).toOption)
+        java.nio.charset.StandardCharsets.UTF_8)).toOption
+    val priorText: Option[String] = sys.env.get("BENCH_PRIOR").flatMap(readFile)
+      .orElse {
+        val names = Option(new java.io.File(".").listFiles())
+          .map(_.map(_.getName).toIndexedSeq).getOrElse(IndexedSeq.empty)
+          .filter(_.matches("BENCH_r\\d+\\.json"))
+          .sortBy(-_.replaceAll("\\D", "").toInt)
+        names.iterator.flatMap(readFile).find(priorUsable)
+      }
     // the driver artifact's truncation can leave the gate covering only
     // the BACK of the map (salvage) or nothing; the prior round's
     // committed BENCH_LOCAL.json is the COMPLETE line — read BEFORE
@@ -499,6 +558,7 @@ object Bench {
           java.nio.file.Paths.get("BENCH_LOCAL.json")),
         java.nio.charset.StandardCharsets.UTF_8)).toOption
         .filter(_.contains(s""""sf":"$sfDir""""))
+        .filter(priorUsable) // a drifted local run must not ratchet the gate
         .map(parsePriorQueries).getOrElse(Map.empty)
     val prior = localPrior ++ priorText.map(parsePriorQueries).getOrElse(Map.empty)
     if (prior.nonEmpty) {
@@ -520,6 +580,39 @@ object Bench {
       }
       stillRegressed.set(regressedKeys(mins, prior))
       driftSeen.set(Some(boxDrift(mins, prior)))
+
+      // Drift retry (round-12 finding 2): a boxdrift beyond
+      // [[MaxCleanDrift]] means this run was measured on a contended
+      // box and would stamp an invalid closing artifact. Instead of
+      // accepting that, cool down briefly and re-time the inflated
+      // entries (cheapest-first — the cheap tail is the most
+      // drift-sensitive and the fastest to redo; min-of-N keeps every
+      // clean number). If the box stayed loud the artifact still
+      // self-marks "invalid" and the last clean round carries forward
+      // as the gate prior.
+      val retryBudget =
+        sys.env.getOrElse("BENCH_DRIFT_RETRY_SEC", "240").toDouble
+      if (driftSeen.get.exists(_ > MaxCleanDrift) && retryBudget > 0) {
+        val cooldownSec =
+          sys.env.getOrElse("BENCH_DRIFT_COOLDOWN_SEC", "30").toLong
+        Console.err.println(
+          f"[bench] boxdrift ${driftSeen.get.get}%.3f > $MaxCleanDrift%.2f" +
+            s" — cooling down ${cooldownSec}s, then re-timing inflated entries")
+        Thread.sleep(cooldownSec * 1000)
+        val retryDeadline = elapsed + retryBudget
+        inventory.filter { q =>
+          best.containsKey(q.name) && prior.get(shortKey(q.name))
+            .exists(p => p > 0 && (best.get(q.name): Double) / p > MaxCleanDrift)
+        }.sortBy(q => best.get(q.name): Double).foreach { q =>
+          if (elapsed < retryDeadline) {
+            timeOne(q, "drift",
+              math.min(queryTimeoutSec, retryDeadline - elapsed))
+            rerunsDone.incrementAndGet()
+          }
+        }
+        stillRegressed.set(regressedKeys(mins, prior))
+        driftSeen.set(Some(boxDrift(mins, prior)))
+      }
     }
 
     // Emit once before stop (in case stop hangs and the harness kills us),

@@ -62,15 +62,32 @@ object Dedup {
     * rep pair needs no expansion row at all ([[expandMemberPairs]]'
     * left join + coalesce covers it). The joined table is therefore
     * bounded by DUPLICATE MASS, not corpus size, and the broadcast
-    * decision is COUNT-GATED on that mass (one count over the staged
-    * frame), not a scaladoc caveat: above the gate the same plan runs
-    * as a rep-keyed shuffle join automatically. */
-  private def dupMembership(members: DataFrame,
-                            dupRepIds: DataFrame): (DataFrame, Boolean) = {
+    * decision is gated on `dupMassRows` — exactly the surviving row
+    * count, Σ n_copies over classes with n_copies > 1, which the
+    * caller reads off the class-size aggregate it ALREADY computes
+    * (round-12 ADVICE: the previous count() here materialized the
+    * semi-join eagerly and launched an extra job per pair-generator
+    * call, ~30-50% of the sf0.1 entries' wall): above the gate the
+    * same plan runs as a rep-keyed shuffle join automatically. */
+  private def dupMembership(members: DataFrame, dupRepIds: DataFrame,
+                            dupMassRows: Long): (DataFrame, Boolean) = {
     val dm = Stage(members.join(dupRepIds, Seq("rep_id"), "left_semi"))
     val gate = dm.sparkSession.conf.getOption(DupBroadcastMaxRowsConf)
       .map(_.toLong).getOrElse(DupBroadcastMaxRowsDefault)
-    (dm, dm.count() <= gate)
+    (dm, dupMassRows <= gate)
+  }
+
+  /** One scalar pass over a staged class-size frame: (corpus rows,
+    * duplicate-mass rows). Corpus rows resolve [[CorpusDerivedCap]];
+    * dup mass — Σ n_copies over classes with n_copies > 1 — is by
+    * construction the exact row count of [[dupMembership]]'s table,
+    * so the broadcast gate needs no second job. */
+  private def classStats(reps: DataFrame, nCopiesCol: String): (Long, Long) = {
+    val r = reps.agg(
+      sum(col(nCopiesCol)).as("n"),
+      sum(when(col(nCopiesCol) > 1L, col(nCopiesCol))).as("dm")).head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** Re-expand collapsed representative pairs to member pairs — the
@@ -377,7 +394,6 @@ object Dedup {
     * (measured 1.7× on the sf0.1 inverted-index build, identical distinct counts). */
   private def shinglePairCounts(docs: DataFrame, k: Int,
                                 maxShingleDf0: Long): DataFrame = {
-    val maxShingleDf = resolveCap(docs, maxShingleDf0)
     // EXACT-DUP PRE-COLLAPSE, result-preserving (round 11 — the sf1
     // sweep's q80 pathology): members of an exact-duplicate class have
     // IDENTICAL shingle sets, so every pair statistic involving a
@@ -393,6 +409,12 @@ object Dedup {
     // results are bit-identical to the uncollapsed form too.
     val reps = Stage(docs.groupBy(col("text"))
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_copies")))
+    // ONE scalar pass over the staged class sizes yields both the
+    // corpus row count (cap resolution) and the duplicate mass (the
+    // broadcast gate) — no separate docs.count(), no membership count()
+    val (nDocs, dupMass) = classStats(reps, "n_copies")
+    val maxShingleDf =
+      if (maxShingleDf0 == CorpusDerivedCap) deriveCap(nDocs) else maxShingleDf0
     val members = Stage(docs.select(col("doc_id"), col("text"))
       .join(reps, Seq("text")).select(col("doc_id"), col("rep_id")))
     val base = reps
@@ -435,7 +457,7 @@ object Dedup {
     // [[DupBroadcastMaxRowsDefault]] the expansion shuffle-joins on
     // rep id instead of broadcasting.
     val (dupMembers, bcastOk) = dupMembership(members,
-      reps.filter(col("n_copies") > 1L).select("rep_id"))
+      reps.filter(col("n_copies") > 1L).select("rep_id"), dupMass)
     val cross = expandMemberPairs(repPairs, dupMembers, bcastOk)
       .select(least(col("da"), col("db")).as("id_a"),
         greatest(col("da"), col("db")).as("id_b"),
@@ -826,9 +848,7 @@ object Dedup {
     * blowup the MinHash band join has (see [[capBucketDf]]). */
   private[llm] def chunkBandPairs(sh: DataFrame, sigCol: String, nChunks: Int,
                                   chunkBits: Int, maxHamming: Int,
-                                  maxBandDf: Long = Long.MaxValue): DataFrame = {
-    require(maxBandDf != CorpusDerivedCap,
-      "resolve CorpusDerivedCap before chunkBandPairs (pass a staged per-doc frame to resolveCap)")
+                                  maxBandDf0: Long = Long.MaxValue): DataFrame = {
     // IDENTICAL-SIGNATURE PRE-COLLAPSE, result-preserving (the
     // shinglePairCounts discipline): pairs depend only on signatures,
     // so the chunk join runs over DISTINCT SIGNATURES — a duplicate-
@@ -840,6 +860,11 @@ object Dedup {
     val s0 = Stage(sh.select(col("doc_id"), col(sigCol)))
     val reps = Stage(s0.groupBy(sigCol)
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies")))
+    // cap resolution + broadcast gate off ONE scalar pass over the
+    // staged class sizes (no per-call membership count job)
+    val (nDocs, dupMass) = classStats(reps, "n_copies")
+    val maxBandDf =
+      if (maxBandDf0 == CorpusDerivedCap) deriveCap(nDocs) else maxBandDf0
     val members = s0
       .join(reps.select(col(sigCol), col("doc_id").as("rep_id")), Seq(sigCol))
       .select(col("doc_id"), col("rep_id"))
@@ -864,7 +889,8 @@ object Dedup {
     // count-gated — above the gate the expansion shuffle-joins on rep
     // id automatically instead of broadcasting a corpus-sized map.
     val (dupMembers, bcastOk) = dupMembership(members,
-      reps.filter(col("n_copies") > 1L).select(col("doc_id").as("rep_id")))
+      reps.filter(col("n_copies") > 1L).select(col("doc_id").as("rep_id")),
+      dupMass)
     val cross = expandMemberPairs(repPairs, dupMembers, bcastOk)
       .select(least(col("da"), col("db")).as("id_a"),
         greatest(col("da"), col("db")).as("id_b"), col("hamming"))
@@ -892,7 +918,7 @@ object Dedup {
     val sh = Stage(simHash(docs))
     chunkBandPairs(sh, "simhash",
       nChunks = 4, chunkBits = 8, maxHamming = maxHamming,
-      maxBandDf = resolveCap(sh, maxBandDf))
+      maxBandDf0 = maxBandDf) // sentinel resolves inside, fused with the gate stats
   }
 
   /** 64-bit SimHash over xxhash64 token hashes — the SCALE variant of
@@ -926,7 +952,7 @@ object Dedup {
     val sh = Stage(simHash64(docs))
     chunkBandPairs(sh, "simhash64",
       nChunks = 4, chunkBits = 16, maxHamming = maxHamming,
-      maxBandDf = resolveCap(sh, maxBandDf))
+      maxBandDf0 = maxBandDf) // sentinel resolves inside, fused with the gate stats
   }
 
   /** SOFT dedup — duplicate-aware loss REWEIGHTING instead of dropping

@@ -149,11 +149,11 @@ object Multimodal {
     // for the candidate join, the popcount verify AND the hot-bucket
     // cap (an exact-dup asset class shares all 4 chunks, the same
     // bucket blowup; [[Dedup.CorpusDerivedCap]] bounds it by default,
-    // Long.MaxValue opts out for the oracle-checked uncut forms).
-    val cap = if (maxBandDf == Dedup.CorpusDerivedCap)
-      Dedup.deriveCap(ph.count()) else maxBandDf
+    // Long.MaxValue opts out for the oracle-checked uncut forms; the
+    // sentinel resolves inside the core, fused with the broadcast-gate
+    // stats pass — no separate count job here).
     Dedup.chunkBandPairs(ph, "phash", nChunks = 4, chunkBits = 16,
-      maxHamming = maxHamming, maxBandDf = cap)
+      maxHamming = maxHamming, maxBandDf0 = maxBandDf)
   }
 
   /** Per-asset quality stats + gates — the LAION-style filter stage next

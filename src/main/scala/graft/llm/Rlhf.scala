@@ -29,10 +29,19 @@ object Rlhf {
     * (bounded by distinct pairs COMPARED — preference sets are
     * candidate-generator outputs, orders of magnitude under the
     * corpus); each round is two keyed joins + one groupBy over that
-    * table plus a scalar max, all shuffling on item id. Overflow-safe
-    * for Σgames ≤ ~9×10⁵·scale: games·scale² and wins·scale² stay
-    * under 2⁶³ (at scale 10⁶ that is ~9 million games; larger sets
-    * pass a smaller scale). */
+    * table plus a scalar max, all shuffling on item id.
+    *
+    * Overflow discipline (round-12 ADVICE): the per-item contribution
+    * SUM and the wins·scale² numerator are widened through
+    * DECIMAL(38,0) — matching DuckDB's HUGEINT promotion of sum() —
+    * so a zero-score pair cluster (den=1 ⇒ c = games·scale² each)
+    * cannot silently wrap Spark's non-ANSI long sum while the oracle
+    * computes it exactly. The one remaining long-typed product is the
+    * PER-PAIR c = games·scale² DIV den: games on a single unordered
+    * pair must stay ≤ 2⁶³/scale² (~9.2 million at scale 10⁶; larger
+    * sets pass a smaller scale). The normalized outputs themselves
+    * are tiny: den ≤ 2·scale ⇒ c ≥ games·scale/2 ⇒ d ≥ Σgames·scale/2
+    * ⇒ raw = wins·scale²/d ≤ 2·scale, always in range. */
   def bradleyTerry(comparisons: DataFrame, iters: Int = 8,
                    scale: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -59,10 +68,15 @@ object Rlhf {
           expr(s"games * ${sc2}L DIV den").as("c"))
         .unionAll(pe.select(col("id_hi").as("item_id"),
           expr(s"games * ${sc2}L DIV den").as("c")))
-      val d = contribs.groupBy("item_id").agg(sum("c").as("d"))
+      // DECIMAL(38,0) sum + numerator: DuckDB's sum() promotes to
+      // HUGEINT, so the long sum wrapping here would diverge silently
+      val d = contribs.groupBy("item_id")
+        .agg(sum(col("c").cast("decimal(38,0)")).as("d"))
       val raw = w.join(d, Seq("item_id"), "left")
         .select(col("item_id"),
-          expr(s"wins * ${sc2}L DIV greatest(coalesce(d, 1L), 1L)").as("raw"))
+          expr(s"CAST(CAST(wins AS DECIMAL(38,0)) * ${sc2}L DIV " +
+            "greatest(coalesce(d, CAST(1 AS DECIMAL(38,0))), " +
+            "CAST(1 AS DECIMAL(38,0))) AS BIGINT)").as("raw"))
       val mx = raw.agg(greatest(max("raw"), lit(1L)).as("mx"))
       s = Stage(raw.crossJoin(broadcast(mx))
         .select(col("item_id"), expr(s"raw * ${scale}L DIV mx").as("s")))
@@ -76,7 +90,7 @@ object Rlhf {
     * DuckDB does not re-derive the upstream pipeline per reference).
     * Expects a `comp(winner_id, loser_id)` CTE in scope; emits
     * `bt(item_id, bt_ppm)`. */
-  def bradleyTerrySql(iters: Int = 8): String = {
+  def bradleyTerrySql(iters: Int = 8, scale: Long = 1000000L): String = {
     val sb = new StringBuilder
     sb.append(" pairs_bt AS MATERIALIZED (SELECT least(winner_id, loser_id) AS id_lo,\n")
     sb.append("    greatest(winner_id, loser_id) AS id_hi, count(*) AS games,\n")
@@ -88,23 +102,23 @@ object Rlhf {
     sb.append("    coalesce(w.wins, CAST(0 AS BIGINT)) AS wins FROM bt_items i\n")
     sb.append("   LEFT JOIN (SELECT winner_id AS item_id, count(*) AS wins\n")
     sb.append("     FROM comp GROUP BY 1) w USING (item_id)),\n")
-    sb.append(" bts0 AS MATERIALIZED (SELECT item_id, CAST(1000000 AS BIGINT) AS s FROM bt_items),\n")
+    sb.append(s" bts0 AS MATERIALIZED (SELECT item_id, CAST($scale AS BIGINT) AS s FROM bt_items),\n")
     (1 to iters).foreach { t =>
       sb.append(s" btp$t AS MATERIALIZED (SELECT p.id_lo, p.id_hi, p.games,\n")
       sb.append(s"    greatest(a.s + b.s, 1) AS den FROM pairs_bt p\n")
       sb.append(s"   JOIN bts${t - 1} a ON a.item_id = p.id_lo\n")
       sb.append(s"   JOIN bts${t - 1} b ON b.item_id = p.id_hi),\n")
       sb.append(s" btd$t AS MATERIALIZED (SELECT item_id, sum(c) AS d FROM (\n")
-      sb.append(s"    SELECT id_lo AS item_id, games * 1000000 * 1000000 // den AS c FROM btp$t\n")
-      sb.append(s"    UNION ALL SELECT id_hi, games * 1000000 * 1000000 // den FROM btp$t)\n")
+      sb.append(s"    SELECT id_lo AS item_id, games * $scale * $scale // den AS c FROM btp$t\n")
+      sb.append(s"    UNION ALL SELECT id_hi, games * $scale * $scale // den FROM btp$t)\n")
       sb.append(s"   GROUP BY 1),\n")
       sb.append(s" btr$t AS MATERIALIZED (SELECT w.item_id,\n")
       // sum(c)/sum-derived values are HUGEINT in DuckDB (floats once
       // pandas sees them) — CAST back to BIGINT at every round boundary
-      sb.append(s"    CAST(w.wins * 1000000 * 1000000 // greatest(coalesce(d.d, 1), 1) AS BIGINT) AS raw\n")
+      sb.append(s"    CAST(CAST(w.wins AS HUGEINT) * $scale * $scale // greatest(coalesce(d.d, 1), 1) AS BIGINT) AS raw\n")
       sb.append(s"   FROM bt_w w LEFT JOIN btd$t d USING (item_id)),\n")
       sb.append(s" bts$t AS MATERIALIZED (SELECT item_id,\n")
-      sb.append(s"    CAST(raw * 1000000 // (SELECT greatest(max(raw), 1) FROM btr$t) AS BIGINT) AS s FROM btr$t),\n")
+      sb.append(s"    CAST(raw * $scale // (SELECT greatest(max(raw), 1) FROM btr$t) AS BIGINT) AS s FROM btr$t),\n")
     }
     sb.append(s" bt AS (SELECT item_id, s AS bt_ppm FROM bts$iters)")
     sb.toString
@@ -152,23 +166,24 @@ object Rlhf {
   /** DuckDB CTE chain replaying [[domainMixtureMW]] round for round.
     * Expects a `dl(domain, loss_ppm)` CTE in scope; emits
     * `mw(domain, loss_ppm, weight_ppm)`. */
-  def domainMixtureMWSql(iters: Int = 10, etaPpm: Long = 300000L): String = {
+  def domainMixtureMWSql(iters: Int = 10, etaPpm: Long = 300000L,
+                         scale: Long = 1000000L): String = {
     val sb = new StringBuilder
     sb.append(" mw0 AS MATERIALIZED (SELECT domain, loss_ppm,\n")
-    sb.append("    CAST(1000000 AS BIGINT) AS w FROM dl),\n")
+    sb.append(s"    CAST($scale AS BIGINT) AS w FROM dl),\n")
     (1 to iters).foreach { t =>
       // the mixture mean m flows from sum() (HUGEINT in DuckDB) — CAST
       // every round's w back to BIGINT so the artifact stays integer
       sb.append(s" mwa$t AS MATERIALIZED (SELECT domain, loss_ppm,\n")
-      sb.append(s"    CAST(w * (1000000 + $etaPpm * greatest(loss_ppm - mm.m, 0) // 1000000)\n")
-      sb.append(s"      // 1000000 AS BIGINT) AS w\n")
+      sb.append(s"    CAST(w * ($scale + $etaPpm * greatest(loss_ppm - mm.m, 0) // $scale)\n")
+      sb.append(s"      // $scale AS BIGINT) AS w\n")
       sb.append(s"   FROM mw${t - 1}, (SELECT sum(w * loss_ppm) // greatest(sum(w), 1) AS m\n")
       sb.append(s"     FROM mw${t - 1}) mm),\n")
       sb.append(s" mw$t AS MATERIALIZED (SELECT domain, loss_ppm,\n")
-      sb.append(s"    w * 1000000 // (SELECT greatest(max(w), 1) FROM mwa$t) AS w FROM mwa$t),\n")
+      sb.append(s"    w * $scale // (SELECT greatest(max(w), 1) FROM mwa$t) AS w FROM mwa$t),\n")
     }
     sb.append(s" mw AS (SELECT domain, loss_ppm,\n")
-    sb.append(s"   CAST(w * 1000000 // (SELECT greatest(sum(w), 1) FROM mw$iters) AS BIGINT) AS weight_ppm\n")
+    sb.append(s"   CAST(w * $scale // (SELECT greatest(sum(w), 1) FROM mw$iters) AS BIGINT) AS weight_ppm\n")
     sb.append(s"  FROM mw$iters)")
     sb.toString
   }

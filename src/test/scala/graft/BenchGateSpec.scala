@@ -125,4 +125,31 @@ class BenchGateSpec extends AnyFunSuite {
     val slow2x = (1 to 10).map(i => s"q$i" -> 2.0).toMap
     assert(Bench.regressedKeys(slow2x, prior).isEmpty)
   }
+
+  test("closing-artifact self-defense: a 1.5-boxdrift or min-2-incomplete run is refused") {
+    // round-12 finding 2: BENCH_r12 (passes 0, singles 21, boxdrift
+    // 1.52) was stamped as the closing number. Each of those conditions
+    // must now name the artifact invalid on its own...
+    assert(Bench.invalidReason(2, 0, Some(1.5)).exists(_.contains("boxdrift")))
+    assert(Bench.invalidReason(0, 21, Some(1.52)).isDefined)
+    assert(Bench.invalidReason(0, 0, None).exists(_.contains("passes=0")))
+    assert(Bench.invalidReason(2, 3, None).exists(_.contains("singles=3")))
+    // ...while a clean min-2 run with tolerable drift stamps normally
+    // (no prior => no drift estimate => the drift clause cannot fire)
+    assert(Bench.invalidReason(2, 0, Some(1.1)).isEmpty)
+    assert(Bench.invalidReason(3, 0, None).isEmpty)
+    assert(Bench.invalidReason(2, 0, Some(Bench.MaxCleanDrift)).isEmpty)
+  }
+
+  test("priorUsable: invalid or passes<2 artifacts never arm the gate; pre-flag artifacts do") {
+    // self-marked invalid (raw line or driver-wrapper escaping)
+    assert(!Bench.priorUsable("""{"passes":3,"invalid":true,"queries":{}}"""))
+    assert(!Bench.priorUsable("""{"tail": "{\"passes\":3,\"invalid\":true}"}"""))
+    // BENCH_r12's shape: passes 0 — contention garbage, skip it
+    assert(!Bench.priorUsable("""{"metric":"total","passes":0,"queries":{"q1":19.8}}"""))
+    assert(!Bench.priorUsable("""{"tail": "{\"passes\":2}\n{\"passes\":0}"}""")) // last emit wins
+    // clean min-2 artifact arms; artifacts predating the field are trusted
+    assert(Bench.priorUsable("""{"metric":"total","passes":2,"queries":{"q1":0.2}}"""))
+    assert(Bench.priorUsable("""{"metric":"total","queries":{"q1":0.2}}"""))
+  }
 }
