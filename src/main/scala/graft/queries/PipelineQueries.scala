@@ -535,9 +535,15 @@ object PipelineQueries {
     // DPO-style preference pairs from weak quality supervision:
     // near-duplicate docs (q31's capped Jaccard pairs at >= 300000 ppm)
     // are two renderings of the same content, so a bigram-LM quality
-    // gap >= 100000 ppm between them is a (chosen, rejected)
-    // comparison nobody had to label. The oracle replays the pair
-    // pipeline, the LM retrain, and the gap/tie arithmetic.
+    // gap >= 1000 ppm between them is a (chosen, rejected) comparison
+    // nobody had to label. The gap floor is calibrated to the synthetic
+    // corpus (round-12 finding 3: at 100000 ppm the sf0.01 AND sf0.1
+    // compares were vacuous — near-dup renderings of the same content
+    // legitimately score within ~1% of each other, so the old floor
+    // admitted nothing; 1000 ppm keeps ties and sub-noise gaps out
+    // while giving the driver-checked SF real rows: 9 at sf0.01, 77 at
+    // sf0.1). The oracle replays the pair pipeline, the LM retrain,
+    // and the gap/tie arithmetic.
     Q("q174_preference_pairs",
       s"""WITH $pairCtes,
         | t2 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
@@ -560,7 +566,7 @@ object PipelineQueries {
         | CASE WHEN s_a > s_b OR (s_a = s_b AND id_a < id_b)
         |      THEN id_b ELSE id_a END AS rejected_id,
         | gap_ppm
-        |FROM g WHERE gap_ppm >= 100000
+        |FROM g WHERE gap_ppm >= 1000
         |ORDER BY chosen_id, rejected_id""".stripMargin
     ) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
@@ -568,7 +574,7 @@ object PipelineQueries {
         .filter(col("jaccard_ppm") >= 300000L)
       Corpus.preferencePairs(pairs,
           TextAnalysis.bigramLmScore(docs).select("doc_id", "score_ppm"),
-          minGapPpm = 100000L)
+          minGapPpm = 1000L)
         .orderBy("chosen_id", "rejected_id")
     },
 
