@@ -43,21 +43,53 @@ object Rlhf {
     * are tiny: den ≤ 2·scale ⇒ c ≥ games·scale/2 ⇒ d ≥ Σgames·scale/2
     * ⇒ raw = wins·scale²/d ≤ 2·scale, always in range. */
   def bradleyTerry(comparisons: DataFrame, iters: Int = 8,
-                   scale: Long = 1000000L): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    val sc2 = scale * scale
-    val pairsAgg = Stage(comparisons
+                   scale: Long = 1000000L): DataFrame =
+    fitFromState(btState(comparisons), iters, scale)
+
+  /** BT's MERGEABLE sufficient statistic: one row per unordered item
+    * pair — (id_lo, id_hi, games, wins_lo). Everything the MM solver
+    * needs ([[fitFromState]] derives per-item win totals from it), and
+    * exactly additive: states of two preference batches fold by
+    * summing per pair ([[mergeBtState]]), so a reward model refreshes
+    * from batch deltas without rescanning comparison history — the
+    * [[IncrementalAgg]]/countState discipline applied to RLHF. */
+  def btState(comparisons: DataFrame): DataFrame =
+    comparisons
       .select(least(col("winner_id"), col("loser_id")).as("id_lo"),
         greatest(col("winner_id"), col("loser_id")).as("id_hi"),
         (col("winner_id") < col("loser_id")).cast("long").as("lo_won"))
       .groupBy("id_lo", "id_hi")
-      .agg(count(lit(1)).as("games"), sum("lo_won").as("wins_lo")))
+      .agg(count(lit(1)).as("games"), sum("lo_won").as("wins_lo"))
+
+  /** Fold preference-batch states: per-pair sums. Replaying the same
+    * batch twice double-counts BY DESIGN (the state is a pure additive
+    * statistic — at-most-once delivery of batches is the caller's
+    * ledger concern, the same split as ReplayGuard vs MergeSink). */
+  def mergeBtState(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeBtState needs at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy("id_lo", "id_hi")
+      .agg(sum("games").as("games"), sum("wins_lo").as("wins_lo"))
+  }
+
+  /** MM rounds over a (merged) [[btState]] table — the fit stage of
+    * [[bradleyTerry]], exposed so incremental state folds feed the
+    * same solver bit for bit (fold of a partition == one-shot fit,
+    * q180). Per-item win totals derive from the state itself:
+    * wins_i = Σ wins_lo over lo-side rows + Σ (games − wins_lo) over
+    * hi-side rows — identical to counting winner_id rows. */
+  def fitFromState(state: DataFrame, iters: Int = 8,
+                   scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sc2 = scale * scale
+    val pairsAgg = Stage(state)
     val items = pairsAgg.select(col("id_lo").as("item_id"))
       .union(pairsAgg.select(col("id_hi").as("item_id"))).distinct()
-    val winCounts = comparisons.groupBy(col("winner_id").as("item_id"))
-      .agg(count(lit(1)).as("wins"))
-    val w = Stage(items.join(winCounts, Seq("item_id"), "left")
-      .select(col("item_id"), coalesce(col("wins"), lit(0L)).as("wins")))
+    val w = Stage(pairsAgg
+      .select(col("id_lo").as("item_id"), col("wins_lo").as("iw"))
+      .unionAll(pairsAgg.select(col("id_hi").as("item_id"),
+        (col("games") - col("wins_lo")).as("iw")))
+      .groupBy("item_id").agg(sum("iw").as("wins")))
     var s = items.withColumn("s", lit(scale))
     for (_ <- 1 to iters) {
       val pe = pairsAgg
@@ -235,6 +267,35 @@ object Rlhf {
       .withColumn("rnk", row_number().over(o).cast("long"))
       .filter(col("rnk") <= k)
       .select("group_id", "item_id", "reward_ppm", "rnk")
+  }
+
+  /** KL-REGULARIZED BEST-OF-N selection — the reward-hacking guard on
+    * top of plain [[rejectionSample]]: per group, keep the `k` best
+    * responses by obj = reward − β·kl, where `kl_ppm` is a per-item
+    * divergence-from-reference proxy (a response the reference policy
+    * finds unlikely pays a penalty proportional to β, the standard
+    * RLHF objective's KL term applied at selection time — Stiennon et
+    * al. 2020 best-of-n, Gao et al. 2023 overoptimization). Integer
+    * fixed-point: obj_ppm = reward_ppm − β·kl_ppm DIV scale, ties to
+    * the lower item id. Unlike the variance-gated selectors, every
+    * group emits (best-of-n always picks a winner — a degenerate group
+    * still has a deterministic argmax).
+    *
+    * Scale shape: one row_number window per group with the rank filter
+    * WindowGroupLimit-pushed — identical to [[rejectionSample]]; the
+    * reward and KL inputs are per-item columns the caller computed at
+    * corpus scan scale. */
+  def klBestOfN(rows: DataFrame, betaPpm: Long = 500000L, k: Int = 1,
+                scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val o = Window.partitionBy("group_id")
+      .orderBy(col("obj_ppm").desc, col("item_id"))
+    rows.select(col("group_id"), col("item_id"), col("reward_ppm"), col("kl_ppm"))
+      .withColumn("obj_ppm",
+        col("reward_ppm") - expr(s"${betaPpm}L * kl_ppm DIV ${scale}L"))
+      .withColumn("rnk", row_number().over(o).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("group_id", "item_id", "reward_ppm", "kl_ppm", "obj_ppm", "rnk")
   }
 
 }

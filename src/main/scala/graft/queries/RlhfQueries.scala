@@ -149,6 +149,133 @@ object RlhfQueries {
           .as("group_id"),
         col("doc_id").as("item_id"), col("reward_ppm"))
       Rlhf.rejectionSample(rows, k = 2).orderBy("group_id", "rnk")
+    },
+
+    // MERGEABLE reward-model state (round-12 judge task 5): the BT
+    // sufficient statistic (per-pair games/wins_lo) folds additively,
+    // so preference batches refresh the reward model without
+    // rescanning comparison history. Two judge passes over each
+    // source's 8 hash-smallest docs — longer-wins and TTR-wins — are
+    // fitted as SEPARATE batch states folded with mergeBtState (pairs
+    // judged by both passes genuinely merge: games=2), and the oracle
+    // fits the one-shot union — fold == one-shot, bit for bit.
+    Q("q180_bt_state_fold",
+      s"""WITH h AS (SELECT doc_id, source, text, $polyHashSql AS hv FROM documents),
+        | r AS (SELECT doc_id, source, text,
+        |        row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rnk
+        |       FROM h),
+        | sel AS MATERIALIZED (SELECT doc_id, source,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |          * 1000000 // greatest(len(string_split(text, ' ')), 1) AS ttr
+        |       FROM r WHERE rnk <= 8),
+        | comp AS MATERIALIZED (
+        |       SELECT CASE WHEN x.nt > y.nt OR (x.nt = y.nt AND x.doc_id < y.doc_id)
+        |               THEN x.doc_id ELSE y.doc_id END AS winner_id,
+        |              CASE WHEN x.nt > y.nt OR (x.nt = y.nt AND x.doc_id < y.doc_id)
+        |               THEN y.doc_id ELSE x.doc_id END AS loser_id
+        |        FROM sel x JOIN sel y
+        |         ON x.source = y.source AND x.doc_id < y.doc_id
+        |       UNION ALL
+        |       SELECT CASE WHEN x.ttr > y.ttr OR (x.ttr = y.ttr AND x.doc_id < y.doc_id)
+        |               THEN x.doc_id ELSE y.doc_id END,
+        |              CASE WHEN x.ttr > y.ttr OR (x.ttr = y.ttr AND x.doc_id < y.doc_id)
+        |               THEN y.doc_id ELSE x.doc_id END
+        |        FROM sel x JOIN sel y
+        |         ON x.source = y.source AND x.doc_id < y.doc_id),
+        |""".stripMargin + Rlhf.bradleyTerrySql(iters = 8) + """
+        |SELECT item_id, bt_ppm FROM bt ORDER BY item_id""".stripMargin
+    ) { (s, dir) =>
+      val sel = Corpus.balancedSample(Tables(s, dir, "documents"), "source", 8)
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          size(col("l")).cast("long").as("nt"),
+          expr("CAST(size(array_distinct(l)) AS BIGINT) * 1000000L" +
+            " DIV greatest(size(l), 1)").as("ttr"))
+      def pass(score: String) = {
+        val xWins = col(s"x.$score") > col(s"y.$score") ||
+          (col(s"x.$score") === col(s"y.$score") && col("x.doc_id") < col("y.doc_id"))
+        sel.as("x").join(sel.as("y"),
+            col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+          .select(
+            when(xWins, col("x.doc_id")).otherwise(col("y.doc_id")).as("winner_id"),
+            when(xWins, col("y.doc_id")).otherwise(col("x.doc_id")).as("loser_id"))
+      }
+      val folded = Rlhf.mergeBtState(Seq(
+        Rlhf.btState(pass("nt")), Rlhf.btState(pass("ttr"))))
+      Rlhf.fitFromState(folded, iters = 8).orderBy("item_id")
+    },
+
+    // KL-REGULARIZED BEST-OF-N (round-12 judge task 8): composes the
+    // q176 reward fit with a q179-style selection, minus β times a
+    // divergence proxy — here 1e6 − the bigram-LM likelihood score, so
+    // a response the corpus reference model finds unlikely pays the
+    // KL penalty. Groups are q176's per-language response sets; the
+    // oracle unrolls the full composition (selection + 8 MM rounds +
+    // the LM retrain + the objective window).
+    Q("q181_kl_best_of_n",
+      s"""WITH h AS (SELECT doc_id, lang, text, $polyHashSql AS hv FROM documents),
+        | r AS (SELECT doc_id, lang, text,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rnk
+        |       FROM h),
+        | sel AS MATERIALIZED (SELECT doc_id, lang,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |       FROM r WHERE rnk <= 8),
+        | comp AS MATERIALIZED (SELECT
+        |        CASE WHEN x.nt > y.nt OR (x.nt = y.nt AND x.doc_id < y.doc_id)
+        |             THEN x.doc_id ELSE y.doc_id END AS winner_id,
+        |        CASE WHEN x.nt > y.nt OR (x.nt = y.nt AND x.doc_id < y.doc_id)
+        |             THEN y.doc_id ELSE x.doc_id END AS loser_id
+        |       FROM sel x JOIN sel y
+        |        ON x.lang = y.lang AND x.doc_id < y.doc_id),
+        |""".stripMargin + Rlhf.bradleyTerrySql(iters = 8) + """,
+        | t2 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | bg2 AS (SELECT doc_id, s.w1 AS w1, s.gram AS gram
+        |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |            i -> {'w1': l[i], 'gram': l[i] || ' ' || l[i+1]})) AS s
+        |          FROM t2 WHERE len(l) >= 2)),
+        | cb2 AS (SELECT gram, count(*) AS cb FROM bg2 GROUP BY 1),
+        | cu2 AS (SELECT w1, count(*) AS cu FROM bg2 GROUP BY 1),
+        | sc AS (SELECT b.doc_id,
+        |         CAST(sum((cb2.cb * 1000000) // cu2.cu) // count(*) AS BIGINT) AS s
+        |        FROM bg2 b JOIN cb2 USING (gram) JOIN cu2 USING (w1)
+        |        GROUP BY b.doc_id),
+        | cand AS (SELECT sel.lang AS group_id, bt.item_id,
+        |          bt.bt_ppm AS reward_ppm,
+        |          1000000 - coalesce(sc.s, CAST(0 AS BIGINT)) AS kl_ppm
+        |         FROM bt JOIN sel ON sel.doc_id = bt.item_id
+        |          LEFT JOIN sc ON sc.doc_id = bt.item_id),
+        | obj AS (SELECT group_id, item_id, reward_ppm, kl_ppm,
+        |          reward_ppm - 500000 * kl_ppm // 1000000 AS obj_ppm
+        |         FROM cand)
+        |SELECT group_id, item_id, reward_ppm, kl_ppm, obj_ppm,
+        | CAST(row_number() OVER (PARTITION BY group_id
+        |   ORDER BY obj_ppm DESC, item_id) AS BIGINT) AS rnk
+        |FROM obj QUALIFY rnk <= 2
+        |ORDER BY group_id, rnk""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.TextAnalysis
+      val docs = Tables(s, dir, "documents")
+      val sel = Corpus.balancedSample(docs, "lang", 8)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+      val xWins = col("x.nt") > col("y.nt") ||
+        (col("x.nt") === col("y.nt") && col("x.doc_id") < col("y.doc_id"))
+      val comp = sel.as("x").join(sel.as("y"),
+          col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+        .select(
+          when(xWins, col("x.doc_id")).otherwise(col("y.doc_id")).as("winner_id"),
+          when(xWins, col("y.doc_id")).otherwise(col("x.doc_id")).as("loser_id"))
+      val rewards = Rlhf.bradleyTerry(comp, iters = 8)
+      val lm = TextAnalysis.bigramLmScore(docs).select(col("doc_id"), col("score_ppm"))
+      val rows = rewards
+        .join(sel.select(col("doc_id"), col("lang")),
+          rewards("item_id") === col("doc_id"))
+        .join(lm, Seq("doc_id"), "left")
+        .select(col("lang").as("group_id"), col("item_id"),
+          col("bt_ppm").as("reward_ppm"),
+          (lit(1000000L) - coalesce(col("score_ppm"), lit(0L))).as("kl_ppm"))
+      Rlhf.klBestOfN(rows, betaPpm = 500000L, k = 2).orderBy("group_id", "rnk")
     }
   )
 }

@@ -81,4 +81,46 @@ class RlhfSpec extends SparkSpec {
     assert(out.toSeq == Seq(("g1", 2L, 1L), ("g1", 3L, 2L)),
       "equal rewards must rank by ascending item id")
   }
+
+  test("btState fold == one-shot fit; a replayed batch double-counts additively") {
+    val b1 = Seq((1L, 2L), (1L, 2L), (2L, 3L), (1L, 4L))
+      .toDF("winner_id", "loser_id")
+    val b2 = Seq((1L, 2L), (3L, 2L), (2L, 4L), (3L, 4L))
+      .toDF("winner_id", "loser_id")
+    // fold of the two batch states must fit bit-identically to the
+    // one-shot fit of the concatenated history — including the (1,2)
+    // pair whose games span both batches
+    val oneShot = Rlhf.bradleyTerry(b1.unionAll(b2), iters = 8)
+      .as[(Long, Long)].collect().toMap
+    val folded = Rlhf.fitFromState(
+        Rlhf.mergeBtState(Seq(Rlhf.btState(b1), Rlhf.btState(b2))), iters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(folded == oneShot, "state fold must equal the one-shot fit")
+    // replayed batch: merging b1's state twice == state of b1 ++ b1
+    // (pure additive statistic — games and wins_lo both double)
+    val replayed = Rlhf.mergeBtState(Seq(Rlhf.btState(b1), Rlhf.btState(b1)))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val doubled = Rlhf.btState(b1.unionAll(b1))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(replayed == doubled)
+  }
+
+  test("klBestOfN: the KL penalty can flip the winner; every group emits; ties deterministic") {
+    val rows = Seq(
+      // g1: item 1 has the best raw reward but a huge KL penalty —
+      // at beta=0.5 its objective (900k - 450k) loses to item 2's
+      // (800k - 25k); plain rejection sampling would pick item 1
+      ("g1", 1L, 900000L, 900000L), ("g1", 2L, 800000L, 50000L),
+      // g2: zero variance everywhere — best-of-n still picks (lower id)
+      ("g2", 3L, 5L, 0L), ("g2", 4L, 5L, 0L)
+    ).toDF("group_id", "item_id", "reward_ppm", "kl_ppm")
+    val out = Rlhf.klBestOfN(rows, betaPpm = 500000L, k = 1)
+      .select("group_id", "item_id", "obj_ppm")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("g1", 2L, 775000L), ("g2", 3L, 5L)))
+    // beta=0 degenerates to pure reward argmax
+    val raw = Rlhf.klBestOfN(rows, betaPpm = 0L, k = 1)
+      .select("group_id", "item_id").as[(String, Long)].collect().toMap
+    assert(raw("g1") == 1L)
+  }
 }
