@@ -471,21 +471,35 @@ object SinkQueries {
         val injected = emb.filter(col("vec_id") < 50 && col("vec_id") % 2 === 0)
           .withColumn("vec_id", col("vec_id") + 1000000L)
         val b2 = emb.filter(col("vec_id") % 2 =!= 0).unionByName(injected)
-        graft.streaming.VectorIngest.trainCentroids(b1, root, kCells = 8,
+        // CELL COUNT SCALES WITH THE CORPUS (round-13, measured at the
+        // ×30 stress): with the old fixed kCells=8 + admission nProbe=8,
+        // the semantic gate scored every batch-2 vector against the
+        // ENTIRE store — exhaustive by configuration, O(n²): 216 s at
+        // ×10 became >59 min at ×30 (exp ≈ 2). kCells ≈ √n/2 is the
+        // standard IVF sizing; the admission probe needs only 2 cells
+        // because the gate exists for EXACT re-crawls, and an identical
+        // vector has identical centroid distances — it always lands in
+        // its original's cell (probe 2 covers a float-tie boundary).
+        // Admission drops to O(n·√n); every gate below is preserved.
+        val kc = math.max(8, math.ceil(math.sqrt(b1.count().toDouble) / 2).toInt)
+        graft.streaming.VectorIngest.trainCentroids(b1, root, kCells = kc,
           iters = 2)
         val n1 = graft.streaming.VectorIngest.processBatch(b1, root,
           batchId = 0L)
         // 999998 ppm: exact-copy gate with float-ulp slack (an identical
         // vector's cosine is 1.0 up to the norm sqrt rounding)
         val (n2, rej) = graft.streaming.VectorIngest.processBatchDeduped(
-          b2, root, minSimPpm = 999998L, nProbe = 8, batchId = 1L)
+          b2, root, minSimPpm = 999998L, nProbe = 2, batchId = 1L)
         val nRejected = rej.count()
         val nInjRejected = rej.filter(col("vec_id") >= 1000000L).count()
         val nReplay = graft.streaming.VectorIngest.processBatch(b1, root,
           batchId = 0L)
         val queries = emb.filter(col("vec_id") < 8)
+        // serving probes ALL cells — the exact-probe gate requires full
+        // coverage, and with only 8 query vectors exhaustive serving is
+        // O(store), cheap at any kCells (admission is where n² lived)
         val served = graft.streaming.VectorIngest.ann(s, root, queries,
-          k = 5, nProbe = 8)
+          k = 5, nProbe = kc)
         val admitted = emb.unionByName(injected)
           .join(rej.select("vec_id"), Seq("vec_id"), "left_anti")
         val exact = graft.llm.Similarity.bruteForceKnn(admitted, queries, k = 5)
@@ -650,6 +664,81 @@ object SinkQueries {
               if (countsAfterReplay == countsAfterHeal) 1L else 0L),
             ("check_serve", if (annRows > 0L && bmRows > 0L) 1L else 0L),
             ("check_quarantine_empty", if (quarEmpty) 1L else 0L))
+          .toDF("key", "n").orderBy("key")
+      } finally rm(new java.io.File(base))
+    },
+
+    // qs10 — PREFERENCE-STORE lifecycle (round 13): preference batches
+    // fold into the additive Bradley–Terry state on parquet
+    // ([[graft.llm.PreferenceStore]]). The additive statistic is NOT
+    // replay-idempotent (re-folding a batch double-counts), so state
+    // and batch ledger commit in ONE atomic root swap — this entry
+    // proves exactly-once across all three failure modes: a PLANTED
+    // mid-swap crash (store root renamed to __old, the interrupted-swap
+    // window) healed by the next ingest; a REDELIVERED batch dropped by
+    // the ledger with state content untouched; and the folded state
+    // fitting BIT-IDENTICALLY to a one-shot fit over every comparison
+    // (q180's property across a crash-safe store boundary). Rows-only
+    // by nature (sink state); all gates value-checked in-query.
+    Q.noOracle("qs10_preference_store") { (s, dir) =>
+      import s.implicits._
+      import graft.llm.{Corpus, PreferenceStore, Rlhf}
+      val base = Files.createTempDirectory("graft_prefstore").toString
+      try {
+        val sel = Corpus.balancedSample(graft.Tables(s, dir, "documents"), "source", 8)
+          .withColumn("l", split(col("text"), " "))
+          .select(col("doc_id"), col("source"),
+            size(col("l")).cast("long").as("nt"),
+            expr("CAST(size(array_distinct(l)) AS BIGINT) * 1000000L" +
+              " DIV greatest(size(l), 1)").as("ttr"))
+        def pass(score: String, tag: Int) = {
+          val xWins = col(s"x.$score") > col(s"y.$score") ||
+            (col(s"x.$score") === col(s"y.$score") && col("x.doc_id") < col("y.doc_id"))
+          sel.as("x").join(sel.as("y"),
+              col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+            .select(
+              when(xWins, col("x.doc_id")).otherwise(col("y.doc_id")).as("winner_id"),
+              when(xWins, col("y.doc_id")).otherwise(col("x.doc_id")).as("loser_id"),
+              lit(tag).as("p"))
+        }
+        // two judge passes; per-GAME 3-way split (pass tag breaks the
+        // tie between a pair's two games) so pairs span batches and the
+        // fold genuinely merges cross-batch
+        val tagged = graft.llm.Stage(pass("nt", 0).unionAll(pass("ttr", 1))
+          .withColumn("b",
+            pmod(xxhash64(col("winner_id"), col("loser_id"), col("p")), lit(3))))
+        def batch(b: Int) =
+          tagged.filter(col("b") === b).select("winner_id", "loser_id")
+        def stateSet(): Set[(Long, Long, Long, Long)] =
+          s.read.parquet(s"$base/bt_store/state")
+            .as[(Long, Long, Long, Long)].collect().toSet
+
+        PreferenceStore.ingest(batch(0), base, 0L)
+        // PLANT the interrupted-swap crash window: live root retired to
+        // __old, publish never happened — exactly what a kill between
+        // writeAtomic's two renames leaves behind
+        val rootF = new java.io.File(s"$base/bt_store")
+        val planted = rootF.renameTo(new java.io.File(s"$base/bt_store__old"))
+        PreferenceStore.ingest(batch(1), base, 1L) // must heal, then fold
+        val (pairsAfterHeal, idsAfterHeal) = PreferenceStore.status(s, base)
+        val before = stateSet()
+        val replayApplied = PreferenceStore.ingest(batch(1), base, 1L)
+        val replayNoop = !replayApplied && stateSet() == before
+        PreferenceStore.ingest(batch(2), base, 2L)
+        val fitted = PreferenceStore.fit(s, base, iters = 8)
+          .as[(Long, Long)].collect().toSet
+        val oneShot = Rlhf.bradleyTerry(
+            tagged.select("winner_id", "loser_id"), iters = 8)
+          .as[(Long, Long)].collect().toSet
+        Seq(("state_pairs", s.read.parquet(s"$base/bt_store/state").count()),
+            ("items_fitted", fitted.size.toLong),
+            ("batches_recorded", PreferenceStore.status(s, base)._2.size.toLong),
+            ("check_crash_planted", if (planted) 1L else 0L),
+            ("check_crash_heal",
+              if (pairsAfterHeal > 0L && idsAfterHeal == Seq(0L, 1L)) 1L else 0L),
+            ("check_replay_noop", if (replayNoop) 1L else 0L),
+            ("check_fold_matches_oneshot",
+              if (fitted.nonEmpty && fitted == oneShot) 1L else 0L))
           .toDF("key", "n").orderBy("key")
       } finally rm(new java.io.File(base))
     }
