@@ -20,6 +20,11 @@ def walls(path):
 
 
 def rows(outdir):
+    # a .json arg is a saved {name: count} map (sweep reruns clobber
+    # the output dir; counts survive in the sidecar)
+    if outdir.endswith(".json"):
+        import json
+        return {k: int(v) for k, v in json.load(open(outdir)).items()}
     r = {}
     for d in sorted(os.listdir(outdir)):
         p = os.path.join(outdir, d)
