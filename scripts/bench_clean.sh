@@ -41,13 +41,13 @@ while :; do
   waited=$((waited + 30))
 done
 
-SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS=32 \
-  sbt -batch "runMain graft.Bench" 2>&1 | tail -4
-
-echo
-echo "== artifact quality (BENCH_LOCAL.json):"
-python3 - <<'PY'
-import json
+run_and_grade() {
+  SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" 2>&1 | tail -4
+  echo
+  echo "== artifact quality (BENCH_LOCAL.json):"
+  python3 - <<'PY'
+import json, sys
 d = json.load(open("BENCH_LOCAL.json"))
 fields = {k: d.get(k) for k in
           ("value", "passes", "singles", "settled", "boxdrift",
@@ -57,4 +57,14 @@ clean = (d.get("passes", 0) >= 2 and d.get("singles", 1) == 0
          and not d.get("invalid", False))
 print("== CLEAN closing artifact" if clean
       else "== NOT CLEAN — rerun in a quieter window before stamping")
+sys.exit(0 if clean else 3)
 PY
+}
+
+# one bounded retry: the second run reads the parquet out of a warm page
+# cache, so cold-pass inflation (which reads as boxdrift) settles
+if ! run_and_grade; then
+  echo "== retrying once after a ${RETRY_COOLDOWN:-60}s cool-down (warm cache)"
+  sleep "${RETRY_COOLDOWN:-60}"
+  run_and_grade || true
+fi

@@ -278,12 +278,16 @@ object Bench {
     // unchanged queries' sum by +35 % (a measurement artifact the round-5
     // judge flagged as masquerading as regression). ~4 s/query covers a
     // cold pass (~1.2 s/query at sf0.1) plus two warm ones with slack.
-    // 4.5 s/entry: a cold pass (~1.8 s/entry at sf0.1 with the sink
-    // lifecycles amortized in) + a warm pass + a cheap-tail-only third
-    // pass (settled long entries skip it) with slack; the shutdown hook
-    // still emits partial JSON if a harness kill lands first.
+    // 6.5 s/entry (round 13: 4.5 fit ~1.2 passes once the inventory hit
+    // 191 entries with ~230 s of qs lifecycles per pass — the closing
+    // run read passes=1/singles=15 and its min-of-1 cold times
+    // masqueraded as 1.37 boxdrift): a cold pass (~3.4 s/entry at
+    // sf0.1, lifecycles amortized in) + a full warm pass + a
+    // cheap-tail third pass (settled long entries skip it) with slack;
+    // the shutdown hook still emits partial JSON if a harness kill
+    // lands first.
     val deadlineSec = sys.env.get("BENCH_DEADLINE_SEC").map(_.toDouble)
-      .getOrElse(math.max(210.0, inventory.size * 4.5))
+      .getOrElse(math.max(210.0, inventory.size * 6.5))
     // threshold above which an entry is "settled" after TWO completed
     // runs — min-of-2, never min-of-1, so the cold first pass is always
     // absorbed (see the pass loop + the settled field)
