@@ -1495,4 +1495,127 @@ object Corpus {
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
+
+  /** DATA-CONSTRAINED EPOCH PLAN — water-filling token allocation
+    * (the mixture-EXECUTION step after a DoReMi-style reweighting,
+    * under the Muennighoff et al. 2023 data-constrained scaling rule
+    * that repeating a domain beyond ~4 epochs stops helping): allocate
+    * `budgetTokens` across domains proportionally to `weight_ppm`,
+    * capping each domain at `tokens·maxEpochsPpm/scale`; excess from
+    * capped domains redistributes among the uncapped ones
+    * proportionally to their weights, iterated to fixpoint (≤ one new
+    * cap per round, so `iters` ≥ domain count converges; default 6).
+    * BIGINT floor division throughout — same corpus ⇒ same plan on any
+    * engine. Budget overflow bound: rem·weight_ppm < 2⁶³ ⇒ budgets up
+    * to ~9.2e12 tokens at scale 10⁶ (pass a smaller scale beyond).
+    *
+    * Input: one row per domain (domain, tokens, weight_ppm). Output:
+    * (domain, tokens, weight_ppm, alloc_tokens, epochs_ppm, capped).
+    * Floor-division remainders stay unallocated (deterministic).
+    *
+    * Scale shape: the domain table is bounded (sources, not documents)
+    * — each round is a one-partition window over that tiny frame; the
+    * corpus-scale work (per-domain token counts) is the caller's one
+    * scan. Same cost model as [[Rlhf.domainMixtureMW]]. */
+  def epochPlan(domains: DataFrame, budgetTokens: Long,
+                maxEpochsPpm: Long = 4000000L, iters: Int = 6,
+                scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val all = Window.partitionBy(lit(1))
+    var cur = domains.select(col("domain"), col("tokens"), col("weight_ppm"))
+      .withColumn("cap", expr(s"tokens * ${maxEpochsPpm}L DIV ${scale}L"))
+      .withColumn("capped", lit(false))
+    for (_ <- 1 to iters) {
+      cur = Stage(cur
+        .withColumn("used",
+          sum(when(col("capped"), col("cap")).otherwise(lit(0L))).over(all))
+        .withColumn("sumw",
+          sum(when(!col("capped"), col("weight_ppm")).otherwise(lit(0L))).over(all))
+        .withColumn("rem", greatest(lit(budgetTokens) - col("used"), lit(0L)))
+        .withColumn("share",
+          expr("rem * weight_ppm DIV greatest(sumw, 1L)"))
+        .withColumn("capped", col("capped") || col("share") >= col("cap"))
+        .select("domain", "tokens", "weight_ppm", "cap", "capped"))
+    }
+    // final allocation against the fixpoint capped set
+    cur
+      .withColumn("used",
+        sum(when(col("capped"), col("cap")).otherwise(lit(0L))).over(all))
+      .withColumn("sumw",
+        sum(when(!col("capped"), col("weight_ppm")).otherwise(lit(0L))).over(all))
+      .withColumn("rem", greatest(lit(budgetTokens) - col("used"), lit(0L)))
+      .withColumn("alloc", when(col("capped"), col("cap"))
+        .otherwise(expr("rem * weight_ppm DIV greatest(sumw, 1L)")))
+      .select(col("domain"), col("tokens"), col("weight_ppm"),
+        col("alloc").as("alloc_tokens"),
+        expr(s"alloc * ${scale}L DIV greatest(tokens, 1L)").as("epochs_ppm"),
+        col("capped"))
+  }
+
+  /** DuckDB CTE chain replaying [[epochPlan]] round for round. Expects
+    * an `ep0(domain, tokens, weight_ppm)` CTE in scope; emits
+    * `ep(domain, tokens, weight_ppm, alloc_tokens, epochs_ppm, capped)`.
+    * `budgetSql` is a SQL expression (literal or scalar subquery, e.g.
+    * `"(SELECT 2*sum(tokens) FROM ep0)"`) so a data-derived budget
+    * replays exactly — the Spark entry computes the same scalar. */
+  def epochPlanSql(budgetSql: String, maxEpochsPpm: Long = 4000000L,
+                   iters: Int = 6, scale: Long = 1000000L): String = {
+    val sb = new StringBuilder
+    sb.append(s" epc0 AS MATERIALIZED (SELECT domain, tokens, weight_ppm,\n")
+    sb.append(s"    tokens * $maxEpochsPpm // $scale AS cap, FALSE AS capped FROM ep0),\n")
+    (1 to iters).foreach { t =>
+      // sums over the capped/uncapped split are HUGEINT in DuckDB —
+      // CAST the derived share back to BIGINT at every round boundary
+      sb.append(s" epc$t AS MATERIALIZED (SELECT domain, tokens, weight_ppm, cap,\n")
+      sb.append(s"    capped OR CAST(g.rem * weight_ppm // greatest(g.sumw, 1) AS BIGINT) >= cap AS capped\n")
+      sb.append(s"   FROM epc${t - 1}, (SELECT\n")
+      sb.append(s"      greatest($budgetSql - sum(CASE WHEN capped THEN cap ELSE 0 END), 0) AS rem,\n")
+      sb.append(s"      sum(CASE WHEN capped THEN 0 ELSE weight_ppm END) AS sumw\n")
+      sb.append(s"     FROM epc${t - 1}) g),\n")
+    }
+    sb.append(s" ep AS (SELECT domain, tokens, weight_ppm,\n")
+    sb.append(s"    CAST(CASE WHEN capped THEN cap\n")
+    sb.append(s"         ELSE g.rem * weight_ppm // greatest(g.sumw, 1) END AS BIGINT) AS alloc_tokens,\n")
+    sb.append(s"    CAST(CASE WHEN capped THEN cap\n")
+    sb.append(s"         ELSE g.rem * weight_ppm // greatest(g.sumw, 1) END\n")
+    sb.append(s"      * $scale // greatest(tokens, 1) AS BIGINT) AS epochs_ppm, capped\n")
+    sb.append(s"   FROM epc$iters, (SELECT\n")
+    sb.append(s"      greatest($budgetSql - sum(CASE WHEN capped THEN cap ELSE 0 END), 0) AS rem,\n")
+    sb.append(s"      sum(CASE WHEN capped THEN 0 ELSE weight_ppm END) AS sumw\n")
+    sb.append(s"     FROM epc$iters) g)")
+    sb.toString
+  }
+
+  /** STRIDE-SCHEDULED MIXTURE INTERLEAVING — the deterministic
+    * training ORDER a weighted mixture implies (stride scheduling /
+    * weighted round-robin, Waldspurger's lottery-stride form in
+    * integer fixed-point): doc d with within-domain rank r (by the
+    * [[PolyHash]] order — the repo's deterministic shuffle) gets
+    * virtual time v = r·scale²/w_domain, and the global order sorts by
+    * (v, domain, doc_id). A domain with twice the weight appears twice
+    * as often in any window of the resulting stream — the property
+    * per-shard mixture consumers need so every training window sees
+    * the planned mixture, not whole domains back to back.
+    *
+    * Scale shape: one window per domain (rank) + the global
+    * rank-by-virtual-time, which IS a distributed sort — ordering a
+    * corpus is a sort by construction (the q173 curriculum precedent);
+    * at 100 TB the sort range-partitions on v and writes shard files
+    * in order. Overflow: r·scale² < 2⁶³ ⇒ per-domain ranks up to
+    * ~9.2e6 at scale 10⁶; larger corpora pass a smaller scale. */
+  def strideInterleave(docs: DataFrame, domainCol: String,
+                       weights: DataFrame,
+                       scale: Long = 1000000L): DataFrame = {
+    val byDomain = Window.partitionBy(domainCol)
+      .orderBy(PolyHash.poly_hash(col("doc_id").cast("string")),
+        col("doc_id"))
+    val global = Window.orderBy(col("v"), col(domainCol), col("doc_id"))
+    docs.select(col("doc_id"), col(domainCol))
+      .join(broadcast(weights), Seq(domainCol))
+      .withColumn("r", row_number().over(byDomain).cast("long"))
+      .withColumn("v", expr(s"r * ${scale}L * ${scale}L DIV greatest(weight_ppm, 1L)"))
+      .withColumn("pos", row_number().over(global).cast("long"))
+      .select(col("pos"), col("doc_id"), col(domainCol), col("r"), col("v"))
+  }
 }

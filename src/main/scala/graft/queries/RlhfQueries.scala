@@ -276,6 +276,87 @@ object RlhfQueries {
           col("bt_ppm").as("reward_ppm"),
           (lit(1000000L) - coalesce(col("score_ppm"), lit(0L))).as("kl_ppm"))
       Rlhf.klBestOfN(rows, betaPpm = 500000L, k = 2).orderBy("group_id", "rnk")
+    },
+
+    // DATA-CONSTRAINED EPOCH PLAN (round 13): the mixture-EXECUTION
+    // step after q177's reweighting — water-fill a 2×-corpus token
+    // budget across sources proportionally to the MW weights, capping
+    // every source at 2.1 epochs of its own tokens (the Muennighoff
+    // data-constrained rule); capped excess redistributes among
+    // uncapped sources, iterated to fixpoint. Budget is data-derived
+    // on BOTH sides (scalar subquery / one bounded aggregate), and the
+    // oracle unrolls all 6 water-filling rounds in fixed-point CTEs.
+    Q("q182_epoch_plan",
+      s"""WITH $ttrCtes,
+        | dl AS MATERIALIZED (SELECT source AS domain,
+        |        CAST(1000000 - (sum(reward_ppm) // count(*)) AS BIGINT) AS loss_ppm
+        |       FROM ttr GROUP BY 1),
+        |""".stripMargin + Rlhf.domainMixtureMWSql(iters = 10, etaPpm = 300000L) + """,
+        | tok AS MATERIALIZED (SELECT source AS domain,
+        |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |       FROM documents GROUP BY 1),
+        | ep0 AS MATERIALIZED (SELECT t.domain, t.tokens, m.weight_ppm
+        |       FROM tok t JOIN mw m ON m.domain = t.domain),
+        |""".stripMargin +
+        Corpus.epochPlanSql(budgetSql = "(SELECT 2 * sum(tokens) FROM ep0)",
+          maxEpochsPpm = 2100000L, iters = 6) + """
+        |SELECT domain AS source, tokens, weight_ppm, alloc_tokens, epochs_ppm,
+        | CAST(CASE WHEN capped THEN 1 ELSE 0 END AS BIGINT) AS capped
+        |FROM ep ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      val dl = ttrDf(s, dir).groupBy(col("source").as("domain"))
+        .agg(expr("CAST(1000000L - (sum(reward_ppm) DIV count(1)) AS BIGINT)")
+          .as("loss_ppm"))
+      val mw = Rlhf.domainMixtureMW(dl, iters = 10, etaPpm = 300000L)
+        .select("domain", "weight_ppm")
+      val tok = Tables(s, dir, "documents")
+        .select(col("source").as("domain"),
+          size(split(col("text"), " ")).cast("long").as("__t"))
+        .groupBy("domain").agg(sum("__t").as("tokens"))
+      val ep0 = graft.llm.Stage(tok.join(mw, Seq("domain")))
+      // the SAME scalar the oracle's subquery computes — one aggregate
+      // over the bounded domain table, never corpus-scale
+      val budget = 2L * ep0.agg(sum("tokens")).head().getLong(0)
+      Corpus.epochPlan(ep0, budget, maxEpochsPpm = 2100000L, iters = 6)
+        .select(col("domain").as("source"), col("tokens"), col("weight_ppm"),
+          col("alloc_tokens"), col("epochs_ppm"),
+          col("capped").cast("long").as("capped"))
+        .orderBy("source")
+    },
+
+    // STRIDE-SCHEDULED MIXTURE INTERLEAVING (round 13): the
+    // deterministic training ORDER q177's weights imply — per-source
+    // rank by the PolyHash shuffle order, virtual time r·scale²/w
+    // (lottery-stride in integer fixed-point), global position by
+    // (v, source, doc_id). A double-weight source appears twice as
+    // often in every window of the stream. The oracle replays both
+    // windows and the stride arithmetic row for row.
+    Q("q183_stride_interleave",
+      s"""WITH $ttrCtes,
+        | dl AS MATERIALIZED (SELECT source AS domain,
+        |        CAST(1000000 - (sum(reward_ppm) // count(*)) AS BIGINT) AS loss_ppm
+        |       FROM ttr GROUP BY 1),
+        |""".stripMargin + Rlhf.domainMixtureMWSql(iters = 10, etaPpm = 300000L) + s""",
+        | h2 AS (SELECT doc_id, source, $polyHashSql AS hv FROM documents),
+        | rr AS (SELECT doc_id, source, CAST(row_number() OVER (
+        |         PARTITION BY source ORDER BY hv, doc_id) AS BIGINT) AS r
+        |       FROM h2),
+        | vv AS (SELECT rr.doc_id, rr.source, rr.r,
+        |        r * 1000000 * 1000000 // greatest(m.weight_ppm, 1) AS v
+        |       FROM rr JOIN mw m ON m.domain = rr.source)
+        |SELECT CAST(row_number() OVER (ORDER BY v, source, doc_id) AS BIGINT) AS pos,
+        | doc_id, source, r, v
+        |FROM vv ORDER BY pos""".stripMargin
+    ) { (s, dir) =>
+      val dl = ttrDf(s, dir).groupBy(col("source").as("domain"))
+        .agg(expr("CAST(1000000L - (sum(reward_ppm) DIV count(1)) AS BIGINT)")
+          .as("loss_ppm"))
+      val mw = Rlhf.domainMixtureMW(dl, iters = 10, etaPpm = 300000L)
+        .select(col("domain").as("source"), col("weight_ppm"))
+      Corpus.strideInterleave(
+          Tables(s, dir, "documents").select("doc_id", "source"),
+          "source", mw)
+        .orderBy("pos")
     }
   )
 }

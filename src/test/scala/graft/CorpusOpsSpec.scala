@@ -950,4 +950,51 @@ class CorpusOpsSpec extends SparkSpec {
       assert(nSentIn == nMasked, s"doc $id sentinel count mismatch")
     }
   }
+
+  test("epochPlan: water-filling cascades caps and conserves the budget") {
+    // budget 1000. Proportional shares: a=500, b=300, c=200. a caps at
+    // 2 epochs of 100 tokens = 200; the remaining 800 re-prorates b:c
+    // = 3:2 → b' = 800*300//500 = 480 > cap_b (2*200=400) → b caps TOO
+    // (the cascade); final: c gets (1000-600)*200//200 = 400, under
+    // cap_c (800).
+    val domains = Seq(
+      ("a", 100L, 500L), ("b", 200L, 300L), ("c", 400L, 200L)
+    ).toDF("domain", "tokens", "weight_ppm")
+    val plan = graft.llm.Corpus.epochPlan(domains, budgetTokens = 1000L,
+        maxEpochsPpm = 2000000L, iters = 6)
+      .select("domain", "alloc_tokens", "capped")
+      .as[(String, Long, Boolean)].collect().sortBy(_._1)
+    assert(plan.toSeq == Seq(("a", 200L, true), ("b", 400L, true),
+      ("c", 400L, false)))
+    assert(plan.map(_._2).sum == 1000L, "water-filling must conserve the budget")
+    // capacity-starved corpus: everything caps, remainder unallocated
+    val starved = graft.llm.Corpus.epochPlan(domains, budgetTokens = 10000L,
+        maxEpochsPpm = 2000000L, iters = 6)
+      .select("domain", "alloc_tokens", "capped")
+      .as[(String, Long, Boolean)].collect()
+    assert(starved.forall(_._3) && starved.map(_._2).sum == 1400L)
+  }
+
+  test("strideInterleave: a double-weight domain appears twice as often, deterministically") {
+    val docs = (0L until 30L).map(i =>
+      (i, if (i % 3 == 0) "heavy" else "light")).toDF("doc_id", "domain")
+    val weights = Seq(("heavy", 400000L), ("light", 200000L))
+      .toDF("domain", "weight_ppm")
+    val out = graft.llm.Corpus.strideInterleave(docs, "domain", weights)
+      .select("pos", "doc_id", "domain").as[(Long, Long, String)].collect()
+      .sortBy(_._1)
+    assert(out.length == 30 && out.map(_._1).toSeq == (1L to 30L))
+    // heavy at weight 2w strides half as far per item as light at w,
+    // so while heavy lasts (10 docs, exhausted by position 15) the
+    // stream runs 2 heavy per 1 light: every window of 3 in the first
+    // 15 positions holds exactly two heavy
+    val first15 = out.take(15).map(_._3)
+    assert(first15.grouped(3).forall(_.count(_ == "heavy") == 2),
+      s"mixture windows broken: ${first15.mkString(",")}")
+    // determinism
+    val again = graft.llm.Corpus.strideInterleave(docs, "domain", weights)
+      .select("pos", "doc_id", "domain").as[(Long, Long, String)].collect()
+      .sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+  }
 }
