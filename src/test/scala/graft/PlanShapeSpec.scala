@@ -477,4 +477,22 @@ class PlanShapeSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
     }
   }
+
+  test("mixture execution: interleave broadcasts the weight table; epoch plan never rescans the corpus") {
+    // q183's only join is docs × the bounded domain-weight table — it
+    // must broadcast (an SMJ here shuffles the whole corpus on the
+    // domain key, pure skew: one partition per domain)
+    val p183 = planOf("q183_stride_interleave")
+    assert(p183.contains("BroadcastHashJoin"),
+      s"stride interleave must broadcast the weight table:\n$p183")
+    assert(!p183.contains("SortMergeJoin") && !p183.contains("CartesianProduct"),
+      "stride interleave must not shuffle the corpus on the domain key")
+    // q182's water-filling rounds run over the STAGED bounded domain
+    // frame: the executed plan of the final round must not scan the
+    // corpus parquet at all (the token counts were aggregated once,
+    // before the loop)
+    val p182 = planOf("q182_epoch_plan")
+    assert(!p182.contains("documents.parquet"),
+      s"epoch-plan rounds must run off the staged domain table, not the corpus:\n$p182")
+  }
 }
