@@ -1598,24 +1598,44 @@ object Corpus {
     * per-shard mixture consumers need so every training window sees
     * the planned mixture, not whole domains back to back.
     *
-    * Scale shape: one window per domain (rank) + the global
-    * rank-by-virtual-time, which IS a distributed sort — ordering a
-    * corpus is a sort by construction (the q173 curriculum precedent);
-    * at 100 TB the sort range-partitions on v and writes shard files
-    * in order. Overflow: r·scale² < 2⁶³ ⇒ per-domain ranks up to
-    * ~9.2e6 at scale 10⁶; larger corpora pass a smaller scale. */
+    * Scale shape: one window per domain (rank), then the global dense
+    * position via RANGE partitioning + per-partition offsets â NOT a
+    * partition-less row_number window (which funnels the whole corpus
+    * through one task): the stream range-exchanges on the unique total
+    * key (v, domain, doc_id), sorts within partitions, and each row’s
+    * position = its local rank + the broadcast running offset of the
+    * partitions before it. The offset table is one row per PARTITION
+    * (never data-scale), and the dense position is invariant to where
+    * the sampled range boundaries fall, so the result is deterministic
+    * even though the partitioner samples. Overflow: r·scale² < 2⁶³ ⇒
+    * per-domain ranks up to ~9.2e6 at scale 10⁶; larger corpora pass a
+    * smaller scale. */
   def strideInterleave(docs: DataFrame, domainCol: String,
                        weights: DataFrame,
                        scale: Long = 1000000L): DataFrame = {
     val byDomain = Window.partitionBy(domainCol)
       .orderBy(PolyHash.poly_hash(col("doc_id").cast("string")),
         col("doc_id"))
-    val global = Window.orderBy(col("v"), col(domainCol), col("doc_id"))
-    docs.select(col("doc_id"), col(domainCol))
+    val keyed = docs.select(col("doc_id"), col(domainCol))
       .join(broadcast(weights), Seq(domainCol))
       .withColumn("r", row_number().over(byDomain).cast("long"))
       .withColumn("v", expr(s"r * ${scale}L * ${scale}L DIV greatest(weight_ppm, 1L)"))
-      .withColumn("pos", row_number().over(global).cast("long"))
-      .select(col("pos"), col("doc_id"), col(domainCol), col("r"), col("v"))
+    val sorted = Stage(keyed
+      .repartitionByRange(col("v"), col(domainCol), col("doc_id"))
+      .sortWithinPartitions(col("v"), col(domainCol), col("doc_id"))
+      .withColumn("__pid", spark_partition_id().cast("long")))
+    // running offset per range partition: partition-count rows, tiny
+    val offW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(offW), lit(0L)))
+      .select("__pid", "__off")
+    val localW = Window.partitionBy("__pid")
+      .orderBy(col("v"), col(domainCol), col("doc_id"))
+    sorted
+      .withColumn("__lr", row_number().over(localW).cast("long"))
+      .join(broadcast(offsets), Seq("__pid"))
+      .select((col("__off") + col("__lr")).as("pos"),
+        col("doc_id"), col(domainCol), col("r"), col("v"))
   }
 }
