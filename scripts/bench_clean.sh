@@ -45,19 +45,28 @@ run_and_grade() {
   SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.Bench" 2>&1 | tail -4
   echo
-  echo "== artifact quality (BENCH_LOCAL.json):"
+  # Bench routes a run that must not displace a graded-clean closing
+  # artifact to BENCH_SPOT.json (round-13 finding 1) — grade whichever
+  # file THIS run wrote (the newer of the two).
   python3 - <<'PY'
-import json, sys
-d = json.load(open("BENCH_LOCAL.json"))
+import json, os, sys
+cands = [p for p in ("BENCH_LOCAL.json", "BENCH_SPOT.json")
+         if os.path.exists(p)]
+path = max(cands, key=os.path.getmtime)
+print(f"== artifact quality ({path}):")
+d = json.load(open(path))
 fields = {k: d.get(k) for k in
           ("value", "passes", "singles", "settled", "boxdrift",
            "invalid", "invalid_reason")}
 print(json.dumps(fields))
 clean = (d.get("passes", 0) >= 2 and d.get("singles", 1) == 0
          and not d.get("invalid", False))
-print("== CLEAN closing artifact" if clean
+if path != "BENCH_LOCAL.json":
+    print("== run landed in BENCH_SPOT.json — the existing "
+          "BENCH_LOCAL.json closing artifact was kept")
+print("== CLEAN closing artifact" if clean and path == "BENCH_LOCAL.json"
       else "== NOT CLEAN — rerun in a quieter window before stamping")
-sys.exit(0 if clean else 3)
+sys.exit(0 if clean and path == "BENCH_LOCAL.json" else 3)
 PY
 }
 

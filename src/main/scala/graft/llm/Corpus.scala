@@ -1507,7 +1507,10 @@ object Corpus {
     * cap per round, so `iters` ≥ domain count converges; default 6).
     * BIGINT floor division throughout — same corpus ⇒ same plan on any
     * engine. Budget overflow bound: rem·weight_ppm < 2⁶³ ⇒ budgets up
-    * to ~9.2e12 tokens at scale 10⁶ (pass a smaller scale beyond).
+    * to ~9.2e12 tokens at scale 10⁶ (pass a smaller scale beyond) —
+    * ENFORCED per row (round-13 ADVICE: the non-ANSI long product
+    * would wrap silently where the DuckDB oracle promotes to HUGEINT,
+    * so an oversized budget raises instead of silently misallocating).
     *
     * Input: one row per domain (domain, tokens, weight_ppm). Output:
     * (domain, tokens, weight_ppm, alloc_tokens, epochs_ppm, capped).
@@ -1519,11 +1522,29 @@ object Corpus {
     * scan. Same cost model as [[Rlhf.domainMixtureMW]]. */
   def epochPlan(domains: DataFrame, budgetTokens: Long,
                 maxEpochsPpm: Long = 4000000L, iters: Int = 6,
-                scale: Long = 1000000L): DataFrame = {
+                scale: Long = 1000000L,
+                maxLocalDomains: Long = 1L << 12): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    // COUNT-GATED LOCAL FINISH (the Rlhf.fitFromState discipline): the
+    // domain table is source-bounded by contract — when it fits the
+    // knob, the iters checkpointed window rounds collapse to one
+    // collect + identical Long floor-division arithmetic on the driver
+    // (spec-pinned bit-equal); 0 forces the distributed loop.
+    val staged = Stage(domains.select(col("domain"),
+      col("tokens").cast("long").as("tokens"),
+      col("weight_ppm").cast("long").as("weight_ppm")))
+    if (maxLocalDomains > 0 && staged.count() <= maxLocalDomains)
+      return epochPlanLocal(staged, budgetTokens, maxEpochsPpm, iters, scale)
+    // loud overflow guard on the one long-typed product (see scaladoc)
+    val shareExpr =
+      s"CASE WHEN weight_ppm > 0 AND rem > ${Long.MaxValue}L DIV weight_ppm " +
+        "THEN CAST(raise_error('epochPlan: rem*weight_ppm overflows BIGINT " +
+        "(rem ' || rem || ', weight_ppm ' || weight_ppm || ') — pass a " +
+        "smaller scale or budget') AS BIGINT) " +
+        "ELSE rem * weight_ppm DIV greatest(sumw, 1L) END"
     val all = Window.partitionBy(lit(1))
-    var cur = domains.select(col("domain"), col("tokens"), col("weight_ppm"))
+    var cur = staged
       .withColumn("cap", expr(s"tokens * ${maxEpochsPpm}L DIV ${scale}L"))
       .withColumn("capped", lit(false))
     for (_ <- 1 to iters) {
@@ -1533,8 +1554,7 @@ object Corpus {
         .withColumn("sumw",
           sum(when(!col("capped"), col("weight_ppm")).otherwise(lit(0L))).over(all))
         .withColumn("rem", greatest(lit(budgetTokens) - col("used"), lit(0L)))
-        .withColumn("share",
-          expr("rem * weight_ppm DIV greatest(sumw, 1L)"))
+        .withColumn("share", expr(shareExpr))
         .withColumn("capped", col("capped") || col("share") >= col("cap"))
         .select("domain", "tokens", "weight_ppm", "cap", "capped"))
     }
@@ -1546,11 +1566,68 @@ object Corpus {
         sum(when(!col("capped"), col("weight_ppm")).otherwise(lit(0L))).over(all))
       .withColumn("rem", greatest(lit(budgetTokens) - col("used"), lit(0L)))
       .withColumn("alloc", when(col("capped"), col("cap"))
-        .otherwise(expr("rem * weight_ppm DIV greatest(sumw, 1L)")))
+        .otherwise(expr(shareExpr)))
       .select(col("domain"), col("tokens"), col("weight_ppm"),
         col("alloc").as("alloc_tokens"),
         expr(s"alloc * ${scale}L DIV greatest(tokens, 1L)").as("epochs_ppm"),
         col("capped"))
+  }
+
+  /** Driver-local water-fill over a collected (count-gated) domain
+    * table — Long arithmetic matching the distributed plan's BIGINT
+    * ops exactly, including the rem·weight_ppm overflow guard.
+    * Spec-pinned bit-equal to the distributed rounds. */
+  private def epochPlanLocal(domains: DataFrame, budgetTokens: Long,
+                             maxEpochsPpm: Long, iters: Int,
+                             scale: Long): DataFrame = {
+    val spark = domains.sparkSession
+    val rows = domains.collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+    val cap = rows.map(r => r._2 * maxEpochsPpm / scale)
+    val capped = rows.map(_ => false)
+    def share(rem: Long, weight: Long, sumw: Long): Long = {
+      if (weight > 0 && rem > Long.MaxValue / weight)
+        throw new IllegalArgumentException(
+          s"epochPlan: rem*weight_ppm overflows BIGINT (rem $rem, " +
+            s"weight_ppm $weight) — pass a smaller scale or budget")
+      rem * weight / math.max(sumw, 1L)
+    }
+    def pools(): (Long, Long) = {
+      var used = 0L; var sumw = 0L
+      rows.indices.foreach { i =>
+        if (capped(i)) used += cap(i) else sumw += rows(i)._3
+      }
+      (math.max(budgetTokens - used, 0L), sumw)
+    }
+    for (_ <- 1 to iters) {
+      val (rem, sumw) = pools()
+      rows.indices.foreach { i =>
+        if (!capped(i) && share(rem, rows(i)._3, sumw) >= cap(i))
+          capped(i) = true
+      }
+    }
+    val (rem, sumw) = pools()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      domains.schema("domain"),
+      org.apache.spark.sql.types.StructField("tokens",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("weight_ppm",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("alloc_tokens",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("epochs_ppm",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("capped",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val out = rows.indices.map { i =>
+      val alloc = if (capped(i)) cap(i)
+        else share(rem, rows(i)._3, sumw)
+      org.apache.spark.sql.Row(rows(i)._1, rows(i)._2, rows(i)._3,
+        alloc, alloc * scale / math.max(rows(i)._2, 1L), capped(i))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava), schema)
   }
 
   /** DuckDB CTE chain replaying [[epochPlan]] round for round. Expects
@@ -1599,27 +1676,37 @@ object Corpus {
     * the planned mixture, not whole domains back to back.
     *
     * Scale shape: one window per domain (rank), then the global dense
-    * position via RANGE partitioning + per-partition offsets â NOT a
+    * position via RANGE partitioning + per-partition offsets — NOT a
     * partition-less row_number window (which funnels the whole corpus
     * through one task): the stream range-exchanges on the unique total
-    * key (v, domain, doc_id), sorts within partitions, and each row’s
+    * key (v, domain, doc_id), sorts within partitions, and each row's
     * position = its local rank + the broadcast running offset of the
     * partitions before it. The offset table is one row per PARTITION
     * (never data-scale), and the dense position is invariant to where
     * the sampled range boundaries fall, so the result is deterministic
     * even though the partitioner samples. Overflow: r·scale² < 2⁶³ ⇒
     * per-domain ranks up to ~9.2e6 at scale 10⁶; larger corpora pass a
-    * smaller scale. */
+    * smaller scale — ENFORCED at runtime (round-13 ADVICE: Spark's
+    * non-ANSI long product wraps silently while the DuckDB oracle
+    * computes v in HUGEINT, so an oversized corpus would reorder with
+    * no error; the per-row guard raises instead). */
   def strideInterleave(docs: DataFrame, domainCol: String,
                        weights: DataFrame,
                        scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1 && scale <= 3037000499L,
+      s"scale must be in [1, 3037000499] so scale*scale fits a Long, got $scale")
+    val maxRank = Long.MaxValue / (scale * scale)
     val byDomain = Window.partitionBy(domainCol)
       .orderBy(PolyHash.poly_hash(col("doc_id").cast("string")),
         col("doc_id"))
     val keyed = docs.select(col("doc_id"), col(domainCol))
       .join(broadcast(weights), Seq(domainCol))
       .withColumn("r", row_number().over(byDomain).cast("long"))
-      .withColumn("v", expr(s"r * ${scale}L * ${scale}L DIV greatest(weight_ppm, 1L)"))
+      .withColumn("v", expr(
+        s"CASE WHEN r > ${maxRank}L THEN CAST(raise_error(" +
+          s"'strideInterleave: per-domain rank ' || r || ' overflows " +
+          s"r*scale*scale at scale $scale — pass a smaller scale') AS BIGINT) " +
+          s"ELSE r * ${scale}L * ${scale}L DIV greatest(weight_ppm, 1L) END"))
     val sorted = Stage(keyed
       .repartitionByRange(col("v"), col(domainCol), col("doc_id"))
       .sortWithinPartitions(col("v"), col(domainCol), col("doc_id"))

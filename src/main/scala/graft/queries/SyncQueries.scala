@@ -326,12 +326,18 @@ object SyncQueries {
         lit("\",\"balance\":"), col("cents").cast("string"),
         lit(",\"created\":"), col("created").cast("string"),
         lit("}}}")).as("value"))
-      // FIXED work dir, cleared on entry: the result is returned lazily
-      // (the driver materializes it after this closure), so a finally-
-      // delete would race the read and an eager collect would be
-      // customer-cardinality (data-scale). Reuse bounds disk at one
-      // run's state across repeated bench sweeps.
-      val base = sys.props("java.io.tmpdir") + "/graft_q172_pit"
+      // PER-JVM work dir, cleared on entry: the result is returned
+      // lazily (the driver materializes it after this closure), so a
+      // finally-delete would race the read and an eager collect would
+      // be customer-cardinality (data-scale). Reuse within one process
+      // bounds disk at one run's state across repeated bench sweeps;
+      // the pid suffix keeps a bench-cancelled runner that outlived
+      // timeOne's 30s join — or a concurrent Verify — from having its
+      // live store rm'd by another process's entry (round-13 ADVICE:
+      // with a shared fixed path the losing run records a spuriously
+      // fast 'completed' min because timeOne swallows the Throwable).
+      val base = sys.props("java.io.tmpdir") + "/graft_q172_pit_" +
+        ProcessHandle.current().pid()
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete()

@@ -152,4 +152,61 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.priorUsable("""{"metric":"total","passes":2,"queries":{"q1":0.2}}"""))
     assert(Bench.priorUsable("""{"metric":"total","queries":{"q1":0.2}}"""))
   }
+
+  test("priorUsable: single-run minima (singles>0) never arm the gate (round-13 ADVICE)") {
+    // passes>=2 but singles>0: min-of-1 cold times present — invalidReason
+    // refuses to stamp such a run, so the gate must refuse to trust one
+    assert(!Bench.priorUsable(
+      """{"metric":"total","passes":2,"singles":15,"queries":{"q1":0.2}}"""))
+    assert(!Bench.priorUsable("""{"tail": "{\"passes\":2,\"singles\":1}"}"""))
+    // singles==0 arms; artifacts predating the singles field are trusted
+    assert(Bench.priorUsable(
+      """{"metric":"total","passes":2,"singles":0,"queries":{"q1":0.2}}"""))
+    // last emit wins, same as passes
+    assert(!Bench.priorUsable("""{"tail": "{\"singles\":0}\n{\"singles\":3}"}"""))
+  }
+
+  test("invalidReason formats drift with Locale.ROOT (round-13 ADVICE)") {
+    val dfltLocale = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.GERMANY) // comma-decimal
+    try {
+      val r = Bench.invalidReason(2, 0, Some(1.52))
+      assert(r.contains("boxdrift 1.520 exceeds 1.25"))
+    } finally java.util.Locale.setDefault(dfltLocale)
+  }
+
+  test("localEmitTarget: a narrow or invalid run cannot displace a graded-clean closing artifact") {
+    def line(keys: Int, invalid: Boolean = false, sf: String = "/root/testdata/sf0.1",
+             singles: Int = 0): String = {
+      val qs = (1 to keys).map(i => s""""q$i":0.5""").mkString(",")
+      val inv = if (invalid) ""","invalid":true,"invalid_reason":"boxdrift"""" else ""
+      s"""{"metric":"total","value":1.0,"passes":2,"singles":$singles$inv,"queries":{$qs},"sf":"$sf"}"""
+    }
+    val clean193 = line(193)
+    // the round-13 failure, byte for byte: a 3-key spot-run (itself
+    // invalid) must land in BENCH_SPOT.json, keeping the closing artifact
+    assert(Bench.localEmitTarget(line(3, invalid = true), Some(clean193))
+      == "BENCH_SPOT.json")
+    // ...and even a CLEAN narrow run is a spot-run, not a closing number
+    assert(Bench.localEmitTarget(line(3), Some(clean193)) == "BENCH_SPOT.json")
+    // an invalid full-width run still must not displace a clean artifact
+    assert(Bench.localEmitTarget(line(193, invalid = true), Some(clean193))
+      == "BENCH_SPOT.json")
+    // a clean singles>0 run is not clean either (min-of-1 upper bounds)
+    assert(Bench.localEmitTarget(line(193, singles = 2), Some(clean193))
+      == "BENCH_SPOT.json")
+    // a clean dev run at ANOTHER SF must not displace the sf0.1 closing one
+    assert(Bench.localEmitTarget(line(193, sf = "/root/testdata/sf0.01"),
+      Some(clean193)) == "BENCH_SPOT.json")
+    // a clean, same-SF, wider-or-equal run IS the new closing artifact
+    assert(Bench.localEmitTarget(line(193), Some(clean193)) == "BENCH_LOCAL.json")
+    assert(Bench.localEmitTarget(line(195), Some(clean193)) == "BENCH_LOCAL.json")
+    // no existing artifact, or a dirty one: write freely
+    assert(Bench.localEmitTarget(line(3), None) == "BENCH_LOCAL.json")
+    assert(Bench.localEmitTarget(line(3), Some(line(193, invalid = true)))
+      == "BENCH_LOCAL.json")
+    // operator override wins unconditionally
+    assert(Bench.localEmitTarget(line(3, invalid = true), Some(clean193),
+      force = true) == "BENCH_LOCAL.json")
+  }
 }

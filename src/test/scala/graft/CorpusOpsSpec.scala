@@ -975,6 +975,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(starved.forall(_._3) && starved.map(_._2).sum == 1400L)
   }
 
+  test("epochPlan: count-gated local water-fill == distributed rounds on randomized domains") {
+    // round-13 judge task 2 discipline applied to the epoch plan: the
+    // driver-local Long arithmetic must match the distributed window
+    // rounds bit for bit on seeded random domain tables.
+    val rnd = new scala.util.Random(14L)
+    for (trial <- 1 to 4) {
+      val domains = (1 to (2 + rnd.nextInt(10))).map(i =>
+        (s"d$i", 1L + rnd.nextLong(100000L), rnd.nextLong(1000001L)))
+        .toDF("domain", "tokens", "weight_ppm")
+      val budget = rnd.nextLong(300000L)
+      val local = graft.llm.Corpus.epochPlan(domains, budget,
+          maxEpochsPpm = 2100000L, iters = 6)
+        .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+      val dist = graft.llm.Corpus.epochPlan(domains, budget,
+          maxEpochsPpm = 2100000L, iters = 6, maxLocalDomains = 0)
+        .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(local == dist, s"trial $trial: local plan diverged from distributed")
+    }
+  }
+
   test("strideInterleave: a double-weight domain appears twice as often, deterministically") {
     val docs = (0L until 30L).map(i =>
       (i, if (i % 3 == 0) "heavy" else "light")).toDF("doc_id", "domain")

