@@ -246,6 +246,93 @@ object Multimodal {
       expr(s"rpad(substring(payload, 1, $outBytes), $outBytes, x'00')")
         .as("payload_resized"))
 
+  /** Byte-BIGRAM histogram over the payload — the deterministic
+    * embedding stub behind [[crossModalEval]]: slot (b_i·31 + b_{i+1})
+    * mod `dim`, value = exact count (emitted as integer-valued DOUBLE,
+    * so dot products and norms are bit-identical on any engine — every
+    * sum stays far under 2⁵³). `fromHalf` embeds only the payload's
+    * second half — the "caption" side, which sees part of the content:
+    * correlated with the full-payload side but not identical, so the
+    * retrieval eval measures something. Runs in the mapPartitions
+    * decode seam (a real pipeline embeds pixels/caption tokens here;
+    * the byte machinery stands in, oracle-exact). */
+  def bigramHistogram(docs: DataFrame, dim: Int = 16,
+                      fromHalf: Boolean = false): DataFrame = {
+    val withBytes = withPayload(docs).select(col("doc_id"), col("payload"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("features", ArrayType(DoubleType))))
+    implicit val enc = RowEncoder.encoderFor(schema)
+    withBytes.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val n = if (bytes == null) 0 else bytes.length
+        val acc = new Array[Double](dim)
+        var i = if (fromHalf) n / 2 else 0
+        while (i < n - 1) {
+          acc(((bytes(i) & 0xFF) * 31 + (bytes(i + 1) & 0xFF)) % dim) += 1.0
+          i += 1
+        }
+        Row(r.getLong(0), acc.toSeq)
+      }
+    }
+  }
+
+  /** CLIP-STYLE CROSS-MODAL RETRIEVAL EVAL — the representation-quality
+    * probe a paired image/caption corpus runs before training on it
+    * (recall@k / reciprocal rank of text→image retrieval, the CLIP and
+    * LAION eval): for a bounded probe set of "caption" embeddings
+    * ([[bigramHistogram]] fromHalf — the stub caption sees half the
+    * content), rank every "image" embedding (full payload) by cosine
+    * and score where the TRUE pair (same doc_id) lands. Emitted per
+    * language: (lang, n_queries, hits_at1, hits_atk, rr_sum_ppm) with
+    * rr_sum_ppm = Σ 10⁶ DIV rank — all exact integers.
+    *
+    * Scale shape: the probe set is bounded ([[Corpus.balancedSample]],
+    * `perLang` per language) and BROADCAST against one scan of the
+    * image side — the [[Similarity.bruteForceKnn]] eval shape, no
+    * all-pairs shuffle. The true pair's rank is computed by COUNTING
+    * candidates that beat it (sim >, or sim = with lower id), never by
+    * materializing a global top-k sort: one groupBy per probe. Probes
+    * or candidates with zero-norm embeddings are excluded on both
+    * engines. At 100 TB the same probe-count-bounded plan holds; an
+    * ANN-fed variant swaps the scan for [[Similarity.lshKnnComposite]]
+    * candidates. */
+  def crossModalEval(docs: DataFrame, k: Int = 5, dim: Int = 16,
+                     perLang: Int = 8): DataFrame = {
+    import graft.llm.{Corpus, Similarity, Stage}
+    val img = Stage(bigramHistogram(docs, dim, fromHalf = false))
+    val txt = bigramHistogram(docs, dim, fromHalf = true)
+    val probeIds = Corpus.balancedSample(docs, "lang", perLang)
+      .select(col("doc_id"), col("lang"))
+    val probes = broadcast(txt.join(probeIds, Seq("doc_id"))
+      .select(col("doc_id").as("query_id"), col("lang"),
+        col("features").as("q_emb"))
+      .withColumn("q_norm", Similarity.norm(col("q_emb")))
+      .filter(col("q_norm") > 0))
+    val cands = img
+      .select(col("doc_id").as("cand_id"), col("features").as("c_emb"))
+      .withColumn("c_norm", Similarity.norm(col("c_emb")))
+      .filter(col("c_norm") > 0)
+    val scored = cands.crossJoin(probes)
+      .withColumn("sim", Similarity.dot(col("q_emb"), col("c_emb")) /
+        (col("q_norm") * col("c_norm")))
+      .select("query_id", "lang", "cand_id", "sim")
+    // the true pair's similarity — one row per surviving probe, tiny
+    val tru = broadcast(scored.filter(col("cand_id") === col("query_id"))
+      .select(col("query_id"), col("sim").as("sim_true")))
+    val ranks = scored.join(tru, Seq("query_id"))
+      .groupBy("query_id", "lang")
+      .agg((lit(1L) + sum(when(col("sim") > col("sim_true") ||
+          (col("sim") === col("sim_true") && col("cand_id") < col("query_id")),
+        1L).otherwise(0L))).as("rank"))
+    ranks.groupBy("lang")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("rank") === 1L, 1L).otherwise(0L)).as("hits_at1"),
+        sum(when(col("rank") <= k, 1L).otherwise(0L)).as(s"hits_at$k"),
+        sum(expr("1000000L DIV rank")).as("rr_sum_ppm"))
+  }
+
   /** Deterministic frame/patch sampling stub: every asset yields
     * ceil(n_bytes / stride) "frames", each a bounded slice of the payload —
     * the explode-shaped plumbing a video pipeline needs (asset → frames

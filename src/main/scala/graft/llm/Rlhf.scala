@@ -354,6 +354,72 @@ object Rlhf {
     sb.toString
   }
 
+  /** Mergeable DOMAIN-MIXTURE sufficient statistic — everything the
+    * DoReMi → epoch-plan decision chain (q177/q182) needs, one bounded
+    * row per domain: (domain, sum_reward_ppm, n_docs, tokens). Exactly
+    * additive ([[mergeMixtureState]] folds batch states by per-domain
+    * sums), so the mixture decision refreshes from ingest-batch deltas
+    * without rescanning the corpus — the [[btState]] discipline applied
+    * to mixture planning, and the state
+    * [[graft.streaming.RollupIngest]] maintains behind its snapshot
+    * commit. loss_ppm derives at READ time (scale − sum_reward DIV n),
+    * bit-equal to the one-shot per-domain aggregate (q184).
+    *
+    * Scale shape: one corpus-scan groupBy per batch (map-side partial
+    * aggregation; domains are sources — bounded); everything downstream
+    * runs over the bounded state. */
+  def mixtureState(scored: DataFrame, domainCol: String = "domain",
+                   rewardCol: String = "reward_ppm",
+                   tokenCol: String = "n_tokens"): DataFrame =
+    scored.groupBy(col(domainCol).as("domain"))
+      .agg(sum(col(rewardCol).cast("long")).as("sum_reward_ppm"),
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("tokens"))
+
+  /** Fold mixture-batch states: per-domain sums. Same at-most-once
+    * contract as [[mergeBtState]] — replay double-counts by design,
+    * the batch ledger is the caller's concern. */
+  def mergeMixtureState(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeMixtureState needs at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy("domain")
+      .agg(sum("sum_reward_ppm").as("sum_reward_ppm"),
+        sum("n_docs").as("n_docs"), sum("tokens").as("tokens"))
+  }
+
+  /** The full mixture DECISION off a (merged) [[mixtureState]] table —
+    * per-domain loss (scale − mean reward), [[domainMixtureMW]]
+    * reweighting, then [[Corpus.epochPlan]] water-filling against a
+    * state-derived token budget (budgetFactorPpm · Σtokens DIV scale;
+    * 2e6 = the "train on twice the corpus" q182 configuration). Fold
+    * of batch states == one-shot over history, bit for bit (q184) —
+    * so a maintained store refreshes the plan per batch while the
+    * corpus is never rescanned. Everything here runs over the bounded
+    * domain table (and, under the count gates, on the driver). */
+  def mixturePlanFromState(state: DataFrame,
+                           budgetFactorPpm: Long = 2000000L,
+                           maxEpochsPpm: Long = 4000000L,
+                           mwIters: Int = 10, etaPpm: Long = 300000L,
+                           epIters: Int = 6,
+                           scale: Long = 1000000L): DataFrame = {
+    val st = Stage(state)
+    val dl = st.select(col("domain"),
+      expr(s"CAST(${scale}L - (sum_reward_ppm DIV greatest(n_docs, 1L)) " +
+        "AS BIGINT)").as("loss_ppm"))
+    val mw = domainMixtureMW(dl, mwIters, etaPpm, scale)
+      .select("domain", "weight_ppm")
+    val ep0 = st.select(col("domain"), col("tokens")).join(mw, Seq("domain"))
+    // one bounded aggregate — the budget scalar the oracle's subquery
+    // computes; BigInt so factor·Σtokens cannot wrap before the DIV
+    val total = BigInt(st.agg(coalesce(sum("tokens"), lit(0L)))
+      .head().getLong(0))
+    val budget = BigInt(budgetFactorPpm) * total / BigInt(scale)
+    require(budget.isValidLong,
+      s"mixturePlanFromState: budget $budget overflows BIGINT — " +
+        "pass a smaller budgetFactorPpm")
+    Corpus.epochPlan(ep0, budget.toLong, maxEpochsPpm, epIters, scale)
+  }
+
   /** GROUP-RELATIVE ADVANTAGES (the GRPO normalization, Shao et al.
     * 2024): within each group of sampled responses, a response's
     * learning signal is its reward relative to the group mean.

@@ -1351,6 +1351,70 @@ object CurationQueries {
     ) { (s, dir) =>
       graft.llm.Corpus.mlmMaskPairs(Tables(s, dir, "documents"))
         .orderBy("doc_id")
+    },
+
+    // CLIP-STYLE CROSS-MODAL RETRIEVAL EVAL (round-13 judge task 7) —
+    // the representation-quality probe a paired image/caption corpus
+    // runs before training: per language, recall@1/@5 and summed
+    // reciprocal rank of text→image retrieval, where the "image" side
+    // embeds the full payload and the "caption" side its second half
+    // (byte-bigram histograms in the mapPartitions decode seam — the
+    // stub caption sees part of the content, so the metric measures
+    // real discrimination). Probes are the q78 balanced sample (8 per
+    // language, broadcast); the true pair's rank is COUNTED (candidates
+    // beating it), never a global top-k sort. All sums integer-valued
+    // doubles < 2^53, so cosine ranks are bit-identical cross-engine.
+    Q("q186_cross_modal_eval",
+      """WITH bgx AS (SELECT doc_id, s.p AS p, s.sl AS slot
+        |      FROM (SELECT doc_id, unnest(list_transform(range(1, length(text)),
+        |          i -> {'p': i, 'sl': (ascii(substr(text, CAST(i AS INTEGER), 1)) * 31
+        |                + ascii(substr(text, CAST(i + 1 AS INTEGER), 1))) % 16})) AS s
+        |        FROM documents WHERE length(text) >= 2)),
+        | imgs AS MATERIALIZED (SELECT doc_id, slot, CAST(count(*) AS BIGINT) AS v
+        |       FROM bgx GROUP BY 1, 2),
+        | txts AS MATERIALIZED (SELECT b.doc_id, b.slot, CAST(count(*) AS BIGINT) AS v
+        |       FROM bgx b JOIN (SELECT doc_id, length(text) AS n FROM documents) d
+        |         USING (doc_id)
+        |       WHERE b.p > d.n // 2 GROUP BY 1, 2),
+        | qn AS MATERIALIZED (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2
+        |       FROM txts GROUP BY 1),
+        | cn AS MATERIALIZED (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2
+        |       FROM imgs GROUP BY 1),
+        | h AS (SELECT doc_id, lang,
+        |        list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |            i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |         (a, c) -> (a * 131 + c) % 4294967291) AS hv
+        |       FROM documents),
+        | rsel AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rnk
+        |       FROM h),
+        | probe AS MATERIALIZED (SELECT r.doc_id, r.lang FROM rsel r
+        |       JOIN qn ON qn.doc_id = r.doc_id
+        |       WHERE r.rnk <= 8 AND qn.n2 > 0),
+        | dots AS (SELECT t.doc_id AS query_id, i.doc_id AS cand_id,
+        |        CAST(sum(t.v * i.v) AS DOUBLE) AS dp
+        |       FROM txts t JOIN probe p ON p.doc_id = t.doc_id
+        |        JOIN imgs i ON i.slot = t.slot
+        |       GROUP BY 1, 2),
+        | sims AS MATERIALIZED (SELECT d.query_id, d.cand_id,
+        |        d.dp / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+        |       FROM dots d JOIN qn q ON q.doc_id = d.query_id
+        |        JOIN cn c ON c.doc_id = d.cand_id WHERE c.n2 > 0),
+        | tru AS (SELECT query_id, sim AS sim_true FROM sims WHERE query_id = cand_id),
+        | rnk2 AS (SELECT s.query_id, CAST(1 + count(*) FILTER (WHERE s.sim > t.sim_true
+        |        OR (s.sim = t.sim_true AND s.cand_id < s.query_id)) AS BIGINT) AS rank
+        |       FROM sims s JOIN tru t USING (query_id) GROUP BY 1)
+        |SELECT p.lang, CAST(count(*) AS BIGINT) AS n_queries,
+        | CAST(count(*) FILTER (WHERE r.rank = 1) AS BIGINT) AS hits_at1,
+        | CAST(count(*) FILTER (WHERE r.rank <= 5) AS BIGINT) AS hits_at5,
+        | CAST(sum(1000000 // r.rank) AS BIGINT) AS rr_sum_ppm
+        |FROM rnk2 r JOIN probe p ON p.doc_id = r.query_id
+        |GROUP BY 1 ORDER BY lang""".stripMargin
+    ) { (s, dir) =>
+      graft.llm.Multimodal.crossModalEval(Tables(s, dir, "documents"),
+          k = 5, dim = 16, perLang = 8)
+        .orderBy("lang")
     }
   )
 }

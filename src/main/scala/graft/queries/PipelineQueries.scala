@@ -16,7 +16,7 @@ object PipelineQueries {
 
   /** The q31 shingle/pair pipeline as DuckDB CTE text (shared by the
     * cluster oracle), including q31's df > 64 stop-shingle cut. */
-  private val pairCtes =
+  private[queries] val pairCtes =
     """w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       | sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
       |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS shingle

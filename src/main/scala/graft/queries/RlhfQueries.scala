@@ -357,6 +357,151 @@ object RlhfQueries {
           Tables(s, dir, "documents").select("doc_id", "source"),
           "source", mw)
         .orderBy("pos")
+    },
+
+    // MAINTAINED DOMAIN-MIXTURE STATE (round-13 judge task 4): q177/
+    // q182 computed their per-domain loss/token aggregates one-shot;
+    // here the same decision chain runs off the MERGEABLE mixture
+    // statistic (domain, sum_reward_ppm, n_docs, tokens) folded from
+    // three corpus batches (doc_id mod 3) — the state RollupIngest
+    // maintains behind its snapshot commit — so a DoReMi reweighting +
+    // data-constrained epoch plan refreshes per ingest batch without
+    // rescanning history. The oracle computes the ONE-SHOT aggregates
+    // and replays MW + water-fill CTE for CTE: the hash itself proves
+    // fold == one-shot. Budget 3× corpus tokens, caps at 2.5 epochs —
+    // deliberately distinct from q182's knobs.
+    Q("q184_maintained_mixture",
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+        | s0 AS (SELECT doc_id, source,
+        |        CAST(len(list_distinct(l)) AS BIGINT) * 1000000
+        |          // greatest(len(l), 1) AS reward_ppm,
+        |        CAST(len(l) AS BIGINT) AS n_tokens FROM t),
+        | st AS MATERIALIZED (SELECT source AS domain,
+        |        CAST(sum(reward_ppm) AS BIGINT) AS sum_reward_ppm,
+        |        CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |       FROM s0 GROUP BY 1),
+        | dl AS MATERIALIZED (SELECT domain,
+        |        CAST(1000000 - (sum_reward_ppm // greatest(n_docs, 1)) AS BIGINT)
+        |          AS loss_ppm FROM st),
+        |""".stripMargin + Rlhf.domainMixtureMWSql(iters = 10, etaPpm = 300000L) + """,
+        | ep0 AS MATERIALIZED (SELECT st.domain, st.tokens, mw.weight_ppm
+        |       FROM st JOIN mw USING (domain)),
+        |""".stripMargin +
+        Corpus.epochPlanSql(budgetSql = "(SELECT 3 * sum(tokens) FROM ep0)",
+          maxEpochsPpm = 2500000L, iters = 6) + """
+        |SELECT domain AS source, tokens, weight_ppm, alloc_tokens, epochs_ppm,
+        | CAST(CASE WHEN capped THEN 1 ELSE 0 END AS BIGINT) AS capped
+        |FROM ep ORDER BY source""".stripMargin
+    ) { (s, dir) =>
+      val scored = ttrDf(s, dir).select(col("doc_id"),
+        col("source").as("domain"), col("reward_ppm"),
+        size(col("l")).cast("long").as("n_tokens"))
+      val folded = Rlhf.mergeMixtureState((0 to 2).map(i =>
+        Rlhf.mixtureState(scored.filter(col("doc_id") % 3 === i))))
+      Rlhf.mixturePlanFromState(folded,
+          budgetFactorPpm = 3000000L, maxEpochsPpm = 2500000L)
+        .select(col("domain").as("source"), col("tokens"), col("weight_ppm"),
+          col("alloc_tokens"), col("epochs_ppm"),
+          col("capped").cast("long").as("capped"))
+        .orderBy("source")
+    },
+
+    // RLHF CAPSTONE (round-13 judge task 3) — the family end to end,
+    // the way q121/q129 compose curation: q174's weakly-supervised
+    // preference pairs (near-dup renderings + LM-quality gap) feed a
+    // 3-batch btState fold (the PreferenceStore statistic), the merged
+    // state fits Bradley–Terry rewards, q181's KL-regularized best-of-1
+    // picks each source's winner against the bigram-LM divergence
+    // proxy, and the winners become q175-style prompt-masked SFT pairs.
+    // One oracle statement replays the whole chain (pair pipeline, LM
+    // retrain, gap arithmetic, 8 MM rounds, the objective window, and
+    // every slice/mask string); the 3-batch fold is oracle-invisible —
+    // hash equality IS the fold == one-shot proof at capstone scope.
+    Q("q185_rlhf_capstone",
+      s"""WITH ${PipelineQueries.pairCtes},
+        | t2 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        | bg2 AS (SELECT doc_id, s.w1 AS w1, s.gram AS gram
+        |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |            i -> {'w1': l[i], 'gram': l[i] || ' ' || l[i+1]})) AS s
+        |          FROM t2 WHERE len(l) >= 2)),
+        | cb2 AS (SELECT gram, count(*) AS cb FROM bg2 GROUP BY 1),
+        | cu2 AS (SELECT w1, count(*) AS cu FROM bg2 GROUP BY 1),
+        | sc AS MATERIALIZED (SELECT b.doc_id,
+        |         CAST(sum((cb2.cb * 1000000) // cu2.cu) // count(*) AS BIGINT) AS s
+        |        FROM bg2 b JOIN cb2 USING (gram) JOIN cu2 USING (w1)
+        |        GROUP BY b.doc_id),
+        | g AS (SELECT p.id_a, p.id_b, a.s AS s_a, c.s AS s_b,
+        |        abs(a.s - c.s) AS gap_ppm
+        |       FROM pairs p JOIN sc a ON a.doc_id = p.id_a
+        |        JOIN sc c ON c.doc_id = p.id_b),
+        | comp AS MATERIALIZED (SELECT
+        |        CASE WHEN s_a > s_b OR (s_a = s_b AND id_a < id_b)
+        |             THEN id_a ELSE id_b END AS winner_id,
+        |        CASE WHEN s_a > s_b OR (s_a = s_b AND id_a < id_b)
+        |             THEN id_b ELSE id_a END AS loser_id
+        |       FROM g WHERE gap_ppm >= 1000),
+        |""".stripMargin + Rlhf.bradleyTerrySql(iters = 8) + """,
+        | cand AS (SELECT d.source AS group_id, bt.item_id,
+        |          bt.bt_ppm AS reward_ppm,
+        |          1000000 - coalesce(s2.s, CAST(0 AS BIGINT)) AS kl_ppm
+        |         FROM bt JOIN documents d ON d.doc_id = bt.item_id
+        |          LEFT JOIN sc s2 ON s2.doc_id = bt.item_id),
+        | obj AS (SELECT group_id, item_id, reward_ppm, kl_ppm,
+        |          reward_ppm - 500000 * kl_ppm // 1000000 AS obj_ppm
+        |         FROM cand),
+        | win AS (SELECT group_id, item_id, reward_ppm, obj_ppm,
+        |          CAST(row_number() OVER (PARTITION BY group_id
+        |            ORDER BY obj_ppm DESC, item_id) AS BIGINT) AS rnk
+        |         FROM obj QUALIFY rnk <= 1),
+        | m AS (SELECT w.group_id, w.item_id AS doc_id, w.reward_ppm,
+        |        w.obj_ppm, t2.l, CAST(len(t2.l) AS BIGINT) AS n_tokens,
+        |        CASE WHEN len(t2.l) = 1 THEN CAST(0 AS BIGINT)
+        |             ELSE greatest(CAST(1 AS BIGINT),
+        |               least(CAST(len(t2.l) - 1 AS BIGINT),
+        |                 CAST(len(t2.l) AS BIGINT) * 500 // 1000)) END AS prompt_len
+        |       FROM win w JOIN t2 ON t2.doc_id = w.item_id
+        |       WHERE len(t2.l) >= 1)
+        |SELECT group_id, doc_id, reward_ppm, obj_ppm, n_tokens, prompt_len,
+        | coalesce(array_to_string(l[1:CAST(prompt_len AS INTEGER)], ' '), '')
+        |   AS prompt_text,
+        | array_to_string(l[CAST(prompt_len + 1 AS INTEGER):CAST(n_tokens AS INTEGER)], ' ')
+        |   AS target_text,
+        | array_to_string(list_transform(range(1, CAST(n_tokens + 1 AS INTEGER)),
+        |   p -> CASE WHEN p <= prompt_len THEN '0' ELSE '1' END), ' ') AS loss_mask
+        |FROM m ORDER BY group_id, doc_id""".stripMargin
+    ) { (s, dir) =>
+      import graft.llm.{Dedup, TextAnalysis}
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, 3, maxShingleDf = 64L)
+        .filter(col("jaccard_ppm") >= 300000L)
+      val lm = TextAnalysis.bigramLmScore(docs).select("doc_id", "score_ppm")
+      val pref = Corpus.preferencePairs(pairs, lm, minGapPpm = 1000L)
+      // 3-batch fold of the BT sufficient statistic — the
+      // PreferenceStore ingest shape, proven == one-shot by the hash
+      val folded = Rlhf.mergeBtState((0 to 2).map(i =>
+        Rlhf.btState(pref.filter(
+          pmod(col("chosen_id") + col("rejected_id"), lit(3)) === i)
+          .select(col("chosen_id").as("winner_id"),
+            col("rejected_id").as("loser_id")))))
+      val rewards = Rlhf.fitFromState(folded, iters = 8)
+      val cand = rewards
+        .join(docs.select(col("doc_id"), col("source")),
+          rewards("item_id") === col("doc_id"))
+        .join(lm, Seq("doc_id"), "left")
+        .select(col("source").as("group_id"), col("item_id"),
+          col("bt_ppm").as("reward_ppm"),
+          (lit(1000000L) - coalesce(col("score_ppm"), lit(0L))).as("kl_ppm"))
+      val winners = Rlhf.klBestOfN(cand, betaPpm = 500000L, k = 1)
+      val winDocs = docs.join(winners.select(col("item_id").as("doc_id"),
+        col("group_id"), col("reward_ppm"), col("obj_ppm")), Seq("doc_id"))
+      Corpus.sftLossMaskPairs(winDocs, promptPermille = 500)
+        .join(winners.select(col("item_id").as("doc_id"), col("group_id"),
+          col("reward_ppm"), col("obj_ppm")), Seq("doc_id"))
+        .select(col("group_id"), col("doc_id"), col("reward_ppm"),
+          col("obj_ppm"), col("n_tokens"), col("prompt_len"),
+          col("prompt_text"), col("target_text"), col("loss_mask"))
+        .orderBy("group_id", "doc_id")
     }
   )
 }

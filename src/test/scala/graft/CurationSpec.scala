@@ -253,6 +253,35 @@ class CurationSpec extends SparkSpec {
     assert(got(4L).getAs[Long]("rule_mask") == 11L && got(4L).getAs[Long]("pass") == 0L)
   }
 
+  test("crossModalEval: distinct content retrieves its pair at rank 1; exact dups tie to the lower id") {
+    import graft.llm.Multimodal
+    // the byte-bigram slot is (b1·31 + b2) % 16 = (b2 − b1) % 16 (31 ≡
+    // −1 mod 16), so alternating two-char docs concentrate on exactly
+    // two slots determined by the char DIFFERENCE — docs built from
+    // distinct differences have ORTHOGONAL embeddings, and a caption
+    // (second half) has the same two slots as its image: sim(self) = 1,
+    // sim(cross) = 0. Rank arithmetic is then exact, not probabilistic.
+    val docs = Seq(
+      (1L, "aa", "ababababab"), // slots {1, 15}
+      (2L, "aa", "acacacacac"), // slots {2, 14}
+      (3L, "aa", "adadadadad"), // slots {3, 13}
+      (4L, "aa", "aeaeaeaeae"), // slots {4, 12} — exact dup pair with 5
+      (5L, "aa", "aeaeaeaeae"),
+      (6L, "aa", "a")           // no bigrams: zero norm, excluded
+    ).toDF("doc_id", "lang", "text")
+    val out = Multimodal.crossModalEval(docs, k = 5, dim = 16, perLang = 8)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.length == 1)
+    val (lang, n, h1, h5, rr) = out.head
+    assert(lang == "aa")
+    assert(n == 5L, "the zero-norm caption must be excluded from probes")
+    // queries 1-3 retrieve their own image at rank 1 (orthogonal to all
+    // else); the dup pair TIES at sim 1: query 4 keeps rank 1 (the tying
+    // candidate 5 has the higher id), query 5 falls to rank 2
+    assert(h1 == 4L && h5 == 5L)
+    assert(rr == 4L * 1000000L + 500000L)
+  }
+
   test("frequencySpectrum counts types per count with exact GT adjustment") {
     import graft.llm.Corpus
     // tokens: a×3, b×2, c×1 → N_1=1, N_2=1, N_3=1

@@ -193,4 +193,55 @@ class RollupIngestSpec extends SparkSpec {
         sampleCol = "v", sampleN = 4)
     }
   }
+
+  test("mixture state rides the snapshot: maintained epoch plan == one-shot (round-13 task 4)") {
+    import graft.llm.Rlhf
+    val dir = tmpDir("graft-rollup-mix")
+    // batches with a domain column + per-doc reward/token proxies
+    def mixBatch(seed: Int, n: Int) = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map { _ =>
+        (s"g${rnd.nextInt(3)}", rnd.nextInt(100).toLong,
+          rnd.nextLong(1000001L), 1L + rnd.nextLong(500L))
+      }.toDF("g", "v", "reward_ppm", "n_tokens")
+        .withColumn("u", concat(lit("u"), col("v")))
+    }
+    val b = Seq(mixBatch(11, 200), mixBatch(12, 200), mixBatch(13, 200))
+    def apply(df: org.apache.spark.sql.DataFrame, id: Long) =
+      RollupIngest.processBatch(df, dir, keys, "v", "u", id,
+        mixDomainCol = "g", mixRewardCol = "reward_ppm",
+        mixTokenCol = "n_tokens")
+    assert(apply(b(0), 0L))
+    assert(apply(b(1), 1L))
+    assert(!apply(b(1), 1L)) // replay rejected — the state is additive
+    assert(apply(b(2), 2L))
+    // maintained state == one-shot state over all three batches' rows
+    val all = b.reduce(_ unionByName _)
+    val gotState = RollupIngest.currentMixtureState(spark, dir).get
+      .as[(String, Long, Long, Long)].collect().toSet
+    val oneShotState = Rlhf.mixtureState(all, "g", "reward_ppm", "n_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(gotState == oneShotState)
+    // ...and the DECISION read off the snapshot == the one-shot plan
+    val gotPlan = RollupIngest.currentMixturePlan(spark, dir).get
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+    val oneShotPlan = Rlhf.mixturePlanFromState(
+        Rlhf.mixtureState(all, "g", "reward_ppm", "n_tokens"))
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(gotPlan == oneShotPlan)
+    assert(RollupIngest.staleMixtureBatches(spark, dir).isEmpty)
+    // knob forgotten mid-stream: state carries forward, batch recorded
+    assert(RollupIngest.processBatch(mixBatch(14, 100), dir, keys, "v", "u", 3L))
+    assert(RollupIngest.staleMixtureBatches(spark, dir) == Seq(3L))
+    assert(RollupIngest.currentMixtureState(spark, dir).get
+      .as[(String, Long, Long, Long)].collect().toSet == gotState)
+    // mid-stream ENABLE on a store with mixture-less history refuses
+    val freshDir = tmpDir("graft-rollup-mix2")
+    assert(RollupIngest.processBatch(mixBatch(11, 50), freshDir, keys, "v", "u", 0L))
+    intercept[IllegalStateException] {
+      RollupIngest.processBatch(mixBatch(12, 50), freshDir, keys, "v", "u", 1L,
+        mixDomainCol = "g", mixRewardCol = "reward_ppm",
+        mixTokenCol = "n_tokens")
+    }
+  }
 }
