@@ -246,6 +246,42 @@ object Multimodal {
       expr(s"rpad(substring(payload, 1, $outBytes), $outBytes, x'00')")
         .as("payload_resized"))
 
+  /** Per-modality DATA CARD — the release-notes table a multimodal
+    * corpus ships with (the q138 composition report over the decode
+    * seam): one row per (decoded format × quality verdict) with asset
+    * counts, byte mass, exact integer mean dimensions, and each
+    * group's share of the corpus in ppm. Format reads the stub
+    * decoder's header rule (b0 even → png, odd → jpg, undecodable →
+    * 'none'); the verdict is [[qualityStats]]' composed gate, so the
+    * card splits every format into its keep/quarantine masses — the
+    * table an ops review reads before training on the corpus.
+    *
+    * Scale shape: one decode-seam scan ([[qualityStats]]) + one narrow
+    * header projection, a groupBy over a handful of (fmt, pass) groups
+    * (map-side partial agg), and a 1-row broadcast total — no new
+    * corpus-scale surface. */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val stats = qualityStats(docs)
+    // header byte = first text byte (the payload IS the UTF-8 text);
+    // same rule as FakeDecoder.decode's fmt, 'none' where tryDecode
+    // quarantines (payload too short for the 2-byte header)
+    val fmt = docs.select(col("doc_id"),
+      when(length(col("text")) < 2, lit("none"))
+        .when(ascii(substring(col("text"), 1, 1)) % 2 === 0, lit("png"))
+        .otherwise(lit("jpg")).as("fmt"))
+    val g = stats.join(fmt, Seq("doc_id"))
+      .groupBy("fmt", "pass")
+      .agg(count(lit(1)).as("n_assets"),
+        sum("n_bytes").as("bytes_total"),
+        sum("width").as("__w"), sum("height").as("__h"))
+    val total = g.agg(coalesce(sum("n_assets"), lit(0L)).as("__t"))
+    g.crossJoin(broadcast(total))
+      .select(col("fmt"), col("pass"), col("n_assets"), col("bytes_total"),
+        expr("__w DIV n_assets").as("avg_width"),
+        expr("__h DIV n_assets").as("avg_height"),
+        expr("n_assets * 1000000L DIV greatest(__t, 1L)").as("share_ppm"))
+  }
+
   /** Byte-BIGRAM histogram over the payload — the deterministic
     * embedding stub behind [[crossModalEval]]: slot (b_i·31 + b_{i+1})
     * mod `dim`, value = exact count (emitted as integer-valued DOUBLE,

@@ -1415,6 +1415,59 @@ object CurationQueries {
       graft.llm.Multimodal.crossModalEval(Tables(s, dir, "documents"),
           k = 5, dim = 16, perLang = 8)
         .orderBy("lang")
+    },
+
+    // MULTIMODAL DATA CARD (round 14) — the q138 composition report
+    // over the decode seam: per (decoded format × q151 quality
+    // verdict), asset counts, byte mass, exact integer mean decoded
+    // dimensions, and corpus share in ppm — the keep/quarantine table
+    // an ops review reads before training. The oracle replays the stub
+    // decoder's header arithmetic, the byte histogram, all four gates
+    // (the q151 machinery) and the grouping — all integer, hash-exact.
+    Q("q187_mm_datacard",
+      """WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CASE WHEN length(text) >= 2 THEN 1 ELSE 0 END AS g1,
+        |  CAST(CASE WHEN length(text) >= 2
+        |       THEN (ascii(substr(text, 1, 1)) * 7) % 256 ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN length(text) >= 2
+        |       THEN (ascii(substr(text, 2, 1)) * 13) % 256 ELSE 0 END AS BIGINT) AS height
+        | FROM documents),
+        | chars AS (SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+        |      i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS c
+        |    FROM documents),
+        | mx AS (SELECT doc_id, max(cnt) AS mc FROM
+        |    (SELECT doc_id, c, count(*) AS cnt FROM chars GROUP BY 1, 2)
+        |   GROUP BY 1),
+        | m AS (SELECT b.doc_id, b.n_bytes, b.width, b.height, b.g1,
+        |   CASE WHEN b.height > 0 THEN b.width * 1000000 // b.height
+        |        ELSE 0 END AS aspect_ppm,
+        |   CASE WHEN b.n_bytes > 0 THEN mx.mc * 1000000 // b.n_bytes
+        |        ELSE 1000000 END AS maxbyte_ppm
+        |  FROM b LEFT JOIN mx USING (doc_id)),
+        | r AS (SELECT *,
+        |   CASE WHEN width >= 8 AND height >= 8 THEN 1 ELSE 0 END AS g2,
+        |   CASE WHEN aspect_ppm BETWEEN 250000 AND 4000000 THEN 1 ELSE 0 END AS g3,
+        |   CASE WHEN maxbyte_ppm <= 500000 THEN 1 ELSE 0 END AS g4
+        |  FROM m),
+        | f AS (SELECT doc_id, CASE WHEN length(text) < 2 THEN 'none'
+        |        WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'png'
+        |        ELSE 'jpg' END AS fmt FROM documents),
+        | p AS (SELECT r.doc_id, f.fmt, r.n_bytes, r.width, r.height,
+        |        CAST(CASE WHEN g1 + g2 + g3 + g4 = 4 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |       FROM r JOIN f USING (doc_id)),
+        | g AS (SELECT fmt, pass, count(*) AS n_assets,
+        |        sum(n_bytes) AS bytes_total, sum(width) AS ws, sum(height) AS hs
+        |       FROM p GROUP BY 1, 2),
+        | t AS (SELECT sum(n_assets) AS t_assets FROM g)
+        |SELECT fmt, pass, CAST(n_assets AS BIGINT) AS n_assets,
+        | CAST(bytes_total AS BIGINT) AS bytes_total,
+        | CAST(ws // n_assets AS BIGINT) AS avg_width,
+        | CAST(hs // n_assets AS BIGINT) AS avg_height,
+        | CAST(n_assets * 1000000 // greatest(t_assets, 1) AS BIGINT) AS share_ppm
+        |FROM g, t ORDER BY fmt, pass""".stripMargin
+    ) { (s, dir) =>
+      graft.llm.Multimodal.dataCard(Tables(s, dir, "documents"))
+        .orderBy("fmt", "pass")
     }
   )
 }
