@@ -1692,22 +1692,43 @@ object Corpus {
     * no error; the per-row guard raises instead). */
   def strideInterleave(docs: DataFrame, domainCol: String,
                        weights: DataFrame,
-                       scale: Long = 1000000L): DataFrame = {
+                       scale: Long = 1000000L): DataFrame =
+    globalDensePos(strideKeyed(docs.select(col("doc_id"), col(domainCol)),
+      domainCol, weights, scale), domainCol)
+      .select(col("pos"), col("doc_id"), col(domainCol), col("r"), col("v"))
+
+  /** The stride-keying stage shared by [[strideInterleave]] and
+    * [[plannedInterleave]]: join the broadcast weight table, rank each
+    * domain by the PolyHash shuffle order, and compute the guarded
+    * virtual time v = r·scale²/w (raise_error past the documented
+    * rank bound — round-13 ADVICE). Extra input columns pass through. */
+  private def strideKeyed(docs: DataFrame, domainCol: String,
+                          weights: DataFrame, scale: Long): DataFrame = {
     require(scale >= 1 && scale <= 3037000499L,
       s"scale must be in [1, 3037000499] so scale*scale fits a Long, got $scale")
     val maxRank = Long.MaxValue / (scale * scale)
     val byDomain = Window.partitionBy(domainCol)
       .orderBy(PolyHash.poly_hash(col("doc_id").cast("string")),
         col("doc_id"))
-    val keyed = docs.select(col("doc_id"), col(domainCol))
-      .join(broadcast(weights), Seq(domainCol))
+    docs.join(broadcast(weights), Seq(domainCol))
       .withColumn("r", row_number().over(byDomain).cast("long"))
       .withColumn("v", expr(
         s"CASE WHEN r > ${maxRank}L THEN CAST(raise_error(" +
           s"'strideInterleave: per-domain rank ' || r || ' overflows " +
           s"r*scale*scale at scale $scale — pass a smaller scale') AS BIGINT) " +
           s"ELSE r * ${scale}L * ${scale}L DIV greatest(weight_ppm, 1L) END"))
-    val sorted = Stage(keyed
+  }
+
+  /** Global DENSE position over `rows` by (v, domain, doc_id) — the
+    * no-single-reducer core shared by the interleave operators: the
+    * stream range-exchanges on the unique total key, sorts within
+    * partitions, and each row's position = its local rank + the
+    * broadcast running offset of the partitions before it. The offset
+    * table is one row per PARTITION (never data-scale) and the result
+    * is invariant to where the sampled range boundaries fall. Keeps
+    * every input column; adds `pos`. */
+  private def globalDensePos(rows: DataFrame, domainCol: String): DataFrame = {
+    val sorted = Stage(rows
       .repartitionByRange(col("v"), col(domainCol), col("doc_id"))
       .sortWithinPartitions(col("v"), col(domainCol), col("doc_id"))
       .withColumn("__pid", spark_partition_id().cast("long")))
@@ -1722,7 +1743,44 @@ object Corpus {
     sorted
       .withColumn("__lr", row_number().over(localW).cast("long"))
       .join(broadcast(offsets), Seq("__pid"))
-      .select((col("__off") + col("__lr")).as("pos"),
-        col("doc_id"), col(domainCol), col("r"), col("v"))
+      .withColumn("pos", col("__off") + col("__lr"))
+      .drop("__pid", "__lr", "__off")
+  }
+
+  /** EPOCH-PLAN-CONSTRAINED INTERLEAVE — execute the mixture plan:
+    * the [[strideInterleave]] order with each domain's stream CAPPED
+    * at its [[epochPlan]] token allocation, closing the mixture-
+    * execution arc (loss → DoReMi weights → water-filled allocations →
+    * the budget-capped training stream a DataLoader consumes). A
+    * domain's docs are admitted in stride order while the running
+    * token total has not yet crossed alloc_tokens, crossing the budget
+    * once ([[tokenBudgetMix]]'s convention: keep while cum − n_tokens
+    * < alloc), then the global dense position is recomputed over the
+    * SURVIVORS — so the emitted stream is exactly the planned mixture,
+    * ends when the plan says it ends, and every window of it still
+    * sees the weight-proportional interleave while domains last.
+    *
+    * Scale shape: [[strideKeyed]]'s one rank window per domain, ONE
+    * more per-domain cumsum window (same partitioning — no extra
+    * shuffle class), a broadcast join against the bounded plan table,
+    * and the shared range-partition + per-partition-offset position
+    * core — never a single-reducer window. */
+  def plannedInterleave(docs: DataFrame, domainCol: String,
+                        weights: DataFrame, plan: DataFrame,
+                        tokenCol: String = "n_tokens",
+                        scale: Long = 1000000L): DataFrame = {
+    val keyed = strideKeyed(
+      docs.select(col("doc_id"), col(domainCol), col(tokenCol)),
+      domainCol, weights, scale)
+    val cumW = Window.partitionBy(domainCol).orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val capped = keyed
+      .join(broadcast(plan.select(col("domain").as(domainCol),
+        col("alloc_tokens"))), Seq(domainCol))
+      .withColumn("__cum", sum(col(tokenCol)).over(cumW))
+      .filter(col("__cum") - col(tokenCol) < col("alloc_tokens"))
+    globalDensePos(capped, domainCol)
+      .select(col("pos"), col("doc_id"), col(domainCol), col("r"),
+        col("v"), col(tokenCol))
   }
 }

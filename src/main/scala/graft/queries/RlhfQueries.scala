@@ -359,6 +359,67 @@ object RlhfQueries {
         .orderBy("pos")
     },
 
+    // EPOCH-PLAN-CONSTRAINED INTERLEAVE (round 14) — the mixture-
+    // execution arc CLOSED: q177's DoReMi weights → q182's water-filled
+    // allocations → the budget-capped training stream itself. Each
+    // source's docs are admitted in q183's stride order while the
+    // running token total has not crossed its alloc (tokenBudgetMix's
+    // crossing-once convention), and the global dense position is
+    // recomputed over the survivors with the same range-partition +
+    // offsets core (no single-reducer window). The oracle replays the
+    // whole composition: MW rounds, 6 water-fill rounds, both windows,
+    // the cumsum gate, and the final renumbering.
+    Q("q188_planned_interleave",
+      s"""WITH $ttrCtes,
+        | dl AS MATERIALIZED (SELECT source AS domain,
+        |        CAST(1000000 - (sum(reward_ppm) // count(*)) AS BIGINT) AS loss_ppm
+        |       FROM ttr GROUP BY 1),
+        |""".stripMargin + Rlhf.domainMixtureMWSql(iters = 10, etaPpm = 300000L) + """,
+        | tok AS MATERIALIZED (SELECT source AS domain,
+        |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |       FROM documents GROUP BY 1),
+        | ep0 AS MATERIALIZED (SELECT t.domain, t.tokens, m.weight_ppm
+        |       FROM tok t JOIN mw m ON m.domain = t.domain),
+        |""".stripMargin +
+        Corpus.epochPlanSql(budgetSql = "(SELECT 2 * sum(tokens) FROM ep0)",
+          maxEpochsPpm = 2100000L, iters = 6) + s""",
+        | h2 AS (SELECT doc_id, source,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |        $polyHashSql AS hv FROM documents),
+        | rr AS (SELECT doc_id, source, nt, CAST(row_number() OVER (
+        |         PARTITION BY source ORDER BY hv, doc_id) AS BIGINT) AS r
+        |       FROM h2),
+        | vv AS (SELECT rr.doc_id, rr.source, rr.nt, rr.r,
+        |        r * 1000000 * 1000000 // greatest(m.weight_ppm, 1) AS v
+        |       FROM rr JOIN mw m ON m.domain = rr.source),
+        | cc AS (SELECT vv.*, ep.alloc_tokens,
+        |        sum(nt) OVER (PARTITION BY source ORDER BY r) AS cum
+        |       FROM vv JOIN ep ON ep.domain = vv.source),
+        | keep AS (SELECT * FROM cc WHERE cum - nt < alloc_tokens)
+        |SELECT CAST(row_number() OVER (ORDER BY v, source, doc_id) AS BIGINT) AS pos,
+        | doc_id, source, r, v, nt AS n_tokens
+        |FROM keep ORDER BY pos""".stripMargin
+    ) { (s, dir) =>
+      val dl = ttrDf(s, dir).groupBy(col("source").as("domain"))
+        .agg(expr("CAST(1000000L - (sum(reward_ppm) DIV count(1)) AS BIGINT)")
+          .as("loss_ppm"))
+      val mw = Rlhf.domainMixtureMW(dl, iters = 10, etaPpm = 300000L)
+        .select("domain", "weight_ppm")
+      val docs = Tables(s, dir, "documents")
+      val tok = docs.select(col("source").as("domain"),
+          size(split(col("text"), " ")).cast("long").as("__t"))
+        .groupBy("domain").agg(sum("__t").as("tokens"))
+      val ep0 = graft.llm.Stage(tok.join(mw, Seq("domain")))
+      val budget = 2L * ep0.agg(sum("tokens")).head().getLong(0)
+      val plan = Corpus.epochPlan(ep0, budget, maxEpochsPpm = 2100000L, iters = 6)
+      Corpus.plannedInterleave(
+          docs.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          "source", mw.select(col("domain").as("source"), col("weight_ppm")),
+          plan.select("domain", "alloc_tokens"))
+        .orderBy("pos")
+    },
+
     // MAINTAINED DOMAIN-MIXTURE STATE (round-13 judge task 4): q177/
     // q182 computed their per-domain loss/token aggregates one-shot;
     // here the same decision chain runs off the MERGEABLE mixture

@@ -1017,4 +1017,30 @@ class CorpusOpsSpec extends SparkSpec {
       .sortBy(_._1)
     assert(again.toSeq == out.toSeq)
   }
+
+  test("plannedInterleave caps each domain at its allocation, crossing the budget once") {
+    // 10 heavy + 20 light docs, 2 tokens each; heavy alloc 5 tokens →
+    // stride-order cums 2,4,6,8…: docs keep while cum − n < 5, so
+    // exactly 3 heavy docs survive (the third crosses the budget);
+    // light's alloc covers it whole. Positions are dense over the
+    // SURVIVORS and heavy's survivors are its 3 stride-FIRST docs.
+    val docs = (0L until 30L).map(i =>
+      (i, if (i % 3 == 0) "heavy" else "light", 2L))
+      .toDF("doc_id", "domain", "n_tokens")
+    val weights = Seq(("heavy", 400000L), ("light", 200000L))
+      .toDF("domain", "weight_ppm")
+    val plan = Seq(("heavy", 5L), ("light", 1000L))
+      .toDF("domain", "alloc_tokens")
+    val out = graft.llm.Corpus.plannedInterleave(docs, "domain", weights, plan)
+      .select("pos", "doc_id", "domain", "r")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1)
+    val heavy = out.filter(_._3 == "heavy")
+    assert(heavy.length == 3, s"heavy must cap at 3 docs, got ${heavy.length}")
+    assert(out.count(_._3 == "light") == 20)
+    assert(out.map(_._1).toSeq == (1L to 23L), "positions dense over survivors")
+    assert(heavy.map(_._4).sorted.toSeq == Seq(1L, 2L, 3L),
+      "survivors are the stride-first heavy docs")
+    // while heavy lasts the stream still runs the planned 2:1 mixture
+    assert(out.take(4).count(_._3 == "heavy") == 3)
+  }
 }

@@ -41,7 +41,12 @@ class PlanShapeSpec extends SparkSpec {
         "q126_block_dedup", "q128_nb_quality_classifier",
         "q131_centroid_pruning", "q132_stupid_backoff",
         "q133_langid_confusion", "q134_classifier_calibration",
-        "q135_perceptual_neardup")) {
+        "q135_perceptual_neardup",
+        // round-14 additions: state-fed mixture plans, the capstone's
+        // pair core, both broadcast-probe evals, the capped interleave
+        "q184_maintained_mixture", "q185_rlhf_capstone",
+        "q186_cross_modal_eval", "q187_mm_datacard",
+        "q188_planned_interleave")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
