@@ -181,13 +181,24 @@ object Multimodal {
     * maxbyte_ppm, rule_mask, pass), all BIGINT. */
   def qualityStats(docs: DataFrame, minDim: Int = 8,
                    aspectLoPpm: Long = 250000L, aspectHiPpm: Long = 4000000L,
-                   maxBytePpm: Long = 500000L): DataFrame = {
+                   maxBytePpm: Long = 500000L): DataFrame =
+    statsWithFmt(docs, minDim, aspectLoPpm, aspectHiPpm, maxBytePpm)
+      .drop("fmt")
+
+  /** The decode-seam pass behind [[qualityStats]] and [[dataCard]] —
+    * one mapPartitions over the payloads produces the gate stats AND
+    * the decoded format ('none' where tryDecode quarantines), so a
+    * consumer needing both never scans or joins the corpus twice. */
+  private def statsWithFmt(docs: DataFrame, minDim: Int,
+                           aspectLoPpm: Long, aspectHiPpm: Long,
+                           maxBytePpm: Long): DataFrame = {
     val withBytes = withPayload(docs).select(col("doc_id"), col("payload"))
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("n_bytes", LongType),
       StructField("width", LongType), StructField("height", LongType),
       StructField("aspect_ppm", LongType), StructField("maxbyte_ppm", LongType),
-      StructField("rule_mask", LongType), StructField("pass", LongType)))
+      StructField("rule_mask", LongType), StructField("pass", LongType),
+      StructField("fmt", StringType)))
     implicit val enc = RowEncoder.encoderFor(schema)
     withBytes.mapPartitions { rows =>
       rows.map { r =>
@@ -214,7 +225,8 @@ object Multimodal {
         val g4 = if (share <= maxBytePpm) 1L else 0L
         Row(r.getLong(0), n, w, h, aspect, share,
           g1 + g2 * 2 + g3 * 4 + g4 * 8,
-          if (g1 + g2 + g3 + g4 == 4) 1L else 0L)
+          if (g1 + g2 + g3 + g4 == 4) 1L else 0L,
+          dec match { case Some((_, _, f)) => f case None => "none" })
       }
     }
   }
@@ -256,20 +268,13 @@ object Multimodal {
     * card splits every format into its keep/quarantine masses — the
     * table an ops review reads before training on the corpus.
     *
-    * Scale shape: one decode-seam scan ([[qualityStats]]) + one narrow
-    * header projection, a groupBy over a handful of (fmt, pass) groups
-    * (map-side partial agg), and a 1-row broadcast total — no new
-    * corpus-scale surface. */
+    * Scale shape: ONE decode-seam scan produces stats AND format
+    * ([[statsWithFmt]] — no second corpus scan, no corpus-size join),
+    * a groupBy over a handful of (fmt, pass) groups (map-side partial
+    * agg), and a 1-row broadcast total — no new corpus-scale surface. */
   def dataCard(docs: DataFrame): DataFrame = {
-    val stats = qualityStats(docs)
-    // header byte = first text byte (the payload IS the UTF-8 text);
-    // same rule as FakeDecoder.decode's fmt, 'none' where tryDecode
-    // quarantines (payload too short for the 2-byte header)
-    val fmt = docs.select(col("doc_id"),
-      when(length(col("text")) < 2, lit("none"))
-        .when(ascii(substring(col("text"), 1, 1)) % 2 === 0, lit("png"))
-        .otherwise(lit("jpg")).as("fmt"))
-    val g = stats.join(fmt, Seq("doc_id"))
+    val g = statsWithFmt(docs, minDim = 8, aspectLoPpm = 250000L,
+        aspectHiPpm = 4000000L, maxBytePpm = 500000L)
       .groupBy("fmt", "pass")
       .agg(count(lit(1)).as("n_assets"),
         sum("n_bytes").as("bytes_total"),
