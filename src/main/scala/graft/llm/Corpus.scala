@@ -1779,6 +1779,10 @@ object Corpus {
         col("alloc_tokens"))), Seq(domainCol))
       .withColumn("__cum", sum(col(tokenCol)).over(cumW))
       .filter(col("__cum") - col(tokenCol) < col("alloc_tokens"))
+      // narrow BEFORE the range exchange + checkpoint: the weight,
+      // allocation and cumsum columns are spent once the gate passed
+      .select(col("doc_id"), col(domainCol), col("r"), col("v"),
+        col(tokenCol))
     globalDensePos(capped, domainCol)
       .select(col("pos"), col("doc_id"), col(domainCol), col("r"),
         col("v"), col(tokenCol))

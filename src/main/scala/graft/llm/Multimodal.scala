@@ -359,9 +359,16 @@ object Multimodal {
       .withColumn("sim", Similarity.dot(col("q_emb"), col("c_emb")) /
         (col("q_norm") * col("c_norm")))
       .select("query_id", "lang", "cand_id", "sim")
-    // the true pair's similarity — one row per surviving probe, tiny
-    val tru = broadcast(scored.filter(col("cand_id") === col("query_id"))
-      .select(col("query_id"), col("sim").as("sim_true")))
+    // the true pair's similarity — one NARROW equi-join of the probe
+    // set against the image side (one row per surviving probe), never
+    // a second pass over the probes × corpus stream; the identical
+    // expression over the identical vectors yields the identical
+    // double the cross-join row would carry
+    val tru = broadcast(probes.join(cands,
+        col("cand_id") === col("query_id"))
+      .select(col("query_id"),
+        (Similarity.dot(col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm"))).as("sim_true")))
     val ranks = scored.join(tru, Seq("query_id"))
       .groupBy("query_id", "lang")
       .agg((lit(1L) + sum(when(col("sim") > col("sim_true") ||
