@@ -346,11 +346,15 @@ object Multimodal {
     val txt = bigramHistogram(docs, dim, fromHalf = true)
     val probeIds = Corpus.balancedSample(docs, "lang", perLang)
       .select(col("doc_id"), col("lang"))
-    val probes = broadcast(txt.join(probeIds, Seq("doc_id"))
+    // the probe table is bounded (perLang × languages) and consumed by
+    // BOTH the scoring cross join and the true-pair equi-join — stage
+    // it once so the caption histogram + sample window run once, not
+    // per consumer
+    val probes = broadcast(Stage(txt.join(probeIds, Seq("doc_id"))
       .select(col("doc_id").as("query_id"), col("lang"),
         col("features").as("q_emb"))
       .withColumn("q_norm", Similarity.norm(col("q_emb")))
-      .filter(col("q_norm") > 0))
+      .filter(col("q_norm") > 0)))
     val cands = img
       .select(col("doc_id").as("cand_id"), col("features").as("c_emb"))
       .withColumn("c_norm", Similarity.norm(col("c_emb")))
