@@ -42,16 +42,28 @@ while :; do
 done
 
 run_and_grade() {
+  # Record pre-run mtimes so the grader only considers a file THIS
+  # run actually rewrote (round-14 ADVICE: with both files left over
+  # from prior runs, max-by-mtime silently graded a stale artifact;
+  # with neither present a crash-before-emit raised a bare ValueError).
+  pre_local=$(stat -c %Y BENCH_LOCAL.json 2>/dev/null || echo 0)
+  pre_spot=$(stat -c %Y BENCH_SPOT.json 2>/dev/null || echo 0)
   SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.Bench" 2>&1 | tail -4
   echo
   # Bench routes a run that must not displace a graded-clean closing
   # artifact to BENCH_SPOT.json (round-13 finding 1) — grade whichever
-  # file THIS run wrote (the newer of the two).
-  python3 - <<'PY'
+  # file THIS run wrote.
+  PRE_LOCAL="$pre_local" PRE_SPOT="$pre_spot" python3 - <<'PY'
 import json, os, sys
-cands = [p for p in ("BENCH_LOCAL.json", "BENCH_SPOT.json")
-         if os.path.exists(p)]
+pre = {"BENCH_LOCAL.json": int(os.environ.get("PRE_LOCAL", "0")),
+       "BENCH_SPOT.json": int(os.environ.get("PRE_SPOT", "0"))}
+cands = [p for p in pre
+         if os.path.exists(p) and int(os.path.getmtime(p)) > pre[p]]
+if not cands:
+    print("== NOT CLEAN — no artifact emitted by this run "
+          "(bench crashed or was killed before its JSON line)")
+    sys.exit(3)
 path = max(cands, key=os.path.getmtime)
 print(f"== artifact quality ({path}):")
 d = json.load(open(path))

@@ -166,8 +166,10 @@ object Bench {
     * render the reason '1,520' while the artifact's numbers read
     * '1.520' (round-13 ADVICE). */
   private[graft] def invalidReason(passes: Int, singles: Int,
-                                   drift: Option[Double]): Option[String] =
-    if (drift.exists(_ > MaxCleanDrift))
+                                   drift: Option[Double],
+                                   aborted: Option[String] = None): Option[String] =
+    if (aborted.isDefined) Some("contention-abort: " + aborted.get)
+    else if (drift.exists(_ > MaxCleanDrift))
       Some("boxdrift " +
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(drift.get)) +
         " exceeds " +
@@ -175,6 +177,48 @@ object Bench {
     else if (passes < 2) Some(s"min-2 sweep incomplete: passes=$passes")
     else if (singles > 0) Some(s"min-2 sweep incomplete: singles=$singles")
     else None
+
+  /** Drift level beyond which a run is hopeless even MID-COLD-PASS: a
+    * cold page cache inflates the median ratio ~1.2–1.3× on this box
+    * (measured across the bench_clean retries), never 2×, so a mid-run
+    * median ≥ 2.0 over ≥ `minShared` prior keys is host contention,
+    * not warm-up. Matches [[MaxDriftNorm]] — the same "box noise ends
+    * here" boundary, applied as an abort instead of a cap. */
+  private[graft] val CatastrophicDrift = 2.0
+
+  /** MID-RUN contention verdict (pure; spec-tested) — round-14 finding
+    * 2: once the box is contended past [[MaxCleanDrift]] the artifact
+    * can NEVER grade clean, yet the rerun/min-2/drift-retry machinery
+    * kept spending (107 futile reruns, then rc-124 truncation). The
+    * probe runs after every completed pass and every few entries
+    * within one; `Some(reason)` means: finish at most the remaining
+    * FIRST runs (completeness — the driver contract wants every key),
+    * skip every quality sweep, stamp invalid, emit now.
+    *
+    * Cold-pass tolerance: below min-of-2 coverage (`passesDone` < 2)
+    * only a [[CatastrophicDrift]] median aborts — a cold first pass
+    * legitimately reads ~1.3× and settles. From pass 2 on, the clean
+    * bar itself ([[MaxCleanDrift]]) is the abort line: mins are
+    * cold-absorbed, so exceeding it means the window is lost. Fewer
+    * than `minShared` shared keys → no verdict (a narrow BENCH_ONLY
+    * run or a first round has no fleet to measure drift against). */
+  private[graft] def contentionVerdict(mins: Map[String, Double],
+                                       prior: Map[String, Double],
+                                       passesDone: Int,
+                                       minShared: Int = 8): Option[String] = {
+    val shared = mins.keysIterator.count(k => prior.get(k).exists(_ > 0))
+    if (shared < minShared) None
+    else {
+      val d = boxDrift(mins, prior)
+      def fmt(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      if (d >= CatastrophicDrift)
+        Some(s"boxdrift ${fmt(d)} >= ${fmt(CatastrophicDrift)} over $shared keys")
+      else if (passesDone >= 2 && d > MaxCleanDrift)
+        Some(s"boxdrift ${fmt(d)} > ${fmt(MaxCleanDrift)} after min-2 over $shared keys")
+      else None
+    }
+  }
 
   /** Is a prior artifact's text fit to arm the regression gate? A
     * self-marked invalid artifact, one whose (last-emitted) passes
@@ -217,7 +261,11 @@ object Bench {
           "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(t).map(_.group(1))
         val wideEnough =
           parsePriorQueries(line).size >= parsePriorQueries(old).size
-        val sameSf = sfOf(line) == sfOf(old)
+        // An artifact predating the "sf" field is trusted as
+        // same-scale (mirrors priorUsable's rule for passes/singles;
+        // round-14 ADVICE: strict Option equality made a legacy clean
+        // artifact permanently unreplaceable without FORCE_LOCAL).
+        val sameSf = sfOf(old).forall(o => sfOf(line).contains(o))
         if (priorUsable(line) && wideEnough && sameSf) Local
         else "BENCH_SPOT.json"
     }
@@ -307,6 +355,9 @@ object Bench {
     // uniform fleet-wide slowdown the capped norm no longer hides is
     // still visible to a human reading the line (round-10 ADVICE)
     val driftSeen = new java.util.concurrent.atomic.AtomicReference[Option[Double]](None)
+    // mid-run contention abort ([[contentionVerdict]]): once set, only
+    // remaining FIRST runs proceed and every quality sweep is skipped
+    val abortedRef = new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
 
     // Local-iteration knob: BENCH_ONLY=q55,q92 times just those queries
     // (exact name or prefix). Unset (the driver's case) → full inventory.
@@ -413,7 +464,8 @@ object Bench {
       // closing-artifact self-defense (round-12 finding 2): a drifted
       // or min-2-incomplete run NAMES itself invalid so neither the
       // judge nor a future gate ([[priorUsable]]) stamps it
-      val invalidField = invalidReason(passesDone.get, singles, driftSeen.get)
+      val invalidField = invalidReason(passesDone.get, singles, driftSeen.get,
+          abortedRef.get)
         .map(r => s""","invalid":true,"invalid_reason":"$r"""").getOrElse("")
       val prefix = s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":${passesDone.get},"reruns":${rerunsDone.get},"singles":$singles,"settled":${settledNames.size}$driftField$invalidField,"queries":"""
       val suffix = s"""$cancelledField$regressedField,"sf":"$sfDir"}"""
@@ -521,16 +573,70 @@ object Bench {
     // budget and silently degraded every cheap query back to min-of-2
     // (and settling after ONE run reported cold-pass times as minima —
     // qs4 +20% against its own unchanged code).
+    // Prior artifact — loaded BEFORE the pass loop since round 15: the
+    // mid-run contention probe needs it (the gate below reuses it).
+    // See the gate's comments for the selection rules (newest USABLE
+    // BENCH_r*.json, local fills truncation-lost keys, BENCH_PRIOR
+    // overrides).
+    def readFile(p: String): Option[String] = readFileStatic(p)
+    val priorText: Option[String] = sys.env.get("BENCH_PRIOR").flatMap(readFile)
+      .orElse {
+        val names = Option(new java.io.File(".").listFiles())
+          .map(_.map(_.getName).toIndexedSeq).getOrElse(IndexedSeq.empty)
+          .filter(_.matches("BENCH_r\\d+\\.json"))
+          .sortBy(-_.replaceAll("\\D", "").toInt)
+        names.iterator.flatMap(readFile).find(priorUsable)
+      }
+    val localPrior: Map[String, Double] =
+      readFile("BENCH_LOCAL.json")
+        .filter(_.contains(s""""sf":"$sfDir""""))
+        .filter(priorUsable) // a drifted local run must not ratchet the gate
+        .map(parsePriorQueries).getOrElse(Map.empty)
+    val prior = localPrior ++ priorText.map(parsePriorQueries).getOrElse(Map.empty)
+
+    def minsNow: Map[String, Double] = inventory.flatMap(q =>
+      if (best.containsKey(q.name))
+        Some(shortKey(q.name) -> (best.get(q.name): Double))
+      else None).toMap
+    // CONTENTION FAST-ABORT (round-14 finding 2; [[contentionVerdict]]):
+    // probed after every completed pass and every 16 entries within
+    // one. Once tripped, the run degrades to completeness-only —
+    // remaining FIRST runs still execute (the driver contract wants
+    // every key in the line) under the per-query cap, while passes
+    // 2..N, the min-2 top-up, the regression reruns and the drift
+    // retry are all skipped and the artifact stamps itself
+    // "contention-abort" invalid. WORST-CASE WALL BOUND: one
+    // first-run sweep (≤ deadlineSec ≈ 6.5 s × inventory, each entry
+    // ≤ queryTimeoutSec) + the capped concurrent sweep for anything
+    // the deadline starved (≤ missing × queryTimeoutSec / conc) —
+    // ≈ 1.5× a clean inventory's wall, instead of round 14's 4,284 s
+    // / 107-rerun spiral that ended in an rc-124 truncated tail.
+    def probeContention(): Unit =
+      if (abortedRef.get.isEmpty)
+        contentionVerdict(minsNow, prior, passesDone.get).foreach { r =>
+          Console.err.println(s"[bench] CONTENTION ABORT: $r — finishing " +
+            "first runs only, skipping quality sweeps, emitting invalid")
+          abortedRef.set(Some(r))
+        }
+
     var passes = 0
-    while (passes < maxPasses && elapsed < deadlineSec) {
+    while (passes < maxPasses && elapsed < deadlineSec && abortedRef.get.isEmpty) {
+      var sinceProbe = 0
       inventory.foreach { q =>
         val settled = best.containsKey(q.name) &&
           best.get(q.name) >= longQuerySec && runs.getOrDefault(q.name, 0) >= 2
-        if (elapsed < deadlineSec && !settled)
+        // after an abort mid-pass, only entries with NO run yet proceed
+        val firstRun = !best.containsKey(q.name) && !bestCancelled.containsKey(q.name)
+        if (elapsed < deadlineSec && !settled &&
+            (abortedRef.get.isEmpty || firstRun)) {
           timeOne(q, s"seq$passes", math.min(queryTimeoutSec, deadlineSec - elapsed))
+          sinceProbe += 1
+          if (sinceProbe % 16 == 0) probeContention()
+        }
       }
       passes += 1
       if (elapsed < deadlineSec) passesDone.incrementAndGet()
+      probeContention()
     }
 
     // Concurrent sweep for anything the deadline starved — guarantees a
@@ -538,8 +644,13 @@ object Bench {
     val missing = inventory.filterNot(q => best.containsKey(q.name))
     if (missing.nonEmpty && conc > 0) {
       val pool = Executors.newFixedThreadPool(conc)
+      // under a contention abort the sweep is completeness-only and
+      // per-query capped — the wall bound above depends on this
+      // (an uncapped conc run on a contended box is unbounded)
+      val concBudget =
+        if (abortedRef.get.isDefined) queryTimeoutSec else Double.MaxValue
       missing.foreach(q => pool.submit(new Runnable {
-        def run(): Unit = timeOne(q, "conc")
+        def run(): Unit = timeOne(q, "conc", concBudget)
       }))
       pool.shutdown()
       pool.awaitTermination(1, TimeUnit.DAYS)
@@ -562,7 +673,8 @@ object Bench {
     // the 90 s query cap (cancelled, runs not counted), completed once
     // warm, and nothing retried it because the passes looked complete.
     val min2Budget = sys.env.getOrElse("BENCH_MIN2_BUDGET_SEC", "240").toDouble
-    if (inventory.exists(q => runs.getOrDefault(q.name, 0) == 1)) {
+    if (abortedRef.get.isEmpty &&
+        inventory.exists(q => runs.getOrDefault(q.name, 0) == 1)) {
       val min2Deadline = elapsed + min2Budget
       inventory.filter(q => runs.getOrDefault(q.name, 0) == 1)
         .sortBy(q => best.getOrDefault(q.name, Double.MaxValue))
@@ -593,15 +705,7 @@ object Bench {
     // — pure contention) are skipped, newest-first, so the gate is
     // armed with the last CLEAN round's numbers instead of garbage.
     // BENCH_PRIOR overrides unconditionally (operator knows best).
-    def readFile(p: String): Option[String] = readFileStatic(p)
-    val priorText: Option[String] = sys.env.get("BENCH_PRIOR").flatMap(readFile)
-      .orElse {
-        val names = Option(new java.io.File(".").listFiles())
-          .map(_.map(_.getName).toIndexedSeq).getOrElse(IndexedSeq.empty)
-          .filter(_.matches("BENCH_r\\d+\\.json"))
-          .sortBy(-_.replaceAll("\\D", "").toInt)
-        names.iterator.flatMap(readFile).find(priorUsable)
-      }
+    //
     // the driver artifact's truncation can leave the gate covering only
     // the BACK of the map (salvage) or nothing; the prior round's
     // committed BENCH_LOCAL.json is the COMPLETE line — read BEFORE
@@ -615,20 +719,20 @@ object Bench {
     // same-round-artifact comparability holds. Local trusted only at
     // THIS run's SF — a dev subset run at another scale must not arm
     // the gate with incomparable numbers.
-    val localPrior: Map[String, Double] =
-      scala.util.Try(new String(
-        java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_LOCAL.json")),
-        java.nio.charset.StandardCharsets.UTF_8)).toOption
-        .filter(_.contains(s""""sf":"$sfDir""""))
-        .filter(priorUsable) // a drifted local run must not ratchet the gate
-        .map(parsePriorQueries).getOrElse(Map.empty)
-    val prior = localPrior ++ priorText.map(parsePriorQueries).getOrElse(Map.empty)
+    //
+    // (priorText/localPrior/prior are LOADED above the pass loop since
+    // round 15 — the contention probe shares them.)
+    //
+    // Under a contention abort the reruns and the drift retry are
+    // SKIPPED (they are exactly the round-14 spiral); stillRegressed
+    // and driftSeen still record the honest final comparison so the
+    // invalid artifact names what it saw.
     if (prior.nonEmpty) {
-      def mins: Map[String, Double] = inventory.flatMap(q =>
-        if (best.containsKey(q.name))
-          Some(shortKey(q.name) -> (best.get(q.name): Double))
-        else None).toMap
+      def mins: Map[String, Double] = minsNow
+      if (abortedRef.get.isDefined) {
+        stillRegressed.set(regressedKeys(mins, prior))
+        driftSeen.set(Some(boxDrift(mins, prior)))
+      } else {
       val rerunDeadline =
         elapsed + sys.env.getOrElse("BENCH_RERUN_BUDGET_SEC", "150").toDouble
       regressedKeys(mins, prior).foreach { key =>
@@ -675,6 +779,7 @@ object Bench {
         }
         stillRegressed.set(regressedKeys(mins, prior))
         driftSeen.set(Some(boxDrift(mins, prior)))
+      }
       }
     }
 

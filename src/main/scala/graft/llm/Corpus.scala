@@ -1554,7 +1554,13 @@ object Corpus {
         .withColumn("sumw",
           sum(when(!col("capped"), col("weight_ppm")).otherwise(lit(0L))).over(all))
         .withColumn("rem", greatest(lit(budgetTokens) - col("used"), lit(0L)))
-        .withColumn("share", expr(shareExpr))
+        // capped rows skip the guarded product entirely (round-14
+        // ADVICE: the local path only calls share() for uncapped rows,
+        // so in the rem*weight overflow regime an ungated expression
+        // would raise here where the local path succeeds — the paths
+        // must fail identically to keep the bit-equal contract)
+        .withColumn("share",
+          expr(s"CASE WHEN capped THEN 0L ELSE ($shareExpr) END"))
         .withColumn("capped", col("capped") || col("share") >= col("cap"))
         .select("domain", "tokens", "weight_ppm", "cap", "capped"))
     }

@@ -336,13 +336,28 @@ object SyncQueries {
       // live store rm'd by another process's entry (round-13 ADVICE:
       // with a shared fixed path the losing run records a spuriously
       // fast 'completed' min because timeOne swallows the Throwable).
-      val base = sys.props("java.io.tmpdir") + "/graft_q172_pit_" +
+      val tmpRoot = sys.props("java.io.tmpdir")
+      val base = tmpRoot + "/graft_q172_pit_" +
         ProcessHandle.current().pid()
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete()
       }
       rm(new java.io.File(base))
+      // Also reap siblings left by DEAD processes (round-14 ADVICE:
+      // pid-suffixed dirs otherwise accumulate one store per bench/
+      // verify JVM forever). A live pid's dir is never touched — that
+      // is the whole point of the suffix.
+      Option(new java.io.File(tmpRoot).listFiles()).foreach(_.foreach { f =>
+        val n = f.getName
+        if (n.startsWith("graft_q172_pit_")) {
+          val pid = n.stripPrefix("graft_q172_pit_")
+          if (pid.forall(_.isDigit) && pid.nonEmpty &&
+              scala.util.Try(!ProcessHandle.of(pid.toLong)
+                .map[Boolean](_.isAlive).orElse(false)).getOrElse(false))
+            rm(f)
+        }
+      })
       new WebhookPipeline(s"$base/store",
         config = SyncConfig(eventsLedger = true)).processBatch(raw, 0L)
       val bounds = s.read.parquet(s"$base/store/events")

@@ -208,5 +208,46 @@ class BenchGateSpec extends AnyFunSuite {
     // operator override wins unconditionally
     assert(Bench.localEmitTarget(line(3, invalid = true), Some(clean193),
       force = true) == "BENCH_LOCAL.json")
+    // a clean existing artifact PREDATING the sf field is trusted as
+    // same-scale (round-14 ADVICE: strict Option equality made a
+    // legacy artifact unreplaceable by any clean full-width run)
+    val legacyNoSf = clean193.replaceAll(""","sf":"[^"]*"""", "")
+    assert(!legacyNoSf.contains("\"sf\""))
+    assert(Bench.localEmitTarget(line(193), Some(legacyNoSf))
+      == "BENCH_LOCAL.json")
+    // ...while a narrow run still cannot displace it
+    assert(Bench.localEmitTarget(line(3), Some(legacyNoSf))
+      == "BENCH_SPOT.json")
+  }
+
+  test("contentionVerdict: the round-14 spiral trips the fast-abort, cold passes and narrow runs do not") {
+    val prior = (1 to 50).map(i => s"q$i" -> 1.0).toMap
+    def mins(ratio: Double, n: Int = 50): Map[String, Double] =
+      (1 to n).map(i => s"q$i" -> ratio).toMap
+
+    // the round-14 driver window, in miniature: untouched keys reading
+    // many-x mid-pass-0 — catastrophic, abort regardless of pass count
+    assert(Bench.contentionVerdict(mins(5.0), prior, passesDone = 0).isDefined)
+    // a COLD first pass (~1.3x median) must NOT abort — min-of-2 absorbs it
+    assert(Bench.contentionVerdict(mins(1.3), prior, passesDone = 0).isEmpty)
+    assert(Bench.contentionVerdict(mins(1.3), prior, passesDone = 1).isEmpty)
+    // ...but the same drift AFTER min-2 coverage means the window is
+    // lost: the artifact could never grade clean, so stop spending
+    assert(Bench.contentionVerdict(mins(1.3), prior, passesDone = 2).isDefined)
+    // a clean run never aborts at any pass count
+    assert(Bench.contentionVerdict(mins(1.05), prior, passesDone = 3).isEmpty)
+    // too few shared keys (narrow BENCH_ONLY run / no prior): no verdict
+    assert(Bench.contentionVerdict(mins(5.0, n = 3), prior, passesDone = 2).isEmpty)
+    assert(Bench.contentionVerdict(mins(5.0), Map.empty, passesDone = 2).isEmpty)
+    // the verdict reason lands in invalid_reason via the aborted param,
+    // taking priority so the artifact names WHY it stopped
+    val reason = Bench.contentionVerdict(mins(5.0), prior, 0).get
+    assert(Bench.invalidReason(3, 0, Some(1.0), Some(reason))
+      .exists(r => r.startsWith("contention-abort: ") && r.contains("boxdrift")))
+    // Locale-proof formatting (the invalidReason discipline)
+    val dflt = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.GERMANY)
+    try assert(Bench.contentionVerdict(mins(1.3), prior, 2).get.contains("1.300"))
+    finally java.util.Locale.setDefault(dflt)
   }
 }
