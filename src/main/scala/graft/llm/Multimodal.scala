@@ -385,6 +385,118 @@ object Multimodal {
         sum(expr("1000000L DIV rank")).as("rr_sum_ppm"))
   }
 
+  /** CAPTION–IMAGE AGREEMENT SCORE — one decode-seam scan emitting the
+    * cross-modal cosine per PAIRED asset (LAION / DataComp's curation
+    * signal: CLIP similarity between an image and its caption; Schuhmann
+    * et al. 2021 filter at cosine 0.3). Both modality embeddings are
+    * the [[bigramHistogram]] stub computed in ONE mapPartitions pass
+    * over the payload (full payload = "image", second half = "caption"
+    * — the q186 construction), fused so the corpus is scanned once and
+    * the output is the narrowest possible frame: (doc_id, lang,
+    * agree_ppm) with agree_ppm = ⌊cosine·10⁶⌋. Counts are
+    * integer-valued doubles, so dot/norm/floor are bit-identical on
+    * any engine; zero-norm sides (payloads under 2 bytes, or an empty
+    * half) score 0 — an asset with no caption content has no measurable
+    * agreement and belongs below every calibrated threshold. */
+  def captionAgreementScores(docs: DataFrame, dim: Int = 16): DataFrame = {
+    val withBytes = withPayload(docs)
+      .select(col("doc_id"), col("lang"), col("payload"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("agree_ppm", LongType)))
+    implicit val enc = RowEncoder.encoderFor(schema)
+    withBytes.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](2)
+        val n = if (bytes == null) 0 else bytes.length
+        val full = new Array[Double](dim)
+        val half = new Array[Double](dim)
+        var i = 0
+        while (i < n - 1) {
+          val slot = ((bytes(i) & 0xFF) * 31 + (bytes(i + 1) & 0xFF)) % dim
+          full(slot) += 1.0
+          if (i >= n / 2) half(slot) += 1.0
+          i += 1
+        }
+        var dot = 0.0; var n2f = 0.0; var n2h = 0.0
+        var j = 0
+        while (j < dim) {
+          dot += full(j) * half(j)
+          n2f += full(j) * full(j)
+          n2h += half(j) * half(j)
+          j += 1
+        }
+        val agree =
+          if (n2f == 0.0 || n2h == 0.0) 0L
+          else math.floor(dot / (math.sqrt(n2f) * math.sqrt(n2h)) * 1e6).toLong
+        Row(r.getLong(0), r.getString(1), agree)
+      }
+    }
+  }
+
+  /** CAPTION–IMAGE AGREEMENT FILTER — the curation step after the
+    * eval ([[crossModalEval]] measures corpus-wide retrieval quality;
+    * THIS drops the individual pairs whose modalities disagree): each
+    * asset keeps iff its [[captionAgreementScores]] cosine clears a
+    * PER-LANGUAGE calibrated threshold — the `dropPermille` lower tail
+    * of that language's score distribution drops (a fixed global
+    * cosine cut is miscalibrated across languages/stub-alphabets; the
+    * q166 discipline calibrates per group). The threshold derives from
+    * MAINTAINED histogram state: per-language bucket counts fold
+    * mergeably across ingest batches ([[graft.operators
+    * .IncrementalAgg]] — here two doc-disjoint batches, proving
+    * fold == one-shot by the oracle hash), so at 100 TB the
+    * calibration never rescans history.
+    *
+    * Scale shape: one decode-seam scan (the scores), one map-side
+    * bucket aggregate per batch over (lang, bucket) — tiny state —
+    * and a BROADCAST threshold join + narrow CASE back on the scores.
+    * No sort, no window over the corpus. Returns (doc_id, lang,
+    * agree_ppm, thr_ppm, keep) — `keep` = 1 iff agree_ppm ≥ the
+    * language's threshold; languages with no calibrated bucket (never
+    * at this arithmetic: every scored doc lands in some bucket) keep
+    * by default, the [[graft.llm.Corpus.tiersFromThresholds]]
+    * fail-open rule. */
+  def captionAgreementFilter(docs: DataFrame, dim: Int = 16,
+                             dropPermille: Int = 250,
+                             bucketPpm: Long = 50000L): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val scored = Stage(captionAgreementScores(docs, dim))
+    val folded = IncrementalAgg.mergeHistogram(Seq("lang"),
+      IncrementalAgg.histogramState(
+        scored.filter(col("doc_id") % 2 === 0), Seq("lang"), "agree_ppm", bucketPpm),
+      IncrementalAgg.histogramState(
+        scored.filter(col("doc_id") % 2 =!= 0), Seq("lang"), "agree_ppm", bucketPpm))
+    val thr = IncrementalAgg.quantilesFromState(folded, Seq("lang"),
+        bucketPpm, Seq(dropPermille))
+      .select(col("lang"), col("est_upper").as("thr_ppm"))
+    scored.join(broadcast(thr), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("agree_ppm"),
+        coalesce(col("thr_ppm"), lit(Long.MinValue)).as("thr_ppm"),
+        when(col("thr_ppm").isNull || col("agree_ppm") >= col("thr_ppm"), 1L)
+          .otherwise(0L).as("keep"))
+  }
+
+  /** [[captionAgreementFilter]]'s verdict joined back onto the batch as
+    * `agree_pass` — the composition seam into ingest (the
+    * [[attachQualityVerdict]] pattern): pass the result as the batch
+    * with `qualityPred = Some(col("agree_pass") === 1)` and
+    * [[graft.streaming.CorpusIngest.processBatch]] quarantines
+    * disagreeing pairs with reason 'quality' at the door. `thresholds`
+    * is the maintained (lang, thr_ppm) table — at serving time it
+    * comes from folded histogram state, not a rescan, so this is a
+    * broadcast join + narrow expression per batch row. */
+  def attachAgreementVerdict(batch: DataFrame, thresholds: DataFrame,
+                             dim: Int = 16): DataFrame =
+    batch.join(
+      captionAgreementScores(batch, dim)
+        .join(broadcast(thresholds), Seq("lang"), "left")
+        .select(col("doc_id"),
+          when(col("thr_ppm").isNull || col("agree_ppm") >= col("thr_ppm"), 1L)
+            .otherwise(0L).as("agree_pass")),
+      Seq("doc_id"), "left")
+
   /** Deterministic frame/patch sampling stub: every asset yields
     * ceil(n_bytes / stride) "frames", each a bounded slice of the payload —
     * the explode-shaped plumbing a video pipeline needs (asset → frames

@@ -1468,6 +1468,60 @@ object CurationQueries {
     ) { (s, dir) =>
       graft.llm.Multimodal.dataCard(Tables(s, dir, "documents"))
         .orderBy("fmt", "pass")
+    },
+
+    // CAPTION–IMAGE AGREEMENT FILTER (round-14 judge task 3) — the
+    // LAION-style curation step after q186's eval: per asset, the
+    // cross-modal cosine between the two stub embeddings (full payload
+    // = image, second half = caption; ONE fused decode-seam scan), and
+    // a keep/drop verdict against a PER-LANGUAGE threshold calibrated
+    // off maintained histogram state (the q166 discipline: two
+    // doc-disjoint batches fold mergeably — the oracle's one-shot
+    // histogram proves fold == one-shot by the hash). The gate itself
+    // is a broadcast join + narrow CASE: no sort anywhere near the
+    // corpus. All counts are integer-valued doubles, so dot/norm/floor
+    // are bit-identical cross-engine.
+    Q("q189_caption_agreement",
+      """WITH bgx AS (SELECT doc_id, s.p AS p, s.sl AS slot
+        |      FROM (SELECT doc_id, unnest(list_transform(range(1, length(text)),
+        |          i -> {'p': i, 'sl': (ascii(substr(text, CAST(i AS INTEGER), 1)) * 31
+        |                + ascii(substr(text, CAST(i + 1 AS INTEGER), 1))) % 16})) AS s
+        |        FROM documents WHERE length(text) >= 2)),
+        | imgs AS MATERIALIZED (SELECT doc_id, slot, CAST(count(*) AS BIGINT) AS v
+        |       FROM bgx GROUP BY 1, 2),
+        | txts AS MATERIALIZED (SELECT b.doc_id, b.slot, CAST(count(*) AS BIGINT) AS v
+        |       FROM bgx b JOIN (SELECT doc_id, length(text) AS n FROM documents) d
+        |         USING (doc_id)
+        |       WHERE b.p > d.n // 2 GROUP BY 1, 2),
+        | fn AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM imgs GROUP BY 1),
+        | hn AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM txts GROUP BY 1),
+        | dp AS (SELECT i.doc_id, CAST(sum(i.v * t.v) AS DOUBLE) AS dp
+        |        FROM imgs i JOIN txts t ON i.doc_id = t.doc_id AND i.slot = t.slot
+        |        GROUP BY 1),
+        | sc AS (SELECT d.doc_id, d.lang,
+        |         CASE WHEN f.n2 IS NULL OR h.n2 IS NULL OR f.n2 = 0 OR h.n2 = 0
+        |                OR p.dp IS NULL THEN 0
+        |              ELSE CAST(floor(p.dp / (sqrt(CAST(f.n2 AS DOUBLE))
+        |                * sqrt(CAST(h.n2 AS DOUBLE))) * 1000000) AS BIGINT)
+        |         END AS agree_ppm
+        |        FROM documents d LEFT JOIN fn f USING (doc_id)
+        |         LEFT JOIN hn h USING (doc_id) LEFT JOIN dp p USING (doc_id)),
+        | h2 AS (SELECT lang, agree_ppm // 50000 AS bucket, count(*) AS n
+        |        FROM sc GROUP BY 1, 2),
+        | c2 AS (SELECT lang, bucket,
+        |         CAST(sum(n) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum,
+        |         CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_total
+        |        FROM h2),
+        | thr AS (SELECT lang, CAST(min((bucket + 1) * 50000 - 1) AS BIGINT) AS thr_ppm
+        |         FROM c2 WHERE cum * 1000 >= n_total * 250 GROUP BY 1)
+        |SELECT s.doc_id, s.lang, s.agree_ppm, t.thr_ppm,
+        | CAST(CASE WHEN s.agree_ppm >= t.thr_ppm THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM sc s JOIN thr t USING (lang) ORDER BY s.doc_id""".stripMargin
+    ) { (s, dir) =>
+      graft.llm.Multimodal.captionAgreementFilter(
+          Tables(s, dir, "documents"), dim = 16,
+          dropPermille = 250, bucketPpm = 50000L)
+        .orderBy("doc_id")
     }
   )
 }

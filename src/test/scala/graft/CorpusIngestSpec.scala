@@ -249,6 +249,36 @@ class CorpusIngestSpec extends SparkSpec {
       qualityPred = Some(col("mm_pass") === 1)) == 0L)
   }
 
+  test("caption agreement verdict composes as the quality gate: the disagreeing pair quarantines as 'quality'") {
+    import graft.llm.Multimodal
+    val root = tmpDir("cingest_agree")
+    val corpusDir = s"$root/corpus"; val sigDir = s"$root/sigs"
+    // maintained thresholds (lang, thr_ppm) — at serving time these come
+    // off folded histogram state; here a fixed calibration sits between
+    // the matched (~0.9997) and mismatched (~0.687) cosines
+    val thresholds = Seq(("aa", 900000L)).toDF("lang", "thr_ppm")
+    val batch = Seq(
+      (1L, "aa", "ab" * 20),                 // caption ∝ image: agrees
+      (2L, "aa", "ab" * 10 + "ce" * 10),     // halves disagree: drops
+      (3L, "aa", "cd" * 20)                  // a different agreeing pair
+    ).toDF("doc_id", "lang", "text")
+    val withVerdict = Multimodal.attachAgreementVerdict(batch, thresholds)
+    assert(CorpusIngest.processBatch(withVerdict, corpusDir, sigDir,
+      batchId = 11L, qualityPred = Some(col("agree_pass") === 1)) == 2L)
+    assert(spark.read.parquet(corpusDir).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 3L))
+    val q = spark.read.parquet(s"${sigDir}_quarantine")
+      .select("doc_id", "reason").as[(Long, String)].collect().toSet
+    assert(q == Set((2L, "quality")))
+    // the reject was never ledgered: a re-captioned (agreeing) re-send
+    // of the same id is admitted — the door contract
+    val fixed = Seq((2L, "aa", "ef" * 20)).toDF("doc_id", "lang", "text")
+    assert(CorpusIngest.processBatch(
+      Multimodal.attachAgreementVerdict(fixed, thresholds),
+      corpusDir, sigDir, batchId = 12L,
+      qualityPred = Some(col("agree_pass") === 1)) == 1L)
+  }
+
   test("maintained sample equals the one-shot sample of everything admitted; crash repair lands on the same rows") {
     val root = tmpDir("corpus_smp")
     val corpusDir = s"$root/docs"; val sigDir = s"$root/sigs"

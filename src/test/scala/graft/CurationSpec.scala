@@ -282,6 +282,41 @@ class CurationSpec extends SparkSpec {
     assert(rr == 4L * 1000000L + 500000L)
   }
 
+  test("captionAgreementFilter: planted mismatched pairs drop, matched pairs survive the calibrated gate") {
+    import graft.llm.Multimodal
+    // periodic two-char docs concentrate on two slots set by the char
+    // DIFFERENCE (31 ≡ −1 mod 16, see the crossModalEval test): a doc
+    // whose second half repeats the SAME pattern as the whole has
+    // caption ∝ image (cosine ≈ 1), while a doc whose halves use
+    // DIFFERENT diffs splits the image mass across both slot pairs but
+    // leaves the caption on one — cosine ≈ 0.5. Six matched + two
+    // planted mismatched in one language: the 250-permille calibrated
+    // threshold sits between the populations, so exactly the planted
+    // pair drops.
+    val matched = (1L to 6L).map(i => (i, "aa", "ab" * 20))
+    val mismatched = Seq(
+      (7L, "aa", "ab" * 10 + "ce" * 10),  // halves on slots {1,15} vs {2,14}
+      (8L, "aa", "ab" * 10 + "cf" * 10))  // halves on slots {1,15} vs {3,13}
+    val docs = (matched ++ mismatched).toDF("doc_id", "lang", "text")
+    val out = Multimodal.captionAgreementFilter(docs, dim = 16,
+        dropPermille = 250, bucketPpm = 50000L)
+      .select("doc_id", "agree_ppm", "thr_ppm", "keep")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    // matched pairs: near-perfect agreement, all kept
+    (1L to 6L).foreach { i =>
+      assert(byId(i)._2 > 900000L, s"doc $i agree=${byId(i)._2}")
+      assert(byId(i)._4 == 1L, s"doc $i must survive")
+    }
+    // planted mismatches: visibly lower cosine, both dropped by the
+    // per-language threshold (one threshold for the whole lang group)
+    Seq(7L, 8L).foreach { i =>
+      assert(byId(i)._2 < 800000L, s"doc $i agree=${byId(i)._2}")
+      assert(byId(i)._4 == 0L, s"doc $i must drop")
+    }
+    assert(out.map(_._3).distinct.length == 1, "one calibrated threshold per lang")
+  }
+
   test("frequencySpectrum counts types per count with exact GT adjustment") {
     import graft.llm.Corpus
     // tokens: a×3, b×2, c×1 → N_1=1, N_2=1, N_3=1
