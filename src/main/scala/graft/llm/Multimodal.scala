@@ -385,6 +385,74 @@ object Multimodal {
         sum(expr("1000000L DIV rank")).as("rr_sum_ppm"))
   }
 
+  /** ANN-FED CROSS-MODAL RETRIEVAL EVAL — [[crossModalEval]]'s 100 TB
+    * serving form (the promise in that scaladoc): instead of ranking
+    * the true pair against EVERY image embedding (one full-corpus scan
+    * per eval), candidates come from the composite LSH index
+    * ([[Similarity.lshCompositeCandidates]] — the same deterministic
+    * plane construction the ANN serving path hashes with), and the
+    * true pair's rank is counted WITHIN the retrieved set. A probe
+    * whose true pair the index fails to retrieve is a MISS — reported
+    * through `n_retrieved` (< `n_queries` measures index recall on the
+    * true pairs) and contributing nothing to hits/rr, exactly how a
+    * production eval over an ANN index reads.
+    *
+    * Scale shape: the corpus-side bucket table is one narrow
+    * projection of the image histograms (no shuffle), the probe side
+    * is bounded × broadcast with its probe-bucket explosion
+    * (L·Σ C(planes,i) rows per probe), and the candidate join is an
+    * equi-join on (tbl, bucket) followed by id-equi-joins back to the
+    * embeddings — never a probes × corpus cross join. Recall floors vs
+    * the exact form are spec-asserted (AnnRecallSpec discipline);
+    * `dropSelfPairs = false` because text and image sides share the
+    * id namespace and (i,i) IS the true pair. */
+  def crossModalEvalAnn(docs: DataFrame, k: Int = 5, dim: Int = 16,
+                        perLang: Int = 8, planes: Int = 4,
+                        tables: Int = 1, probeHamming: Int = 1): DataFrame = {
+    import graft.llm.{Corpus, Similarity, Stage}
+    val img = Stage(bigramHistogram(docs, dim, fromHalf = false))
+    val txt = bigramHistogram(docs, dim, fromHalf = true)
+    val probeIds = Corpus.balancedSample(docs, "lang", perLang)
+      .select(col("doc_id"), col("lang"))
+    val probes = broadcast(Stage(txt.join(probeIds, Seq("doc_id"))
+      .select(col("doc_id").as("query_id"), col("lang"),
+        col("features").as("q_emb"))
+      .withColumn("q_norm", Similarity.norm(col("q_emb")))
+      .filter(col("q_norm") > 0)))
+    val cands = img
+      .select(col("doc_id").as("cand_id"), col("features").as("c_emb"))
+      .withColumn("c_norm", Similarity.norm(col("c_emb")))
+      .filter(col("c_norm") > 0)
+    val candPairs = Similarity.lshCompositeCandidates(
+      cands.select(col("cand_id").as("vec_id"), col("c_emb").as("embedding")),
+      probes.select(col("query_id").as("vec_id"), col("q_emb").as("embedding")),
+      planes, dim, tables, probeHamming, dropSelfPairs = false)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"))
+    val scored = candPairs
+      .join(cands, Seq("cand_id"))
+      .join(probes, Seq("query_id"))
+      .withColumn("sim", Similarity.dot(col("q_emb"), col("c_emb")) /
+        (col("q_norm") * col("c_norm")))
+      .select("query_id", "lang", "cand_id", "sim")
+    // the true pair counts only when the INDEX retrieved it — the whole
+    // point of the ANN-fed form; rank is counted within the candidates
+    val tru = scored.filter(col("cand_id") === col("query_id"))
+      .select(col("query_id"), col("sim").as("sim_true"))
+    val ranks = scored.join(tru, Seq("query_id"))
+      .groupBy("query_id")
+      .agg((lit(1L) + sum(when(col("sim") > col("sim_true") ||
+          (col("sim") === col("sim_true") && col("cand_id") < col("query_id")),
+        1L).otherwise(0L))).as("rank"))
+    probes.select("query_id", "lang")
+      .join(ranks, Seq("query_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("rank").isNotNull, 1L).otherwise(0L)).as("n_retrieved"),
+        sum(when(col("rank") === 1L, 1L).otherwise(0L)).as("hits_at1"),
+        sum(when(col("rank") <= k, 1L).otherwise(0L)).as(s"hits_at$k"),
+        coalesce(sum(expr("1000000L DIV rank")), lit(0L)).as("rr_sum_ppm"))
+  }
+
   /** CAPTION–IMAGE AGREEMENT SCORE — one decode-seam scan emitting the
     * cross-modal cosine per PAIRED asset (LAION / DataComp's curation
     * signal: CLIP similarity between an image and its caption; Schuhmann

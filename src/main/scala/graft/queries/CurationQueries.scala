@@ -1522,6 +1522,92 @@ object CurationQueries {
           Tables(s, dir, "documents"), dim = 16,
           dropPermille = 250, bucketPpm = 50000L)
         .orderBy("doc_id")
+    },
+
+    // ANN-FED CROSS-MODAL EVAL (round-14 judge task 6) — q186's eval
+    // served off the LSH index instead of a full corpus scan: probes'
+    // caption histograms hash into the single-table 4-plane composite
+    // index (hamming ≤ 1 probing), the true pair ranks WITHIN the
+    // retrieved candidates, and a probe whose true pair the index
+    // missed reports through n_retrieved (index recall on true pairs)
+    // without contributing hits/rr. The oracle replays the plane
+    // weights (the q36 ±1 construction at dim 16), both sides'
+    // buckets, the hamming-1 candidate set, and the counted rank —
+    // dot products are integer-valued doubles, bit-identical.
+    Q("q190_cross_modal_ann",
+      """WITH bgx AS (SELECT doc_id, s.p AS p, s.sl AS slot
+        |      FROM (SELECT doc_id, unnest(list_transform(range(1, length(text)),
+        |          i -> {'p': i, 'sl': (ascii(substr(text, CAST(i AS INTEGER), 1)) * 31
+        |                + ascii(substr(text, CAST(i + 1 AS INTEGER), 1))) % 16})) AS s
+        |        FROM documents WHERE length(text) >= 2)),
+        | imgs AS MATERIALIZED (SELECT doc_id, slot, CAST(count(*) AS BIGINT) AS v
+        |       FROM bgx GROUP BY 1, 2),
+        | txts AS MATERIALIZED (SELECT b.doc_id, b.slot, CAST(count(*) AS BIGINT) AS v
+        |       FROM bgx b JOIN (SELECT doc_id, length(text) AS n FROM documents) d
+        |         USING (doc_id)
+        |       WHERE b.p > d.n // 2 GROUP BY 1, 2),
+        | qn AS MATERIALIZED (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2
+        |       FROM txts GROUP BY 1),
+        | cn AS MATERIALIZED (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2
+        |       FROM imgs GROUP BY 1),
+        | h AS (SELECT doc_id, lang,
+        |        list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+        |            i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |         (a, c) -> (a * 131 + c) % 4294967291) AS hv
+        |       FROM documents),
+        | rsel AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rnk
+        |       FROM h),
+        | probe AS MATERIALIZED (SELECT r.doc_id, r.lang FROM rsel r
+        |       JOIN qn ON qn.doc_id = r.doc_id
+        |       WHERE r.rnk <= 8 AND qn.n2 > 0),
+        | planes AS (SELECT p, list_transform(range(0, 16),
+        |    d -> CASE WHEN ((CAST(p*1021 + d*2039 + 1 AS BIGINT) * 2654435761) >> 13) & 1 = 1
+        |         THEN 1.0 ELSE -1.0 END) AS w
+        |  FROM range(0, 4) t(p)),
+        | imgd AS (SELECT i.doc_id, p.p,
+        |         sum(CAST(i.v AS DOUBLE) * p.w[i.slot + 1]) AS dp
+        |        FROM imgs i JOIN cn ON cn.doc_id = i.doc_id AND cn.n2 > 0
+        |         CROSS JOIN planes p GROUP BY 1, 2),
+        | imgb AS MATERIALIZED (SELECT doc_id,
+        |         CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM imgd GROUP BY 1),
+        | txtd AS (SELECT t.doc_id, p.p,
+        |         sum(CAST(t.v AS DOUBLE) * p.w[t.slot + 1]) AS dp
+        |        FROM txts t JOIN probe pr ON pr.doc_id = t.doc_id
+        |         CROSS JOIN planes p GROUP BY 1, 2),
+        | txtb AS MATERIALIZED (SELECT doc_id,
+        |         CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM txtd GROUP BY 1),
+        | cand AS MATERIALIZED (SELECT t.doc_id AS query_id, i.doc_id AS cand_id
+        |        FROM txtb t JOIN imgb i
+        |         ON bit_count(xor(t.bucket, i.bucket)) <= 1),
+        | dots AS (SELECT c.query_id, c.cand_id,
+        |         CAST(sum(t.v * i.v) AS DOUBLE) AS dp
+        |        FROM cand c JOIN txts t ON t.doc_id = c.query_id
+        |         JOIN imgs i ON i.doc_id = c.cand_id AND i.slot = t.slot
+        |        GROUP BY 1, 2),
+        | sims AS MATERIALIZED (SELECT d.query_id, d.cand_id,
+        |        d.dp / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+        |       FROM dots d JOIN qn q ON q.doc_id = d.query_id
+        |        JOIN cn c ON c.doc_id = d.cand_id),
+        | tru AS (SELECT query_id, sim AS sim_true FROM sims WHERE query_id = cand_id),
+        | rnk2 AS (SELECT s.query_id, CAST(1 + count(*) FILTER (WHERE s.sim > t.sim_true
+        |        OR (s.sim = t.sim_true AND s.cand_id < s.query_id)) AS BIGINT) AS rank
+        |       FROM sims s JOIN tru t USING (query_id) GROUP BY 1)
+        |SELECT p.lang, CAST(count(*) AS BIGINT) AS n_queries,
+        | CAST(count(r.rank) AS BIGINT) AS n_retrieved,
+        | CAST(count(*) FILTER (WHERE r.rank = 1) AS BIGINT) AS hits_at1,
+        | CAST(count(*) FILTER (WHERE r.rank <= 5) AS BIGINT) AS hits_at5,
+        | CAST(coalesce(sum(1000000 // r.rank), 0) AS BIGINT) AS rr_sum_ppm
+        |FROM probe p LEFT JOIN rnk2 r ON r.query_id = p.doc_id
+        |GROUP BY 1 ORDER BY lang""".stripMargin
+    ) { (s, dir) =>
+      graft.llm.Multimodal.crossModalEvalAnn(Tables(s, dir, "documents"),
+          k = 5, dim = 16, perLang = 8, planes = 4, tables = 1,
+          probeHamming = 1)
+        .orderBy("lang")
     }
   )
 }
