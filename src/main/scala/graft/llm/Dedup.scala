@@ -337,6 +337,64 @@ object Dedup {
           col("text"), col("s"), k).as("text_clean"))
   }
 
+  /** VARIABLE-LENGTH duplicate-run removal + extents — the Lee et al.
+    * 2022 suffix-array pass ("remove every maximal substring of ≥ L
+    * tokens appearing in more than one document") restated scalably:
+    * a token lies inside a cross-document duplicated run of length
+    * ≥ `minRun` IFF some duplicated `minRun`-gram covers it (a run of
+    * m ≥ L tokens is the union of its m−L+1 L-grams, and any
+    * duplicated L-gram is itself a duplicated substring of length L),
+    * so ONE positional-gram pass at k = minRun plus run-merging of
+    * CONSECUTIVE flagged starts recovers every maximal run and its
+    * extent — no suffix array, no all-pairs, the exact
+    * [[removeDuplicateSpans]] shuffle budget (two keyed shuffles:
+    * gram df, doc-keyed start collect). Where the fixed-k surgery
+    * only deletes, this REPORTS the runs (count, longest extent) the
+    * analysis side of the Lee et al. pipeline reads, alongside the
+    * same cleaned text.
+    *
+    * Run semantics: a maximal set of CONSECUTIVE flagged starts
+    * [a..b] is one maximal duplicated substring of length b−a+minRun
+    * (chained grams may pair with different partner docs — the
+    * substring is still duplicated at every window, which is the Lee
+    * et al. removal criterion). Two runs separated by a start gap
+    * < minRun overlap in coverage but are distinct maximal runs;
+    * `dup_tokens` is the interval-UNION coverage (what removal
+    * deletes), so Σ run lengths ≥ dup_tokens. Docs under minRun
+    * tokens pass through whole with zero runs. */
+  def duplicateRunStats(docs: DataFrame, minRun: Int = 16,
+                        minDf: Long = 2L): DataFrame = {
+    val k = minRun
+    val grams = Stage(docs.select(col("doc_id"),
+      posexplode(graft.functions.TokenNgrams.token_ngrams(col("text"), k))
+        .as(Seq("pos", "gram"))))
+    val dup = grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("gram")
+    val starts = grams.join(dup, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .withColumn("s", coalesce(col("starts"), array().cast("array<int>")))
+      // maximal-run extents from the sorted starts, narrow expressions:
+      // a run BREAK is a start with no predecessor start+1; a run END a
+      // start with no successor start+1 — element_at is 1-based, the
+      // lambda index 0-based, so element_at(s, i) is the previous
+      // element and element_at(s, i+2) the next
+      .withColumn("breaks", filter(col("s"),
+        (x, i) => i === 0 || x =!= element_at(col("s"), i) + 1))
+      .withColumn("ends", filter(col("s"),
+        (x, i) => i === size(col("s")) - 1 ||
+          x + 1 =!= element_at(col("s"), i + 2)))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(col("breaks")).cast("long").as("n_runs"),
+        coalesce(array_max(zip_with(col("breaks"), col("ends"),
+            (a, b) => b - a + lit(k))), lit(0)).cast("long").as("max_run_len"),
+        graft.functions.GramCounts.covered_count(col("s"), k).as("dup_tokens"),
+        graft.functions.GramCounts.remove_covered_tokens(
+          col("text"), col("s"), k).as("text_clean"))
+  }
+
   /** Remove corpus-duplicate BLOCKS — the C4 "line dedup" stage (Raffel
     * et al. 2020 §2.2 removed any three-sentence span occurring more
     * than once in the corpus) restated for this corpus's single-space

@@ -1330,6 +1330,51 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // VARIABLE-LENGTH duplicate-run removal (round-14 judge task 7; Lee
+    // et al. 2022's suffix-array pass): maximal cross-document runs
+    // ≥ 16 tokens, recovered from ONE positional 16-gram pass +
+    // run-merging of consecutive flagged starts (a length-m run is the
+    // union of its m−15 16-grams — no suffix array, no all-pairs, the
+    // q119 two-shuffle budget). Reports run count + longest extent per
+    // doc next to the union-coverage removal. The oracle merges runs
+    // with the gaps-and-islands window (p − row_number) and rebuilds
+    // the cleaned text with q119's coverage lambda.
+    Q("q191_duplicate_runs",
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+        | g AS (SELECT doc_id, s.p AS p, s.gram AS gram
+        |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(l) - 14),
+        |           i -> {'p': i, 'gram': array_to_string(l[i : i + 15], ' ')})) AS s
+        |         FROM w WHERE len(l) >= 16)),
+        | dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        |         GROUP BY gram HAVING count(*) >= 2),
+        | fl AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
+        | isl AS (SELECT doc_id, p,
+        |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |         FROM fl),
+        | runs AS (SELECT doc_id, count(*) + 15 AS run_len
+        |          FROM isl GROUP BY doc_id, grp),
+        | rs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+        |         CAST(max(run_len) AS BIGINT) AS max_run_len
+        |        FROM runs GROUP BY 1),
+        | st AS (SELECT doc_id, list_sort(list(p)) AS starts FROM fl GROUP BY doc_id),
+        | res AS (SELECT w.doc_id, len(w.l) AS n_tokens,
+        |          list_filter(list_transform(range(1, len(w.l) + 1),
+        |            i -> CASE WHEN len(list_filter(COALESCE(st.starts, []),
+        |                   stt -> stt <= i AND i < stt + 16)) > 0
+        |                 THEN NULL ELSE w.l[i] END), x -> x IS NOT NULL) AS kept
+        |         FROM w LEFT JOIN st USING (doc_id))
+        |SELECT r.doc_id, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+        | CAST(COALESCE(rs.n_runs, 0) AS BIGINT) AS n_runs,
+        | CAST(COALESCE(rs.max_run_len, 0) AS BIGINT) AS max_run_len,
+        | CAST(r.n_tokens - len(kept) AS BIGINT) AS dup_tokens,
+        | COALESCE(list_aggregate(kept, 'string_agg', ' '), '') AS text_clean
+        |FROM res r LEFT JOIN rs USING (doc_id) ORDER BY doc_id""".stripMargin
+    ) { (s, dir) =>
+      Dedup.duplicateRunStats(Tables(s, dir, "documents"), minRun = 16,
+          minDf = 2L)
+        .orderBy("doc_id")
+    },
+
     // ROUND-7 CAPSTONE — the multilingual corpus release: CCNet gate
     // (q114, keep head+middle per language) → cross-doc span removal
     // over the survivors (q119) → temperature-based sampling (q118) →

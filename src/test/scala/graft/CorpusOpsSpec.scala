@@ -552,6 +552,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(4L)._3 == 0L)
   }
 
+  test("duplicateRunStats: maximal runs merge to exact extents, disjoint runs stay separate") {
+    val r20 = (1 to 20).map(i => s"r$i").mkString(" ")  // one 20-token run
+    val s16 = (1 to 16).map(i => s"s$i").mkString(" ")
+    val t16 = (1 to 16).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 u4 u5 $r20 v1 v2 v3 v4 v5"),  // run mid-doc
+      (2L, s"$r20 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // same run at start
+      (3L, s"$s16 x1 x2 x3 x4 x5 x6 x7 x8 $t16"),   // TWO disjoint 16-runs
+      (4L, s"$t16 y1 y2 y3 y4 y5 y6 y7 y8 $s16"),
+      (5L, "entirely unique tokens that never repeat anywhere else at all " +
+        "filling out sixteen plus words to be eligible but unshared")
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.duplicateRunStats(docs, minRun = 16, minDf = 2L)
+      .select("doc_id", "n_runs", "max_run_len", "dup_tokens", "text_clean")
+      .as[(Long, Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    // the 20-token shared run: FIVE overlapping duplicated 16-grams
+    // merge into ONE maximal run of exactly 20 — the variable-length
+    // semantics a fixed-k pass cannot report
+    assert(got(1L) == ((1L, 1L, 20L, 20L, "u1 u2 u3 u4 u5 v1 v2 v3 v4 v5")))
+    assert(got(2L)._2 == 1L && got(2L)._3 == 20L && got(2L)._4 == 20L)
+    // two disjoint 16-token runs separated by unique filler: two runs,
+    // each exactly 16, union coverage 32
+    assert(got(3L)._2 == 2L && got(3L)._3 == 16L && got(3L)._4 == 32L)
+    assert(got(3L)._5 == "x1 x2 x3 x4 x5 x6 x7 x8")
+    assert(got(4L)._2 == 2L && got(4L)._3 == 16L && got(4L)._4 == 32L)
+    // unshared doc: zero runs, text untouched
+    assert(got(5L)._2 == 0L && got(5L)._3 == 0L && got(5L)._4 == 0L)
+    assert(got(5L)._5.startsWith("entirely unique"))
+  }
+
   test("removeDuplicateSpans matches a scala recompute on seeded random corpora") {
     val k = 4
     for (seed <- Seq(11, 42)) {
