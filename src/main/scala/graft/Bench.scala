@@ -178,12 +178,14 @@ object Bench {
     else if (singles > 0) Some(s"min-2 sweep incomplete: singles=$singles")
     else None
 
-  /** Drift level beyond which a run is hopeless even MID-COLD-PASS: a
-    * cold page cache inflates the median ratio ~1.2–1.3× on this box
-    * (measured across the bench_clean retries), never 2×, so a mid-run
-    * median ≥ 2.0 over ≥ `minShared` prior keys is host contention,
-    * not warm-up. Matches [[MaxDriftNorm]] — the same "box noise ends
-    * here" boundary, applied as an abort instead of a cap. */
+  /** Drift level beyond which a run is hopeless once a full first
+    * pass has completed: a COMPLETE cold pass's median ratio vs a
+    * min-of-3 prior measured 1.04 on a calm box (round 15), so a
+    * post-pass median ≥ 2.0 over ≥ `minShared` prior keys is host
+    * contention, not warm-up. Matches [[MaxDriftNorm]] — the same
+    * "box noise ends here" boundary, applied as an abort instead of
+    * a cap. MID-pass-0 windows are another matter entirely — see
+    * [[contentionVerdict]]'s pass gate. */
   private[graft] val CatastrophicDrift = 2.0
 
   /** MID-RUN contention verdict (pure; spec-tested) — round-14 finding
@@ -195,10 +197,16 @@ object Bench {
     * FIRST runs (completeness — the driver contract wants every key),
     * skip every quality sweep, stamp invalid, emit now.
     *
-    * Cold-pass tolerance: below min-of-2 coverage (`passesDone` < 2)
-    * only a [[CatastrophicDrift]] median aborts — a cold first pass
-    * legitimately reads ~1.3× and settles. From pass 2 on, the clean
-    * bar itself ([[MaxCleanDrift]]) is the abort line: mins are
+    * Cold-pass tolerance: with NO completed pass (`passesDone` < 1)
+    * there is never a verdict — round 15 measured a CALM box's first
+    * 16 entries at median 4.14× their min-of-3 priors (JVM/page-cache
+    * warm-up; the same run's complete pass read 1.04×), so any
+    * mid-pass-0 drift number measures start-up, not the host, and an
+    * abort there saves nothing anyway (first runs still execute after
+    * an abort — only the quality sweeps are skipped). At exactly one
+    * completed pass only a [[CatastrophicDrift]] median aborts — a
+    * cold first pass settles under min-of-2. From pass 2 on, the
+    * clean bar itself ([[MaxCleanDrift]]) is the abort line: mins are
     * cold-absorbed, so exceeding it means the window is lost. Fewer
     * than `minShared` shared keys → no verdict (a narrow BENCH_ONLY
     * run or a first round has no fleet to measure drift against). */
@@ -207,7 +215,7 @@ object Bench {
                                        passesDone: Int,
                                        minShared: Int = 8): Option[String] = {
     val shared = mins.keysIterator.count(k => prior.get(k).exists(_ > 0))
-    if (shared < minShared) None
+    if (passesDone < 1 || shared < minShared) None
     else {
       val d = boxDrift(mins, prior)
       def fmt(v: Double): String =
@@ -600,7 +608,10 @@ object Bench {
       else None).toMap
     // CONTENTION FAST-ABORT (round-14 finding 2; [[contentionVerdict]]):
     // probed after every completed pass and every 16 entries within
-    // one. Once tripped, the run degrades to completeness-only —
+    // one — but the verdict itself is inert until one pass has
+    // COMPLETED (mid-pass-0 windows measure JVM/page-cache warm-up,
+    // not the host: median 4.14x over the first 16 entries of a calm
+    // round-15 run). Once tripped, the run degrades to completeness-only —
     // remaining FIRST runs still execute (the driver contract wants
     // every key in the line) under the per-query cap, while passes
     // 2..N, the min-2 top-up, the regression reruns and the drift

@@ -225,11 +225,16 @@ class BenchGateSpec extends AnyFunSuite {
     def mins(ratio: Double, n: Int = 50): Map[String, Double] =
       (1 to n).map(i => s"q$i" -> ratio).toMap
 
+    // NO verdict before one completed pass, however loud the numbers:
+    // round 15 measured a CALM box's first 16 entries at median 4.14x
+    // their min-of-3 priors (pure JVM/page-cache warm-up — the same
+    // run's complete pass read 1.04x), and the round-15 mid-pass-0
+    // probe turned that into a self-abort that cost the whole run
+    assert(Bench.contentionVerdict(mins(5.0), prior, passesDone = 0).isEmpty)
     // the round-14 driver window, in miniature: untouched keys reading
-    // many-x mid-pass-0 — catastrophic, abort regardless of pass count
-    assert(Bench.contentionVerdict(mins(5.0), prior, passesDone = 0).isDefined)
+    // many-x after a full pass — catastrophic, abort
+    assert(Bench.contentionVerdict(mins(5.0), prior, passesDone = 1).isDefined)
     // a COLD first pass (~1.3x median) must NOT abort — min-of-2 absorbs it
-    assert(Bench.contentionVerdict(mins(1.3), prior, passesDone = 0).isEmpty)
     assert(Bench.contentionVerdict(mins(1.3), prior, passesDone = 1).isEmpty)
     // ...but the same drift AFTER min-2 coverage means the window is
     // lost: the artifact could never grade clean, so stop spending
@@ -241,7 +246,7 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.contentionVerdict(mins(5.0), Map.empty, passesDone = 2).isEmpty)
     // the verdict reason lands in invalid_reason via the aborted param,
     // taking priority so the artifact names WHY it stopped
-    val reason = Bench.contentionVerdict(mins(5.0), prior, 0).get
+    val reason = Bench.contentionVerdict(mins(5.0), prior, 1).get
     assert(Bench.invalidReason(3, 0, Some(1.0), Some(reason))
       .exists(r => r.startsWith("contention-abort: ") && r.contains("boxdrift")))
     // Locale-proof formatting (the invalidReason discipline)
