@@ -148,18 +148,48 @@ object Corpus {
       .otherwise(array().cast("array<string>"))
 
   /** One BPE merge applied left-to-right greedy (the standard
-    * non-overlapping rule: "a a a" under merge(a,a) → ["a~a", "a"]):
-    * a linear array fold, narrow and codegen'd — corpus application
-    * is scan-speed per merge rank. */
+    * non-overlapping rule: "a a a" under merge(a,a) → ["a~a", "a"]).
+    *
+    * Implemented as WHOLE-STAGE-CODEGEN string ops instead of the
+    * earlier `aggregate` array fold: higher-order functions are
+    * CodegenFallback (interpreted lambda per element, a fresh array
+    * copy per token — measured 1.2–1.6 s per staged merge round at
+    * sf0.1, ~90 % of BPE training wall). The tokens are joined with a
+    * TWO-space delimiter and flanked by one space, so the pattern
+    * " lhs  rhs " is delimiter-anchored on both sides and
+    * `replace` — which substitutes non-overlapping occurrences left to
+    * right — IS the greedy rule: after " a  a " matches in
+    * " a  a  a  a ", the scan resumes at the next token's own leading
+    * space, so runs merge at alternating positions exactly like the
+    * fold ("a a a a" → ["a~a", "a~a"], "a a a" → ["a~a", "a"]).
+    * Segments cannot contain a space (the key contract above), so the
+    * delimiter never collides with token bytes; empty-string tokens
+    * keep the convention (they contribute zero bytes between two
+    * delimiters) and CorpusOpsSpec pins fold-equality on them. */
   private def applyMerge(seg: Column, lhs: String, rhs: String,
                          sep: String): Column =
-    aggregate(seg, array().cast("array<string>"),
-      (acc, x) =>
-        when(size(acc) > 0 &&
-             element_at(acc, -1) === lit(lhs) && x === lit(rhs),
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(lit(lhs + sep + rhs))))
-        .otherwise(concat(acc, array(x))))
+    // the space-anchored pattern below needs NON-EMPTY, space-free
+    // tokens to align on token boundaries; an empty lhs/rhs (a corpus
+    // of empty-string segments — double spaces in the raw text) makes
+    // the pattern all-spaces and ambiguous, so that degenerate pair
+    // keeps the exact fold (CorpusOpsSpec pins equality on both paths)
+    if (lhs.isEmpty || rhs.isEmpty || lhs.contains(" ") ||
+        rhs.contains(" ") || sep.contains(" "))
+      aggregate(seg, array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) > 0 &&
+               element_at(acc, -1) === lit(lhs) && x === lit(rhs),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(lit(lhs + sep + rhs))))
+          .otherwise(concat(acc, array(x))))
+    else {
+      val joined = concat(lit(" "), array_join(seg, "  "), lit(" "))
+      val merged = replace(joined,
+        lit(s" $lhs  $rhs "), lit(s" $lhs$sep$rhs "))
+      val trimmed = merged.substr(lit(2), length(merged) - 2)
+      when(size(seg) <= 0, seg)
+        .otherwise(split(trimmed, java.util.regex.Pattern.quote("  "), -1))
+    }
 
   /** BPE-style merge learning (Sennrich et al. 2016) over ANY initial
     * segmentation: nMerges rounds of [count adjacent pairs → take the
@@ -223,17 +253,45 @@ object Corpus {
     var r = 0
     var exhausted = false
     while (r < rounds && !exhausted) {
-      // ONE corpus-scale job per round; the per-pick argmaxes below
-      // re-read this staged vocabulary-sized table.
-      val counts = Stage(cur
+      // Lazy vocabulary-sized pair-count plan over the (staged) current
+      // segmentation — consumed ONCE per round by the top-K collect
+      // below, so it is not staged itself (round 15: the former
+      // Stage(counts) materialization plus one argmax job PER PICK was
+      // 2 corpus-scale jobs + batchSize small jobs per round; the
+      // driver-side greedy runs the same (cnt DESC, pair ASC) order
+      // over one collected head, one job per round).
+      val counts = cur
         .select(explode(adjacentPairs(col("seg"))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .select(col("pair"), col("cnt"),
           expr("split_part(pair, ' ', 1)").as("lhs"),
-          expr("split_part(pair, ' ', 2)").as("rhs")))
+          expr("split_part(pair, ' ', 2)").as("rhs"))
       val slots = math.min(batchSize, nMerges - r * batchSize)
       val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-      var more = true
+      // ONE argmax job per round: the token-disjoint greedy only ever
+      // inspects candidates in (cnt DESC, pair ASC) order, so running it
+      // driver-side over the collected top-K head is EXACTLY the
+      // distributed per-pick argmax-with-exclusion (the order is total —
+      // pair is unique — and the exclusion test is the same). K bounds
+      // the head: only when every one of K candidates conflicts with an
+      // earlier pick does the (rare, degenerate-corpus) fallback below
+      // re-query with the exclusion filter pushed down.
+      val topK = math.max(64, slots * 32)
+      val head = counts.orderBy(col("cnt").desc, col("pair")).limit(topK)
+        .select("lhs", "rhs", "cnt").as[(String, String, Long)].collect()
+      val sawAll = head.length < topK // shorter head ⇒ the whole vocabulary
+      var hi = 0
+      while (picked.size < slots && hi < head.length) {
+        val t = head(hi)
+        val conflict = picked.exists(p =>
+          p._1 == t._1 || p._1 == t._2 || p._2 == t._1 || p._2 == t._2)
+        if (!conflict) {
+          out += ((r.toLong * batchSize + picked.size, t._1, t._2, t._3))
+          picked += t
+        }
+        hi += 1
+      }
+      var more = !sawAll // beyond-K candidates may still be disjoint
       while (more && picked.size < slots) {
         val used = picked.iterator.flatMap(p => Seq(p._1, p._2)).toSeq
         val cand = if (used.isEmpty) counts

@@ -691,16 +691,28 @@ object SinkQueries {
         q3.processAllAvailable(); q3.stop()
         val afterReplay = storeStats()
         val countsAfterReplay = (afterReplay._1, afterReplay._2, afterReplay._3)
-        // both indexes must answer off the healed stores
+        // both indexes must answer off the healed stores — two
+        // independent read-only probes, submitted concurrently (the
+        // same §2.6 overlap as the per-delivery downstream ingests)
         val qDocs = docs.filter(col("doc_id") < 8)
-        val annRows = VectorIngest.ann(s,
-          vroot, Inference.embedDocuments(qDocs, dim = 64, batchSize = 32)
-            .withColumnRenamed("doc_id", "vec_id"), k = 5, nProbe = 8).count()
-        val qTerms = qDocs.limit(1)
-          .select(explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-          .withColumn("query_id", lit(0L))
-        val bmRows = Bm25Ingest.serve(s, broot, qTerms, k = 5)
-          .map(_.count()).getOrElse(0L)
+        val servePool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val (annRows, bmRows) = try {
+          val fA = servePool.submit(new java.util.concurrent.Callable[Long] {
+            def call() = VectorIngest.ann(s,
+              vroot, Inference.embedDocuments(qDocs, dim = 64, batchSize = 32)
+                .withColumnRenamed("doc_id", "vec_id"), k = 5, nProbe = 8).count()
+          })
+          val fBm = servePool.submit(new java.util.concurrent.Callable[Long] {
+            def call() = {
+              val qTerms = qDocs.limit(1)
+                .select(explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+                .withColumn("query_id", lit(0L))
+              Bm25Ingest.serve(s, broot, qTerms, k = 5)
+                .map(_.count()).getOrElse(0L)
+            }
+          })
+          (fA.get(), fBm.get())
+        } finally servePool.shutdown()
         val quarEmpty = !Files.exists(Paths.get(s"$vroot/_quarantine")) &&
           !Files.exists(Paths.get(s"${sigDir}_quarantine"))
         Seq(("corpus_docs", countsAfterHeal._1),

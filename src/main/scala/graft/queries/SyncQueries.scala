@@ -363,11 +363,25 @@ object SyncQueries {
       val bounds = s.read.parquet(s"$base/store/events")
         .agg(min("created").as("mn"), max("created").as("mx")).head()
       val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      // The three rebuilds are independent (each replays the shared
+      // read-only ledger into its own outDir), so they submit
+      // concurrently (guide §2.6 overlap): each rebuild is a chain of
+      // small driver-visible jobs (parse → route stats → one merge),
+      // and sequential execution paid three job-launch tails end to
+      // end — wall is now ~max(rebuild) instead of the sum. Result
+      // rows are unchanged: the union below reads the same three
+      // parquet outputs.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      try {
+        (1L to 3L).map { q =>
+          q -> pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = WebhookPipeline.rebuildAsOf(
+              s, s"$base/store", s"$base/rebuild_$q", mn + (mx - mn) * q / 4)
+          })
+        }.map { case (q, f) => f.get(); q }
+      } finally pool.shutdown()
       (1L to 3L).map { q =>
-        val out = s"$base/rebuild_$q"
-        WebhookPipeline.rebuildAsOf(s, s"$base/store", out,
-          mn + (mx - mn) * q / 4)
-        s.read.parquet(s"$out/customers").select(
+        s.read.parquet(s"$base/rebuild_$q/customers").select(
           lit(q).as("sample"), col("id"), col("email"), col("name"),
           col("balance"), col("created"),
           unix_micros(col("last_synced_at")).as("synced_us"))

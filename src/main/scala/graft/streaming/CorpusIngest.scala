@@ -342,24 +342,38 @@ object CorpusIngest {
       .unionByName(freshSigs)
   }
 
-  /** Post-ledger admission append, in crash-safe order: bands FIRST,
-    * then id-bucketed signatures. A crash between them leaves bands
-    * whose signature rows are missing — those candidates clear the
-    * verify fail-open, which is correct: the doc never reached the
-    * corpus, and [[reconcile]] evicts the debris. (The reverse order
-    * would differ only cosmetically: signatures without bands are
-    * invisible to candidate generation, with the same fail-open
-    * outcome.) `sigs` must be [[Dedup.minHashSignatures]]-shaped;
-    * public so crash-window tests can reproduce the exact on-disk
-    * state a mid-append kill leaves. */
+  /** Post-ledger admission append of bands + id-bucketed signatures.
+    * A crash that lands one store without the other is fail-open in
+    * BOTH directions: bands whose signature rows are missing clear the
+    * verify fail-open (correct — the doc never reached the corpus, and
+    * [[reconcile]] evicts the debris), and signatures without bands are
+    * invisible to candidate generation with the same outcome. Because
+    * neither order is safer, the two appends run CONCURRENTLY. `sigs`
+    * must be [[Dedup.minHashSignatures]]-shaped; public so crash-window
+    * tests can reproduce the exact on-disk state a mid-append kill
+    * leaves. */
   def appendAdmitted(sigs: DataFrame, sigDir: String): Unit = {
     val spark = sigs.sparkSession
     val bandsDir = BandStore.dirOf(sigDir)
     val (nBuckets, numPerms, bands) = BandStore.meta(spark, bandsDir)
-    BandStore.append(Dedup.bandsFromSignatures(sigs, numPerms, bands), bandsDir)
-    sigs.withColumn("bucket", sigBucket(nBuckets))
-      .repartition(col("bucket"))
-      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(sigDir)
+    // the two appends SUBMIT CONCURRENTLY (guide §2.6): both derive
+    // from the staged `sigs`, they write disjoint stores, and — per the
+    // ordering note above — a crash that lands one without the other is
+    // fail-open in EITHER direction, so the sequential ordering bought
+    // no safety, only a second write-job tail per micro-batch
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fB = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = BandStore.append(
+          Dedup.bandsFromSignatures(sigs, numPerms, bands), bandsDir)
+      })
+      val fS = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = sigs.withColumn("bucket", sigBucket(nBuckets))
+          .repartition(col("bucket"))
+          .write.mode(SaveMode.Append).partitionBy("bucket").parquet(sigDir)
+      })
+      fB.get(); fS.get()
+    } finally pool.shutdown()
   }
 
   /** The admission-ledger location beside a signature store — PUBLIC so

@@ -28,8 +28,9 @@ object Profile {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           starts.put(js.jobId, (System.nanoTime(),
-            Option(js.properties.getProperty("callSite.short"))
+            Option(js.properties.getProperty("spark.job.description"))
               .orElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
+              .orElse(Option(js.properties.getProperty("callSite.short")))
               .getOrElse("?"), epoch.get))
         override def onJobEnd(
             je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
@@ -57,6 +58,14 @@ object Profile {
         all.sortBy(-_._2).take(12).foreach { case (id, ns, site, _) =>
           println(f"[profile]   job#$id%-4d ${ns / 1e9}%6.2fs  $site")
         }
+        // per-call-site aggregate: on job-count-bound lifecycles the
+        // expensive thing is a SITE that launches 50 cheap jobs, which
+        // the top-12 list above cannot show
+        all.groupBy(_._3).toSeq
+          .map { case (site, js) => (site, js.size, js.map(_._2).sum / 1e9) }
+          .sortBy(-_._3).take(18).foreach { case (site, n, secs) =>
+            println(f"[profile]   site $site%-46s n=$n%-4d sum=$secs%6.2fs")
+          }
       }
     }
     spark.stop()

@@ -62,6 +62,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(applied == Seq("n", "e", "w", "e~s~t"))
   }
 
+  test("applyMerge (string-op form) equals the greedy fold on adversarial segs") {
+    // the round-15 codegen rewrite of the merge application must keep
+    // the EXACT left-to-right non-overlapping greedy rule the fold had;
+    // the reference fold is restated inline here and both run through
+    // mergeApply's public surface on the cases that stress the string
+    // convention: runs of the merged pair (alternating merges), the
+    // pair at doc start/end, empty-string tokens (zero bytes between
+    // two delimiters), single tokens, and a doc with no occurrence.
+    def foldMerge(seg: Seq[String], lhs: String, rhs: String): Seq[String] =
+      seg.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == lhs && x == rhs)
+          acc.init :+ (lhs + "~" + rhs)
+        else acc :+ x
+      }
+    val cases: Seq[Seq[String]] = Seq(
+      Seq("a", "a", "a"), Seq("a", "a", "a", "a"),
+      Seq("a", "a", "a", "a", "a"),
+      Seq("x", "a", "a", "a", "y", "a", "a"),
+      Seq("a", "b", "a", "b", "b", "a"),
+      Seq("a", "b"), Seq("b", "a"), Seq("a"), Seq.empty[String],
+      Seq("", "", "a", "", "b", ""), Seq("", ""),
+      Seq("a~b", "a", "b", "a~b"))
+    for ((lhs, rhs) <- Seq(("a", "a"), ("a", "b"), ("", ""), ("a", ""))) {
+      val segs = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "seg")
+      val got = graft.llm.Corpus.mergeApply(segs, Seq((lhs, rhs)))
+        .select("doc_id", "seg").as[(Long, Seq[String])]
+        .collect().toMap
+      cases.zipWithIndex.foreach { case (s, i) =>
+        assert(got(i.toLong) == foldMerge(s, lhs, rhs),
+          s"case $i $s under ($lhs,$rhs)")
+      }
+    }
+  }
+
   test("mergeTrain stops early when no adjacent pairs remain") {
     val segs = Seq((1L, Seq("a")), (2L, Seq("b"))).toDF("doc_id", "seg")
     assert(graft.llm.Corpus.mergeTrain(segs, nMerges = 4).count() == 0L)
