@@ -67,8 +67,12 @@ object SinkQueries {
         val b2 = graft.streaming.VectorIngest.processBatch(
           emb, root, batchId = 1L) // half replayed
         val queries = emb.filter(col("vec_id") < 32)
-        val servedKnn = graft.streaming.VectorIngest.ann(
-          s, root, queries, k = 10, nProbe = 4)
+        // staged once: the per-query counts AND the recall semi-join
+        // both consume the served frame (and the exact frame below is
+        // consumed twice) — unstaged, each action re-ran the whole
+        // probe / brute-force plan
+        val servedKnn = graft.llm.Stage(graft.streaming.VectorIngest.ann(
+          s, root, queries, k = 10, nProbe = 4))
         val served = servedKnn
           .groupBy("query_id").agg(count(lit(1)).as("n"))
           .orderBy("query_id")
@@ -82,7 +86,8 @@ object SinkQueries {
         // set, gated at >= 60% (typical ~90%; the slack absorbs k-means
         // partition-order drift). Collected eagerly: the index dir dies
         // in the finally.
-        val exact = graft.llm.Similarity.bruteForceKnn(emb, queries, k = 10)
+        val exact = graft.llm.Stage(
+          graft.llm.Similarity.bruteForceKnn(emb, queries, k = 10))
         val hits = servedKnn
           .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
         val total = exact.count()
@@ -222,7 +227,12 @@ object SinkQueries {
             id, histWidth = 1000000L, freqCol = "user_id")
         val applied = Seq(apply(b1, 0L), apply(b2, 1L), apply(b2, 1L))
         val rollup = RollupIngest.currentRollup(s, root, keys, "approx_users").get
-        val nTotal = rollup.agg(sum("n")).as[Long].head()
+        // ONE collect feeds the equality set, the row count AND the
+        // events total (the snapshot is keyed by event_type — a handful
+        // of rows); the former agg + collect + count ran the snapshot
+        // read three times
+        val rollupRows = rollup.collect()
+        val nTotal = rollupRows.map(_.getAs[Long]("n")).sum
         // state-hash equality vs one-shot: the two-batch fold must equal
         // the single-pass states exactly (HLL register merge is max-per-
         // register, histogram merge is keyed sums — both exact)
@@ -230,7 +240,7 @@ object SinkQueries {
           IncrementalAgg.scalarState(ev, keys, "v_micros"),
           IncrementalAgg.distinctState(ev, keys, "user_id"), keys, "approx_users")
         val stateEq = {
-          val a = rollup.collect().toSet
+          val a = rollupRows.toSet
           val b = oneShot.select(rollup.columns.map(col).toIndexedSeq: _*)
             .collect().toSet
           a == b
@@ -239,8 +249,9 @@ object SinkQueries {
         val qOne = IncrementalAgg.quantilesFromState(
           IncrementalAgg.histogramState(ev, keys, "v_micros", 1000000L),
           keys, 1000000L, Seq(500, 900))
+        val qRows = qState.collect() // once, for equality AND the count
         val quantEq = {
-          val a = qState.collect().toSet
+          val a = qRows.toSet
           val b = qOne.select(qState.columns.map(col).toIndexedSeq: _*)
             .collect().toSet
           a == b
@@ -252,9 +263,9 @@ object SinkQueries {
           .filter(col("est") >= col("cnt")).count()
         Seq(("applied", applied.count(identity).toLong),
             ("replay_rejected", applied.count(!_).toLong),
-            ("rollup_rows", rollup.count()),
+            ("rollup_rows", rollupRows.length.toLong),
             ("events_total", nTotal),
-            ("quantile_rows", qState.count()),
+            ("quantile_rows", qRows.length.toLong),
             ("freq_one_sided", oneSided),
             ("check_state_eq_oneshot", if (stateEq) 1L else 0L),
             ("check_quantiles_eq_oneshot", if (quantEq) 1L else 0L))
@@ -434,9 +445,14 @@ object SinkQueries {
         graft.streaming.VectorIngest.trainCodebook(boot, root, m = 8, ksub = 16, iters = 2)
         val n = graft.streaming.VectorIngest.processBatch(emb, root)
         val queries = emb.filter(col("vec_id") < 32)
-        val served = graft.streaming.VectorIngest.annPq(
-          s, root, queries, k = 10, nProbe = 6, shortlist = 100)
-        val exact = graft.llm.Similarity.bruteForceKnn(emb, queries, k = 10)
+        // both gate frames staged once: served feeds the recall join
+        // AND served_rows; exact feeds the join AND the total — the
+        // unstaged form re-ran the two-pass PQ probe / brute force per
+        // action (qs2's discipline)
+        val served = graft.llm.Stage(graft.streaming.VectorIngest.annPq(
+          s, root, queries, k = 10, nProbe = 6, shortlist = 100))
+        val exact = graft.llm.Stage(
+          graft.llm.Similarity.bruteForceKnn(emb, queries, k = 10))
         // collected EAGERLY: the index dir dies in the finally
         val hits = served.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
           .count()
@@ -502,19 +518,26 @@ object SinkQueries {
         // vector's cosine is 1.0 up to the norm sqrt rounding)
         val (n2, rej) = graft.streaming.VectorIngest.processBatchDeduped(
           b2, root, minSimPpm = 999998L, nProbe = 2, batchId = 1L)
-        val nRejected = rej.count()
-        val nInjRejected = rej.filter(col("vec_id") >= 1000000L).count()
+        // ONE aggregate for both rejection counts (was two jobs over
+        // the same frame)
+        val rejRow = rej.agg(count(lit(1)),
+          count(when(col("vec_id") >= 1000000L, 1))).head()
+        val (nRejected, nInjRejected) = (rejRow.getLong(0), rejRow.getLong(1))
         val nReplay = graft.streaming.VectorIngest.processBatch(b1, root,
           batchId = 0L)
         val queries = emb.filter(col("vec_id") < 8)
         // serving probes ALL cells — the exact-probe gate requires full
         // coverage, and with only 8 query vectors exhaustive serving is
         // O(store), cheap at any kCells (admission is where n² lived)
-        val served = graft.streaming.VectorIngest.ann(s, root, queries,
-          k = 5, nProbe = kc)
+        val served = graft.llm.Stage(
+          graft.streaming.VectorIngest.ann(s, root, queries,
+            k = 5, nProbe = kc))
         val admitted = emb.unionByName(injected)
           .join(rej.select("vec_id"), Seq("vec_id"), "left_anti")
-        val exact = graft.llm.Similarity.bruteForceKnn(admitted, queries, k = 5)
+        // staged: consumed by BOTH exceptAll directions, the LSH floor
+        // semi-join and the floor total — four actions over one compute
+        val exact = graft.llm.Stage(
+          graft.llm.Similarity.bruteForceKnn(admitted, queries, k = 5))
         // collected eagerly: the index dir dies in the finally
         val onlyServed = served.exceptAll(exact).count()
         val onlyExact = exact.exceptAll(served).count()
