@@ -139,13 +139,17 @@ object Corpus {
 
   /** Adjacent-pair column over a segmentation array, keyed
     * "lhs rhs" (single space — the one character no segment can
-    * contain, so the key splits back losslessly). Guarded against
-    * Spark's descending `sequence(1, 0)` surprise on short docs. */
+    * contain, so the key splits back losslessly). Implemented as the
+    * codegen'd [[graft.functions.TokenNgrams]] over the space-joined
+    * segments (segments are space-free, so the join/split round-trip
+    * is lossless and bigrams of the joined string ARE the adjacent
+    * pairs — empty segments included: they contribute zero bytes
+    * between two delimiters and split(-1) keeps them); the former
+    * `transform(sequence(...))` was CodegenFallback, interpreted per
+    * token in the per-round count job. <2 segments → empty array on
+    * both forms. */
   private def adjacentPairs(seg: Column): Column =
-    when(size(seg) >= 2,
-      expr("transform(sequence(1, size(seg)-1), " +
-        "j -> concat(element_at(seg, j), ' ', element_at(seg, j+1)))"))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.TokenNgrams.token_ngrams(array_join(seg, " "), 2)
 
   /** One BPE merge applied left-to-right greedy (the standard
     * non-overlapping rule: "a a a" under merge(a,a) → ["a~a", "a"]).
