@@ -209,13 +209,26 @@ object Bench {
     * clean bar itself ([[MaxCleanDrift]]) is the abort line: mins are
     * cold-absorbed, so exceeding it means the window is lost. Fewer
     * than `minShared` shared keys → no verdict (a narrow BENCH_ONLY
-    * run or a first round has no fleet to measure drift against). */
+    * run or a first round has no fleet to measure drift against), and
+    * a pass-1-only verdict additionally needs `measuredWallSec` ≥
+    * [[MinWarmPassSec]]: a SHORT subset run finishes its whole first
+    * pass inside the JVM warm-up window (a 16-entry BENCH_ONLY pass
+    * measured median 2.65× on a calm box purely from cold start),
+    * while the full inventory's first pass spans minutes and its
+    * median is warm — the round-14 driver window the abort exists for
+    * always satisfies both. From min-of-2 coverage on, wall time is
+    * irrelevant: cold runs are absorbed by the min. */
+  private[graft] val MinWarmPassSec = 180.0
+
   private[graft] def contentionVerdict(mins: Map[String, Double],
                                        prior: Map[String, Double],
                                        passesDone: Int,
-                                       minShared: Int = 8): Option[String] = {
+                                       minShared: Int = 8,
+                                       measuredWallSec: Double = Double.MaxValue
+                                      ): Option[String] = {
     val shared = mins.keysIterator.count(k => prior.get(k).exists(_ > 0))
     if (passesDone < 1 || shared < minShared) None
+    else if (passesDone == 1 && measuredWallSec < MinWarmPassSec) None
     else {
       val d = boxDrift(mins, prior)
       def fmt(v: Double): String =
@@ -624,7 +637,8 @@ object Bench {
     // / 107-rerun spiral that ended in an rc-124 truncated tail.
     def probeContention(): Unit =
       if (abortedRef.get.isEmpty)
-        contentionVerdict(minsNow, prior, passesDone.get).foreach { r =>
+        contentionVerdict(minsNow, prior, passesDone.get,
+            measuredWallSec = elapsed).foreach { r =>
           Console.err.println(s"[bench] CONTENTION ABORT: $r — finishing " +
             "first runs only, skipping quality sweeps, emitting invalid")
           abortedRef.set(Some(r))

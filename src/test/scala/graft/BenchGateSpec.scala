@@ -234,6 +234,17 @@ class BenchGateSpec extends AnyFunSuite {
     // the round-14 driver window, in miniature: untouched keys reading
     // many-x after a full pass — catastrophic, abort
     assert(Bench.contentionVerdict(mins(5.0), prior, passesDone = 1).isDefined)
+    // ...but a pass-1-only verdict needs a WARM pass: a short subset
+    // run finishes its whole first pass inside JVM warm-up (measured
+    // median 2.65x over a calm 16-entry BENCH_ONLY pass), so under
+    // MinWarmPassSec there is no verdict yet — pass 2's min-of-2
+    // coverage takes over from there at the MaxCleanDrift bar
+    assert(Bench.contentionVerdict(mins(5.0), prior, passesDone = 1,
+      measuredWallSec = 60.0).isEmpty)
+    assert(Bench.contentionVerdict(mins(5.0), prior, passesDone = 1,
+      measuredWallSec = 600.0).isDefined)
+    assert(Bench.contentionVerdict(mins(5.0), prior, passesDone = 2,
+      measuredWallSec = 60.0).isDefined)
     // a COLD first pass (~1.3x median) must NOT abort — min-of-2 absorbs it
     assert(Bench.contentionVerdict(mins(1.3), prior, passesDone = 1).isEmpty)
     // ...but the same drift AFTER min-2 coverage means the window is
