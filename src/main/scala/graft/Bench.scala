@@ -368,6 +368,12 @@ object Bench {
     // fields that artifact is indistinguishable from regression).
     val runs = new ConcurrentHashMap[String, Int]()
     val passesDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    // wall time of the FIRST completed pass itself (round-15 ADVICE):
+    // the MinWarmPassSec gate judges whether pass-1 minima are warm, so
+    // it must see pass 1's OWN wall — passing cumulative run elapsed let
+    // a short subset run cross 180 s from accumulated pass-2 time while
+    // the pass-1 minima being judged were still pure JVM warm-up
+    val pass1Wall = new java.util.concurrent.atomic.AtomicReference[Option[Double]](None)
     // calm-box regression gate state (see the gate below the sweep)
     val rerunsDone = new java.util.concurrent.atomic.AtomicInteger(0)
     val stillRegressed =
@@ -637,8 +643,11 @@ object Bench {
     // / 107-rerun spiral that ended in an rc-124 truncated tail.
     def probeContention(): Unit =
       if (abortedRef.get.isEmpty)
+        // pass-1 wall, not cumulative elapsed (see pass1Wall above);
+        // None (unreachable while passesDone == 1, where alone the gate
+        // reads it) degrades to 0.0 — the no-verdict direction
         contentionVerdict(minsNow, prior, passesDone.get,
-            measuredWallSec = elapsed).foreach { r =>
+            measuredWallSec = pass1Wall.get.getOrElse(0.0)).foreach { r =>
           Console.err.println(s"[bench] CONTENTION ABORT: $r — finishing " +
             "first runs only, skipping quality sweeps, emitting invalid")
           abortedRef.set(Some(r))
@@ -646,6 +655,7 @@ object Bench {
 
     var passes = 0
     while (passes < maxPasses && elapsed < deadlineSec && abortedRef.get.isEmpty) {
+      val passStart = elapsed
       var sinceProbe = 0
       inventory.foreach { q =>
         val settled = best.containsKey(q.name) &&
@@ -660,7 +670,9 @@ object Bench {
         }
       }
       passes += 1
-      if (elapsed < deadlineSec) passesDone.incrementAndGet()
+      if (elapsed < deadlineSec &&
+          passesDone.incrementAndGet() == 1)
+        pass1Wall.set(Some(elapsed - passStart))
       probeContention()
     }
 

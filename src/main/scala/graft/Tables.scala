@@ -19,16 +19,20 @@ object Tables {
   // explicit schema every `spark.read.parquet` pays a footer-inference
   // pass AT PLANNING TIME (ParquetFileFormat.inferSchema runs a
   // driver-visible job), once per query entry per bench pass — pure
-  // launch overhead on a 201-entry inventory. The schema of a dataset
-  // path never changes within one process (regens land in new dirs or
-  // new processes), so the first inference is authoritative — exactly
-  // the contract a catalog/metastore provides at 100 TB. This caches
+  // launch overhead on a 201-entry inventory. The cache key carries the
+  // dataset directory's mtime (round-15 ADVICE: a path-forever key
+  // silently served a STALE schema — missing columns surfacing as
+  // nulls — if a test or tool ever overwrote a dataset in place with a
+  // changed schema; an in-place rewrite touches the dir, so the mtime
+  // key re-infers exactly then). One java.io stat per read, no Spark
+  // job — still the catalog/metastore contract at 100 TB. This caches
   // SCHEMA ONLY, never data or results.
   private val schemaCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), org.apache.spark.sql.types.StructType]
 
   private def readCached(spark: SparkSession, path: String): DataFrame = {
-    val schema = schemaCache.getOrElseUpdate(path,
+    val schema = schemaCache.getOrElseUpdate(
+      (path, new java.io.File(path).lastModified()),
       spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }

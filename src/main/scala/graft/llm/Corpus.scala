@@ -147,7 +147,14 @@ object Corpus {
     * between two delimiters and split(-1) keeps them); the former
     * `transform(sequence(...))` was CodegenFallback, interpreted per
     * token in the per-round count job. <2 segments → empty array on
-    * both forms. */
+    * both forms.
+    *
+    * PRECONDITION (shared with [[applyMerge]]): segment elements are
+    * NON-NULL, as every producer in this engine guarantees (split()
+    * never yields null elements). array_join SKIPS nulls, so a null
+    * element would make its neighbors look adjacent where the old
+    * transform/aggregate forms propagated null — if a future producer
+    * can emit null segments, filter them before calling. */
   private def adjacentPairs(seg: Column): Column =
     graft.functions.TokenNgrams.token_ngrams(array_join(seg, " "), 2)
 
@@ -246,6 +253,20 @@ object Corpus {
     * a round that finds fewer than batchSize disjoint pairs leaves a
     * rank gap (degenerate corpora only — every remaining pair shares a
     * token with a pick). */
+  /** One BPE round's adjacent-pair count frame over the (staged)
+    * current segmentation — THE per-round corpus-scale job of the
+    * trainer, factored out so plan evidence can explain exactly the
+    * frame the training loop collects (round-15 ADVICE: explaining the
+    * trainer's RETURN value shows a driver-side LocalTableScan and
+    * proves nothing about the count plan). Consumed once per round by
+    * the top-K collect, so it is deliberately not staged. */
+  private[graft] def pairCountFrame(segs: DataFrame): DataFrame =
+    segs.select(explode(adjacentPairs(col("seg"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .select(col("pair"), col("cnt"),
+        expr("split_part(pair, ' ', 1)").as("lhs"),
+        expr("split_part(pair, ' ', 2)").as("rhs"))
+
   def mergeTrainBatched(segs: DataFrame, nMerges: Int, batchSize: Int = 4,
                         sep: String = "~"): DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
@@ -264,12 +285,7 @@ object Corpus {
       // 2 corpus-scale jobs + batchSize small jobs per round; the
       // driver-side greedy runs the same (cnt DESC, pair ASC) order
       // over one collected head, one job per round).
-      val counts = cur
-        .select(explode(adjacentPairs(col("seg"))).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("cnt"))
-        .select(col("pair"), col("cnt"),
-          expr("split_part(pair, ' ', 1)").as("lhs"),
-          expr("split_part(pair, ' ', 2)").as("rhs"))
+      val counts = pairCountFrame(cur)
       val slots = math.min(batchSize, nMerges - r * batchSize)
       val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
       // ONE argmax job per round: the token-disjoint greedy only ever
@@ -993,8 +1009,15 @@ object Corpus {
           .as("prompt_text"),
         expr("array_join(slice(l, CAST(prompt_len AS INT) + 1, " +
           "CAST(n_tokens - prompt_len AS INT)), ' ')").as("target_text"),
-        expr("array_join(transform(sequence(1, CAST(n_tokens AS INT)), " +
-          "p -> CASE WHEN p <= prompt_len THEN '0' ELSE '1' END), ' ')")
+        // '0 '×prompt_len ++ '1 '×(n−prompt_len), trailing space
+        // trimmed — byte-identical to the former per-position
+        // transform(sequence(...)) (every token is one digit + one
+        // space; n_tokens ≥ 1 so the string always ends '1 '), but
+        // repeat/concat/rtrim are whole-stage-codegen where the
+        // higher-order transform was CodegenFallback, interpreted per
+        // token (guide: expressions & codegen; the q111 playbook)
+        expr("rtrim(concat(repeat('0 ', CAST(prompt_len AS INT)), " +
+          "repeat('1 ', CAST(n_tokens - prompt_len AS INT))))")
           .as("loss_mask"))
   }
 

@@ -120,9 +120,14 @@ object SinkQueries {
           emb.filter(col("vec_id") < 1024), root, kCells = kCells, iters = 2)
         graft.streaming.VectorIngest.processBatch(emb, root)
         val queries = emb.filter(col("vec_id") < 32)
-        val served = graft.streaming.VectorIngest.ann(
-          s, root, queries, k = 10, nProbe = kCells)
-        val exact = graft.llm.Similarity.bruteForceKnn(emb, queries, k = 10)
+        // both gate frames staged once (the qs2/qs7/qs8 discipline,
+        // round 16): served feeds BOTH exceptAll directions AND the
+        // total; exact feeds both directions — unstaged, each of the
+        // three actions re-ran the full-coverage probe / brute force
+        val served = graft.llm.Stage(graft.streaming.VectorIngest.ann(
+          s, root, queries, k = 10, nProbe = kCells))
+        val exact = graft.llm.Stage(
+          graft.llm.Similarity.bruteForceKnn(emb, queries, k = 10))
         // collected EAGERLY: the index dir is deleted in the finally, so
         // the returned frame must not re-read it lazily
         val onlyServed = served.exceptAll(exact).count()
@@ -622,12 +627,14 @@ object SinkQueries {
         @volatile var plantCrash = false
         def composed(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
           val b = batch.select(col("doc_id"), col("text"))
-          CorpusIngest.processBatch(b, corpusDir, sigDir, batchId = batchId)
+          // the admitted-ever slice rides the corpus ingest's own staged
+          // frames and guard probe (round 16): the former shape paid a
+          // SECOND full filterFresh pass over the batch here — two more
+          // driver collects — and re-executed its lazy anti-join once
+          // per downstream consumer
+          val (_, admitted) = CorpusIngest.processBatchWithAdmitted(
+            b, corpusDir, sigDir, batchId = batchId)
           if (plantCrash) throw new RuntimeException("planted crash: corpus committed, downstream not")
-          // admitted-ever slice of THIS batch: O(batch) bloom probe
-          val admitted = b.join(
-            ReplayGuard.filterFresh(b, "doc_id", CorpusIngest.guardDirOf(sigDir))
-              .select("doc_id"), Seq("doc_id"), "left_anti")
           // embed-at-the-door ORDER: pre-filter through the vector
           // guard so a redelivered batch pays a bloom probe, never a
           // re-embed, for rows the ingest would drop anyway
@@ -639,13 +646,16 @@ object SinkQueries {
           // the two downstream stores are independent — their ingests
           // submit concurrently (the qs4 compaction pool pattern): the
           // delivery's wall is corpus + max(vector, bm25), not the sum
-          // — on a job-count-bound entry the overlap is pure wall
+          // — on a job-count-bound entry the overlap is pure wall.
+          // assumeFresh: vectorFresh just came through the vector guard,
+          // so the ingest's internal probe would re-probe the same rows
           val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
           try {
             val fV = pool.submit(new java.util.concurrent.Callable[Long] {
               def call() = VectorIngest.processBatch(
                 Inference.embedDocuments(vectorFresh, dim = 64, batchSize = 32)
-                  .withColumnRenamed("doc_id", "vec_id"), vroot, batchId = batchId)
+                  .withColumnRenamed("doc_id", "vec_id"), vroot, batchId = batchId,
+                assumeFresh = true)
             })
             val fB = pool.submit(new java.util.concurrent.Callable[Long] {
               def call() = Bm25Ingest.processBatch(admitted, broot, batchId = batchId)

@@ -110,8 +110,15 @@ object Bm25Ingest {
     // fresh set no matter which appends landed. The probe prunes to the
     // batch's id buckets (driver-side bucket list, ≤ nBuckets values).
     val dlPath = doclenDir(stateDir)
+    // the fresh count RIDES the staging materialization as an observed
+    // metric (round 16) instead of costing its own count() job — on a
+    // composed job-count-bound lifecycle (qs9) every per-batch job is
+    // wall. Absent metric ≠ 0 (PropagateEmptyRelation can delete the
+    // CollectMetrics node over a statically-empty batch — the
+    // CorpusIngest caveat): fall back to an explicit count then.
+    val obs = org.apache.spark.sql.Observation()
     val fresh = graft.llm.Stage(
-      if (!fs.exists(new Path(dlPath))) clean
+      (if (!fs.exists(new Path(dlPath))) clean
       else {
         val buckets = clean.select(idBucket(nBuckets).as("bucket"))
           .distinct().collect().map(_.getLong(0)).toIndexedSeq
@@ -120,8 +127,9 @@ object Bm25Ingest {
             col("bucket").isin(buckets.map(_.asInstanceOf[Any]): _*))
           .select("doc_id")
         clean.join(prior, Seq("doc_id"), "left_anti")
-      })
-    val n = fresh.count()
+      }).observe(obs, count(lit(1)).as("n_fresh")))
+    val n = obs.get.get("n_fresh").map(_.asInstanceOf[Long])
+      .getOrElse(fresh.count())
     // idempotent appends: each is an overwrite of THIS batch's subdir.
     // An all-replayed/empty batch writes NOTHING (a zero-row partitioned
     // write leaves a schema-less dir that breaks every later read) but

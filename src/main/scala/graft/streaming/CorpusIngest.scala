@@ -100,7 +100,49 @@ object CorpusIngest {
                    batchId: Long = 0L, nBuckets: Int = 64,
                    qualityPred: Option[Column] = None,
                    sampleDir: Option[String] = None,
-                   sampleN: Int = 1024): Long = {
+                   sampleN: Int = 1024): Long =
+    processBatchCore(batch, corpusDir, sigDir, k, numPerms, bands,
+      minEstPpm, maxBandDf, benchmark, decontamK, maxBenchShared, batchId,
+      nBuckets, qualityPred, sampleDir, sampleN, wantAdmittedEver = false)._1
+
+  /** [[processBatch]] additionally returning the batch's ADMITTED-EVER
+    * slice — (doc_id, text) rows of the batch whose id is in the
+    * admission ledger after this call: ids admitted by EARLIER batches
+    * (the replay/heal case) plus this call's own admissions. This is
+    * the frame a composing multi-store driver (qs9) feeds its
+    * downstream stores; computing it HERE reuses the batch's staged
+    * frames and the guard probe already paid for admission, where the
+    * composer's former shape paid a second full [[ReplayGuard
+    * .filterFresh]] pass over the batch (two more driver collects +
+    * sidecar loads) and then re-executed that lazy anti-join once per
+    * downstream consumer. The returned frame is STAGED (one extra
+    * batch-sized job), so consumers replay cached blocks, and it is
+    * materialized BEFORE the ledger append so its guard view is the
+    * consistent pre-record one. */
+  def processBatchWithAdmitted(batch: DataFrame, corpusDir: String,
+                               sigDir: String, batchId: Long,
+                               nBuckets: Int = 64): (Long, DataFrame) = {
+    val (n, adm) = processBatchCore(batch, corpusDir, sigDir,
+      k = 3, numPerms = 32, bands = 8, minEstPpm = 500000L,
+      maxBandDf = Dedup.CorpusDerivedCap, benchmark = None, decontamK = 8,
+      maxBenchShared = 0L, batchId = batchId, nBuckets = nBuckets,
+      qualityPred = None, sampleDir = None, sampleN = 1024,
+      wantAdmittedEver = true)
+    (n, adm.get)
+  }
+
+  private def processBatchCore(batch: DataFrame, corpusDir: String,
+                   sigDir: String,
+                   k: Int, numPerms: Int, bands: Int,
+                   minEstPpm: Long,
+                   maxBandDf: Long,
+                   benchmark: Option[DataFrame],
+                   decontamK: Int, maxBenchShared: Long,
+                   batchId: Long, nBuckets: Int,
+                   qualityPred: Option[Column],
+                   sampleDir: Option[String],
+                   sampleN: Int,
+                   wantAdmittedEver: Boolean): (Long, Option[DataFrame]) = {
     val spark = batch.sparkSession
     // a compact() crash mid-swap leaves the store retired as __old; heal
     // before the exists probe or the dedup store would look empty and
@@ -206,13 +248,30 @@ object CorpusIngest {
     }
     // ONE shingle+min pass per batch: the signatures feed the dedup AND
     // the ledger append below (round-4 cost: dedupIncremental computed
-    // them internally and the ledger recomputed them for admitted docs)
-    val freshSigs = graft.llm.Stage(Dedup.minHashSignatures(fresh, k, numPerms))
+    // them internally and the ledger recomputed them for admitted docs).
+    // The signature count RIDES the staging job as an observed metric
+    // (round 16): the derived-cap path needed it as a separate count()
+    // job per batch — pure launch wall on composed lifecycles. Absent
+    // metric ≠ 0 (PropagateEmptyRelation; see the n_bad caveat above).
+    val sigObs = org.apache.spark.sql.Observation()
+    val freshSigs = graft.llm.Stage(Dedup.minHashSignatures(fresh, k, numPerms)
+      .observe(sigObs, count(lit(1)).as("n_sigs")))
     val kept = dedupAgainstStore(fresh, freshSigs, sigDir, bandsDir,
-      minEstPpm, maxBandDf)
+      minEstPpm, maxBandDf,
+      sigCount = () => sigObs.get.get("n_sigs").map(_.asInstanceOf[Long])
+        .getOrElse(freshSigs.count()))
     // Admission must be decided before the appends (kept is read
     // several times): one small batch-sized materialization.
     val admitted = graft.llm.Stage(kept)
+    // admitted-ever slice for a composing caller, staged BEFORE the
+    // ledger append below changes what filterFresh's lazy anti-join
+    // would see: rows of the clean batch already in the guard (the
+    // batch minus its fresh slice) plus this call's admissions
+    val admittedEver =
+      if (!wantAdmittedEver) None
+      else Some(graft.llm.Stage(
+        cleanBatch.join(dedupedIds.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(admitted.select("doc_id", "text"))))
     // ledger FIRST (fail-closed — see class doc); the admitted count
     // rides the guard's count+bloom aggregate
     val n = ReplayGuard.record(admitted.select("doc_id"), "doc_id", guardDir)
@@ -243,7 +302,7 @@ object CorpusIngest {
         graft.operators.MergeSink.writeAtomic(merged, sd)
       }
     }
-    n
+    (n, admittedEver)
   }
 
   /** One-shot rebuild of the maintained sample off the corpus dir —
@@ -282,8 +341,13 @@ object CorpusIngest {
   private[graft] def dedupAgainstStore(fresh: DataFrame, freshSigs: DataFrame,
                                        sigDir: String, bandsDir: String,
                                        minEstPpm: Long,
-                                       maxBandDf: Long): DataFrame = {
+                                       maxBandDf: Long,
+                                       sigCount: () => Long = null): DataFrame = {
     val spark = fresh.sparkSession
+    // batch signature count: an observed metric riding the caller's
+    // staging job when provided, else an explicit count over the
+    // (staged) frame — identical value either way
+    def nSigs: Long = if (sigCount == null) freshSigs.count() else sigCount()
     val (nBuckets, numPerms, bands) = BandStore.meta(spark, bandsDir)
     // referenced by the self-join, the store join and the bucket collect
     // — but NOT checkpointed: `freshSigs` arrives staged, so every
@@ -295,7 +359,7 @@ object CorpusIngest {
     BandStore.prunedFor(spark, bandsDir, nb0) match {
       case None => // no store overlap: within-batch dedup only
         val cap = if (maxBandDf == Dedup.CorpusDerivedCap)
-          Dedup.deriveCap(freshSigs.count()) else maxBandDf
+          Dedup.deriveCap(nSigs) else maxBandDf
         val (nb, _) = Dedup.capJointBuckets(nb0, nb0.limit(0), cap)
         val cand = Dedup.withinBatchCandidates(nb).distinct()
         val drop = Dedup.sigAgreementDrops(cand, freshSigs, freshSigs,
@@ -307,7 +371,7 @@ object CorpusIngest {
         // Both frames are staged/pruned — the counts are O(batch +
         // touched buckets), never a store scan.
         val cap = if (maxBandDf == Dedup.CorpusDerivedCap)
-          Dedup.deriveCap(freshSigs.count() + storeBands.count() / bands)
+          Dedup.deriveCap(nSigs + storeBands.count() / bands)
           else maxBandDf
         val (nb, eb) = Dedup.capJointBuckets(nb0, storeBands, cap)
         // staged: feeds the id-bucket collect AND the verify join
@@ -372,7 +436,18 @@ object CorpusIngest {
           .repartition(col("bucket"))
           .write.mode(SaveMode.Append).partitionBy("bucket").parquet(sigDir)
       })
-      fB.get(); fS.get()
+      // on failure, cancel the SIBLING and drain it before rethrowing
+      // (round-15 ADVICE): pool.shutdown() does not await, so a bare
+      // fB.get() throw would let the caller — and a streaming retry of
+      // the batch — proceed while the signature append is still in
+      // flight against the same sigDir
+      try { fB.get(); fS.get() }
+      catch { case t: Throwable =>
+        fB.cancel(true); fS.cancel(true)
+        pool.shutdown()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        throw t
+      }
     } finally pool.shutdown()
   }
 

@@ -223,8 +223,19 @@ object VectorIngest {
     * newly indexed vectors. foreachBatch-compatible. Zero-norm vectors
     * are rejected (they have no cell and no place in cosine ranking —
     * see [[Similarity]]); rejected rows leave no trace, so a corrected
-    * re-send of the same vec_id can be admitted later. */
-  def processBatch(batch: DataFrame, root: String, batchId: Long = 0L): Long = {
+    * re-send of the same vec_id can be admitted later.
+    *
+    * `assumeFresh = true` skips the internal [[ReplayGuard.filterFresh]]
+    * probe — for composing drivers (qs9) that ALREADY filtered this
+    * exact batch through [[guardDirOf]]'s guard immediately before the
+    * call (the embed-at-the-door order pays the probe once, pre-embed;
+    * without the flag the same batch was probed twice per delivery —
+    * two extra driver collects and a bloom pass, pure job-launch wall
+    * on a composed lifecycle). CONTRACT: the caller's probe must use
+    * the SAME guard with no record() between probe and call; validation
+    * and id-dedup still run here either way. */
+  def processBatch(batch: DataFrame, root: String, batchId: Long = 0L,
+                   assumeFresh: Boolean = false): Long = {
     val spark = batch.sparkSession
     val path = cellsPath(root)
     // a compactCells crash mid-swap leaves the store retired as __old,
@@ -281,7 +292,9 @@ object VectorIngest {
     // quarantine metric rides this materialization.
     val fresh0 = graft.llm.Stage(flagged.filter(col("__ok"))
       .select("vec_id", "embedding").dropDuplicates("vec_id"))
-    val fresh = ReplayGuard.filterFresh(fresh0, "vec_id", guardDir)
+    val fresh =
+      if (assumeFresh) fresh0
+      else ReplayGuard.filterFresh(fresh0, "vec_id", guardDir)
     // ABSENT metric ≠ 0: an all-invalid batch over a statically-empty
     // relation loses its CollectMetrics node to PropagateEmptyRelation
     // (see CorpusIngest.processBatch) — fall back to an explicit probe

@@ -26,11 +26,11 @@ object ExplainOp {
         graft.llm.Corpus.mergeApply(segs, Seq(("the", "of")))
           .explain("formatted")
       case "bpe_counts" =>
-        // the first training round's pair-count frame, built the same
-        // way mergeTrainBatched builds it (private helpers exercised
-        // through the public trainer would hide the plan in a collect)
-        graft.llm.Corpus.mergeTrainBatched(segs, nMerges = 1)
-          .explain("formatted")
+        // the first training round's ACTUAL pair-count frame (round-15
+        // ADVICE: explaining the trainer's return value showed the
+        // driver-collected merge table — a LocalTableScan — and proved
+        // nothing about the TokenNgrams count plan this op documents)
+        graft.llm.Corpus.pairCountFrame(segs).explain("formatted")
       case other => sys.error(s"unknown op: $other")
     }
     spark.stop()

@@ -136,6 +136,33 @@ class CorpusIngestSpec extends SparkSpec {
     assert(ledger.filter(col("doc_id") === 1L).select("h0").head().isNullAt(0))
   }
 
+  test("processBatchWithAdmitted returns the admitted-ever slice across replays") {
+    val corpusDir = tmpDir("corpus_adm") + "/docs"
+    val sigDir = tmpDir("corpus_adm") + "/sigs"
+    def ingest(id: Long, rows: (Long, String)*): (Long, Set[Long]) = {
+      val (n, adm) = CorpusIngest.processBatchWithAdmitted(
+        rows.toDF("doc_id", "text"), corpusDir, sigDir, batchId = id)
+      (n, adm.select("doc_id").as[Long].collect().toSet)
+    }
+    // batch 1: both novel → both admitted now, both admitted-ever
+    assert(ingest(0L, 0L -> base,
+      1L -> "a first unique document about spark partitions and shuffles")
+      == (2L, Set(0L, 1L)))
+    // batch 2: replay of 1 (admitted EARLIER → in the slice), a
+    // near-dup of 0 (sig-dropped, NOT ledgered → excluded), one novel
+    val (n2, adm2) = ingest(1L,
+      1L -> "a first unique document about spark partitions and shuffles",
+      2L -> (base + " extra"),
+      3L -> "completely new material never seen in any earlier batch")
+    assert(n2 == 1L && adm2 == Set(1L, 3L))
+    // batch 3: full redelivery → zero fresh admissions, every id in the
+    // slice (the composed driver's heal/redelivery contract)
+    val (n3, adm3) = ingest(2L, 0L -> base,
+      1L -> "a first unique document about spark partitions and shuffles",
+      3L -> "completely new material never seen in any earlier batch")
+    assert(n3 == 0L && adm3 == Set(0L, 1L, 3L))
+  }
+
   test("null-id/null-text rows quarantine; corrected re-sends are admitted") {
     val root = tmpDir("cingest_q")
     val corpusDir = s"$root/corpus"; val sigDir = s"$root/sigs"

@@ -45,6 +45,40 @@ class VectorIngestSpec extends SparkSpec {
     assert(cells(0L) != cells(100L))
   }
 
+  test("assumeFresh after a caller-side guard probe indexes the same set") {
+    import graft.streaming.ReplayGuard
+    val rootA = tmpDir("vindexA"); val rootB = tmpDir("vindexB")
+    val all = (rows(0 until 8, 0) ++ rows(100 until 108, 1))
+      .toDF("vec_id", "embedding")
+    val batch1 = (rows(0 until 8, 0) ++ rows(100 until 104, 1))
+      .toDF("vec_id", "embedding")
+    val batch2 = (rows(104 until 108, 1) ++ rows(0 until 2, 0)) // 0,1 replayed
+      .toDF("vec_id", "embedding")
+    Seq(rootA, rootB).foreach(r =>
+      VectorIngest.trainCentroids(all, r, kCells = 2, iters = 5, dim = 4))
+    // A: the ingest's own internal guard probe
+    assert(VectorIngest.processBatch(batch1, rootA) == 12L)
+    assert(VectorIngest.processBatch(batch2, rootA) == 4L)
+    // B: the composed-driver order — caller probes the SAME guard first,
+    // ingest skips its duplicate internal probe
+    def preFiltered(b: org.apache.spark.sql.DataFrame) = {
+      val g = VectorIngest.guardDirOf(rootB)
+      if (!ReplayGuard.exists(spark, g)) b
+      else ReplayGuard.filterFresh(b, "vec_id", g)
+    }
+    assert(VectorIngest.processBatch(preFiltered(batch1), rootB,
+      assumeFresh = true) == 12L)
+    assert(VectorIngest.processBatch(preFiltered(batch2), rootB,
+      assumeFresh = true) == 4L)
+    // full-replay no-op holds through the caller-side probe too
+    assert(VectorIngest.processBatch(preFiltered(batch2), rootB,
+      assumeFresh = true) == 0L)
+    def stored(r: String): Map[Long, Long] =
+      spark.read.parquet(s"$r/cells").select("vec_id", "list_id")
+        .as[(Long, Long)].collect().toMap
+    assert(stored(rootA) == stored(rootB))
+  }
+
   test("a compaction crash mid-swap heals; compacting an empty store is a no-op") {
     val root = tmpDir("vindex3")
     val all = (rows(0 until 4, 0) ++ rows(100 until 104, 1))
