@@ -306,22 +306,31 @@ object SinkQueries {
           // below, so the returned frame must not re-read it lazily.
           // `_event_guard` is ledger/bloom state, not a parquet table —
           // only `_quarantine` among the underscore dirs is countable.
-          // ~21 independent metadata-only count jobs: run them on a thread
-          // pool so wall time is one job launch, not 21 sequential ones
-          // (job-launch overhead dominates counts at fixture scale)
+          // ONE union-of-aggregates job (round 16): the former thread
+          // pool still paid ~21 scheduler round-trips per call; a union
+          // of per-table one-row aggregates is a single action whose
+          // tiny scan stages run concurrently inside one job. The
+          // per-table frames are still CONSTRUCTED on a pool: each
+          // read.parquet pays footer schema inference eagerly, and
+          // folding that into single-threaded analysis of the union
+          // measurably regressed the entry (the pool's one win).
           def tableCounts(): Seq[(String, Long)] = {
             val tables = new java.io.File(dir).listFiles()
               .filter(_.isDirectory).map(_.getName)
               .filter(t => !t.startsWith("_") || t == "_quarantine").sorted.toSeq
-            val pool = java.util.concurrent.Executors.newFixedThreadPool(
-              math.min(16, math.max(1, tables.size)))
-            try tables.map { t =>
-              pool.submit(new java.util.concurrent.Callable[(String, Long)] {
-                def call(): (String, Long) =
-                  (t, s.read.parquet(s"$dir/$t").count())
-              })
-            }.map(_.get())
-            finally pool.shutdown()
+            if (tables.isEmpty) Seq.empty
+            else {
+              val pool = java.util.concurrent.Executors.newFixedThreadPool(
+                math.min(16, tables.size))
+              val frames = try tables.map { t =>
+                pool.submit(new java.util.concurrent.Callable[org.apache.spark.sql.DataFrame] {
+                  def call() = s.read.parquet(s"$dir/$t")
+                    .agg(count(lit(1)).as("n")).select(lit(t).as("t"), col("n"))
+                })
+              }.map(_.get()) finally pool.shutdown()
+              frames.reduce(_.unionAll(_)).collect()
+                .map(r => (r.getString(0), r.getLong(1))).toSeq
+            }
           }
           val counts = tableCounts()
           // IN-QUERY VALUE GATE (qs3 pattern, round 10): per-table
@@ -390,33 +399,41 @@ object SinkQueries {
             graft.streaming.SyncConfig(eventsLedger = true, dedupEventIds = true))
           val df = fx.toDF("value")
           pipeline.processBatch(df, 0L)
-          // pooled like qs1's counts: ~21 metadata-only jobs per call,
-          // sequential launches would dominate the entry's wall time.
-          // Each probe returns (rows, content hash): the redelivery
-          // delta is checked on CONTENT, not just cardinality — a
-          // replay that rewrote a row without changing any count would
-          // still trip the gate (round-10 hardening).
+          // ONE union-of-aggregates job (round 16; the qs1 tableCounts
+          // shape): the former thread pool still paid ~21 scheduler
+          // round-trips per call — and tableState runs TWICE. Each
+          // probe returns (rows, content hash): the redelivery delta is
+          // checked on CONTENT, not just cardinality — a replay that
+          // rewrote a row without changing any count would still trip
+          // the gate (round-10 hardening).
+          // frames constructed on a pool (schema inference is eager and
+          // per-table; serializing it into union analysis regressed the
+          // entry), then ONE collect executes all 21 aggregates
           def tableState(): Map[String, (Long, String)] = {
             val tables = new java.io.File(dir).listFiles().filter(_.isDirectory)
               .map(_.getName)
               .filter(t => !t.startsWith("_") || t == "_quarantine").toSeq
-            val pool = java.util.concurrent.Executors.newFixedThreadPool(
-              math.min(16, math.max(1, tables.size)))
-            try tables.map { t =>
-              pool.submit(new java.util.concurrent.Callable[(String, (Long, String))] {
-                def call(): (String, (Long, String)) = {
-                  // DECIMAL sum: a Long sum of ~hundreds of xxhash64
-                  // values overflows (ANSI throws)
-                  val agg = s.read.parquet(s"$dir/$t")
-                    .agg(count(lit(1)),
-                      coalesce(sum(xxhash64(to_json(struct(col("*"))))
-                        .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")))
-                    .head()
-                  (t, (agg.getLong(0), agg.getDecimal(1).toPlainString))
-                }
-              })
-            }.map(_.get()).toMap
-            finally pool.shutdown()
+            if (tables.isEmpty) Map.empty
+            else {
+              val pool = java.util.concurrent.Executors.newFixedThreadPool(
+                math.min(16, tables.size))
+              val frames = try tables.map { t =>
+                pool.submit(new java.util.concurrent.Callable[org.apache.spark.sql.DataFrame] {
+                  def call() =
+                    // DECIMAL sum: a Long sum of ~hundreds of xxhash64
+                    // values overflows (ANSI throws)
+                    s.read.parquet(s"$dir/$t")
+                      .agg(count(lit(1)).as("n"),
+                        coalesce(sum(xxhash64(to_json(struct(col("*"))))
+                          .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))
+                          .as("h"))
+                      .select(lit(t).as("t"), col("n"), col("h"))
+                })
+              }.map(_.get()) finally pool.shutdown()
+              frames.reduce(_.unionAll(_)).collect()
+                .map(r => (r.getString(0),
+                  (r.getLong(1), r.getDecimal(2).toPlainString))).toMap
+            }
           }
           val after1 = tableState()
           pipeline.processBatch(df, 1L) // full redelivery: dropped pre-route

@@ -361,17 +361,61 @@ object ReplayGuard {
     dropV1Monolith(spark, guardDir)
     val (nBuckets, floor) = readMeta(spark, guardDir)
     val bucketExpr = bucketOf(idCol, nBuckets)
-    val perBucket = ids.groupBy(bucketExpr.as("bucket"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // FUSED first pass (round 16 — on composed lifecycles every
+    // per-batch job is wall): the per-bucket counts AND the batch
+    // blooms of every CACHE-KNOWN bucket ride ONE aggregate job — the
+    // former shape paid a count job, then one bloom job per capacity
+    // class. A bucket's filter params are deterministic from its
+    // sidecar's capacity, so for buckets whose sidecar is already in
+    // the process cache (steady state: record() writes through, so
+    // every bucket this writer ever touched) the bloom can be built
+    // before the sidecar lookup. Buckets NOT in the cache aggregate
+    // count-only here (NULL bloom) and take the per-class bloom job
+    // below, exactly the old path — the cache is never read from disk
+    // speculatively, so the driver-resident-bytes envelope (touched
+    // buckets only) is unchanged.
+    val cachedParams: Map[Long, (Long, Long)] =
+      sidecarCache.synchronized {
+        val it = sidecarCache.entrySet().iterator()
+        val m = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey._1 == guardDir)
+            m(e.getKey._2) = bloomParams(spark, e.getValue._1)
+        }
+        m.toMap
+      }
+    val byClass: Map[(Long, Long), Seq[Long]] =
+      cachedParams.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    val unknownBranch = {
+      val known = cachedParams.keySet.toSeq
+      val base = if (known.isEmpty) ids
+        else ids.filter(!bucketExpr.isin(known.map(_.asInstanceOf[Any]): _*))
+      base.groupBy(bucketExpr.as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("bucket"), col("n"), lit(null).cast("binary").as("bf"))
+    }
+    val fused = byClass.foldLeft(unknownBranch) { case (acc, ((e, bits), bs)) =>
+      acc.unionAll(
+        ids.filter(bucketExpr.isin(bs.map(_.asInstanceOf[Any]): _*))
+          .groupBy(bucketExpr.as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            BloomFns.bloom_filter_agg(xxhash64(col(idCol)), e, bits).as("bf")))
+    }
+    val firstPass = fused.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.getAs[Array[Byte]](2))))
+      .sortBy(_._1)
+    val perBucket = firstPass.map { case (b, (nb, _)) => b -> nb }
     val n = perBucket.map(_._2).sum
     if (n == 0L) return 0L
     val ledgered = ledgerBuckets(spark, guardDir)
     // ensure capacity per touched bucket (growing rebuilds fold the
     // still-unappended batch count into the new size), then group the
-    // buckets by their filter parameters for the batch-bloom job(s)
-    val prepared: Array[(Long, (Long, Long, Array[Byte]))] =
-      perBucket.map { case (b, nb) =>
+    // REMAINING buckets — uncached, or grown past the params their
+    // fused bloom was built at — by filter params for the residual
+    // batch-bloom job(s)
+    val prepared: Array[(Long, (Long, Long, Array[Byte]), Option[Array[Byte]])] =
+      firstPass.map { case (b, (nb, fusedBloom)) =>
         val side = loadOrHealSidecar(spark, guardDir, b, ledgered)
           .getOrElse {
             var est = math.max(64L, floor / nBuckets)
@@ -383,25 +427,31 @@ object ReplayGuard {
           if (side._2 + nb > side._1)
             rebuildSidecar(spark, guardDir, b, atLeast = (side._2 + nb) * 2)
           else side
-        b -> grown
+        // the fused bloom is usable only if the (possibly grown)
+        // sidecar's params still match the class it was built at
+        val usable = fusedBloom.filter(_ =>
+          cachedParams.get(b).contains(bloomParams(spark, grown._1)))
+        (b, grown, usable)
       }
-    val byParams = prepared.groupBy { case (_, (est, _, _)) =>
+    val residual = prepared.filter(_._3.isEmpty)
+    val byParams = residual.groupBy { case (_, (est, _, _), _) =>
       bloomParams(spark, est)
     }
-    byParams.foreach { case ((e, bits), group) =>
-      val bucketSet = group.map(_._1).toSet
-      val batchBlooms = ids
-        .filter(bucketExpr.isin(bucketSet.toSeq.map(_.asInstanceOf[Any]): _*))
-        .groupBy(bucketExpr.as("bucket"))
-        .agg(BloomFns.bloom_filter_agg(xxhash64(col(idCol)), e, bits).as("bf"))
-        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
-      group.foreach { case (b, (est, cnt, bytes)) =>
-        val merged = deserialize(bytes)
-        batchBlooms.get(b).foreach(bb => merged.mergeInPlace(deserialize(bb)))
-        writeSidecar(spark, guardDir, b, est,
-          cnt + perBucket.find(_._1 == b).map(_._2).getOrElse(0L),
-          serialize(merged))
-      }
+    val residualBlooms: Map[Long, Array[Byte]] = byParams.flatMap {
+      case ((e, bits), group) =>
+        val bucketSet = group.map(_._1).toSet
+        ids.filter(bucketExpr.isin(bucketSet.toSeq.map(_.asInstanceOf[Any]): _*))
+          .groupBy(bucketExpr.as("bucket"))
+          .agg(BloomFns.bloom_filter_agg(xxhash64(col(idCol)), e, bits).as("bf"))
+          .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    }
+    prepared.foreach { case (b, (est, cnt, bytes), fusedBloom) =>
+      val merged = deserialize(bytes)
+      fusedBloom.orElse(residualBlooms.get(b))
+        .foreach(bb => merged.mergeInPlace(deserialize(bb)))
+      writeSidecar(spark, guardDir, b, est,
+        cnt + perBucket.find(_._1 == b).map(_._2).getOrElse(0L),
+        serialize(merged))
     }
     ids.select(col(idCol).as("id"), bucketOf(idCol, nBuckets).as("bucket"))
       // repartition BY BUCKET before the partitioned write: without it

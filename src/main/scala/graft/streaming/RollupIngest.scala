@@ -157,12 +157,36 @@ object RollupIngest {
     val fs = fsOf(spark, stateDir)
     val staging = new Path(s"$stateDir/.staging_v$batchId")
     if (fs.exists(staging)) fs.delete(staging, true) // prior crashed attempt
-    scalar.write.parquet(s"$staging/scalar")
-    dist.write.parquet(s"$staging/regs")
-    hist.foreach { case (t, df) => df.write.parquet(s"$staging/$HistPrefix$t") }
-    freq.foreach { case (t, df) => df.write.parquet(s"$staging/$FreqPrefix$t") }
-    samp.foreach { case (t, df) => df.write.parquet(s"$staging/$SampPrefix$t") }
-    mix.foreach { case (t, df) => df.write.parquet(s"$staging/$MixPrefix$t") }
+    // the staging writes are INDEPENDENT subdirs committed by the ONE
+    // rename below, so they submit concurrently (guide §2.6 — the
+    // appendAdmitted pattern): wall is max(write), not the sum of up to
+    // six small write-job tails per batch. Crash safety is unchanged —
+    // a partial staging dir is deleted and rewritten on retry, and
+    // nothing is visible until the rename. On failure the siblings are
+    // cancelled and drained before rethrowing so no write is in flight
+    // against the staging dir when the error propagates.
+    val stagingWrites: Seq[(String, DataFrame)] =
+      Seq("scalar" -> scalar, "regs" -> dist) ++
+        hist.map { case (t, df) => s"$HistPrefix$t" -> df } ++
+        freq.map { case (t, df) => s"$FreqPrefix$t" -> df } ++
+        samp.map { case (t, df) => s"$SampPrefix$t" -> df } ++
+        mix.map { case (t, df) => s"$MixPrefix$t" -> df }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      stagingWrites.size)
+    try {
+      val futures = stagingWrites.map { case (sub, df) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = df.write.parquet(s"$staging/$sub")
+        })
+      }
+      try futures.foreach(_.get())
+      catch { case t: Throwable =>
+        futures.foreach(_.cancel(true))
+        pool.shutdown()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        throw t
+      }
+    } finally pool.shutdown()
     def writeLedger(file: String, ids: Seq[Long]): Unit = if (ids.nonEmpty) {
       val out = fs.create(new Path(s"$staging/$file"), true)
       try out.write(ids.mkString("\n").getBytes("UTF-8")) finally out.close()
