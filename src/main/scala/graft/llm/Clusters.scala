@@ -85,20 +85,27 @@ object Clusters {
                           roundTrace: (Int, Long) => Unit = null,
                           maxLocalEdges: Long = 1L << 19): DataFrame = {
     val spark = edges.sparkSession
-    val adj = edges.select(col("id_a").cast("long").as("src"),
+    val adjPlan = edges.select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
       .union(edges.select(col("id_b").cast("long").as("src"),
         col("id_a").cast("long").as("dst")))
       .distinct()
-      .persist()
-    val nAdj = adj.count()
-    if (nAdj <= 2 * maxLocalEdges) {
-      // whole graph fits the driver bound: one collect + union-find
-      val out = localComponents(spark,
-        adj.collect().map(r => (r.getLong(0), r.getLong(1))))
-      adj.unpersist()
-      return out
-    }
+    // ONE bounded action decides local-vs-distributed AND, in the local
+    // case, IS the collect union-find needs (round 16): the former
+    // persist + count + collect spent two actions (and a cache round
+    // trip) on the same decision. take() stops fetching once the bound
+    // is crossed, so driver memory stays bounded by maxLocalEdges
+    // exactly as the count gate bounded it; a result shorter than the
+    // bound is by construction the COMPLETE edge list. An over-bound
+    // graph pays one partial scan, then persists for the loop below.
+    val takeBound =
+      if (maxLocalEdges >= (Int.MaxValue.toLong - 8) / 2) Int.MaxValue - 8
+      else (2 * maxLocalEdges + 1).toInt
+    val taken = adjPlan.take(takeBound)
+    if (taken.length <= 2 * maxLocalEdges)
+      return localComponents(spark,
+        taken.map(r => (r.getLong(0), r.getLong(1))))
+    val adj = adjPlan.persist()
     var labels = Stage(adj.groupBy("src").agg(min("dst").as("nbr"))
       .select(col("src").as("id"), least(col("src"), col("nbr")).as("label")))
     val nNodes = labels.count()

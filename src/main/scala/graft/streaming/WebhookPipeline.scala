@@ -82,12 +82,16 @@ class WebhookPipeline(tablesDir: String,
       }
     val envelope = deduped.cache()
     try {
-      if (config.eventsLedger) writeEventsLedger(envelope)
       // ONE aggregate decides which route groups have events — the
       // per-group emptiness probes it replaces were ~25 driver-visible
       // jobs per micro-batch, pure scheduling overhead on the hot path.
       // The same pass also counts null payloads per type, so quarantine
-      // detection still costs zero extra jobs on a clean batch.
+      // detection still costs zero extra jobs on a clean batch. It runs
+      // BEFORE the events ledger (round 16) so a batch the pre-route
+      // dedup emptied — the common at-least-once redelivery case —
+      // skips the ledger's read+merge+rewrite of the events table
+      // entirely: an empty guarded merge rewrites identical content,
+      // so skipping it changes no stored byte.
       val stats = envelope.groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           count(when(col("payload").isNull, 1)).as("n_null_payload"))
@@ -95,6 +99,7 @@ class WebhookPipeline(tablesDir: String,
       val typeCounts: Map[String, Long] =
         stats.map(r => (r.getString(0), r.getLong(1))).toMap
       val nullPayloads = stats.map(_.getLong(2)).sum
+      if (config.eventsLedger && stats.nonEmpty) writeEventsLedger(envelope)
       quarantineUnprocessable(raw, typeCounts, nullPayloads, batchId)
       val live = StripeEvents.route(envelope).filter {
         case (_, _, types, _) => types.exists(t => typeCounts.getOrElse(t, 0L) > 0L)
