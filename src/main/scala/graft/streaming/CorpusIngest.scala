@@ -478,8 +478,13 @@ object CorpusIngest {
         import spark.implicits._
         spark.emptyDataset[Long].toDF("doc_id")
       }
-    val orphans = graft.llm.Stage(
-      ReplayGuard.orphans(spark, guardDir, corpusIds, "doc_id"))
+    // staged ONLY when evicting (round 16): the eviction branch mutates
+    // the stores the lazy orphan frame reads, so there it must
+    // materialize first — but the read-only sweep (evict = false, the
+    // qs4 lifecycle's call) consumed the Stage job for nothing; the
+    // final collect is the frame's one consumer then
+    val orphans0 = ReplayGuard.orphans(spark, guardDir, corpusIds, "doc_id")
+    val orphans = if (evict) graft.llm.Stage(orphans0) else orphans0
     if (evict) {
       // dedup artifacts first: once the guard row is gone the id is
       // re-admittable, so every earlier state must already be clean

@@ -354,8 +354,10 @@ object VectorIngest {
         import spark.implicits._
         spark.emptyDataset[Long].toDF("vec_id")
       }
-    val orphans = graft.llm.Stage(
-      ReplayGuard.orphans(spark, guardPath(root), store, "vec_id"))
+    // staged only when evicting (the CorpusIngest.reconcile rule): the
+    // read-only sweep's one consumer is the collect below
+    val orphans0 = ReplayGuard.orphans(spark, guardPath(root), store, "vec_id")
+    val orphans = if (evict) graft.llm.Stage(orphans0) else orphans0
     if (evict) ReplayGuard.evict(spark, guardPath(root), orphans, "vec_id")
     orphans.collect().map(_.getLong(0)).sorted.toSeq
   }
