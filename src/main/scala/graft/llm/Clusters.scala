@@ -102,7 +102,11 @@ object Clusters {
       if (maxLocalEdges >= (Int.MaxValue.toLong - 8) / 2) Int.MaxValue - 8
       else (2 * maxLocalEdges + 1).toInt
     val taken = adjPlan.take(takeBound)
-    if (taken.length <= 2 * maxLocalEdges)
+    // length < takeBound is what proves completeness — a result that
+    // FILLED the bound may be truncated (reachable only when the Int
+    // cap clamps takeBound below 2·maxLocalEdges+1) and must route to
+    // the distributed loop, never to union-find over a partial list
+    if (taken.length < takeBound && taken.length <= 2 * maxLocalEdges)
       return localComponents(spark,
         taken.map(r => (r.getLong(0), r.getLong(1))))
     val adj = adjPlan.persist()

@@ -56,26 +56,10 @@ object PreferenceStore {
       // by the single swap below — submit concurrently (guide §2.6,
       // the RollupIngest staging pattern): wall is max(write), not two
       // sequential write-job tails, and atomicity is the rename's, not
-      // the write order's. On failure the sibling is cancelled and
-      // drained before rethrowing.
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-      try {
-        val fS = pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit =
-            merged.write.mode(SaveMode.Overwrite).parquet(s"$tmp/state")
-        })
-        val fB = pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit =
-            batches.write.mode(SaveMode.Overwrite).parquet(s"$tmp/batches")
-        })
-        try { fS.get(); fB.get() }
-        catch { case t: Throwable =>
-          fS.cancel(true); fB.cancel(true)
-          pool.shutdown()
-          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-          throw t
-        }
-      } finally pool.shutdown()
+      // the write order's
+      graft.operators.Concurrently.run(Seq(
+        () => merged.write.mode(SaveMode.Overwrite).parquet(s"$tmp/state"),
+        () => batches.write.mode(SaveMode.Overwrite).parquet(s"$tmp/batches")))
     }
     true
   }

@@ -39,6 +39,35 @@ object SinkQueries {
     f.delete()
   }
 
+  /** ONE action over every sink table under `dir` (round 16, shared by
+    * qs1's counts and qs6's content-state gate): build a one-row
+    * aggregate per table via `mk` on a small pool — read.parquet pays
+    * footer schema inference EAGERLY, and serializing ~21 inferences
+    * into single-threaded union analysis measurably regressed qs6 —
+    * then union the frames and collect once, so ~21 scheduler
+    * round-trips become one job whose tiny scan stages run
+    * concurrently. `_event_guard` is ledger/bloom state, not a parquet
+    * table — only `_quarantine` among the underscore dirs is readable. */
+  private def unionOverTables(dir: String)(
+      mk: String => org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.Row] = {
+    val tables = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory).map(_.getName)
+      .filter(t => !t.startsWith("_") || t == "_quarantine").sorted.toSeq
+    if (tables.isEmpty) Seq.empty
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, tables.size))
+      val frames = try tables.map { t =>
+        pool.submit(new java.util.concurrent.Callable[org.apache.spark.sql.DataFrame] {
+          def call() = mk(t)
+        })
+      }.map(_.get()) finally pool.shutdown()
+      frames.reduce(_.unionAll(_)).collect().toSeq
+    }
+  }
+
   val all: Seq[Q] = Seq(
     // The streaming ANN-index lifecycle under the bench clock: freeze
     // centroids on a bootstrap sample, fold the embeddings in as TWO
@@ -303,35 +332,13 @@ object SinkQueries {
           val df = Seq.fill(copies)(fx).flatten.toDF("value")
           (0 until batches).foreach(i => pipeline.processBatch(df, i.toLong))
           // counts are collected EAGERLY: the temp sink state is deleted
-          // below, so the returned frame must not re-read it lazily.
-          // `_event_guard` is ledger/bloom state, not a parquet table —
-          // only `_quarantine` among the underscore dirs is countable.
-          // ONE union-of-aggregates job (round 16): the former thread
-          // pool still paid ~21 scheduler round-trips per call; a union
-          // of per-table one-row aggregates is a single action whose
-          // tiny scan stages run concurrently inside one job. The
-          // per-table frames are still CONSTRUCTED on a pool: each
-          // read.parquet pays footer schema inference eagerly, and
-          // folding that into single-threaded analysis of the union
-          // measurably regressed the entry (the pool's one win).
-          def tableCounts(): Seq[(String, Long)] = {
-            val tables = new java.io.File(dir).listFiles()
-              .filter(_.isDirectory).map(_.getName)
-              .filter(t => !t.startsWith("_") || t == "_quarantine").sorted.toSeq
-            if (tables.isEmpty) Seq.empty
-            else {
-              val pool = java.util.concurrent.Executors.newFixedThreadPool(
-                math.min(16, tables.size))
-              val frames = try tables.map { t =>
-                pool.submit(new java.util.concurrent.Callable[org.apache.spark.sql.DataFrame] {
-                  def call() = s.read.parquet(s"$dir/$t")
-                    .agg(count(lit(1)).as("n")).select(lit(t).as("t"), col("n"))
-                })
-              }.map(_.get()) finally pool.shutdown()
-              frames.reduce(_.unionAll(_)).collect()
-                .map(r => (r.getString(0), r.getLong(1))).toSeq
-            }
-          }
+          // below, so the returned frame must not re-read it lazily
+          // (one union-of-aggregates action — see [[unionOverTables]])
+          def tableCounts(): Seq[(String, Long)] =
+            unionOverTables(dir) { t =>
+              s.read.parquet(s"$dir/$t")
+                .agg(count(lit(1)).as("n")).select(lit(t).as("t"), col("n"))
+            }.map(r => (r.getString(0), r.getLong(1)))
           val counts = tableCounts()
           // IN-QUERY VALUE GATE (qs3 pattern, round 10): per-table
           // counts vs the FIXTURE-DERIVED expectation — distinct payload
@@ -406,35 +413,24 @@ object SinkQueries {
           // checked on CONTENT, not just cardinality — a replay that
           // rewrote a row without changing any count would still trip
           // the gate (round-10 hardening).
-          // frames constructed on a pool (schema inference is eager and
-          // per-table; serializing it into union analysis regressed the
-          // entry), then ONE collect executes all 21 aggregates
-          def tableState(): Map[String, (Long, String)] = {
-            val tables = new java.io.File(dir).listFiles().filter(_.isDirectory)
-              .map(_.getName)
-              .filter(t => !t.startsWith("_") || t == "_quarantine").toSeq
-            if (tables.isEmpty) Map.empty
-            else {
-              val pool = java.util.concurrent.Executors.newFixedThreadPool(
-                math.min(16, tables.size))
-              val frames = try tables.map { t =>
-                pool.submit(new java.util.concurrent.Callable[org.apache.spark.sql.DataFrame] {
-                  def call() =
-                    // DECIMAL sum: a Long sum of ~hundreds of xxhash64
-                    // values overflows (ANSI throws)
-                    s.read.parquet(s"$dir/$t")
-                      .agg(count(lit(1)).as("n"),
-                        coalesce(sum(xxhash64(to_json(struct(col("*"))))
-                          .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))
-                          .as("h"))
-                      .select(lit(t).as("t"), col("n"), col("h"))
-                })
-              }.map(_.get()) finally pool.shutdown()
-              frames.reduce(_.unionAll(_)).collect()
-                .map(r => (r.getString(0),
-                  (r.getLong(1), r.getDecimal(2).toPlainString))).toMap
-            }
-          }
+          // one union-of-aggregates action per call (see
+          // [[unionOverTables]]); tableState runs TWICE. Each probe
+          // returns (rows, content hash): the redelivery delta is
+          // checked on CONTENT, not just cardinality — a replay that
+          // rewrote a row without changing any count would still trip
+          // the gate (round-10 hardening).
+          def tableState(): Map[String, (Long, String)] =
+            unionOverTables(dir) { t =>
+              // DECIMAL sum: a Long sum of ~hundreds of xxhash64
+              // values overflows (ANSI throws)
+              s.read.parquet(s"$dir/$t")
+                .agg(count(lit(1)).as("n"),
+                  coalesce(sum(xxhash64(to_json(struct(col("*"))))
+                    .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))
+                    .as("h"))
+                .select(lit(t).as("t"), col("n"), col("h"))
+            }.map(r => (r.getString(0),
+              (r.getLong(1), r.getDecimal(2).toPlainString))).toMap
           val after1 = tableState()
           pipeline.processBatch(df, 1L) // full redelivery: dropped pre-route
           val after2 = tableState()

@@ -425,30 +425,16 @@ object CorpusIngest {
     // ordering note above — a crash that lands one without the other is
     // fail-open in EITHER direction, so the sequential ordering bought
     // no safety, only a second write-job tail per micro-batch
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    try {
-      val fB = pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = BandStore.append(
-          Dedup.bandsFromSignatures(sigs, numPerms, bands), bandsDir)
-      })
-      val fS = pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = sigs.withColumn("bucket", sigBucket(nBuckets))
-          .repartition(col("bucket"))
-          .write.mode(SaveMode.Append).partitionBy("bucket").parquet(sigDir)
-      })
-      // on failure, cancel the SIBLING and drain it before rethrowing
-      // (round-15 ADVICE): pool.shutdown() does not await, so a bare
-      // fB.get() throw would let the caller — and a streaming retry of
-      // the batch — proceed while the signature append is still in
-      // flight against the same sigDir
-      try { fB.get(); fS.get() }
-      catch { case t: Throwable =>
-        fB.cancel(true); fS.cancel(true)
-        pool.shutdown()
-        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-        throw t
-      }
-    } finally pool.shutdown()
+    // on failure the sibling is cancelled and drained before the
+    // rethrow (round-15 ADVICE — a streaming retry of the batch must
+    // never race an append still in flight against the same sigDir);
+    // Concurrently.run owns that error path for every staging site
+    graft.operators.Concurrently.run(Seq(
+      () => BandStore.append(
+        Dedup.bandsFromSignatures(sigs, numPerms, bands), bandsDir),
+      () => sigs.withColumn("bucket", sigBucket(nBuckets))
+        .repartition(col("bucket"))
+        .write.mode(SaveMode.Append).partitionBy("bucket").parquet(sigDir)))
   }
 
   /** The admission-ledger location beside a signature store — PUBLIC so

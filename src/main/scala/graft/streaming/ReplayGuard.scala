@@ -414,7 +414,7 @@ object ReplayGuard {
     // REMAINING buckets — uncached, or grown past the params their
     // fused bloom was built at — by filter params for the residual
     // batch-bloom job(s)
-    val prepared: Array[(Long, (Long, Long, Array[Byte]), Option[Array[Byte]])] =
+    val prepared: Array[(Long, Long, (Long, Long, Array[Byte]), Option[Array[Byte]])] =
       firstPass.map { case (b, (nb, fusedBloom)) =>
         val side = loadOrHealSidecar(spark, guardDir, b, ledgered)
           .getOrElse {
@@ -431,10 +431,10 @@ object ReplayGuard {
         // sidecar's params still match the class it was built at
         val usable = fusedBloom.filter(_ =>
           cachedParams.get(b).contains(bloomParams(spark, grown._1)))
-        (b, grown, usable)
+        (b, nb, grown, usable)
       }
-    val residual = prepared.filter(_._3.isEmpty)
-    val byParams = residual.groupBy { case (_, (est, _, _), _) =>
+    val residual = prepared.filter(_._4.isEmpty)
+    val byParams = residual.groupBy { case (_, _, (est, _, _), _) =>
       bloomParams(spark, est)
     }
     val residualBlooms: Map[Long, Array[Byte]] = byParams.flatMap {
@@ -445,13 +445,11 @@ object ReplayGuard {
           .agg(BloomFns.bloom_filter_agg(xxhash64(col(idCol)), e, bits).as("bf"))
           .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
     }
-    prepared.foreach { case (b, (est, cnt, bytes), fusedBloom) =>
+    prepared.foreach { case (b, nb, (est, cnt, bytes), fusedBloom) =>
       val merged = deserialize(bytes)
       fusedBloom.orElse(residualBlooms.get(b))
         .foreach(bb => merged.mergeInPlace(deserialize(bb)))
-      writeSidecar(spark, guardDir, b, est,
-        cnt + perBucket.find(_._1 == b).map(_._2).getOrElse(0L),
-        serialize(merged))
+      writeSidecar(spark, guardDir, b, est, cnt + nb, serialize(merged))
     }
     ids.select(col(idCol).as("id"), bucketOf(idCol, nBuckets).as("bucket"))
       // repartition BY BUCKET before the partitioned write: without it

@@ -171,22 +171,9 @@ object RollupIngest {
         freq.map { case (t, df) => s"$FreqPrefix$t" -> df } ++
         samp.map { case (t, df) => s"$SampPrefix$t" -> df } ++
         mix.map { case (t, df) => s"$MixPrefix$t" -> df }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      stagingWrites.size)
-    try {
-      val futures = stagingWrites.map { case (sub, df) =>
-        pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = df.write.parquet(s"$staging/$sub")
-        })
-      }
-      try futures.foreach(_.get())
-      catch { case t: Throwable =>
-        futures.foreach(_.cancel(true))
-        pool.shutdown()
-        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
-        throw t
-      }
-    } finally pool.shutdown()
+    graft.operators.Concurrently.run(stagingWrites.map { case (sub, df) =>
+      () => df.write.parquet(s"$staging/$sub")
+    })
     def writeLedger(file: String, ids: Seq[Long]): Unit = if (ids.nonEmpty) {
       val out = fs.create(new Path(s"$staging/$file"), true)
       try out.write(ids.mkString("\n").getBytes("UTF-8")) finally out.close()

@@ -99,7 +99,13 @@ class WebhookPipeline(tablesDir: String,
       val typeCounts: Map[String, Long] =
         stats.map(r => (r.getString(0), r.getLong(1))).toMap
       val nullPayloads = stats.map(_.getLong(2)).sum
-      if (config.eventsLedger && stats.nonEmpty) writeEventsLedger(envelope)
+      // ...unless the events table does not exist yet: the first write
+      // (even of zero rows) creates the schema-bearing dir rebuildAsOf
+      // and downstream readers expect, so an all-empty-batch stream
+      // still leaves a readable (empty) ledger
+      if (config.eventsLedger && (stats.nonEmpty ||
+          !MergeSink.tableExists(spark, s"$tablesDir/events")))
+        writeEventsLedger(envelope)
       quarantineUnprocessable(raw, typeCounts, nullPayloads, batchId)
       val live = StripeEvents.route(envelope).filter {
         case (_, _, types, _) => types.exists(t => typeCounts.getOrElse(t, 0L) > 0L)
